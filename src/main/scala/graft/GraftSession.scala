@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * local[N] here, but every knob is chosen as it would be on a large
+  * cluster: AQE on (runtime re-planning, skew-join splitting, partition
+  * coalescing), shuffle partitions sized to the parallelism rather than
+  * the 200 default, and a broadcast threshold that lets dimension tables
+  * (region/nation/supplier/part at our scale) broadcast instead of
+  * shuffling the fact table.
+  */
+object GraftSession {
+  def builderDefaults(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+      // type for; read the raw int64 nanos and convert in Tables.load.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builderDefaults(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All reads go through `spark.read.parquet` so Catalyst handles column
+  * pruning and predicate pushdown into the parquet row groups; at 100 TB
+  * the same call against a partitioned table additionally gets partition
+  * pruning for free.
+  */
+object Tables {
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extension: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = tpch ++ extension
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS): surfaced as int64 nanos (see
+    // GraftSession nanosAsLong), truncated here to a µs TimestampType.
+    // Oracles compare at µs (epoch_us) for exact parity.
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}

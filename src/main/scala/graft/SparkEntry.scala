@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Catalog
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2): the
+  * reference's CDC surface as batch analogs, the relational coverage
+  * checklist, and the LLM-data-pipeline extension operators. Every
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql`;
+  * probabilistic/stub operators (simhash, LSH ANN, multimodal decode)
+  * are rows-only here and pinned by ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the CDC quorum-dedup batch analog — the reference's essence
+    * (filter → keyed quorum → emit-once) in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.CdcBatch.quorumBatch.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Catalog.all.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    Catalog.all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+
+  /** headline subset for the benchmark: one representative per operator
+    * family, weighted toward the scale-critical ones. */
+  def benchQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
+    "q8_window_rank", "cdc_quorum_batch", "cdc_offsets",
+    "dedup_exact", "dedup_minhash_lsh", "vector_topk",
+    "text_tokens", "text_fingerprint", "multimodal_meta"
+  )
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Parity._
+
+/** Batch analogs of the reference's CDC operator surface, expressed over
+  * the `events` table (the oplog-shaped stream analog: event_id→`h`,
+  * event_type→`op`, props→`o`; see FIXTURES.md §B).
+  *
+  * Reference operators covered (SURVEY.md §2.1): the static pushdown
+  * filter O3 (`MongoOplogTailMapper.java:90-94`), the resume-offset range
+  * predicate O4 (`:96-98`), arrival-order sort O5 (`:77`), lookup+limit
+  * O6 (`:84-85`), quorum dedup O7 (`MongoDBOplogSource.java:116-128`),
+  * per-host offset upsert O8 (`:130-139`), union fan-in O9 (`:58,81-89`)
+  * and the `{"data": doc}` sink projection O12
+  * (`ElasticsearchEmbeddedNodeSink.java:60-63`).
+  *
+  * The genuinely-streaming renditions (stateful quorum, checkpointing,
+  * fan-out) live in [[graft.streaming]]; these relational forms are what
+  * the DuckDB oracle can gate.
+  */
+object CdcBatch {
+
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  /** O3: static predicate filter evaluated at the scan (PushedFilters).
+    * The reference pushes `ns != ..., op != 'n', fromMigrate not exists`
+    * into mongod; here the analog predicate reaches the parquet reader. */
+  val filterPushdown: Q = Q(
+    "cdc_filter_pushdown",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .filter($"event_type" =!= "error" && $"props".isNotNull && $"value" > 100.0)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type, value
+      FROM events
+      WHERE event_type <> 'error' AND props IS NOT NULL AND value > 100.0
+      ORDER BY event_id
+    """)
+  )
+
+  /** O4: resume from an offset — a range predicate on the monotone
+    * event-time column, exactly the `ts > lastSeen` the reference builds
+    * per host. Epoch-micros output keeps timestamp comparison exact. */
+  val resumeRange: Q = Q(
+    "cdc_resume_range",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .filter($"ts" > lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .select($"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, epoch_us(ts) AS ts_us, event_type
+      FROM events
+      WHERE epoch_us(ts) > 1704240000000000
+      ORDER BY event_id
+    """)
+  )
+
+  /** O5+O6: arrival-order ($natural ≈ event-time) sort with a LIMIT —
+    * Spark plans this as TakeOrderedAndProject (a top-k, never a full
+    * global sort). */
+  val sortLimit: Q = Q(
+    "cdc_sort_limit",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id")
+        .orderBy($"ts_us", $"event_id")
+        .limit(100)
+    },
+    Some("""
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id
+      FROM events
+      ORDER BY ts_us, event_id
+      LIMIT 100
+    """)
+  )
+
+  /** O7 batch analog of the replica-quorum dedup: key ops by a
+    * simulated op-hash `h`, emit each key's first-arriving record once
+    * it has been observed >= depth(3) times. The streaming form (state,
+    * watermark reaping) is [[graft.streaming.QuorumDedup]]. */
+  val quorumBatch: Q = Q(
+    "cdc_quorum_batch",
+    (s, dir) => {
+      import s.implicits._
+      val depth = 3
+      val keyed = ev(s, dir).withColumn("h", $"event_id" % 256)
+      val w = Window.partitionBy($"h")
+      val order = Window.partitionBy($"h").orderBy($"ts", $"event_id")
+      keyed
+        .withColumn("seen", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(order))
+        .filter($"seen" >= depth && $"rn" === 1)
+        .select($"h", $"event_id", $"user_id", $"event_type", $"seen")
+        .orderBy($"h")
+    },
+    Some("""
+      SELECT h, event_id, user_id, event_type, seen
+      FROM (
+        SELECT event_id % 256 AS h, event_id, user_id, event_type,
+               COUNT(*) OVER (PARTITION BY event_id % 256) AS seen,
+               ROW_NUMBER() OVER (PARTITION BY event_id % 256 ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+      )
+      WHERE seen >= 3 AND rn = 1
+      ORDER BY h
+    """)
+  )
+
+  /** O8: per-host progress = MAX(ts) per key — the relational form of
+    * the reference's per-record `replaceOne(upsert)` offset writes
+    * (we keep only the final value per host, as a checkpoint would). */
+  val offsets: Q = Q(
+    "cdc_offsets",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy($"user_id")
+        .agg(max(unix_micros($"ts")).as("last_ts_us"), count(lit(1)).as("n_ops"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, MAX(epoch_us(ts)) AS last_ts_us, COUNT(*) AS n_ops
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """)
+  )
+
+  /** O9: union fan-in of N per-replica streams into one — two disjoint
+    * substreams re-unioned and aggregated. */
+  val unionFanIn: Q = Q(
+    "cdc_union_fanin",
+    (s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val a = e.filter($"user_id" % 2 === 0)
+      val b = e.filter($"user_id" % 2 === 1)
+      a.union(b)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), dsum(decP($"value")).as("total_value"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+      FROM (
+        SELECT * FROM events WHERE user_id % 2 = 0
+        UNION ALL
+        SELECT * FROM events WHERE user_id % 2 = 1
+      )
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  )
+
+  /** O12: the sink projection — wrap each record as `{"data": <doc>}`
+    * like the Elasticsearch sink does. JSON built from exactly-typed
+    * fields so both engines serialize identically. */
+  val esProjection: Q = Q(
+    "cdc_es_projection",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .filter($"event_type" === "purchase")
+        .select(
+          $"event_id",
+          concat(
+            lit("{\"data\":{\"event_id\":"), $"event_id",
+            lit(",\"user_id\":"), $"user_id",
+            lit(",\"event_type\":\""), $"event_type",
+            lit("\"}}")
+          ).as("data")
+        )
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+             '{"data":{"event_id":' || event_id || ',"user_id":' || user_id ||
+             ',"event_type":"' || event_type || '"}}' AS data
+      FROM events
+      WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(
+    filterPushdown, resumeRange, sortLimit, quorumBatch, offsets,
+    unionFanIn, esProjection
+  )
+}

@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Deduplication operators over the `documents` table — the
+  * training-data-pipeline family: exact (content hash), exact-Jaccard
+  * set similarity, MinHash+LSH banding, and SimHash.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a single hash aggregation (map-side combined);
+  *  - the Jaccard joins go through an inverted shingle index
+  *    (explode → equi-join on shingle) — never an O(n²) cross join;
+  *  - MinHash replaces the full inverted index with 64 LSH band keys
+  *    per document, so the self-join key space is tiny and collisions
+  *    are candidate pairs only (ICDE 2020 "Distributed Streaming Set
+  *    Similarity Join" banding pattern, per PAPERS.md);
+  *  - SimHash reduces each document to one 64-bit signature and joins
+  *    on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+  *
+  * Float-free verification: Jaccard(j) ≥ 1/2 is tested as
+  * `3*inter ≥ n1+n2` in exact integer arithmetic, so the DuckDB oracle
+  * matches bit-for-bit with no FP-rounding hazard.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** MinHash sketch width (64 hashes = 16 bands × 4 rows). */
+  private val MinHashK = 64
+  private val MinHashSeeds: Array[Long] =
+    Array.tabulate(MinHashK)(i => 0x9e3779b97f4a7c15L * (i + 1))
+
+  /** FNV-1a 64-bit string fingerprint (public-domain algorithm). */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer (public-domain algorithm) — the per-seed
+    * "permutation" applied to a shingle fingerprint. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** distinct 3-shingle sets per doc, dropping docs too short to shingle.
+    *
+    * persist() is load-bearing: the signature frame is referenced many
+    * times downstream (128 minhash lambdas, both sides of the candidate
+    * join, verification). Without a materialization barrier Catalyst's
+    * CollapseProject inlines this whole tokenize→shingle pipeline into
+    * EVERY reference site — turning O(docs·shingles) work into
+    * O(docs·shingles·128) recompute. At 100 TB the same principle holds:
+    * compute signatures once, materialize, reuse. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // repartition first: the fixture is a single parquet file (1 input
+    // split), which would otherwise serialize all shingle computation
+    // into one task; on a real multi-split corpus this is a no-op cost.
+    docs(s, dir)
+      .repartition($"doc_id")
+      .select($"doc_id", TextFns.shingleSet($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .persist()
+  }
+
+  private val shingleSetSql =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(len(toks)-2),
+      |                       i -> array_to_string(toks[i+1:i+3], ' '))) AS shset
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3
+      |)""".stripMargin
+
+  /** exact-pair ground truth: inverted-index join + integer Jaccard
+    * filter; used as the oracle for both ngram and minhash queries. */
+  private val exactPairSql = Some(s"""
+    WITH $shingleSetSql,
+    ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
+    pairs AS (
+      SELECT a.doc_id d1, b.doc_id d2, COUNT(*) inter,
+             ANY_VALUE(a.n) n1, ANY_VALUE(b.n) n2
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, CAST(inter AS BIGINT) AS inter_size,
+           CAST(n1 + n2 - inter AS BIGINT) AS union_size
+    FROM pairs
+    WHERE 3 * inter >= n1 + n2
+    ORDER BY d1, d2
+  """)
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id as
+    * canonical. One shuffle on a 128-bit key; at 100 TB this is the
+    * cheapest possible full-corpus dedup. */
+  val exact: Q = Q(
+    "dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .groupBy(md5($"text").as("content_md5"))
+        .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select($"canonical_id", $"n_copies", $"content_md5")
+        .orderBy($"canonical_id")
+    },
+    Some("""
+      SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies, md5(text) AS content_md5
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY canonical_id
+    """)
+  )
+
+  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5) via the inverted
+    * shingle index. This is the exact baseline the probabilistic
+    * variants are judged against. */
+  val ngramJaccard: Q = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val sh = shingleSets(s, dir)
+      val ex = sh.select($"doc_id", explode($"sh").as("s"), size($"sh").as("n"))
+      ex.as("a")
+        .join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .agg(count(lit(1)).as("inter"), max($"a.n").as("n1"), max($"b.n").as("n2"))
+        .filter($"inter" * 3 >= $"n1" + $"n2")
+        .select($"d1", $"d2", $"inter".as("inter_size"),
+          ($"n1" + $"n2" - $"inter").cast("long").as("union_size"))
+        .orderBy($"d1", $"d2")
+    },
+    exactPairSql
+  )
+
+  /** MinHash + LSH near-dup: 128 xxhash64 min-hashes per shingle set,
+    * banded 32×4; band-key self-join yields candidates, exact integer
+    * Jaccard verifies. With j ≥ 0.9 planted pairs, the per-pair miss
+    * probability is (1-j⁴)^32 ≈ 1.5e-15, so the verified output equals
+    * the exact-pair oracle. */
+  val minhashLsh: Q = Q(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val sh = shingleSets(s, dir)
+      // 64-hash MinHash sketch in ONE mapPartitions pass with primitive
+      // arrays: each shingle is fingerprinted once, then 64 cheap
+      // splitmix64 mixes update the running minima. `sh` is already
+      // hash-partitioned by doc_id, so this is a complete (not partial)
+      // per-doc aggregation with zero shuffle. Chosen over the
+      // declarative alternatives measured on sf0.1: a higher-order
+      // `transform(sequence(...), i -> array_min(...))` lambda is
+      // interpreted row-at-a-time (~50× slower), and 64 separate
+      // `min(xxhash64(f, i))` aggregate columns paid ~500ns/row/col in
+      // aggregate-buffer updates (~24s vs <1s for this kernel).
+      val minhashes = sh.select($"doc_id", $"sh").as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          it.map { case (doc, shingles) =>
+            val mh = Array.fill(MinHashK)(Long.MaxValue)
+            shingles.foreach { sstr =>
+              val f = fnv1a64(sstr)
+              var i = 0
+              while (i < MinHashK) {
+                val h = splitmix64(f + MinHashSeeds(i))
+                if (h < mh(i)) mh(i) = h
+                i += 1
+              }
+            }
+            (doc, mh)
+          }
+        }
+        .toDF("doc_id", "mh")
+      // 16 bands × 4 rows: band collision needs j^4, so the huge mass
+      // of low-similarity pairs (j≈0.03-0.07 here) almost never
+      // produces a false candidate (~16·j^4·n² pairs), while the
+      // planted j≥0.9 pairs miss with prob (1-0.9^4)^16 ≈ 4e-9.
+      // (64 bands × 2 rows collided on ~10^5 background pairs and
+      // verification dominated the runtime.)
+      val bandStructs = (0 until 16).map { b =>
+        struct(lit(b).as("b"),
+          xxhash64(element_at($"mh", 4 * b + 1), element_at($"mh", 4 * b + 2),
+            element_at($"mh", 4 * b + 3), element_at($"mh", 4 * b + 4)).as("bh"))
+      }
+      val bands = minhashes
+        .select($"doc_id", explode(array(bandStructs: _*)).as("band"))
+        .select($"doc_id", $"band.b".as("b"), $"band.bh".as("bh"))
+      val cand = bands.as("x")
+        .join(bands.as("y"), $"x.b" === $"y.b" && $"x.bh" === $"y.bh" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+        .distinct()
+      val s1 = sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
+      val s2 = sh.select($"doc_id".as("d2"), $"sh".as("sh2"))
+      cand.join(s1, "d1").join(s2, "d2")
+        .withColumn("inter", size(array_intersect($"sh1", $"sh2")))
+        .withColumn("n1", size($"sh1")).withColumn("n2", size($"sh2"))
+        .filter($"inter" * 3 >= $"n1" + $"n2")
+        .select($"d1", $"d2", $"inter".cast("long").as("inter_size"),
+          ($"n1" + $"n2" - $"inter").cast("long").as("union_size"))
+        .orderBy($"d1", $"d2")
+    },
+    exactPairSql
+  )
+
+  /** SimHash near-dup: 64-bit signature (sign of per-bit token-hash
+    * vote), 4×16-bit chunk banding, hamming ≤ 3 verification via
+    * bit_count(xor). xxhash64-based, so no SQL oracle (rows-only check);
+    * DedupSpec cross-checks it against the exact pairs. */
+  val simhash: Q = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .repartition($"doc_id")
+        .select($"doc_id", TextFns.tokens($"text").as("toks"))
+        .filter(size($"toks") > 0)
+      // persist BEFORE the 64-bit fold: otherwise tokenize+hash is
+      // re-inlined into each of the 64 per-bit aggregates.
+      val hashed = toks
+        .select($"doc_id", expr("transform(toks, t -> xxhash64(t))").as("th"))
+        .persist()
+      val sig = hashed
+        .withColumn("sim", expr(
+          """aggregate(sequence(0, 63), 0L, (acc, j) ->
+            |  acc + CASE WHEN aggregate(th, 0,
+            |      (a, t) -> a + CASE WHEN (t & shiftleft(1L, j)) != 0 THEN 1 ELSE -1 END) > 0
+            |    THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin))
+        .select($"doc_id", $"sim")
+        .persist()   // second barrier: chunk explode reads `sim` 2× per chunk
+      val chunks = sig.select($"doc_id", $"sim",
+        explode(expr(
+          "transform(sequence(0, 3), c -> named_struct('c', c, 'cv', shiftright(sim, c*16) & 65535))"))
+          .as("ch"))
+        .select($"doc_id", $"sim", $"ch.c".as("c"), $"ch.cv".as("cv"))
+      chunks.as("x")
+        .join(chunks.as("y"), $"x.c" === $"y.c" && $"x.cv" === $"y.cv" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+          expr("bit_count(x.sim ^ y.sim)").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
+        .orderBy($"d1", $"d2")
+    },
+    None
+  )
+
+  /** Embedding-cosine near-dup (brute-force exact baseline): all pairs
+    * with cosine ≥ 0.45. Dot products as left-fold doubles so the
+    * DuckDB oracle is bit-identical. The LSH-bucketed scale path is
+    * [[VectorSearch.annLsh]]. */
+  val embeddingCosine: Q = Q(
+    "dedup_embedding",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .repartition($"vec_id")   // single-file fixture → spread the work
+        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr(
+          "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x))"))
+        .persist()   // norms computed once, not per pair
+      val a = e.select($"vec_id".as("i"), $"v".as("va"), $"nrm".as("na"))
+      val b = e.select($"vec_id".as("j"), $"v".as("vb"), $"nrm".as("nb"))
+      a.join(b, $"i" < $"j")
+        .withColumn("cos", expr(
+          "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
+          ($"na" * $"nb"))
+        .filter($"cos" >= 0.45)
+        .select($"i", $"j", $"cos")
+        .orderBy($"i", $"j")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e)
+      SELECT a.vec_id i, b.vec_id j,
+             list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]), (x, y) -> x + y)
+               / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]), (x, y) -> x + y)
+              / (a.nrm * b.nrm) >= 0.45
+      ORDER BY i, j
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine)
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text-analysis operators over `documents`: token counting (whitespace
+  * + a BPE-ish regex), quality scoring, n-gram-heuristic language ID,
+  * and content fingerprinting. All pure per-row column expressions —
+  * embarrassingly parallel, no shuffle except the final presentation
+  * sort — so they scale linearly with the corpus.
+  *
+  * Ratios are int/int double divisions of identical integers in both
+  * engines (exact IEEE), so the oracle matches bit-for-bit.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopEs = Seq("el", "la", "de", "los", "las", "y", "en", "que")
+  private val stopDe = Seq("der", "die", "das", "und", "von", "zu", "den", "ist")
+  private val stopFr = Seq("le", "la", "les", "de", "des", "et", "en", "est")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def sqlMarker(ws: Seq[String]) =
+    s"CAST(len(list_filter(toks, t -> list_contains(${sqlList(ws)}, t))) AS INT)"
+
+  /** Token counting: whitespace tokens, distinct tokens, characters,
+    * and BPE-ish subword count ([a-z]+ runs | digits | punctuation). */
+  val tokenCount: Q = Q(
+    "text_tokens",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select(
+          $"doc_id",
+          size(TextFns.tokens($"text")).as("n_tokens"),
+          size(array_distinct(TextFns.tokens($"text"))).as("n_distinct"),
+          length($"text").as("n_chars"),
+          regexp_count(lower($"text"), lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast("int").as("n_bpeish")
+        )
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INT) AS n_distinct,
+             CAST(LENGTH(text) AS INT) AS n_chars,
+             CAST(len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS n_bpeish
+      FROM documents
+      ORDER BY doc_id
+    """)
+  )
+
+  /** Quality scoring: length, lexical diversity, stopword ratio and
+    * mean token length folded into one [0,1]-ish score. */
+  val quality: Q = Q(
+    "text_quality",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextFns.tokens($"text")
+      val nTok = size(toks)
+      val diversity = size(array_distinct(toks)) / nTok
+      val stopRatio = TextFns.markerCount(toks, stopEn) / nTok
+      val meanLen = (length($"text") - nTok + 1) / nTok
+      docs(s, dir)
+        .filter(nTok > 0)
+        .select(
+          $"doc_id",
+          diversity.as("diversity"),
+          stopRatio.as("stop_ratio"),
+          meanLen.as("mean_token_len"),
+          (diversity * 0.5 + stopRatio * 0.2 +
+            when(nTok >= 20 && nTok <= 2000, 0.3).otherwise(0.0)).as("quality")
+        )
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') toks
+        FROM documents
+      )
+      SELECT doc_id,
+        CAST(len(list_distinct(toks)) AS INT) / CAST(len(toks) AS INT) AS diversity,
+        ${sqlMarker(stopEn)} / CAST(len(toks) AS INT) AS stop_ratio,
+        CAST(LENGTH(text) - len(toks) + 1 AS INT) / CAST(len(toks) AS INT) AS mean_token_len,
+        (CAST(len(list_distinct(toks)) AS INT) / CAST(len(toks) AS INT)) * 0.5
+          + (${sqlMarker(stopEn)} / CAST(len(toks) AS INT)) * 0.2
+          + CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 0.3 ELSE 0.0 END AS quality
+      FROM t
+      WHERE len(toks) > 0
+      ORDER BY doc_id
+    """)
+  )
+
+  /** Language ID by stopword-marker voting + CJK character heuristic,
+    * ties broken by a fixed chain (en > es > de > fr). On this corpus
+    * (shared synthetic vocab) the value is determinism, not accuracy —
+    * TextSpec asserts the algorithm, the oracle asserts engine parity. */
+  val langId: Q = Q(
+    "text_langid",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextFns.tokens(lower($"text"))
+      val sEn = TextFns.markerCount(toks, stopEn)
+      val sEs = TextFns.markerCount(toks, stopEs)
+      val sDe = TextFns.markerCount(toks, stopDe)
+      val sFr = TextFns.markerCount(toks, stopFr)
+      val sZh = TextFns.nonAsciiCount($"text")
+      docs(s, dir)
+        .select($"doc_id", $"lang".as("labeled_lang"),
+          sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"), sFr.as("s_fr"), sZh.as("s_zh"))
+        .withColumn("predicted",
+          when($"s_zh" * 4 > $"s_en" + $"s_es" + $"s_de" + $"s_fr" + 1, "zh")
+            .when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" > 0, "en")
+            .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr" && $"s_es" > 0, "es")
+            .when($"s_de" >= $"s_fr" && $"s_de" > 0, "de")
+            .when($"s_fr" > 0, "fr")
+            .otherwise("und"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split(LOWER(text), ' '), x -> x <> '') toks
+        FROM documents
+      ), sc AS (
+        SELECT doc_id, lang AS labeled_lang,
+          ${sqlMarker(stopEn)} AS s_en,
+          ${sqlMarker(stopEs)} AS s_es,
+          ${sqlMarker(stopDe)} AS s_de,
+          ${sqlMarker(stopFr)} AS s_fr,
+          CAST(LENGTH(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS INT) AS s_zh
+        FROM t
+      )
+      SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr, s_zh,
+        CASE
+          WHEN s_zh * 4 > s_en + s_es + s_de + s_fr + 1 THEN 'zh'
+          WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+          WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+          WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+          WHEN s_fr > 0 THEN 'fr'
+          ELSE 'und'
+        END AS predicted
+      FROM sc
+      ORDER BY doc_id
+    """)
+  )
+
+  /** Content fingerprint (md5 of the sorted distinct token set) plus a
+    * first-8-hex-chars shard key — the partitioning handle a 100 TB
+    * dedup/bucketing pipeline would use. */
+  val fingerprintQ: Q = Q(
+    "text_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", TextFns.fingerprint($"text").as("fp"))
+        .withColumn("fp_shard", substring($"fp", 1, 8))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp,
+             SUBSTRING(md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' ')), 1, 8) AS fp_shard
+      FROM documents
+      ORDER BY doc_id
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(tokenCount, quality, langId, fingerprintQ)
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.OplogEntry
+
+/** The reference's whole production job
+  * (`reference:src/main/java/org/flinkmon/main/MongoDBOplogTail.java:36-42`)
+  * as one Structured Streaming pipeline — SURVEY.md §7.2's minimum
+  * end-to-end slice:
+  *
+  *   tailable source → static pushdown filter (O3) → quorum dedup (O7)
+  *   → fan-out to console (O11) + JSON-lines "index" sink (O12),
+  *   with checkpointed offsets/state replacing the hand-rolled
+  *   `time_d.repl_time` upserts (O8).
+  *
+  * Zero-egress modeling: the "tailable cursor" is a file-stream
+  * directory of oplog-shaped rows (a real MicroBatchStream Mongo
+  * connector would slot in behind [[source]]); "Elasticsearch" is a
+  * JSON-lines directory per index. Both seams are single functions.
+  *
+  * Fan-out uses ONE query + `foreachBatch` (source is read once per
+  * micro-batch, then written to both sinks) instead of two independent
+  * writeStreams that would each re-read the source — SURVEY.md §7.4's
+  * "two sinks, one pass".
+  */
+object OplogPipeline {
+
+  /** O3: the static predicate the reference pushes into `find()`
+    * (`MongoOplogTailMapper.java:90-94`): drop no-ops, the offset
+    * table's own writes, and shard-migration internals. On a file
+    * source Catalyst pushes this to the scan; on a connector it maps to
+    * `SupportsPushDownFilters`. */
+  def staticFilter(df: DataFrame): DataFrame =
+    df.filter(col("op") =!= "n" &&
+      col("ns") =!= "time_d.repl_time" &&
+      col("fromMigrate").isNull)
+
+  /** the file-modeled tailable source (O1): unbounded read of an
+    * oplog-shaped directory. `maxFilesPerTrigger` is the admission
+    * control replacing the reference's 128-slot blocking queue. */
+  def source(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(OplogEntry.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** O12: the `{"data": <doc>}` Elasticsearch wrap
+    * (`ElasticsearchEmbeddedNodeSink.java:60-63`). */
+  def indexProjection(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("data"))
+      .select(concat(lit("{\"data\":"), col("data"), lit("}")).as("line"))
+
+  /** full pipeline: filter → watermark → quorum dedup → dual sink.
+    * Returns the started query (caller owns lifecycle). */
+  def run(
+      spark: SparkSession,
+      sourceDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      replicaDepth: Int,
+      watermark: String = "10 seconds",
+      echoToConsole: Boolean = false): StreamingQuery = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+
+    val deduped = QuorumDedup(
+      staticFilter(source(spark, sourceDir))
+        .withWatermark("ts", watermark)
+        .as[OplogEntry],
+      replicaDepth)
+
+    deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: Dataset[OplogEntry], batchId: Long) =>
+        val df = batch.toDF().persist()        // one read, two sinks
+        try {
+          if (echoToConsole) df.show(5, truncate = false)   // O11 print sink
+          indexProjection(df)                               // O12 index sink
+            .write.mode("append").text(s"$indexDir/oplog")
+        } finally { df.unpersist(); () }
+      }
+      .start()
+  }
+}

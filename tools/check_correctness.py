@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Registers each parquet table as a DuckDB view, runs every oracle SQL in
+<verifyOutDir>/oracle_sql.json, and compares against the Spark result in
+<verifyOutDir>/<name>/ (column names sorted, rows sorted, exact values).
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows):
+    out = []
+    for r in rows:
+        rr = []
+        for v in r:
+            if isinstance(v, float):
+                rr.append(("f", repr(v)))          # exact double repr
+            elif v is None:
+                rr.append(("n", ""))
+            else:
+                rr.append(("o", str(v)))
+        out.append(tuple(rr))
+    out.sort()
+    return out
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"MISSING  {name}: no spark output")
+            n_bad += 1
+            continue
+        mine_rel = con.execute(
+            f"SELECT * FROM read_parquet({files!r})")
+        mine_cols = [d[0] for d in mine_rel.description]
+        mine_rows = mine_rel.fetchall()
+        try:
+            ref_rel = con.execute(oracle[name])
+            ref_cols = [d[0] for d in ref_rel.description]
+            ref_rows = ref_rel.fetchall()
+        except Exception as e:
+            print(f"ORA-ERR  {name}: {e}")
+            n_bad += 1
+            continue
+        if sorted(mine_cols) != sorted(ref_cols):
+            print(f"SCHEMA   {name}: spark={sorted(mine_cols)} duck={sorted(ref_cols)}")
+            n_bad += 1
+            continue
+        # reorder both to sorted column order
+        m_idx = [mine_cols.index(c) for c in sorted(mine_cols)]
+        r_idx = [ref_cols.index(c) for c in sorted(ref_cols)]
+        m = canon([[r[i] for i in m_idx] for r in mine_rows])
+        r = canon([[r[i] for i in r_idx] for r in ref_rows])
+        if len(m) != len(r):
+            print(f"ROWS     {name}: spark={len(m)} duck={len(r)}")
+            n_bad += 1
+        elif m != r:
+            diffs = [i for i, (a, b) in enumerate(zip(m, r)) if a != b]
+            print(f"VALUES   {name}: {len(diffs)}/{len(m)} rows differ; first: ")
+            i = diffs[0]
+            print(f"  spark: {m[i]}")
+            print(f"  duck : {r[i]}")
+            n_bad += 1
+        else:
+            print(f"OK       {name} ({len(m)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} bad, {len(oracle)} total oracled")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
