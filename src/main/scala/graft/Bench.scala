@@ -24,6 +24,9 @@ object Bench {
     catch { case _: Throwable => () }
 
     val results: Seq[(String, Double)] = SparkEntry.benchQueries.map { name =>
+      // queries persist intermediate signature frames; drop them between
+      // queries so later ones aren't taxed by a filling storage pool
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { all(name)(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }

@@ -21,6 +21,7 @@ object Verify {
         df.count()
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         df.unpersist()
+        spark.catalog.clearCache()   // drop query-internal persisted frames
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Parity._
+
+/** Second-tier relational coverage: JSON payload introspection (the
+  * reference's opaque `o` payload pattern, SURVEY.md §1.4), event-time
+  * tumbling windows (the batch analog of streaming windowed aggs),
+  * array aggregation, gap-based sessionization, and the as-of join.
+  */
+object Advanced {
+
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  /** JSON payload introspection on demand — the `o`/`o2` opaque-payload
+    * model: extract a field from the JSON string, type it, aggregate.
+    * No schema explosion; the extraction is a codegen'd path expression. */
+  val jsonPayload: Q = Q(
+    "q18_json_payload",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count($"k").as("n_with_k"),
+          sum($"k").as("sum_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  )
+
+  /** Tumbling 6-hour event-time windows — the bounded analog of the
+    * streaming `groupBy(window(ts, ...))` aggregation (which
+    * StreamingWindowSpec drives with a watermark on MemoryStream). */
+  val timeWindow: Q = Q(
+    "q19_time_window",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum(decP($"value")).as("total_value"))
+        .select(unix_micros($"w.start").as("bucket_us"), $"event_type", $"n", $"total_value")
+        .orderBy($"bucket_us", $"event_type")
+    },
+    Some("""
+      SELECT epoch_us(time_bucket(INTERVAL '6 hours', make_timestamp(epoch_us(ts)))) AS bucket_us,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bucket_us, event_type
+    """)
+  )
+
+  /** Array aggregation: sorted distinct set per group, surfaced as a
+    * joined string so both engines serialize identically. */
+  val arrayAgg: Q = Q(
+    "q20_array_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          concat_ws(",", sort_array(collect_set($"l_linestatus"))).as("statuses"),
+          countDistinct($"l_linestatus").as("n_statuses"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+             COUNT(DISTINCT l_linestatus) AS n_statuses
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  )
+
+  /** Gap-based sessionization (30-minute inactivity): the window-
+    * function form of streaming session windows. One shuffle on
+    * user_id; the lag/cumsum pass is streaming within each sorted
+    * partition. */
+  val sessionize: Q = Q(
+    "q21_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val gapUs = 30L * 60 * 1000000
+      val byTime = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      ev(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("t"))
+        .withColumn("prev", lag($"t", 1).over(byTime))
+        .withColumn("new_sess",
+          when($"prev".isNull || $"t" - $"prev" > gapUs, 1).otherwise(0))
+        .withColumn("sess", sum($"new_sess").over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess")
+        .agg(count(lit(1)).as("n_events"), min($"t").as("start_us"), max($"t").as("end_us"))
+        .orderBy($"user_id", $"sess")
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events
+      ), flagged AS (
+        SELECT user_id, event_id, t,
+               CASE WHEN prev IS NULL OR t - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM t
+      ), numbered AS (
+        SELECT user_id, t,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        FROM flagged
+      )
+      SELECT user_id, sess, COUNT(*) AS n_events,
+             MIN(t) AS start_us, MAX(t) AS end_us
+      FROM numbered
+      GROUP BY user_id, sess
+      ORDER BY user_id, sess
+    """)
+  )
+
+  /** As-of join: each order enriched with the latest event of the same
+    * user at-or-before the order date (see [[AsOfJoin]]). */
+  val asOf: Q = Q(
+    "q22_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables.load(s, dir, "orders")
+      val events = ev(s, dir)
+      AsOfJoin(
+        probe = orders, probeKey = $"o_custkey",
+        // o_orderdate is TIMESTAMP_NTZ in parquet; session TZ is UTC so
+        // the cast is wall-clock-identical (and matches DuckDB epoch_us)
+        probeTime = unix_micros($"o_orderdate".cast("timestamp")), probeId = $"o_orderkey",
+        quote = events, quoteKey = $"user_id",
+        quoteTime = unix_micros($"ts"), quoteId = $"event_id")
+        .filter($"asof_qid".isNotNull)
+        .select($"pid".as("o_orderkey"), $"k".as("custkey"),
+          $"t".as("orderdate_us"), $"asof_qid".as("asof_event_id"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id AS k, epoch_us(ts) AS t, 0 AS side,
+               event_id AS qid, CAST(NULL AS BIGINT) AS pid
+        FROM events
+        UNION ALL
+        SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 1 AS side,
+               CAST(NULL AS BIGINT) AS qid, o_orderkey AS pid
+        FROM orders
+      ), m AS (
+        SELECT k, t, side, pid,
+               LAST_VALUE(qid IGNORE NULLS) OVER (PARTITION BY k
+                 ORDER BY t, side, COALESCE(qid, pid)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_qid
+        FROM u
+      )
+      SELECT pid AS o_orderkey, k AS custkey, t AS orderdate_us, asof_qid AS asof_event_id
+      FROM m
+      WHERE side = 1 AND asof_qid IS NOT NULL
+      ORDER BY o_orderkey
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf)
+}

@@ -16,6 +16,6 @@ final case class Q(
 object Catalog {
   /** Everything the engine exposes, keyed by name. */
   def all: Seq[Q] =
-    Relational.queries ++ CdcBatch.queries ++ Dedup.queries ++
+    Relational.queries ++ Advanced.queries ++ CdcBatch.queries ++ Dedup.queries ++
       VectorSearch.queries ++ TextAnalysis.queries ++ graft.multimodal.Multimodal.queries
 }

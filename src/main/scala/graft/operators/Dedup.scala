@@ -50,6 +50,33 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
+  /** text → 64-wide MinHash sketch over distinct 3-word shingles, one
+    * tight pass, no intermediate arrays beyond the shingle-dedup set.
+    * Must shingle exactly like [[TextFns.shingleSet]] (space-tokenize,
+    * drop empties, space-join 3-grams) so candidate verification and
+    * the exact oracle agree on the underlying sets. */
+  private def sketchText(text: String): Option[Array[Long]] = {
+    val toks = text.split(' ').filter(_.nonEmpty)
+    if (toks.length < 3) return None
+    val seen = new java.util.HashSet[String]()
+    val mh = Array.fill(MinHashK)(Long.MaxValue)
+    var p = 0
+    while (p + 2 < toks.length) {
+      val sstr = toks(p) + " " + toks(p + 1) + " " + toks(p + 2)
+      if (seen.add(sstr)) {
+        val f = fnv1a64(sstr)
+        var i = 0
+        while (i < MinHashK) {
+          val h = splitmix64(f + MinHashSeeds(i))
+          if (h < mh(i)) mh(i) = h
+          i += 1
+        }
+      }
+      p += 1
+    }
+    Some(mh)
+  }
+
   /** distinct 3-shingle sets per doc, dropping docs too short to shingle.
     *
     * persist() is load-bearing: the signature frame is referenced many
@@ -141,42 +168,29 @@ object Dedup {
     exactPairSql
   )
 
-  /** MinHash + LSH near-dup: 128 xxhash64 min-hashes per shingle set,
-    * banded 32×4; band-key self-join yields candidates, exact integer
-    * Jaccard verifies. With j ≥ 0.9 planted pairs, the per-pair miss
-    * probability is (1-j⁴)^32 ≈ 1.5e-15, so the verified output equals
+  /** MinHash + LSH near-dup: 64 min-hashes per shingle set, banded
+    * 16×4; band-key self-join yields candidates, exact integer Jaccard
+    * verifies. With j ≥ 0.9 planted pairs, the per-pair miss
+    * probability is (1-j⁴)^16 ≈ 4e-9, so the verified output equals
     * the exact-pair oracle. */
   val minhashLsh: Q = Q(
     "dedup_minhash_lsh",
     (s, dir) => {
       import s.implicits._
-      val sh = shingleSets(s, dir)
-      // 64-hash MinHash sketch in ONE mapPartitions pass with primitive
-      // arrays: each shingle is fingerprinted once, then 64 cheap
-      // splitmix64 mixes update the running minima. `sh` is already
-      // hash-partitioned by doc_id, so this is a complete (not partial)
-      // per-doc aggregation with zero shuffle. Chosen over the
-      // declarative alternatives measured on sf0.1: a higher-order
-      // `transform(sequence(...), i -> array_min(...))` lambda is
-      // interpreted row-at-a-time (~50× slower), and 64 separate
+      // 64-hash MinHash sketch in ONE mapPartitions pass straight from
+      // the text — tokenize, shingle, fingerprint, min-update with
+      // primitive arrays; no corpus-wide shingle arrays materialized.
+      // Chosen over the declarative alternatives measured on sf0.1: a
+      // higher-order `transform(sequence(...), i -> array_min(...))`
+      // lambda is interpreted row-at-a-time (~50× slower), 64 separate
       // `min(xxhash64(f, i))` aggregate columns paid ~500ns/row/col in
-      // aggregate-buffer updates (~24s vs <1s for this kernel).
-      val minhashes = sh.select($"doc_id", $"sh").as[(Long, Seq[String])]
-        .mapPartitions { it =>
-          it.map { case (doc, shingles) =>
-            val mh = Array.fill(MinHashK)(Long.MaxValue)
-            shingles.foreach { sstr =>
-              val f = fnv1a64(sstr)
-              var i = 0
-              while (i < MinHashK) {
-                val h = splitmix64(f + MinHashSeeds(i))
-                if (h < mh(i)) mh(i) = h
-                i += 1
-              }
-            }
-            (doc, mh)
-          }
-        }
+      // aggregate-buffer updates, and building shingle arrays for the
+      // whole corpus cost more than the sketch itself.
+      val minhashes = docs(s, dir)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (doc, text) =>
+          sketchText(text).map(mh => (doc, mh))
+        })
         .toDF("doc_id", "mh")
       // 16 bands × 4 rows: band collision needs j^4, so the huge mass
       // of low-similarity pairs (j≈0.03-0.07 here) almost never
@@ -196,8 +210,15 @@ object Dedup {
         .join(bands.as("y"), $"x.b" === $"y.b" && $"x.bh" === $"y.bh" && $"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
         .distinct()
-      val s1 = sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
-      val s2 = sh.select($"doc_id".as("d2"), $"sh".as("sh2"))
+      // verification only needs shingle sets for CANDIDATE docs (a few
+      // hundred), not the corpus: semi-join the doc table down first.
+      val candDocs = cand.select(explode(array($"d1", $"d2")).as("doc_id")).distinct()
+      val shCand = docs(s, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .select($"doc_id", TextFns.shingleSet($"text").as("sh"))
+        .persist()
+      val s1 = shCand.select($"doc_id".as("d1"), $"sh".as("sh1"))
+      val s2 = shCand.select($"doc_id".as("d2"), $"sh".as("sh2"))
       cand.join(s1, "d1").join(s2, "d2")
         .withColumn("inter", size(array_intersect($"sh1", $"sh2")))
         .withColumn("n1", size($"sh1")).withColumn("n2", size($"sh2"))
@@ -258,18 +279,16 @@ object Dedup {
     "dedup_embedding",
     (s, dir) => {
       import s.implicits._
+      import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
       val e = Tables.load(s, dir, "embeddings")
         .repartition($"vec_id")   // single-file fixture → spread the work
         .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", expr(
-          "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x))"))
+        .withColumn("nrm", sqrt(dot_product($"v", $"v")))
         .persist()   // norms computed once, not per pair
       val a = e.select($"vec_id".as("i"), $"v".as("va"), $"nrm".as("na"))
       val b = e.select($"vec_id".as("j"), $"v".as("vb"), $"nrm".as("nb"))
       a.join(b, $"i" < $"j")
-        .withColumn("cos", expr(
-          "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)") /
-          ($"na" * $"nb"))
+        .withColumn("cos", dot_product($"va", $"vb") / ($"na" * $"nb"))
         .filter($"cos" >= 0.45)
         .select($"i", $"j", $"cos")
         .orderBy($"i", $"j")

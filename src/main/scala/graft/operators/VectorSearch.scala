@@ -20,13 +20,14 @@ import graft.Tables
   *    join is a bucket equi-join, and recall is traded for a ~n/256
   *    candidate reduction. VectorSpec measures recall against [[topK]].
   *
-  * Dot products are left-fold double `aggregate` expressions (codegen'd,
-  * no UDF) so the DuckDB oracle reproduces them bit-for-bit.
+  * Dot products use the native codegen'd
+  * [[org.apache.spark.sql.graftexpr.DotProduct]] expression; its strict
+  * left-fold float semantics match DuckDB's `list_reduce`, so the
+  * oracle reproduces the scores bit-for-bit.
   */
 object VectorSearch {
 
-  private val dot = (a: String, b: String) =>
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+  import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
 
   /** embeddings with double vectors + precomputed L2 norms. */
   private def normed(s: SparkSession, dir: String): DataFrame = {
@@ -34,7 +35,7 @@ object VectorSearch {
     Tables.load(s, dir, "embeddings")
       .repartition($"vec_id")   // single-file fixture → spread the work
       .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr(s"sqrt(${dot("v", "v")})"))
+      .withColumn("nrm", sqrt(dot_product($"v", $"v")))
       .persist()   // barrier: norms/vectors materialized once, reused per query side
   }
 
@@ -67,7 +68,7 @@ object VectorSearch {
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
       val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id",
-          (expr(dot("qv", "v")) / ($"qnrm" * $"nrm")).as("cos"))
+          (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
       val local = scored.as[(Long, Long, Double)]
         .mapPartitions(it => localTopK(it, k))
         .toDF("qid", "vec_id", "cos")
@@ -121,7 +122,7 @@ object VectorSearch {
       val cand = e.join(broadcast(probes), Seq("bucket"))
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id",
-          (expr(dot("qv", "v")) / ($"qnrm" * $"nrm")).as("cos"))
+          (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
       val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
       cand.withColumn("rn", row_number().over(w))
         .filter($"rn" <= k)

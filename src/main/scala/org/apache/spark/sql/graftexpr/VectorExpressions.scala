@@ -1,0 +1,74 @@
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the dot product of two
+  * `array<double>` columns, with whole-stage codegen (`doGenCode`).
+  *
+  * Lives under `org.apache.spark.sql` because the expression-extension
+  * surface (`AbstractDataType`, the Column↔Expression bridge) is
+  * `private[sql]` — the standard packaging for out-of-tree expressions.
+  *
+  * Preference-order rationale: composing built-ins
+  * (`aggregate(zip_with(...))`) is semantically identical but those
+  * higher-order functions are CodegenFallback — every row pays lambda
+  * interpretation and array allocation. This expression is a tight
+  * primitive loop inside the generated code: it keeps vector scoring in
+  * the same codegen stage as the surrounding join/filter, which is the
+  * difference between scanning an embedding corpus at memory bandwidth
+  * and at interpreter speed.
+  *
+  * Float semantics are a strict left fold from 0.0 — identical to the
+  * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (s,x)->s+x)` formulation
+  * and to DuckDB's `list_reduce` fold, so the correctness oracle stays
+  * bit-exact.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** dot product of two array<double> columns (codegen'd). */
+  def dot_product(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
