@@ -95,23 +95,23 @@ object VectorSearch {
     """)
   )
 
+  /** fixed pseudo-random hyperplanes (component d of plane i is
+    * sin(i*64+d+1)): deterministic, seedless, shipped as literals so
+    * the 8 sign-bit dot products stay codegen'd. */
+  private val hyperplanes: Seq[Seq[Double]] =
+    Seq.tabulate(8, 64)((i, d) => math.sin((i * 64 + d + 1).toDouble))
+
   /** Random-hyperplane LSH: 8 sign bits → 256 buckets, multiprobe by
-    * flipping each bit (9 probes). Hyperplane d-th component of plane i
-    * is sin(i*64+d+1) — fixed, seedless, reproducible in-plan (stays in
-    * codegen; no driver-side constants shipped). Probabilistic → no SQL
-    * oracle; VectorSpec measures recall vs the exact top-k. */
+    * flipping each bit (9 probes). Probabilistic → no SQL oracle;
+    * VectorSpec measures recall vs the exact top-k. */
   val annLsh: Q = Q(
     "vector_ann_lsh",
     (s, dir) => {
       import s.implicits._
       val k = 10
-      val bucketExpr = expr(
-        """aggregate(sequence(0, 7), 0, (acc, i) ->
-          |  acc + CASE WHEN aggregate(
-          |      zip_with(v, transform(sequence(0, 63), d -> sin(cast(i*64 + d + 1 as double))),
-          |               (x, h) -> x * h),
-          |      cast(0 as double), (a, x) -> a + x) > 0
-          |    THEN cast(shiftleft(1, i) as int) ELSE 0 END)""".stripMargin)
+      val bucketExpr = hyperplanes.zipWithIndex.map { case (hp, i) =>
+        when(dot_product($"v", typedLit(hp)) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
       val e = normed(s, dir).withColumn("bucket", bucketExpr)
       val q = e.filter($"vec_id" < 8)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"), $"bucket".as("qb"))

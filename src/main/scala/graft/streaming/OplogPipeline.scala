@@ -46,6 +46,16 @@ object OplogPipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
+  /** the native-connector source (O1+O2 as an engine component): the
+    * DSv2 oplog connector plans one partition per replica member from a
+    * topology descriptor and pushes the O3 filter into its readers —
+    * see [[graft.sources.OplogSourceProvider]]. */
+  def connectorSource(spark: SparkSession, root: String, topology: String): DataFrame =
+    spark.readStream
+      .format("graft.sources.OplogSourceProvider")
+      .option("topology", topology)
+      .load(root)
+
   /** O12: the `{"data": <doc>}` Elasticsearch wrap
     * (`ElasticsearchEmbeddedNodeSink.java:60-63`). */
   def indexProjection(df: DataFrame): DataFrame =
