@@ -147,21 +147,42 @@ object Dedup {
     """)
   )
 
-  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5) via the inverted
-    * shingle index. This is the exact baseline the probabilistic
-    * variants are judged against. */
+  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5) with PREFIX
+    * FILTERING (the set-similarity-join technique of PAPERS.md's ICDE
+    * 2020 entry): candidates are generated only from each document's
+    * prefix — its |s| − ⌈t·|s|⌉ + 1 globally-rarest shingles — which is
+    * provably sufficient for Jaccard ≥ t under a consistent global
+    * ordering, then verified exactly. The hub shingles that make a
+    * naive inverted-index self-join quadratic are excluded from
+    * candidate generation entirely (~10× at sf0.1), while the output —
+    * and hence the DuckDB oracle — is the exact pair set. */
   val ngramJaccard: Q = Q(
     "dedup_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
+      val t = 0.5
       val sh = shingleSets(s, dir)
       val ex = sh.select($"doc_id", explode($"sh").as("s"), size($"sh").as("n"))
-      ex.as("a")
-        .join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .agg(count(lit(1)).as("inter"), max($"a.n").as("n1"), max($"b.n").as("n2"))
+      // global frequency order (ties by shingle text) — the canonical
+      // ordering both documents of a pair agree on
+      val freq = ex.groupBy($"s").agg(count(lit(1)).as("f"))
+      val ranked = ex.join(freq, "s")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"f", $"s")))
+        .filter($"rk" <= $"n" - ceil(lit(t) * $"n") + 1)   // prefix
+      val cand = ranked.as("a")
+        .join(ranked.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      // exact verification on candidates only
+      val s1 = sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
+      val s2 = sh.select($"doc_id".as("d2"), $"sh".as("sh2"))
+      cand.join(s1, "d1").join(s2, "d2")
+        .withColumn("inter", size(array_intersect($"sh1", $"sh2")))
+        .withColumn("n1", size($"sh1")).withColumn("n2", size($"sh2"))
         .filter($"inter" * 3 >= $"n1" + $"n2")
-        .select($"d1", $"d2", $"inter".as("inter_size"),
+        .select($"d1", $"d2", $"inter".cast("long").as("inter_size"),
           ($"n1" + $"n2" - $"inter").cast("long").as("union_size"))
         .orderBy($"d1", $"d2")
     },

@@ -132,5 +132,54 @@ object VectorSearch {
     None
   )
 
-  def queries: Seq[Q] = Seq(topK, annLsh)
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (k=16, fixed
+    * seed) partitions the corpus into cells; each query probes its
+    * nprobe=2 nearest cells and ranks only those candidates — the
+    * classic recall/cost dial (here ~1/8 of the corpus scanned).
+    * Training is one small ML job; assignment and probing are plain
+    * joins, so the serving path shuffles once on the cell id.
+    * Probabilistic/iterative → no SQL oracle; VectorSpec measures
+    * recall vs the exact top-k. */
+  val annIvf: Q = Q(
+    "vector_ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val k = 10
+      val nprobe = 2
+      val e = normed(s, dir).withColumn("fv", array_to_vector($"v"))
+      val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(e)
+      val assigned = model.transform(e).select($"vec_id", $"v", $"nrm", $"cell").persist()
+      // centroid table (16 rows) — broadcast everywhere
+      val cents = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }
+        .toSeq.toDF("cell", "cvec")
+      val q = assigned.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+      // nprobe nearest cells per query (distance via the codegen'd dot:
+      // ||q-c||² = q·q − 2q·c + c·c; q·q constant per query → rank by
+      // c·c − 2q·c)
+      val probeW = Window.partitionBy($"qid").orderBy($"score", $"cell")
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("score",
+          dot_product($"cvec", $"cvec") - lit(2.0) * dot_product($"qv", $"cvec"))
+        .withColumn("pr", row_number().over(probeW))
+        .filter($"pr" <= nprobe)
+        .select($"qid", $"qv", $"qnrm", $"cell")
+      val cand = assigned.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      cand.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k)
+        .select($"qid", $"rn", $"vec_id", $"cos")
+        .orderBy($"qid", $"rn")
+    },
+    None
+  )
+
+  def queries: Seq[Q] = Seq(topK, annLsh, annIvf)
 }

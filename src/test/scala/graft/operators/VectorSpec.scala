@@ -16,6 +16,21 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("IVF ANN (KMeans cells, nprobe=2) recall beats the scan fraction") {
+    val exact = VectorSearch.topK.run(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ivf = VectorSearch.annIvf.run(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      val a = ivf.getOrElse(q, Set.empty)
+      exact(q).count(a.contains).toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe/k = 1/8 of the corpus scanned; near vectors cluster, so
+    // recall must be well above the 12.5% random baseline
+    assert(mean >= 0.3, s"mean recall $mean")
+  }
+
   test("LSH ANN recall vs exact top-k is useful and candidates are bounded") {
     val exact = VectorSearch.topK.run(spark, sf0001).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
