@@ -133,8 +133,8 @@ object Advanced {
     """)
   )
 
-  /** As-of join: each order enriched with the latest event of the same
-    * user at-or-before the order date (see [[AsOfJoin]]). */
+  /** As-of join: each event enriched with the same user's most recent
+    * order at-or-before the event time (see [[AsOfJoin]]). */
   val asOf: Q = Q(
     "q22_asof_join",
     (s, dir) => {
@@ -142,26 +142,26 @@ object Advanced {
       val orders = Tables.load(s, dir, "orders")
       val events = ev(s, dir)
       AsOfJoin(
-        probe = orders, probeKey = $"o_custkey",
+        probe = events, probeKey = $"user_id",
+        probeTime = unix_micros($"ts"), probeId = $"event_id",
+        quote = orders, quoteKey = $"o_custkey",
         // o_orderdate is TIMESTAMP_NTZ in parquet; session TZ is UTC so
         // the cast is wall-clock-identical (and matches DuckDB epoch_us)
-        probeTime = unix_micros($"o_orderdate".cast("timestamp")), probeId = $"o_orderkey",
-        quote = events, quoteKey = $"user_id",
-        quoteTime = unix_micros($"ts"), quoteId = $"event_id")
+        quoteTime = unix_micros($"o_orderdate".cast("timestamp")), quoteId = $"o_orderkey")
         .filter($"asof_qid".isNotNull)
-        .select($"pid".as("o_orderkey"), $"k".as("custkey"),
-          $"t".as("orderdate_us"), $"asof_qid".as("asof_event_id"))
-        .orderBy($"o_orderkey")
+        .select($"pid".as("event_id"), $"k".as("user_id"),
+          $"t".as("event_ts_us"), $"asof_qid".as("asof_orderkey"))
+        .orderBy($"event_id")
     },
     Some("""
       WITH u AS (
-        SELECT user_id AS k, epoch_us(ts) AS t, 0 AS side,
-               event_id AS qid, CAST(NULL AS BIGINT) AS pid
-        FROM events
-        UNION ALL
-        SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 1 AS side,
-               CAST(NULL AS BIGINT) AS qid, o_orderkey AS pid
+        SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 0 AS side,
+               o_orderkey AS qid, CAST(NULL AS BIGINT) AS pid
         FROM orders
+        UNION ALL
+        SELECT user_id AS k, epoch_us(ts) AS t, 1 AS side,
+               CAST(NULL AS BIGINT) AS qid, event_id AS pid
+        FROM events
       ), m AS (
         SELECT k, t, side, pid,
                LAST_VALUE(qid IGNORE NULLS) OVER (PARTITION BY k
@@ -169,12 +169,31 @@ object Advanced {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_qid
         FROM u
       )
-      SELECT pid AS o_orderkey, k AS custkey, t AS orderdate_us, asof_qid AS asof_event_id
+      SELECT pid AS event_id, k AS user_id, t AS event_ts_us, asof_qid AS asof_orderkey
       FROM m
       WHERE side = 1 AND asof_qid IS NOT NULL
-      ORDER BY o_orderkey
+      ORDER BY event_id
     """)
   )
 
-  def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf)
+  /** Sketch-based approximate distinct (HyperLogLog++): the constant-
+    * memory path for cardinality at 100 TB, where exact COUNT(DISTINCT)
+    * needs a full shuffle of the key set. HLL implementations differ
+    * across engines → no SQL oracle; TextSpec pins the error bound
+    * against the exact count. */
+  val approxDistinct: Q = Q(
+    "q23_approx_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+    None
+  )
+
+  def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf, approxDistinct)
 }

@@ -35,6 +35,45 @@ class StreamingWindowSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming over the real events parquet: windowed counts match batch") {
+    import spark.implicits._
+    // TESTDATA events carries TIMESTAMP(NANOS) → surfaced as int64
+    // nanos under nanosAsLong; the stream converts exactly like
+    // Tables.load does for batch
+    val schema = graft.Tables.load(spark, sf0001, "events").schema
+    // FileStreamSource needs a directory: stage the fixture file
+    val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema.map {
+        case f if f.name == "ts" =>
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = raw
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "6 hours"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("ev_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_win")
+        .select(unix_micros($"window.start").as("b"), $"n")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.Tables.load(spark, sf0001, "events")
+        .groupBy(window($"ts", "6 hours"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros($"window.start").as("b"), $"n")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups late copies") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
