@@ -195,5 +195,47 @@ object Advanced {
     None
   )
 
-  def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf, approxDistinct)
+  /** Interval/range join, distributed form: for each error event, the
+    * number of events by the same user in the following hour. A naive
+    * range join is a per-key nested loop; here both sides bucketize
+    * time to the range width, the error side probes its bucket and the
+    * next (any (t, t+1h] window spans ≤ 2 buckets), the join is a plain
+    * equi-join on (user, bucket), and the exact range predicate filters
+    * the residue — the standard way a time-range join survives 100 TB. */
+  val intervalJoin: Q = Q(
+    "q24_interval_join",
+    (s, dir) => {
+      import s.implicits._
+      val hourUs = 3600L * 1000000
+      val base = ev(s, dir).select($"user_id", $"event_id",
+        unix_micros($"ts").as("t"), $"event_type")
+      val errors = base.filter($"event_type" === "error")
+        .select($"user_id", $"event_id".as("err_id"), $"t".as("t0"),
+          explode(array(($"t" / hourUs).cast("long"),
+            ($"t" / hourUs).cast("long") + 1)).as("bucket"))
+      val others = base
+        .select($"user_id", $"event_id".as("other_id"), $"t".as("t1"),
+          ($"t" / hourUs).cast("long").as("bucket"))
+      errors.join(others, Seq("user_id", "bucket"))
+        .filter($"t1" > $"t0" && $"t1" <= $"t0" + hourUs && $"other_id" =!= $"err_id")
+        .select($"err_id", $"other_id").distinct()   // bucket overlap dedup
+        .groupBy($"err_id")
+        .agg(count(lit(1)).as("n_following"))
+        .orderBy($"err_id")
+    },
+    Some("""
+      SELECT a.event_id AS err_id, COUNT(*) AS n_following
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND epoch_us(b.ts) >  epoch_us(a.ts)
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+       AND b.event_id <> a.event_id
+      WHERE a.event_type = 'error'
+      GROUP BY a.event_id
+      ORDER BY err_id
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf,
+    approxDistinct, intervalJoin)
 }
