@@ -181,5 +181,31 @@ object VectorSearch {
     None
   )
 
-  def queries: Seq[Q] = Seq(topK, annLsh, annIvf)
+  /** Per-label centroids via the typed [[graft.functions.VectorMeanAggregator]]
+    * (partial-aggregating Aggregator: one small buffer per group per
+    * partition crosses the shuffle). FP sums depend on merge order →
+    * rows-only gate; VectorSpec pins the values against a direct
+    * computation. */
+  val labelCentroids: Q = Q(
+    "vector_label_centroids",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "embeddings")
+        .select($"label", $"embedding")
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.VectorMeanAggregator(64).toColumn.name("centroid"))
+        .toDF("label", "centroid")
+        .select($"label", size($"centroid").as("dim"),
+          sqrt(graftexprDot($"centroid")).as("centroid_norm"))
+        .orderBy($"label")
+    },
+    None
+  )
+
+  private def graftexprDot(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftexpr.VectorFunctions.dot_product(c, c)
+
+  def queries: Seq[Q] = Seq(topK, annLsh, annIvf, labelCentroids)
 }

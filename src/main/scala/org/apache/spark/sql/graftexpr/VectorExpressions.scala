@@ -71,4 +71,10 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** expose `dot_product` to SQL text (`spark.sql("... dot_product(a,b) ...")`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
 }

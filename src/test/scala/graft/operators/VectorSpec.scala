@@ -16,6 +16,34 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("typed Aggregator centroids match a direct computation") {
+    val got = VectorSearch.labelCentroids.run(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // direct per-label mean on the driver (500 rows)
+    val rows = graft.Tables.load(spark, sf0001, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val expect = rows.groupBy(_._1).map { case (l, vs) =>
+      val dim = 64
+      val sum = Array.fill(dim)(0.0)
+      vs.foreach { case (_, v) => (0 until dim).foreach(i => sum(i) += v(i)) }
+      val mean = sum.map(_ / vs.length)
+      l -> math.sqrt(mean.map(x => x * x).sum)
+    }
+    expect.foreach { case (l, nrm) =>
+      val (dim, gotNrm) = got(l)
+      assert(dim == 64)
+      assert(math.abs(gotNrm - nrm) < 1e-9, s"label $l: $gotNrm vs $nrm")
+    }
+  }
+
+  test("dot_product is callable from SQL text") {
+    org.apache.spark.sql.graftexpr.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("IVF ANN (KMeans cells, nprobe=2) recall beats the scan fraction") {
     val exact = VectorSearch.topK.run(spark, sf0001).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
