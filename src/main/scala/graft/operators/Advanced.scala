@@ -236,6 +236,37 @@ object Advanced {
     """)
   )
 
+  /** Sliding event-time windows (12h width, 6h slide): each event lands
+    * in two windows; the streaming form is `window(ts, "12 hours",
+    * "6 hours")` identically. Oracle enumerates both window starts per
+    * event. */
+  val slidingWindow: Q = Q(
+    "q25_sliding_window",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(window($"ts", "12 hours", "6 hours").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(decP($"value")).as("total_value"))
+        .select(unix_micros($"w.start").as("bucket_us"), $"n", $"total_value")
+        .orderBy($"bucket_us")
+    },
+    Some("""
+      WITH starts AS (
+        SELECT unnest([
+                 time_bucket(INTERVAL '6 hours', make_timestamp(epoch_us(ts))),
+                 time_bucket(INTERVAL '6 hours', make_timestamp(epoch_us(ts))) - INTERVAL '6 hours'
+               ]) AS ws,
+               value
+        FROM events
+      )
+      SELECT epoch_us(ws) AS bucket_us, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+      FROM starts
+      GROUP BY 1
+      ORDER BY bucket_us
+    """)
+  )
+
   def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf,
-    approxDistinct, intervalJoin)
+    approxDistinct, intervalJoin, slidingWindow)
 }

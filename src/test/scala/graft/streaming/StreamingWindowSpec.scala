@@ -74,6 +74,28 @@ class StreamingWindowSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window groups by inactivity gap") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window($"ts", "4 seconds").as("sw"), $"uid")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // uid 1: events at 1,3,5s (one session), then 20s (new session)
+      input.addData((ts(1), 1L), (ts(3), 1L), (ts(5), 1L), (ts(20), 1L))
+      q.processAllAvailable()
+      input.addData((ts(40), 1L))    // advance watermark; finalize both
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select($"n").as[Long].collect().sorted.toSeq
+      assert(rows.containsSlice(Seq(1L, 3L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups late copies") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
