@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull, IsNull, Not}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, Not}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,21 +27,31 @@ import graft.streaming.ShardTopology
   *    `planInputPartitions` emits ONE InputPartition PER MEMBER — the
   *    exact parallelism the reference hand-builds with its Rx thread
   *    pool, here scheduled by Spark across executors.
-  *  - server-side predicate pushdown (O3, `MongoOplogTailMapper.java:90-94`):
-  *    `SupportsPushDownFilters` accepts the O3 filter shapes
-  *    (`Not(EqualTo(op|ns, _))`, `EqualTo`, `IsNull(fromMigrate)`) and
-  *    evaluates them inside the partition reader — rows are dropped at
-  *    the "cursor", exactly like the Bson filter the reference sends to
-  *    mongod, and never cross the source boundary.
+  *  - server-side predicate pushdown (O3+O4,
+  *    `MongoOplogTailMapper.java:90-98`): `SupportsPushDownFilters`
+  *    accepts the O3 filter shapes (`Not(EqualTo(op|ns, _))`, `EqualTo`,
+  *    `IsNull(fromMigrate)`) AND the O4 resume range
+  *    (`GreaterThan(ts, lastSeen)` / `GreaterThanOrEqual`), evaluating
+  *    them inside the partition reader — rows are dropped at the
+  *    "cursor", exactly like the Bson `$gt` filter the reference sends
+  *    to mongod, and never cross the source boundary.
   *  - resumable offsets (O4/O8, `MongoDBOplogSource.java:130-139`): the
-  *    streaming Offset is a per-member log position (file index), so a
-  *    restarted query replans precisely the unread suffix per member —
-  *    the `ts > lastSeen` resume predicate, made exact.
+  *    streaming Offset is the last consumed FILE NAME per member
+  *    (compared with a numeric-aware ordering, so `b9 < b10` even
+  *    without zero padding), so a restarted query replans precisely the
+  *    unread suffix per member — the `ts > lastSeen` resume predicate,
+  *    made exact — and a file that appears late never causes re-reads
+  *    or silent skips of already-planned work.
+  *  - admission control (the reference's 128-slot blocking queue,
+  *    `MongoDBOplogSource.java:58`): the `maxFilesPerTrigger` option
+  *    bounds how many files each micro-batch may admit (total across
+  *    members), via `SupportsAdmissionControl`.
   *
   * Usage:
   * {{{
   *   spark.readStream.format("graft.sources.OplogSourceProvider")
   *     .option("topology", "s0/h1:27018,h2:27019,h3:27020")
+  *     .option("maxFilesPerTrigger", "16")       // optional backpressure
   *     .load("/data/oplog")
   * }}}
   */
@@ -70,11 +80,55 @@ object OplogConnector {
     }
   }
 
+  /** numeric-aware (natural) name ordering: digit runs compare as
+    * integers, so `b9.json < b10.json`. An oplog writer does not have to
+    * zero-pad for resume offsets to stay monotone. Falls back to plain
+    * string order so distinct names never compare equal. */
+  private[sources] def naturalCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(j)
+      if (ca.isDigit && cb.isDigit) {
+        var i2 = i; while (i2 < a.length && a.charAt(i2).isDigit) i2 += 1
+        var j2 = j; while (j2 < b.length && b.charAt(j2).isDigit) j2 += 1
+        val na = a.substring(i, i2).dropWhile(_ == '0')
+        val nb = b.substring(j, j2).dropWhile(_ == '0')
+        if (na.length != nb.length) return na.length - nb.length
+        val c = na.compareTo(nb)
+        if (c != 0) return c
+        i = i2; j = j2
+      } else {
+        if (ca != cb) return ca - cb
+        i += 1; j += 1
+      }
+    }
+    val rem = (a.length - i) - (b.length - j)
+    if (rem != 0) rem else a.compareTo(b)   // zero-padding tiebreak: total order
+  }
+
+  private[sources] def fileName(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
+  /** member files in natural name order (the planning order). */
   private[sources] def listFiles(dir: String): Seq[String] = {
     val d = new java.io.File(dir)
     if (!d.isDirectory) Seq.empty
     else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".json"))
-      .map(_.getAbsolutePath).sorted.toSeq
+      .map(_.getAbsolutePath)
+      .sortWith((x, y) => naturalCompare(fileName(x), fileName(y)) < 0)
+      .toSeq
+  }
+
+  /** a pushed `ts` comparison value as epoch micros — the forms Spark
+    * hands to a DSv2 source for a TimestampType column. */
+  private[sources] def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
   }
 }
 
@@ -94,11 +148,16 @@ class OplogScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters {
   private var pushed: Array[Filter] = Array.empty
 
-  /** O3 filter shapes the "server side" (reader) evaluates. */
+  /** O3 + O4 filter shapes the "server side" (reader) evaluates:
+    * op/ns equality shapes, fromMigrate existence, and the resume-range
+    * `ts > lastSeen` the reference sends as a Bson `$gt`
+    * (`MongoOplogTailMapper.java:96-98`). */
   private def supported(f: Filter): Boolean = f match {
     case EqualTo(a, _: String) => a == "op" || a == "ns"
     case Not(EqualTo(a, _: String)) => a == "op" || a == "ns"
     case IsNull("fromMigrate") | IsNotNull("fromMigrate") => true
+    case GreaterThan("ts", v) => OplogConnector.tsMicros(v).isDefined
+    case GreaterThanOrEqual("ts", v) => OplogConnector.tsMicros(v).isDefined
     case _ => false
   }
 
@@ -130,50 +189,84 @@ class OplogBatch(options: CaseInsensitiveStringMap, pushed: Array[Filter]) exten
     new OplogReaderFactory(pushed)
 }
 
-/** per-member log position (files fully read so far). */
-case class OplogOffset(positions: Map[String, Int]) extends Offset {
+/** per-member log position: the NAME of the last consumed file (empty =
+  * nothing consumed). Name-based (not index-based) so a file that lands
+  * "between" already-consumed names can never shift the meaning of a
+  * committed offset — resume plans exactly the files strictly after the
+  * recorded name in natural order. */
+case class OplogOffset(positions: Map[String, String]) extends Offset {
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
   override def json(): String =
     positions.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${k.replace("\"", "\\\"")}":$v""" }
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
 }
 
 object OplogOffset {
   def fromJson(json: String): OplogOffset = {
-    val entries = "\"((?:[^\"\\\\]|\\\\.)*)\":(\\d+)".r
-      .findAllMatchIn(json)
-      .map(m => m.group(1).replace("\\\"", "\"") -> m.group(2).toInt)
-      .toMap
-    OplogOffset(entries)
+    val pair = "\"((?:[^\"\\\\]|\\\\.)*)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    val unesc = (s: String) => s.replace("\\\"", "\"").replace("\\\\", "\\")
+    OplogOffset(pair.findAllMatchIn(json)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap)
   }
 }
 
 class OplogMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filter])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
+  import OplogConnector.{fileName, listFiles, naturalCompare}
+
   private val memberDirs = OplogConnector.members(options)
+  private val maxFiles: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFiles.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset =
-    OplogOffset(memberDirs.map { case (id, _) => id -> 0 }.toMap)
+    OplogOffset(memberDirs.map { case (id, _) => id -> "" }.toMap)
+
+  /** unread files for a member, in natural order, strictly after `last`. */
+  private def unread(dir: String, last: String): Seq[String] =
+    listFiles(dir).filter(f => naturalCompare(fileName(f), last) > 0)
+
+  /** admission-controlled latest offset: advance each member's position
+    * by at most the remaining file budget — the micro-batch analog of
+    * the reference's bounded transfer queue. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[OplogOffset].positions
+    var budget = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    val next = memberDirs.map { case (id, dir) =>
+      val last = s.getOrElse(id, "")
+      val take = unread(dir, last).take(math.max(budget, 0))
+      budget -= take.size
+      id -> (if (take.nonEmpty) fileName(take.last) else last)
+    }.toMap
+    OplogOffset(next)
+  }
 
   override def latestOffset(): Offset =
-    OplogOffset(memberDirs.map { case (id, dir) =>
-      id -> OplogConnector.listFiles(dir).size
-    }.toMap)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset = OplogOffset.fromJson(json)
 
   /** one InputPartition per replica member with its unread file slice —
-    * the reference's per-replica tailable cursor, replayable exactly. */
+    * the reference's per-replica tailable cursor, replayable exactly:
+    * the files strictly after `start`'s name up to and including `end`'s. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[OplogOffset].positions
     val e = end.asInstanceOf[OplogOffset].positions
     memberDirs.flatMap { case (id, dir) =>
-      val from = s.getOrElse(id, 0)
-      val to = e.getOrElse(id, 0)
-      if (to > from) {
-        val files = OplogConnector.listFiles(dir).slice(from, to)
-        Some(OplogInputPartition(id, files.toArray))
-      } else None
+      val from = s.getOrElse(id, "")
+      val to = e.getOrElse(id, "")
+      val files = listFiles(dir).filter { f =>
+        val n = fileName(f)
+        naturalCompare(n, from) > 0 && naturalCompare(n, to) <= 0
+      }
+      if (files.nonEmpty) Some(OplogInputPartition(id, files.toArray)) else None
     }.toArray
   }
 
@@ -190,19 +283,34 @@ class OplogReaderFactory(pushed: Array[Filter]) extends PartitionReaderFactory {
     new OplogPartitionReader(partition.asInstanceOf[OplogInputPartition], pushed)
 }
 
-/** reads a member's json-lines files in order, applying the pushed O3
-  * predicate before a row ever leaves the "cursor". */
+/** reads a member's json-lines files in order, applying the pushed O3/O4
+  * predicates before a row ever leaves the "cursor". Each file's handle
+  * is closed as soon as its lines are exhausted (and in [[close]]), so a
+  * long-running stream over many small files never accumulates open
+  * descriptors. */
 class OplogPartitionReader(partition: OplogInputPartition, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  private val lines: Iterator[String] = partition.files.iterator.flatMap { f =>
-    scala.io.Source.fromFile(f, "UTF-8").getLines()
-  }.filter(_.nonEmpty)
+  private val fileIter = partition.files.iterator
+  private var src: scala.io.Source = _
+  private var lines: Iterator[String] = Iterator.empty
   private var current: InternalRow = _
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def passes(op: String, ns: String, fromMigrate: java.lang.Boolean): Boolean =
+  /** ensure `lines` has a next line, closing each exhausted file. */
+  private def advance(): Boolean = {
+    while (!lines.hasNext) {
+      if (src != null) { src.close(); src = null }
+      if (!fileIter.hasNext) return false
+      src = scala.io.Source.fromFile(fileIter.next(), "UTF-8")
+      lines = src.getLines().filter(_.nonEmpty)
+    }
+    true
+  }
+
+  private def passes(
+      op: String, ns: String, fromMigrate: java.lang.Boolean, micros: Long): Boolean =
     pushed.forall {
       case EqualTo("op", v: String) => op == v
       case EqualTo("ns", v: String) => ns == v
@@ -210,20 +318,22 @@ class OplogPartitionReader(partition: OplogInputPartition, pushed: Array[Filter]
       case Not(EqualTo("ns", v: String)) => ns != v
       case IsNull("fromMigrate") => fromMigrate == null
       case IsNotNull("fromMigrate") => fromMigrate != null
+      case GreaterThan("ts", v) => OplogConnector.tsMicros(v).forall(micros > _)
+      case GreaterThanOrEqual("ts", v) => OplogConnector.tsMicros(v).forall(micros >= _)
       case _ => true
     }
 
   override def next(): Boolean = {
-    while (lines.hasNext) {
+    while (advance()) {
       val node = mapper.readTree(lines.next())
       val op = node.get("op").asText()
       val ns = node.get("ns").asText()
       val fm: java.lang.Boolean =
         if (node.hasNonNull("fromMigrate")) Boolean.box(node.get("fromMigrate").asBoolean())
         else null
-      if (passes(op, ns, fm)) {
-        val inst = java.time.Instant.parse(node.get("ts").asText())
-        val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      val inst = java.time.Instant.parse(node.get("ts").asText())
+      val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      if (passes(op, ns, fm, micros)) {
         val o2 = if (node.hasNonNull("o2")) UTF8String.fromString(node.get("o2").asText()) else null
         current = InternalRow(
           micros,
@@ -242,5 +352,5 @@ class OplogPartitionReader(partition: OplogInputPartition, pushed: Array[Filter]
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (src != null) { src.close(); src = null }
 }

@@ -59,7 +59,12 @@ object QuorumDedup {
       // keep state until the watermark passes the op's event time, so
       // late replica copies of an already-emitted op are absorbed (not
       // re-counted into a fresh key) and never-quorate keys get reaped.
-      firstTs.foreach(ts => state.setTimeoutTimestamp(ts.getTime + 1))
+      // Clamped above the current watermark: a straggler copy arriving
+      // with event time at/below the watermark would otherwise make
+      // setTimeoutTimestamp throw ("timeout cannot be earlier than
+      // watermark") and kill the whole query.
+      firstTs.foreach(ts => state.setTimeoutTimestamp(
+        math.max(ts.getTime + 1, state.getCurrentWatermarkMs() + 1)))
       out.iterator
     }
   }

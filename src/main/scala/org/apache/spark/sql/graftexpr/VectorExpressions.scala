@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (s,x)->s+x)` formulation
   * and to DuckDB's `list_reduce` fold, so the correctness oracle stays
   * bit-exact.
+  *
+  * Bad input surfaces loudly, matching how built-in Spark expressions
+  * behave: mismatched vector lengths throw (a malformed embedding must
+  * not yield a plausible wrong score), and a null element in either
+  * array makes the result null.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -35,14 +40,24 @@ case class DotProduct(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // null inputs OR a null element in either array → null result
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"dot_product: vector length mismatch ($n vs ${y.numElements()})")
+    }
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -52,11 +67,18 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
+         |boolean ${ev.isNull}_elem = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull}_elem = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
+         |${ev.isNull} = ${ev.isNull}_elem;
          |${ev.value} = $acc;
        """.stripMargin
     })

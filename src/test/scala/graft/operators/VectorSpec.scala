@@ -44,6 +44,19 @@ class VectorSpec extends SparkSuite {
     assert(r == 11.0)
   }
 
+  test("dot_product rejects malformed embeddings instead of scoring them") {
+    org.apache.spark.sql.graftexpr.VectorFunctions.register(spark)
+    // length mismatch → loud error, not a silently truncated score
+    val err = intercept[Exception] {
+      spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d)) AS d").collect()
+    }
+    assert(err.getMessage != null)
+    // null element → null result (Spark built-in convention)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, cast(null as double)), array(3.0d, 4.0d)) AS d").head()
+    assert(r.isNullAt(0))
+  }
+
   test("IVF ANN (KMeans cells, nprobe=2) recall beats the scan fraction") {
     val exact = VectorSearch.topK.run(spark, sf0001).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap

@@ -60,6 +60,75 @@ class OplogConnectorSpec extends SparkSuite {
     assert(df.head().getAs[Long]("h") == 1L)
   }
 
+  test("O4 ts range predicate is pushed into the reader") {
+    val root = Files.createTempDirectory("graft-conn-ts").toFile.getAbsolutePath
+    writeMember(root, "s0", "r1", 1, "b0", Seq(line(1, 1), line(2, 2), line(3, 3), line(4, 4)))
+    writeMember(root, "s0", "r2", 2, "b0", Seq.empty)
+    writeMember(root, "s0", "r3", 3, "b0", Seq.empty)
+
+    val lastSeen = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:02Z"))
+    val df = spark.read.format("graft.sources.OplogSourceProvider")
+      .option("topology", topology).load(root)
+      .filter(col("ts") > org.apache.spark.sql.functions.lit(lastSeen))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("GreaterThan(ts"),
+      s"plan missing pushed ts filter:\n$physical")
+    assert(df.count() == 2)                      // rows dropped at the "cursor"
+    assert(df.select("h").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+  }
+
+  test("offsets are file names under natural order: late b10 after b9 is neither lost nor re-read") {
+    implicit val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-conn-nat").toFile.getAbsolutePath
+    val out = s"$root/out"
+    val topo1 = "s0/r1:1"
+    writeMember(root, "s0", "r1", 1, "b9", Seq(line(1, 1)))
+
+    def start() = spark.readStream.format("graft.sources.OplogSourceProvider")
+      .option("topology", topo1).load(root)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").json(out); ()
+      }
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // "b10" sorts BEFORE "b9" lexicographically but AFTER it naturally;
+    // an index-based offset would re-read b9 (dup) and never read b10.
+    writeMember(root, "s0", "r1", 1, "b10", Seq(line(2, 2)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val hs = spark.read.json(out).select("h").as[Long].collect().sorted.toSeq
+    assert(hs == Seq(1L, 2L), s"expected exactly-once [1,2], got $hs")
+  }
+
+  test("admission control: maxFilesPerTrigger bounds every micro-batch") {
+    val root = Files.createTempDirectory("graft-conn-adm").toFile.getAbsolutePath
+    val topo1 = "s0/r1:1"
+    (0 until 6).foreach(i =>
+      writeMember(root, "s0", "r1", 1, f"b$i%02d", Seq(line(i.toLong, i))))
+
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.OplogSourceProvider")
+      .option("topology", topo1)
+      .option("maxFilesPerTrigger", "2")
+      .load(root)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += b.count() }; ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val nonEmpty = sizes.filter(_ > 0)
+    assert(sizes.sum == 6, s"all rows consumed, got $sizes")
+    assert(nonEmpty.forall(_ <= 2), s"a batch exceeded the admission bound: $sizes")
+    assert(nonEmpty.size >= 3, s"expected >=3 bounded batches, got $sizes")
+  }
+
   test("streaming: quorum dedup over the connector, resume reads only the suffix") {
     implicit val s = spark
     import s.implicits._
