@@ -251,31 +251,61 @@ object Dedup {
     exactPairSql
   )
 
+  /** text → 64-bit SimHash signature: per-bit majority vote over the
+    * hashes of the document's 3-word shingles (with multiplicity), one
+    * tight pass with a primitive vote array — the same
+    * mapPartitions-kernel pattern as [[sketchText]]. Shingles, not
+    * unigrams: over a small vocabulary unigram multisets collide across
+    * unrelated documents, while the 3-gram feature space keeps
+    * unrelated signatures near-independent (hamming ≈ 32) and near-dup
+    * signatures within a few bits.
+    * (The previous declarative form — a nested
+    * `aggregate(sequence(0,63), … aggregate(th, …))` lambda — was
+    * CodegenFallback: 64 interpreted passes over every token-hash array
+    * per row.) */
+  private[operators] def simhashText(text: String): Option[Long] = {
+    val toks = text.split(' ').filter(_.nonEmpty)
+    if (toks.length < 3) return None
+    val votes = new Array[Int](64)
+    var p = 0
+    while (p + 2 < toks.length) {
+      val h = splitmix64(fnv1a64(toks(p) + " " + toks(p + 1) + " " + toks(p + 2)))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      p += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    Some(sig)
+  }
+
   /** SimHash near-dup: 64-bit signature (sign of per-bit token-hash
-    * vote), 4×16-bit chunk banding, hamming ≤ 3 verification via
-    * bit_count(xor). xxhash64-based, so no SQL oracle (rows-only check);
-    * DedupSpec cross-checks it against the exact pairs. */
+    * vote) computed in one mapPartitions pass, 4×16-bit chunk banding
+    * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal — the banding is
+    * LOSSLESS at this radius), hamming ≤ 3 verification via
+    * bit_count(xor). Hash-seeded, so no SQL oracle; instead DedupSpec
+    * gates the output as EXACTLY EQUAL to the operator's definition
+    * (all pairs within hamming ≤ 3, recomputed independently on the
+    * driver) and pins precision ≥ 0.9 / recall ≥ 0.45 vs the exact
+    * j ≥ 0.5 pair set — short-document vote noise bounds radius-3
+    * recall here; the high-recall text near-dup path is
+    * [[minhashLsh]], which is gated EQUAL to the exact pair set. */
   val simhash: Q = Q(
     "dedup_simhash",
     (s, dir) => {
       import s.implicits._
-      val toks = docs(s, dir)
-        .repartition($"doc_id")
-        .select($"doc_id", TextFns.tokens($"text").as("toks"))
-        .filter(size($"toks") > 0)
-      // persist BEFORE the 64-bit fold: otherwise tokenize+hash is
-      // re-inlined into each of the 64 per-bit aggregates.
-      val hashed = toks
-        .select($"doc_id", expr("transform(toks, t -> xxhash64(t))").as("th"))
-        .persist()
-      val sig = hashed
-        .withColumn("sim", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, j) ->
-            |  acc + CASE WHEN aggregate(th, 0,
-            |      (a, t) -> a + CASE WHEN (t & shiftleft(1L, j)) != 0 THEN 1 ELSE -1 END) > 0
-            |    THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin))
-        .select($"doc_id", $"sim")
-        .persist()   // second barrier: chunk explode reads `sim` 2× per chunk
+      val sig = docs(s, dir)
+        .repartition($"doc_id")   // single-file fixture → spread the work
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (doc, text) =>
+          simhashText(text).map(sim => (doc, sim))
+        })
+        .toDF("doc_id", "sim")
+        .persist()   // barrier: chunk explode reads `sim` 2× per chunk
       val chunks = sig.select($"doc_id", $"sim",
         explode(expr(
           "transform(sequence(0, 3), c -> named_struct('c', c, 'cv', shiftright(sim, c*16) & 65535))"))
@@ -292,10 +322,24 @@ object Dedup {
     None
   )
 
-  /** Embedding-cosine near-dup (brute-force exact baseline): all pairs
-    * with cosine ≥ 0.45. Dot products as left-fold doubles so the
-    * DuckDB oracle is bit-identical. The LSH-bucketed scale path is
-    * [[VectorSearch.annLsh]]. */
+  /** Maximum corpus size the exact all-pairs baseline will accept —
+    * beyond this the O(n²) pair space is a scale-killer by construction
+    * and the operator refuses to run rather than silently planning a
+    * cartesian product. Overridable per session via
+    * `graft.dedup.embedding.maxRows`. */
+  val EmbeddingBruteForceMaxRows: Long = 100000L
+
+  private def embeddingMaxRows(s: SparkSession): Long =
+    s.conf.getOption("graft.dedup.embedding.maxRows").map(_.toLong)
+      .getOrElse(EmbeddingBruteForceMaxRows)
+
+  /** Embedding-cosine near-dup — the EXACT ALL-PAIRS ORACLE BASELINE,
+    * deliberately fenced: all pairs with cosine ≥ 0.45, O(n²) dot
+    * products, refused above [[EmbeddingBruteForceMaxRows]] vectors.
+    * Dot products as left-fold doubles so the DuckDB oracle is
+    * bit-identical. At scale use the bucketed paths instead:
+    * [[VectorSearch.annLsh]] (sign-LSH buckets) or
+    * [[VectorSearch.annIvf]] (IVF cells). */
   val embeddingCosine: Q = Q(
     "dedup_embedding",
     (s, dir) => {
@@ -306,6 +350,12 @@ object Dedup {
         .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", sqrt(dot_product($"v", $"v")))
         .persist()   // norms computed once, not per pair
+      val n = e.count()   // scale fence: never silently go quadratic
+      val cap = embeddingMaxRows(s)
+      require(n <= cap,
+        s"dedup_embedding is the exact all-pairs baseline (O(n^2) dot products): " +
+        s"corpus has $n vectors > $cap. " +
+        "Use vector_ann_lsh or vector_ann_ivf for a bucketed scale path.")
       val a = e.select($"vec_id".as("i"), $"v".as("va"), $"nrm".as("na"))
       val b = e.select($"vec_id".as("j"), $"v".as("vb"), $"nrm".as("nb"))
       a.join(b, $"i" < $"j")

@@ -19,13 +19,35 @@ class DedupSpec extends SparkSuite {
     assert(lsh == exact)
   }
 
-  test("simhash finds the planted high-jaccard pairs") {
-    val exact = pairs("dedup_ngram_jaccard")
+  test("simhash output EQUALS its definition (all pairs within hamming<=3), " +
+      "with pinned precision/recall vs the exact pair set") {
+    // ground truth for the operator's own contract, computed independently
+    // on the driver from the same kernel: banding is lossless for
+    // hamming<=3 (4 chunks, pigeonhole), so the distributed operator must
+    // return EXACTLY this set — an equality gate, not a similarity gate.
+    val sigs = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .flatMap(r => Dedup.simhashText(r.getString(1)).map(r.getLong(0) -> _)).toMap
+    val ids = sigs.keys.toArray.sorted
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      if java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j))) <= 3
+    } yield (ids(i), ids(j))).toSet
     val sim = pairs("dedup_simhash")
-    // simhash (hamming<=3) is a different similarity; require it to
-    // recover most of the j>=0.9 planted pairs and stay plausible in size
+    assert(sim == want, s"operator drifted from its hamming<=3 definition: " +
+      s"missing=${(want -- sim).take(5)} extra=${(sim -- want).take(5)}")
+
+    // and the radius-3 pairs must be high-precision true near-dups;
+    // recall vs the full j>=0.5 set is bounded by short-document vote
+    // noise (planted pairs reach hamming 13 on this fixture) — the
+    // high-recall text near-dup path is dedup_minhash_lsh, which the
+    // suite separately gates as EQUAL to the exact pair set.
+    val exact = pairs("dedup_ngram_jaccard")
     val recall = exact.count(sim.contains).toDouble / exact.size
-    assert(recall >= 0.6, s"simhash recall $recall over ${exact.size} pairs")
+    val precision = if (sim.isEmpty) 0.0 else sim.count(exact.contains).toDouble / sim.size
+    info(s"simhash: recall=$recall precision=$precision |sim|=${sim.size} |exact|=${exact.size}")
+    assert(precision >= 0.9, s"simhash precision $precision over ${sim.size} pairs")
+    assert(recall >= 0.45, s"simhash recall $recall over ${exact.size} pairs")
   }
 
   test("exact dedup canonicalizes by content hash") {
@@ -34,6 +56,16 @@ class DedupSpec extends SparkSuite {
     val docs = graft.Tables.load(spark, sf0001, "documents").count()
     assert(total == docs)                       // partition of the corpus
     assert(df.count() <= docs)
+  }
+
+  test("embedding brute-force baseline refuses to run above its scale fence") {
+    spark.conf.set("graft.dedup.embedding.maxRows", "10")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Dedup.embeddingCosine.run(spark, sf0001).count()
+      }
+      assert(err.getMessage.contains("vector_ann_lsh"))
+    } finally spark.conf.unset("graft.dedup.embedding.maxRows")
   }
 
   test("embedding cosine near-dup pairs are symmetric-free and thresholded") {
