@@ -79,8 +79,11 @@ object Multimodal {
   )
 
   /** Stubbed decode + feature extraction (deterministic fake): binary →
-    * typed features via per-partition mapPartitions. No SQL oracle
-    * (rows-only); MultimodalSpec pins the values. */
+    * typed features via per-partition mapPartitions. The stub is
+    * arithmetic over the bytes, and the fixture text is pure ASCII, so
+    * the whole distributed decode path gets a REAL DuckDB oracle
+    * (byte = ord(char)); MultimodalSpec additionally pins schema and
+    * determinism. */
   val features: Q = Q(
     "multimodal_features",
     (s, dir) => {
@@ -89,12 +92,26 @@ object Multimodal {
         .toDF()
         .orderBy($"doc_id")
     },
-    None
+    Some("""
+      SELECT doc_id,
+             CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+             CAST(CASE WHEN length(text) = 0 THEN 64
+                       ELSE 64 + ord(text[1]) % 512 END AS INT) AS height,
+             CAST(3 AS INT) AS channels,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(list_aggregate(
+                         list_transform(range(1, length(text)+1), i -> ord(text[i])),
+                         'sum') AS DOUBLE) / length(text)
+             END AS mean_byte
+      FROM documents
+      ORDER BY doc_id
+    """)
   )
 
   /** Frame sampling: fixed-stride byte windows standing in for video
     * frame extraction — the explode/stride shape of a frame pipeline.
-    * Rows-only (binary slicing is engine-specific). */
+    * ASCII fixture ⇒ the byte windows equal char windows, so frame
+    * hashes get a REAL DuckDB oracle. */
   val frames: Q = Q(
     "multimodal_frames",
     (s, dir) => {
@@ -107,7 +124,14 @@ object Multimodal {
           md5(expr("substring(blob, frame_idx * 32 + 1, 32)")).as("frame_md5"))
         .orderBy($"doc_id", $"frame_idx")
     },
-    None
+    Some("""
+      WITH f AS (SELECT doc_id, text, unnest(range(0, 4)) AS frame_idx FROM documents)
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             md5(substring(text, CAST(frame_idx*32 + 1 AS INT), 32)) AS frame_md5
+      FROM f
+      WHERE frame_idx*32 + 32 <= octet_length(encode(text))
+      ORDER BY doc_id, frame_idx
+    """)
   )
 
   def queries: Seq[Q] = Seq(meta, features, frames)

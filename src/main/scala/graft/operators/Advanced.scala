@@ -179,8 +179,9 @@ object Advanced {
   /** Sketch-based approximate distinct (HyperLogLog++): the constant-
     * memory path for cardinality at 100 TB, where exact COUNT(DISTINCT)
     * needs a full shuffle of the key set. HLL implementations differ
-    * across engines → no SQL oracle; TextSpec pins the error bound
-    * against the exact count. */
+    * across engines → no SQL oracle; SkewJoinSpec ("approx distinct
+    * stays within the declared error bound") asserts every group's
+    * estimate is within 10% of the exact COUNT(DISTINCT). */
   val approxDistinct: Q = Q(
     "q23_approx_distinct",
     (s, dir) => {

@@ -16,6 +16,7 @@ final case class Q(
 object Catalog {
   /** Everything the engine exposes, keyed by name. */
   def all: Seq[Q] =
-    Relational.queries ++ Advanced.queries ++ CdcBatch.queries ++ Dedup.queries ++
+    Relational.queries ++ Advanced.queries ++ CdcBatch.queries ++
+      Seq(CdcApply.applyState) ++ Dedup.queries ++
       VectorSearch.queries ++ TextAnalysis.queries ++ graft.multimodal.Multimodal.queries
 }

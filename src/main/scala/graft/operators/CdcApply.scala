@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** CDC apply/materialize: fold an insert/update/delete change stream
+  * into CURRENT STATE — the natural consumer of the quorum-deduped
+  * oplog and the first thing a real user does with a CDC engine. The
+  * reference ships the changes to Elasticsearch and stops
+  * (`reference:src/main/java/org/flinkmon/sink/ElasticsearchEmbeddedNodeSink.java:54-66`);
+  * this operator completes the story: last-writer-wins per key under
+  * the total order (ts, seq), a key whose final op is a delete is
+  * absent from the state.
+  *
+  * Scale shape: the batch form is one shuffle on the key with a
+  * window-rank (or argmax) — no driver-side state; the streaming form
+  * keeps ONE small record per live key in the state store, partitioned
+  * by key across executors, exactly like [[graft.streaming.QuorumDedup]].
+  */
+object CdcApply {
+
+  /** op classification over the events fixture: signups open a doc,
+    * errors tombstone it, everything else updates it. */
+  private def opCol = when(col("event_type") === "signup", "i")
+    .when(col("event_type") === "error", "d")
+    .otherwise("u")
+
+  /** Batch form: materialize current state from the full change log.
+    * Last-writer-wins by (ts, event_id) per user; deleted keys absent. */
+  val applyState: Q = Q(
+    "cdc_apply_state",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.load(s, dir, "events")
+        .withColumn("op", opCol)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 && $"op" =!= "d")
+        .select($"user_id", $"event_id".as("last_event_id"), $"op".as("last_op"),
+          unix_micros($"ts").as("ts_us"), $"value".as("last_value"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, event_id AS last_event_id, op AS last_op,
+             ts_us, value AS last_value
+      FROM (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'signup' THEN 'i'
+                    WHEN event_type = 'error' THEN 'd'
+                    ELSE 'u' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+      )
+      WHERE rn = 1 AND op <> 'd'
+      ORDER BY user_id
+    """)
+  )
+
+  /** one live-state record per key. */
+  final case class KeyState(
+      user_id: Long, last_event_id: Long, last_op: String,
+      ts_us: Long, last_value: Double)
+
+  /** one change record (public: Spark encoders need reflective access). */
+  final case class Change(
+      user_id: Long, event_id: Long, op: String, ts_us: Long, value: Double)
+
+  /** pure LWW transition — unit-testable without a stream. */
+  private[operators] def lww(cur: Option[KeyState], c: Change): Option[KeyState] = {
+    val newer = cur.forall(s =>
+      c.ts_us > s.ts_us || (c.ts_us == s.ts_us && c.event_id > s.last_event_id))
+    if (!newer) cur
+    else if (c.op == "d") None
+    else Some(KeyState(c.user_id, c.event_id, c.op, c.ts_us, c.value))
+  }
+
+  /** Streaming form: continuously-maintained current state in the
+    * state store (Update output: one row per key per change batch).
+    * Deletes clear the key's state and emit nothing. */
+  def applyStateStream(events: DataFrame)(implicit spark: SparkSession): Dataset[KeyState] = {
+    import spark.implicits._
+    events
+      .withColumn("op", opCol)
+      .select($"user_id", $"event_id", $"op",
+        unix_micros($"ts").as("ts_us"), $"value")
+      .as[(Long, Long, String, Long, Double)]
+      .map(t => Change(t._1, t._2, t._3, t._4, t._5))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Change], state: GroupState[KeyState]) =>
+          var cur = state.getOption
+          it.foreach(c => cur = lww(cur, c))
+          cur match {
+            case Some(s) => state.update(s); s
+            case None =>
+              state.remove()
+              // tombstone marker row (filtered by the caller / sink)
+              KeyState(uid, -1L, "d", -1L, 0.0)
+          }
+      }
+  }
+}

@@ -101,9 +101,27 @@ object VectorSearch {
   private val hyperplanes: Seq[Seq[Double]] =
     Seq.tabulate(8, 64)((i, d) => math.sin((i * 64 + d + 1).toDouble))
 
+  /** Multiprobe radius for [[annLsh]] (bit flips of the 8-bit sign
+    * bucket explored per query): radius 1 → 9 probes of 256 buckets
+    * (~3.5% of a uniform corpus), radius 2 → 37 (~14%). The
+    * recall/cost dial; overridable via `graft.vector.lsh.probeHamming`.
+    * On clustered data (the regime ANN is for) radius 2 recalls ≥ 0.9
+    * of true cos ≥ 0.9 neighbors — VectorPlantedSpec gates this. */
+  val LshDefaultProbeHamming = 2
+
+  private def lshProbeHamming(s: SparkSession): Int =
+    s.conf.getOption("graft.vector.lsh.probeHamming").map(_.toInt)
+      .getOrElse(LshDefaultProbeHamming)
+
+  /** all 8-bit masks with ≤ `radius` bits set (the multiprobe offsets). */
+  private[operators] def probeMasks(radius: Int): Seq[Int] =
+    (0 until 256).filter(m => Integer.bitCount(m) <= radius)
+
   /** Random-hyperplane LSH: 8 sign bits → 256 buckets, multiprobe by
-    * flipping each bit (9 probes). Probabilistic → no SQL oracle;
-    * VectorSpec measures recall vs the exact top-k. */
+    * exploring all buckets within [[lshProbeHamming]] bit flips.
+    * Probabilistic → no SQL oracle; VectorSpec floors recall vs the
+    * exact top-k on the (isotropic) fixture and VectorPlantedSpec
+    * gates recall ≥ 0.9 on planted-neighbor data. */
   val annLsh: Q = Q(
     "vector_ann_lsh",
     (s, dir) => {
@@ -115,10 +133,10 @@ object VectorSearch {
       val e = normed(s, dir).withColumn("bucket", bucketExpr)
       val q = e.filter($"vec_id" < 8)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"), $"bucket".as("qb"))
+      val masks = probeMasks(lshProbeHamming(s))
       val probes = q.select($"qid", $"qv", $"qnrm",
         explode(expr(
-          """array_union(array(qb), transform(sequence(0, 7),
-            |  i -> cast(qb ^ shiftleft(1, i) as int)))""".stripMargin)).as("bucket"))
+          s"transform(array(${masks.mkString(",")}), m -> cast(qb ^ m as int))")).as("bucket"))
       val cand = e.join(broadcast(probes), Seq("bucket"))
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id",
@@ -140,6 +158,16 @@ object VectorSearch {
     * joins, so the serving path shuffles once on the cell id.
     * Probabilistic/iterative → no SQL oracle; VectorSpec measures
     * recall vs the exact top-k. */
+  /** IVF probe count (cells scanned per query of the 16): the
+    * recall/cost dial; overridable via `graft.vector.ivf.nprobe`.
+    * VectorPlantedSpec gates recall ≥ 0.9 on clustered data at the
+    * default. */
+  val IvfDefaultNprobe = 2
+
+  private def ivfNprobe(s: SparkSession): Int =
+    s.conf.getOption("graft.vector.ivf.nprobe").map(_.toInt)
+      .getOrElse(IvfDefaultNprobe)
+
   val annIvf: Q = Q(
     "vector_ann_ivf",
     (s, dir) => {
@@ -147,7 +175,7 @@ object VectorSearch {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
       val k = 10
-      val nprobe = 2
+      val nprobe = ivfNprobe(s)
       val e = normed(s, dir).withColumn("fv", array_to_vector($"v"))
       val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
         .setFeaturesCol("fv").setPredictionCol("cell")
@@ -184,8 +212,9 @@ object VectorSearch {
   /** Per-label centroids via the typed [[graft.functions.VectorMeanAggregator]]
     * (partial-aggregating Aggregator: one small buffer per group per
     * partition crosses the shuffle). FP sums depend on merge order →
-    * rows-only gate; VectorSpec pins the values against a direct
-    * computation. */
+    * rows-only gate; VectorSpec ("typed Aggregator centroids match a
+    * direct computation") pins every centroid norm to a driver-side
+    * recomputation within 1e-9. */
   val labelCentroids: Q = Q(
     "vector_label_centroids",
     (s, dir) => {

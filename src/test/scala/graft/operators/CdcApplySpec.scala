@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** CDC apply/materialize: the streaming state fold must converge to the
+  * same current-state table the batch (oracle-gated) form computes. */
+class CdcApplySpec extends SparkSuite {
+
+  test("LWW transition: ordering, deletes, and resurrection") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // uid 1: insert, update, delete → absent
+      (1L, 1L, "signup", 1000L, 1.0),
+      (2L, 1L, "click", 2000L, 2.0),
+      (3L, 1L, "error", 3000L, 0.0),
+      // uid 2: insert, delete, REINSERT → present with the reinsert
+      (4L, 2L, "signup", 1000L, 1.0),
+      (5L, 2L, "error", 2000L, 0.0),
+      (6L, 2L, "signup", 3000L, 7.0),
+      // uid 3: out-of-order arrival — older update after newer one
+      (7L, 3L, "click", 5000L, 9.0),
+      (8L, 3L, "view", 4000L, 4.0)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-apply").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts_ms", "value")
+      // the real events.parquet carries int64 NANOS (Tables.load does
+      // `ts div 1000`); mimic that exactly
+      .withColumn("ts", $"ts_ms" * lit(1000000L)).drop("ts_ms")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CdcApply.applyState.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getDouble(4))).toMap
+    assert(!got.contains(1L), "deleted key must be absent")
+    assert(got(2L) == ((6L, "i", 7.0)), "reinsert after delete resurrects")
+    assert(got(3L) == ((7L, "u", 9.0)), "newest-by-(ts,seq) wins")
+  }
+
+  test("streaming apply-state converges to the batch state on the real fixture") {
+    implicit val s = spark
+    import s.implicits._
+    // stage the parquet fixture as a stream directory (nanos ts → µs,
+    // same conversion Tables.load does for batch)
+    val schema = graft.Tables.load(spark, sf0001, "events").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-applystream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema.map {
+        case f if f.name == "ts" =>
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val q = CdcApply.applyStateStream(raw)
+      .writeStream.format("memory").queryName("apply_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // memory sink in update mode appends every emission; the final
+      // state per key is its LAST emission (tombstones drop the key)
+      val emissions = spark.table("apply_out").collect()
+      val finalState = emissions.zipWithIndex
+        .groupBy(_._1.getLong(0))
+        .map { case (uid, rs) => uid -> rs.maxBy(_._2)._1 }
+        .filter { case (_, r) => r.getString(2) != "d" }
+        .map { case (uid, r) =>
+          uid -> (r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)) }
+      val batch = CdcApply.applyState.run(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+      assert(finalState == batch,
+        s"stream/batch drift: stream=${finalState.size} batch=${batch.size} keys")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** High-recall ANN gates on PLANTED-neighbor data.
+  *
+  * The shipped embeddings fixture is isotropic (max pairwise cosine
+  * ≈ 0.5 — there are no true neighbors to find), so a high-recall gate
+  * there would only measure how much of the corpus gets scanned. These
+  * specs instead plant genuine cos ≈ 0.93 neighbor clusters — the
+  * regime ANN indexes exist for — and require both bucketed paths to
+  * recall ≥ 0.9 of the exact top-10 AT THEIR DEFAULT DIALS. The
+  * isotropic-fixture floors stay in VectorSpec.
+  */
+class VectorPlantedSpec extends SparkSuite {
+
+  /** deterministic planted fixture, written once per suite run:
+    * 8 query vectors (vec_id 0..7), 12 planted near neighbors each
+    * (unit query + N(0, 0.05²) per-coordinate noise → cos ≈ 0.93),
+    * 400 isotropic background vectors. Same schema as
+    * testdata embeddings.parquet (vec_id long, embedding array<float>,
+    * label int). */
+  private lazy val plantedDir: String = {
+    val rnd = new scala.util.Random(12345)
+    val dim = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Int)]
+    val queries = (0 until 8).map(_ => unit())
+    queries.zipWithIndex.foreach { case (q, i) =>
+      rows += ((i.toLong, q.map(_.toFloat), i))
+    }
+    var id = 8L
+    queries.zipWithIndex.foreach { case (q, i) =>
+      (0 until 12).foreach { _ =>
+        val v = q.map(a => a + rnd.nextGaussian() * 0.05)
+        rows += ((id, v.map(_.toFloat), i))
+        id += 1
+      }
+    }
+    (0 until 400).foreach { _ =>
+      rows += ((id, unit().map(_.toFloat), 9))
+      id += 1
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planted").toFile.getAbsolutePath
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  private def topSets(q: Q): Map[Long, Set[Long]] =
+    q.run(spark, plantedDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+
+  private def meanRecall(ann: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val rs = exact.keys.toSeq.map { q =>
+      exact(q).count(ann.getOrElse(q, Set.empty).contains).toDouble / exact(q).size
+    }
+    rs.sum / rs.size
+  }
+
+  test("LSH ANN recalls >= 0.9 of exact top-10 on planted neighbors (default dials)") {
+    val exact = topSets(VectorSearch.topK)
+    assert(exact.values.forall(_.size == 10))
+    val recall = meanRecall(topSets(VectorSearch.annLsh), exact)
+    info(s"planted LSH recall@10 = $recall")
+    assert(recall >= 0.9, s"planted LSH recall $recall")
+  }
+
+  test("IVF ANN recalls >= 0.9 of exact top-10 on planted neighbors (default dials)") {
+    val exact = topSets(VectorSearch.topK)
+    val recall = meanRecall(topSets(VectorSearch.annIvf), exact)
+    info(s"planted IVF recall@10 = $recall")
+    assert(recall >= 0.9, s"planted IVF recall $recall")
+  }
+}

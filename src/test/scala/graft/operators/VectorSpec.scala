@@ -67,9 +67,11 @@ class VectorSpec extends SparkSuite {
       exact(q).count(a.contains).toDouble / exact(q).size
     }
     val mean = recalls.sum / recalls.size
-    // nprobe/k = 1/8 of the corpus scanned; near vectors cluster, so
-    // recall must be well above the 12.5% random baseline
-    assert(mean >= 0.3, s"mean recall $mean")
+    info(s"isotropic IVF recall@10 = $mean")
+    // nprobe/k = 1/8 of the corpus scanned; the fixture is isotropic
+    // (no true clusters), so this floor only pins against regressions —
+    // the >=0.9 gate on clustered data is VectorPlantedSpec
+    assert(mean >= 0.25, s"mean recall $mean")
   }
 
   test("LSH ANN recall vs exact top-k is useful and candidates are bounded") {
@@ -82,8 +84,10 @@ class VectorSpec extends SparkSuite {
       exact(q).count(a.contains).toDouble / exact(q).size
     }
     val mean = recalls.sum / recalls.size
-    // 9 of 256 buckets probed → ~3.5% of corpus scanned; near vectors
-    // share sign bits so recall must beat random by a wide margin
-    assert(mean >= 0.2, s"mean recall $mean")
+    info(s"isotropic LSH recall@10 = $mean")
+    // 37 of 256 buckets probed (radius 2) → ~14% of corpus scanned on
+    // the isotropic fixture; regression floor only — the >=0.9 gate on
+    // clustered data is VectorPlantedSpec
+    assert(mean >= 0.4, s"mean recall $mean")
   }
 }
