@@ -5,11 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":...,"value":N,"unit":"sec",...}.
   *
-  * Each query is fully materialized via count() after a one-query JVM/
-  * codegen warmup; AQE + 32 shuffle partitions match the local[32]
-  * driver environment.
+  * Each query is fully materialized via count(). Two timed runs per
+  * query: the COLD run (first execution: codegen, JIT, parquet footer
+  * reads) and the WARM run (steady state — what a long-running cluster
+  * job sees). `queries`/`value` report warm seconds, comparable across
+  * rounds; the cold numbers ride along under "cold".
+  *
+  * A query that throws is reported at a loud 9999.0 s and named in
+  * "failed" — a broken query must worsen the headline number, never
+  * improve it.
   */
 object Bench {
+
+  private val FailedSentinelSec = 9999.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -19,29 +28,37 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val all = SparkEntry.queries
-    // warmup: JIT + codegen + parquet footer caches on a small query
+    // one-query JVM warmup so the first benched query's cold number is
+    // about the QUERY (codegen+IO), not about classloading Spark itself
     try all("cdc_offsets")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    val results: Seq[(String, Double)] = SparkEntry.benchQueries.map { name =>
-      // best of 2: the first run pays codegen/JIT; the second is the
-      // steady-state number a long-running cluster job would see
-      val times = (1 to 2).map { _ =>
-        // queries persist intermediate signature frames; drop them
-        // between runs so later ones aren't taxed by a filling pool
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { all(name)(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    def timeOne(name: String): (Double, Boolean) = {
+      // queries persist intermediate signature frames; drop them
+      // between runs so later ones aren't taxed by a filling pool
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val ok =
+        try { all(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+
+    val results: Seq[(String, Double, Double, Boolean)] = SparkEntry.benchQueries.map { name =>
+      val (cold, okCold) = timeOne(name)
+      val (warm, okWarm) = timeOne(name)
+      (name, cold, warm, okCold && okWarm)
+    }
+
+    def fmt(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+
+    val warmQs = fmt(results.map { case (k, _, w, ok) => k -> (if (ok) w else FailedSentinelSec) })
+    val coldQs = fmt(results.map { case (k, c, _, ok) => k -> (if (ok) c else FailedSentinelSec) })
+    val failed = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.map { case (_, _, w, ok) => if (ok) w else FailedSentinelSec }.sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$warmQs,"cold":$coldQs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,11 +30,13 @@ object SparkEntry {
     Catalog.all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
 
   /** headline subset for the benchmark: one representative per operator
-    * family, weighted toward the scale-critical ones. */
+    * family, weighted toward the scale-critical ones (including the two
+    * most expensive catalog queries, ngram-jaccard and interval join). */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
-    "q8_window_rank", "cdc_quorum_batch", "cdc_offsets",
-    "dedup_exact", "dedup_minhash_lsh", "vector_topk",
+    "q8_window_rank", "q24_interval_join", "cdc_quorum_batch",
+    "cdc_offsets", "cdc_apply_state", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "vector_topk",
     "text_tokens", "text_fingerprint", "multimodal_meta"
   )
 }

@@ -77,15 +77,39 @@ object Dedup {
     Some(mh)
   }
 
-  /** distinct 3-shingle sets per doc, dropping docs too short to shingle.
+  /** text → SORTED distinct 3-shingle FNV-1a fingerprints, one tight
+    * pass (tokenize, shingle, hash, dedup) — the same kernel pattern as
+    * [[sketchText]]. Shingle identity travels as an 8-byte long instead
+    * of a ~30-byte string, so the inverted index, the window sort, the
+    * candidate equi-join and the verification intersections all move
+    * 4× less data; the set sizes (what the oracle checks) are identical
+    * to the string sets barring a 64-bit collision among the corpus's
+    * distinct shingles (≈ d²/2⁶⁵ — vanishing). */
+  private[operators] def shingleHashes(text: String): Option[Array[Long]] = {
+    val toks = text.split(' ').filter(_.nonEmpty)
+    if (toks.length < 3) return None
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var p = 0
+    while (p + 2 < toks.length) {
+      set.add(fnv1a64(toks(p) + " " + toks(p + 1) + " " + toks(p + 2)))
+      p += 1
+    }
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    Some(arr)
+  }
+
+  /** distinct shingle-hash sets per doc, dropping docs too short to
+    * shingle.
     *
     * persist() is load-bearing: the signature frame is referenced many
-    * times downstream (128 minhash lambdas, both sides of the candidate
+    * times downstream (the inverted index, both sides of the candidate
     * join, verification). Without a materialization barrier Catalyst's
-    * CollapseProject inlines this whole tokenize→shingle pipeline into
-    * EVERY reference site — turning O(docs·shingles) work into
-    * O(docs·shingles·128) recompute. At 100 TB the same principle holds:
-    * compute signatures once, materialize, reuse. */
+    * CollapseProject inlines the whole tokenize→shingle pipeline into
+    * EVERY reference site. At 100 TB the same principle holds: compute
+    * signatures once, materialize, reuse. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // repartition first: the fixture is a single parquet file (1 input
@@ -93,9 +117,20 @@ object Dedup {
     // into one task; on a real multi-split corpus this is a no-op cost.
     docs(s, dir)
       .repartition($"doc_id")
-      .select($"doc_id", TextFns.shingleSet($"text").as("sh"))
-      .filter(size($"sh") > 0)
-      .persist()
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        shingleHashes(text).map(a => (id, a))
+      })
+      .toDF("doc_id", "sh")
+      // localCheckpoint, not persist: this frame is referenced FOUR
+      // times in the pair pipeline (inverted index + both verification
+      // sides); persist() would cache the data but every reference
+      // still carries the full analyzed subtree, and the self-join
+      // downstream makes Catalyst's DeduplicateRelations/analysis cost
+      // explode combinatorially (measured: driver main thread pinned
+      // for tens of seconds in AttributeMap.apply before any task ran).
+      // Truncating the lineage keeps downstream plans O(small).
+      .localCheckpoint()
   }
 
   private val shingleSetSql =
@@ -162,17 +197,24 @@ object Dedup {
       import s.implicits._
       val t = 0.5
       val sh = shingleSets(s, dir)
-      val ex = sh.select($"doc_id", explode($"sh").as("s"), size($"sh").as("n"))
-      // global frequency order (ties by shingle text) — the canonical
+      val ex = sh.select($"doc_id", explode($"sh").as("h"), size($"sh").as("n"))
+      // global frequency order (ties by fingerprint) — the canonical
       // ordering both documents of a pair agree on
-      val freq = ex.groupBy($"s").agg(count(lit(1)).as("f"))
-      val ranked = ex.join(freq, "s")
+      val freq = ex.groupBy($"h").agg(count(lit(1)).as("f"))
+      val ranked = ex.join(freq, "h")
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy($"doc_id").orderBy($"f", $"s")))
+            .partitionBy($"doc_id").orderBy($"f", $"h")))
         .filter($"rk" <= $"n" - ceil(lit(t) * $"n") + 1)   // prefix
+        .select($"doc_id", $"h", $"n")
+        .localCheckpoint()   // lineage barrier: self-joined below
+      // candidate equi-join on the 8-byte fingerprint, with the
+      // LOSSLESS size-ratio filter (j ≥ t ⇒ max(n1,n2) ≤ n/t·min):
+      // at t=0.5 a pair whose set sizes differ over 2× cannot qualify,
+      // so it never even enters the distinct()
       val cand = ranked.as("a")
-        .join(ranked.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .join(ranked.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id"
+          && $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
         .distinct()
       // exact verification on candidates only
@@ -231,13 +273,18 @@ object Dedup {
         .join(bands.as("y"), $"x.b" === $"y.b" && $"x.bh" === $"y.bh" && $"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
         .distinct()
+        // lineage barrier: cand is referenced three times below (the
+        // doc semi-join + both sides of the verify join) and itself
+        // contains the band self-join — without truncation the
+        // analyzed tree (and driver analysis time) grows combinatorially
+        .localCheckpoint()
       // verification only needs shingle sets for CANDIDATE docs (a few
       // hundred), not the corpus: semi-join the doc table down first.
       val candDocs = cand.select(explode(array($"d1", $"d2")).as("doc_id")).distinct()
       val shCand = docs(s, dir)
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select($"doc_id", TextFns.shingleSet($"text").as("sh"))
-        .persist()
+        .localCheckpoint()   // referenced by both verify sides
       val s1 = shCand.select($"doc_id".as("d1"), $"sh".as("sh1"))
       val s2 = shCand.select($"doc_id".as("d2"), $"sh".as("sh2"))
       cand.join(s1, "d1").join(s2, "d2")
