@@ -50,6 +50,30 @@ class QuorumDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("a replica copy arriving below the watermark cannot crash the query") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[OplogEntry]
+    val deduped = QuorumDedup(input.toDS().withWatermark("ts", "2 seconds"), 3)
+    val q = deduped.writeStream.format("memory").queryName("quorum_late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // advance the watermark far past sec=1 with fresh keys
+      input.addData(entry(7, "r1", 1000), entry(8, "r1", 2000))
+      q.processAllAvailable()
+      // straggler copy with event time way below the watermark: the
+      // state timeout must clamp to watermark+1 (an unclamped
+      // setTimeoutTimestamp(ts+1) throws and kills the whole query)
+      input.addData(entry(9, "r1", 1))
+      q.processAllAvailable()
+      input.addData(entry(8, "r2", 2001))
+      q.processAllAvailable()          // query still alive and progressing
+      assert(q.isActive && q.exception.isEmpty,
+        s"query died: ${q.exception}")
+    } finally q.stop()
+  }
+
   test("batch form matches set-of-quorate-keys semantics") {
     implicit val s = spark
     import s.implicits._
