@@ -18,5 +18,6 @@ object Catalog {
   def all: Seq[Q] =
     Relational.queries ++ Advanced.queries ++ CdcBatch.queries ++
       Seq(CdcApply.applyState) ++ Dedup.queries ++
-      VectorSearch.queries ++ TextAnalysis.queries ++ graft.multimodal.Multimodal.queries
+      VectorSearch.queries ++ Pipeline.queries ++ TextAnalysis.queries ++
+      graft.multimodal.Multimodal.queries
 }

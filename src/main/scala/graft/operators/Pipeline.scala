@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Training-data-pipeline operators beyond the dedup/vector families:
+  * deterministic dataset splitting, metadata-filtered (hybrid) vector
+  * search, and corpus statistics — the glue a 100 TB data-curation job
+  * needs around the heavy operators.
+  */
+object Pipeline {
+
+  /** Deterministic train/val/test split (~80/10/10): bucket on the
+    * first md5 byte of the key. Content-addressed, so the assignment is
+    * reproducible across engines, runs, and cluster sizes — no RNG, no
+    * seed coordination, and a pure per-row projection (no shuffle; at
+    * 100 TB this is a free column). Hex-string thresholds are compared
+    * identically by Spark and the oracle: 'cd' = 205/256 ≈ 80.1%,
+    * 'e6' = 230/256 ≈ 9.8% more, rest test. */
+  val splitAssign: Q = Q(
+    "split_assign",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          substring(md5($"doc_id".cast("string")), 1, 2).as("bucket"))
+        .withColumn("split",
+          when($"bucket" < "cd", "train")
+            .when($"bucket" < "e6", "val")
+            .otherwise("test"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 'cd' THEN 'train'
+                  WHEN bucket < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+            FROM documents)
+      ORDER BY doc_id
+    """)
+  )
+
+  /** Metadata-filtered (hybrid) vector search: top-10 cosine per query
+    * among ONLY the vectors whose label passes the predicate — the
+    * "filter + ANN" shape every retrieval pipeline needs. The filter is
+    * applied BEFORE scoring (pre-filter), so the scan term shrinks with
+    * predicate selectivity; composed with the IVF/LSH bucket paths the
+    * same filter rides on the candidate side. Exact form → full DuckDB
+    * oracle. */
+  val filteredTopK: Q = Q(
+    "vector_filtered_topk",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
+      val k = 10
+      val e = Tables.load(s, dir, "embeddings")
+        .repartition($"vec_id")
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", sqrt(dot_product($"v", $"v")))
+        .persist()
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+      // pre-filter: only label 1-3 vectors are ever scored
+      val cand = e.filter($"label".isin(1, 2, 3))
+      val scored = cand.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+      val local = scored.as[(Long, Long, Double)]
+        .mapPartitions(it => VectorSearch.localTopK(it, k))
+        .toDF("qid", "vec_id", "cos")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      local.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k)
+        .select($"qid", $"rn", $"vec_id", $"cos")
+        .orderBy($"qid", $"rn")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      qs AS (SELECT vec_id qid, v qv, nrm qnrm FROM n WHERE vec_id < 8),
+      p AS (SELECT qid, vec_id,
+              list_reduce(list_transform(list_zip(qv, v), s -> s[1]*s[2]), (x, y) -> x + y)
+                / (qnrm * nrm) AS cos
+            FROM qs, n WHERE vec_id <> qid AND label IN (1, 2, 3)),
+      r AS (SELECT qid, vec_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
+            FROM p)
+      SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 10 ORDER BY qid, rn
+    """)
+  )
+
+  /** Per-language token-count distribution: exact interpolated
+    * percentiles (p50/p90/p99) of per-doc token counts. Percentiles are
+    * emitted as micro-units (×1e6, rounded to BIGINT) so the oracle
+    * compare is immune to last-ulp interpolation differences between
+    * engines. One partial-aggregated shuffle on `lang`. */
+  val tokenPercentiles: Q = Q(
+    "token_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"lang", size(TextFns.tokens($"text")).as("n_tokens"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("percentile(n_tokens, array(0.5D, 0.9D, 0.99D))").as("q"))
+        .select($"lang", $"n_docs",
+          round(element_at($"q", 1) * 1e6).cast("long").as("p50_micro"),
+          round(element_at($"q", 2) * 1e6).cast("long").as("p90_micro"),
+          round(element_at($"q", 3) * 1e6).cast("long").as("p99_micro"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        FROM documents
+      )
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(ROUND(quantile_cont(n_tokens, 0.5)  * 1e6) AS BIGINT) AS p50_micro,
+             CAST(ROUND(quantile_cont(n_tokens, 0.9)  * 1e6) AS BIGINT) AS p90_micro,
+             CAST(ROUND(quantile_cont(n_tokens, 0.99) * 1e6) AS BIGINT) AS p99_micro
+      FROM t
+      GROUP BY lang
+      ORDER BY lang
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(splitAssign, filteredTopK, tokenPercentiles)
+}
