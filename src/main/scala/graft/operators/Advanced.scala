@@ -268,6 +268,42 @@ object Advanced {
     """)
   )
 
-  def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf,
+  /** GROUPING SETS beyond rollup/cube (q10/q11): two independent
+    * single-column groupings plus the grand total in ONE pass over the
+    * fact table — Spark expands the sets and partial-aggregates each
+    * before the shuffle, so the scan cost is paid once however many
+    * report axes ride on it. Group keys are coalesced to 'ALL' so the
+    * compare never sorts a nullable key (Spark NULLS FIRST vs DuckDB
+    * NULLS LAST). */
+  val groupingSets: Q = Q(
+    "q26_grouping_sets",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS ret_flag,
+               COALESCE(l_linestatus, 'ALL') AS line_status,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_ret,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_line,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_ret, g_line, ret_flag, line_status
+      """)
+    },
+    Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS ret_flag,
+             COALESCE(l_linestatus, 'ALL') AS line_status,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_ret,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_line,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY g_ret, g_line, ret_flag, line_status
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf, groupingSets,
     approxDistinct, intervalJoin, slidingWindow)
 }

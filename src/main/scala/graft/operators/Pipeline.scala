@@ -56,16 +56,18 @@ object Pipeline {
       import s.implicits._
       import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
       val k = 10
-      val e = Tables.load(s, dir, "embeddings")
-        .repartition($"vec_id")
+      def normed(df: DataFrame): DataFrame = df
         .select($"vec_id", $"label",
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", sqrt(dot_product($"v", $"v")))
-        .persist()
-      val q = e.filter($"vec_id" < 8)
+      // two scans, each with its predicate PUSHED TO THE PARQUET READER
+      // (vec_id<8 for queries, label IN (1,2,3) for candidates) — at
+      // 100 TB row-group pruning on the filter beats caching the corpus
+      val q = normed(Tables.load(s, dir, "embeddings").filter($"vec_id" < 8))
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
-      // pre-filter: only label 1-3 vectors are ever scored
-      val cand = e.filter($"label".isin(1, 2, 3))
+      val cand = normed(
+        Tables.load(s, dir, "embeddings").filter($"label".isin(1, 2, 3))
+          .repartition($"vec_id"))   // single-file fixture → spread the scoring
       val scored = cand.join(broadcast(q), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id",
           (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
