@@ -304,6 +304,36 @@ object Advanced {
     """)
   )
 
-  def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf, groupingSets,
+  /** Pivot (wide reshape): per return-flag row, one column per line
+    * status. Spark plans this as ONE conditional aggregation pass (no
+    * per-column scans), which is also exactly how the oracle states it
+    * — at 100 TB a pivot with a bounded value list costs the same as
+    * the underlying groupBy. Decimal sums for order-proof doubles. */
+  val pivot: Q = Q(
+    "q27_pivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(decP($"l_quantity")))
+        .select($"l_returnflag",
+          coalesce($"F", lit(0.0)).as("qty_f"),
+          coalesce($"O", lit(0.0)).as("qty_o"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+               THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS qty_f,
+             COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+               THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS qty_o
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf, groupingSets, pivot,
     approxDistinct, intervalJoin, slidingWindow)
 }
