@@ -37,6 +37,7 @@ object SparkEntry {
     "q8_window_rank", "q24_interval_join", "cdc_quorum_batch",
     "cdc_offsets", "cdc_apply_state", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "vector_topk",
-    "text_tokens", "text_fingerprint", "multimodal_meta"
+    "vector_filtered_topk", "text_tokens", "text_fingerprint",
+    "multimodal_meta"
   )
 }

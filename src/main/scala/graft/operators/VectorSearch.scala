@@ -211,9 +211,12 @@ object VectorSearch {
 
   /** Per-label centroids via the typed [[graft.functions.VectorMeanAggregator]]
     * (partial-aggregating Aggregator: one small buffer per group per
-    * partition crosses the shuffle). FP sums depend on merge order →
-    * rows-only gate; VectorSpec ("typed Aggregator centroids match a
-    * direct computation") pins every centroid norm to a driver-side
+    * partition crosses the shuffle). FP sums depend on partial-merge
+    * order, so the norm is emitted in MICRO-units (×1e6, rounded to
+    * BIGINT): merge-order noise is ~1e-15 relative — far inside one
+    * rounding bucket — which makes the value engine-comparable, so the
+    * distributed Aggregator path gets a REAL DuckDB oracle. VectorSpec
+    * additionally pins the unrounded norms to a driver-side
     * recomputation within 1e-9. */
   val labelCentroids: Q = Q(
     "vector_label_centroids",
@@ -227,10 +230,23 @@ object VectorSearch {
         .agg(new graft.functions.VectorMeanAggregator(64).toColumn.name("centroid"))
         .toDF("label", "centroid")
         .select($"label", size($"centroid").as("dim"),
-          sqrt(graftexprDot($"centroid")).as("centroid_norm"))
+          round(sqrt(graftexprDot($"centroid")) * 1e6).cast("long").as("norm_micro"))
         .orderBy($"label")
     },
-    None
+    Some("""
+      WITH x AS (
+        SELECT label, d - 1 AS dim, AVG(CAST(v AS DOUBLE)) AS m
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM embeddings)
+        GROUP BY label, d
+      )
+      SELECT label, CAST(COUNT(*) AS INT) AS dim,
+             CAST(ROUND(sqrt(SUM(m * m)) * 1e6) AS BIGINT) AS norm_micro
+      FROM x
+      GROUP BY label
+      ORDER BY label
+    """)
   )
 
   private def graftexprDot(c: org.apache.spark.sql.Column) =
