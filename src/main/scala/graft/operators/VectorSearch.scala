@@ -117,11 +117,47 @@ object VectorSearch {
   private[operators] def probeMasks(radius: Int): Seq[Int] =
     (0 until 256).filter(m => Integer.bitCount(m) <= radius)
 
+  /** DuckDB rendition of the LSH path at the DEFAULT dials: the
+    * hyperplanes are fixed literals and every step (sign buckets,
+    * XOR multiprobe, left-fold cosine, rank) is exact arithmetic, so
+    * the "approximate" operator is still a deterministic function of
+    * its input — and therefore fully oracle-able. Doubles are embedded
+    * via Double.toString (round-trip exact). */
+  private def annLshOracleSql: String = {
+    def lit(hp: Seq[Double]): String = hp.map(_.toString).mkString("[", ", ", "]")
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), s -> s[1]*s[2]), (x, y) -> x + y)"
+    val bucketExpr = hyperplanes.zipWithIndex.map { case (hp, i) =>
+      s"CASE WHEN ${dot("v", lit(hp))} > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+    val masks = probeMasks(LshDefaultProbeHamming).mkString(", ")
+    s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(${dot("v", "v")}) nrm,
+              CAST($bucketExpr AS INT) AS bucket
+            FROM e),
+      q AS (SELECT vec_id qid, v qv, nrm qnrm, bucket qb FROM n WHERE vec_id < 8),
+      probes AS (SELECT qid, qv, qnrm, CAST(xor(qb, m) AS INT) AS bucket
+                 FROM q CROSS JOIN (SELECT unnest([$masks]) AS m)),
+      cand AS (SELECT qid, vec_id,
+                 ${dot("qv", "v")} / (qnrm * nrm) AS cos
+               FROM probes JOIN n USING (bucket)
+               WHERE vec_id <> qid),
+      r AS (SELECT qid, vec_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
+            FROM cand)
+      SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 10 ORDER BY qid, rn
+    """
+  }
+
   /** Random-hyperplane LSH: 8 sign bits → 256 buckets, multiprobe by
     * exploring all buckets within [[lshProbeHamming]] bit flips.
-    * Probabilistic → no SQL oracle; VectorSpec floors recall vs the
-    * exact top-k on the (isotropic) fixture and VectorPlantedSpec
-    * gates recall ≥ 0.9 on planted-neighbor data. */
+    * Deterministic (fixed literal hyperplanes) → FULL DuckDB oracle at
+    * the default dials; VectorSpec floors recall vs the exact top-k on
+    * the (isotropic) fixture and VectorPlantedSpec gates recall ≥ 0.9
+    * on planted-neighbor data. */
   val annLsh: Q = Q(
     "vector_ann_lsh",
     (s, dir) => {
@@ -147,7 +183,7 @@ object VectorSearch {
         .select($"qid", $"rn", $"vec_id", $"cos")
         .orderBy($"qid", $"rn")
     },
-    None
+    Some(annLshOracleSql)
   )
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer (k=16, fixed
