@@ -36,9 +36,12 @@ object Bench {
     catch { case _: Throwable => () }
 
     def timeOne(name: String): (Double, Boolean) = {
-      // queries persist intermediate signature frames; drop them
-      // between runs so later ones aren't taxed by a filling pool
+      // queries persist/localCheckpoint intermediate signature frames;
+      // drop BOTH kinds between runs so later ones aren't taxed by a
+      // filling block-manager pool (clearCache only covers catalog-
+      // cached plans; checkpointed RDD blocks need explicit unpersist)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val ok =
         try { all(name)(spark, sfDir).count(); true }

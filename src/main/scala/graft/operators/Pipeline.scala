@@ -56,30 +56,21 @@ object Pipeline {
       import s.implicits._
       import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
       val k = 10
-      def normed(df: DataFrame): DataFrame = df
-        .select($"vec_id", $"label",
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", sqrt(dot_product($"v", $"v")))
       // two scans, each with its predicate PUSHED TO THE PARQUET READER
       // (vec_id<8 for queries, label IN (1,2,3) for candidates) — at
       // 100 TB row-group pruning on the filter beats caching the corpus
-      val q = normed(Tables.load(s, dir, "embeddings").filter($"vec_id" < 8))
+      val q = VectorSearch.withNorms(
+        Tables.load(s, dir, "embeddings").filter($"vec_id" < 8)
+          .select($"vec_id", $"embedding"))
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
-      val cand = normed(
+      val cand = VectorSearch.withNorms(
         Tables.load(s, dir, "embeddings").filter($"label".isin(1, 2, 3))
-          .repartition($"vec_id"))   // single-file fixture → spread the scoring
+          .repartition($"vec_id")   // single-file fixture → spread the scoring
+          .select($"vec_id", $"embedding"))
       val scored = cand.join(broadcast(q), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id",
           (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
-      val local = scored.as[(Long, Long, Double)]
-        .mapPartitions(it => VectorSearch.localTopK(it, k))
-        .toDF("qid", "vec_id", "cos")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-      local.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= k)
-        .select($"qid", $"rn", $"vec_id", $"cos")
-        .orderBy($"qid", $"rn")
+      VectorSearch.rankTopK(s, scored, k)
     },
     Some("""
       WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -29,14 +29,37 @@ object VectorSearch {
 
   import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
 
+  /** any frame carrying an `embedding` column → double vectors `v` +
+    * precomputed L2 norms, keeping every other column. Shared by the
+    * in-file search paths and [[Pipeline.filteredTopK]]. */
+  private[operators] def withNorms(df: DataFrame): DataFrame = {
+    val keep = df.columns.filterNot(_ == "embedding").map(col)
+    df.select(keep :+ expr("transform(embedding, x -> cast(x as double))").as("v"): _*)
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+  }
+
   /** embeddings with double vectors + precomputed L2 norms. */
   private def normed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "embeddings")
-      .repartition($"vec_id")   // single-file fixture → spread the work
-      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", sqrt(dot_product($"v", $"v")))
+    withNorms(
+      Tables.load(s, dir, "embeddings")
+        .repartition($"vec_id")   // single-file fixture → spread the work
+        .select($"vec_id", $"embedding"))
       .persist()   // barrier: norms/vectors materialized once, reused per query side
+  }
+
+  /** scored (qid, vec_id, cos) → global top-k per query: per-partition
+    * bounded heaps (≤ k rows leave each partition) + tiny rank merge. */
+  private[operators] def rankTopK(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val local = scored.as[(Long, Long, Double)]
+      .mapPartitions(it => localTopK(it, k))
+      .toDF("qid", "vec_id", "cos")
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    local.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"qid", $"rn", $"vec_id", $"cos")
+      .orderBy($"qid", $"rn")
   }
 
   /** per-partition bounded top-k: keeps ≤ k (cos desc, vec_id asc)
@@ -69,14 +92,7 @@ object VectorSearch {
       val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id",
           (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
-      val local = scored.as[(Long, Long, Double)]
-        .mapPartitions(it => localTopK(it, k))
-        .toDF("qid", "vec_id", "cos")
-      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-      local.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= k)
-        .select($"qid", $"rn", $"vec_id", $"cos")
-        .orderBy($"qid", $"rn")
+      rankTopK(s, scored, k)
     },
     Some("""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
@@ -177,11 +193,7 @@ object VectorSearch {
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id",
           (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
-      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-      cand.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= k)
-        .select($"qid", $"rn", $"vec_id", $"cos")
-        .orderBy($"qid", $"rn")
+      rankTopK(s, cand, k)
     },
     Some(annLshOracleSql)
   )
@@ -236,11 +248,7 @@ object VectorSearch {
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id",
           (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
-      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-      cand.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= k)
-        .select($"qid", $"rn", $"vec_id", $"cos")
-        .orderBy($"qid", $"rn")
+      rankTopK(s, cand, k)
     },
     None
   )

@@ -40,8 +40,12 @@ import graft.streaming.ShardTopology
   *    (compared with a numeric-aware ordering, so `b9 < b10` even
   *    without zero padding), so a restarted query replans precisely the
   *    unread suffix per member — the `ts > lastSeen` resume predicate,
-  *    made exact — and a file that appears late never causes re-reads
-  *    or silent skips of already-planned work.
+  *    made exact — and a committed offset can never shift meaning the
+  *    way an index-based offset could. Writer contract (same as a real
+  *    oplog, which appends monotonically): a new file's name must order
+  *    after the member's last consumed name; a file that materializes
+  *    BELOW the committed watermark is outside the contract and is not
+  *    replayed (by design — replaying it would mean re-reads).
   *  - admission control (the reference's 128-slot blocking queue,
   *    `MongoDBOplogSource.java:58`): the `maxFilesPerTrigger` option
   *    bounds how many files each micro-batch may admit (total across
@@ -203,11 +207,23 @@ case class OplogOffset(positions: Map[String, String]) extends Offset {
 }
 
 object OplogOffset {
+  /** strict parse: every field must be a string file name. A checkpoint
+    * in any other shape (e.g. the retired integer-index format) fails
+    * LOUDLY — silently returning an empty offset would restart every
+    * member from scratch and re-emit everything downstream. */
   def fromJson(json: String): OplogOffset = {
-    val pair = "\"((?:[^\"\\\\]|\\\\.)*)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-    val unesc = (s: String) => s.replace("\\\"", "\"").replace("\\\\", "\\")
-    OplogOffset(pair.findAllMatchIn(json)
-      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    require(node != null && node.isObject,
+      s"oplog offset is not a JSON object: $json")
+    val b = Map.newBuilder[String, String]
+    node.fields().forEachRemaining { e =>
+      require(e.getValue.isTextual,
+        s"oplog offset field '${e.getKey}' is not a file name " +
+        s"(incompatible checkpoint format?): $json")
+      b += e.getKey -> e.getValue.asText()
+    }
+    OplogOffset(b.result())
   }
 }
 
@@ -229,22 +245,35 @@ class OplogMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Fil
   private def unread(dir: String, last: String): Seq[String] =
     listFiles(dir).filter(f => naturalCompare(fileName(f), last) > 0)
 
-  /** admission-controlled latest offset: advance each member's position
-    * by at most the remaining file budget — the micro-batch analog of
-    * the reference's bounded transfer queue. */
+  /** admission-controlled latest offset: split the file budget across
+    * members ROUND-ROBIN (one file per member per pass) — a member with
+    * a continuous backlog can never starve the others, which matters
+    * because the downstream quorum gate needs copies from EVERY member.
+    * The micro-batch analog of the reference's bounded transfer queue. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[OplogOffset].positions
     var budget = limit match {
       case m: ReadMaxFiles => m.maxFiles()
       case _ => Int.MaxValue
     }
-    val next = memberDirs.map { case (id, dir) =>
-      val last = s.getOrElse(id, "")
-      val take = unread(dir, last).take(math.max(budget, 0))
-      budget -= take.size
-      id -> (if (take.nonEmpty) fileName(take.last) else last)
-    }.toMap
-    OplogOffset(next)
+    val queues = memberDirs.map { case (id, dir) =>
+      (id, s.getOrElse(id, ""), unread(dir, s.getOrElse(id, "")).iterator)
+    }
+    val taken = scala.collection.mutable.Map.empty[String, String]
+    var advanced = true
+    while (budget > 0 && advanced) {
+      advanced = false
+      queues.foreach { case (id, _, it) =>
+        if (budget > 0 && it.hasNext) {
+          taken(id) = fileName(it.next())
+          budget -= 1
+          advanced = true
+        }
+      }
+    }
+    OplogOffset(queues.map { case (id, last, _) =>
+      id -> taken.getOrElse(id, last)
+    }.toMap)
   }
 
   override def latestOffset(): Offset =
@@ -309,15 +338,28 @@ class OplogPartitionReader(partition: OplogInputPartition, pushed: Array[Filter]
     true
   }
 
-  private def passes(
-      op: String, ns: String, fromMigrate: java.lang.Boolean, micros: Long): Boolean =
-    pushed.forall {
+  /** the pushed filters that don't need `ts` (the O3 shapes) — applied
+    * BEFORE the timestamp parse, so a row they drop costs no parse and
+    * a malformed `ts` on such a row cannot fail the reader. */
+  private val preTsFilters = pushed.filterNot {
+    case GreaterThan("ts", _) | GreaterThanOrEqual("ts", _) => true
+    case _ => false
+  }
+  private val tsFilters = pushed.diff(preTsFilters)
+
+  private def passesPre(op: String, ns: String, fromMigrate: java.lang.Boolean): Boolean =
+    preTsFilters.forall {
       case EqualTo("op", v: String) => op == v
       case EqualTo("ns", v: String) => ns == v
       case Not(EqualTo("op", v: String)) => op != v
       case Not(EqualTo("ns", v: String)) => ns != v
       case IsNull("fromMigrate") => fromMigrate == null
       case IsNotNull("fromMigrate") => fromMigrate != null
+      case _ => true
+    }
+
+  private def passesTs(micros: Long): Boolean =
+    tsFilters.forall {
       case GreaterThan("ts", v) => OplogConnector.tsMicros(v).forall(micros > _)
       case GreaterThanOrEqual("ts", v) => OplogConnector.tsMicros(v).forall(micros >= _)
       case _ => true
@@ -331,21 +373,23 @@ class OplogPartitionReader(partition: OplogInputPartition, pushed: Array[Filter]
       val fm: java.lang.Boolean =
         if (node.hasNonNull("fromMigrate")) Boolean.box(node.get("fromMigrate").asBoolean())
         else null
-      val inst = java.time.Instant.parse(node.get("ts").asText())
-      val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-      if (passes(op, ns, fm, micros)) {
-        val o2 = if (node.hasNonNull("o2")) UTF8String.fromString(node.get("o2").asText()) else null
-        current = InternalRow(
-          micros,
-          node.get("tsInc").asInt(),
-          node.get("h").asLong(),
-          UTF8String.fromString(op),
-          UTF8String.fromString(ns),
-          if (fm == null) null else fm.booleanValue(),
-          UTF8String.fromString(node.get("o").asText()),
-          o2,
-          UTF8String.fromString(partition.memberId))
-        return true
+      if (passesPre(op, ns, fm)) {
+        val inst = java.time.Instant.parse(node.get("ts").asText())
+        val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        if (passesTs(micros)) {
+          val o2 = if (node.hasNonNull("o2")) UTF8String.fromString(node.get("o2").asText()) else null
+          current = InternalRow(
+            micros,
+            node.get("tsInc").asInt(),
+            node.get("h").asLong(),
+            UTF8String.fromString(op),
+            UTF8String.fromString(ns),
+            if (fm == null) null else fm.booleanValue(),
+            UTF8String.fromString(node.get("o").asText()),
+            o2,
+            UTF8String.fromString(partition.memberId))
+          return true
+        }
       }
     }
     false

@@ -40,7 +40,13 @@ object OplogApply {
     val payload = if (e.op == "u") e.o2.getOrElse(e.o) else e.o
     try {
       val node = mapper.readTree(payload)
-      if (node != null && node.hasNonNull("_id")) node.get("_id").asText() else payload
+      if (node != null && node.hasNonNull("_id")) {
+        val id = node.get("_id")
+        // scalar _ids → their text; structured _ids (e.g. {"$oid": ...})
+        // → their JSON — asText() alone returns "" for objects, which
+        // would merge every structured-_id doc into one state key
+        if (id.isValueNode) id.asText() else id.toString
+      } else payload
     } catch { case _: Exception => payload }
   }
 

@@ -129,6 +129,34 @@ class OplogConnectorSpec extends SparkSuite {
     assert(nonEmpty.size >= 3, s"expected >=3 bounded batches, got $sizes")
   }
 
+  test("admission budget is split round-robin: a backlogged member cannot starve the rest") {
+    val root = Files.createTempDirectory("graft-conn-rr").toFile.getAbsolutePath
+    val topo2 = "s0/r1:1,r2:2"
+    // r1 has a deep backlog, r2 a short one; budget 2 per batch
+    (0 until 6).foreach(i => writeMember(root, "s0", "r1", 1, f"b$i%02d", Seq(line(100 + i, i))))
+    (0 until 2).foreach(i => writeMember(root, "s0", "r2", 2, f"b$i%02d", Seq(line(200 + i, i))))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft.sources.OplogSourceProvider")
+      .option("topology", topo2)
+      .option("maxFilesPerTrigger", "2")
+      .load(root)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hs = b.collect().map(_.getAs[Long]("h")).toSet
+        batches.synchronized { if (hs.nonEmpty) batches += hs }; ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // r2's rows must arrive in the FIRST TWO batches (1 slot per member
+    // per batch), not after r1's entire backlog drains
+    val firstTwo = batches.take(2).flatten.toSet
+    assert(firstTwo.contains(200L) && firstTwo.contains(201L),
+      s"backlogged r1 starved r2: $batches")
+    assert(batches.flatten.toSet.size == 8, s"all rows exactly once: $batches")
+  }
+
   test("streaming: quorum dedup over the connector, resume reads only the suffix") {
     implicit val s = spark
     import s.implicits._
