@@ -41,7 +41,7 @@ object Bench {
       // filling block-manager pool (clearCache only covers catalog-
       // cached plans; checkpointed RDD blocks need explicit unpersist)
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       val ok =
         try { all(name)(spark, sfDir).count(); true }

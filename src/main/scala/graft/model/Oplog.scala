@@ -25,6 +25,12 @@ final case class OplogEntry(
 )
 
 object OplogEntry {
+  /** java.sql.Timestamp → epoch micros (getTime carries millis; the
+    * sub-milli part hides in getNanos). Shared by the connector's
+    * pushed-filter evaluation and the apply-state clock. */
+  def timestampMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   val schema: StructType = StructType(Seq(
     StructField("ts", TimestampType, nullable = false),
     StructField("tsInc", IntegerType, nullable = false),

@@ -65,19 +65,23 @@ object CdcApply {
       user_id: Long, last_event_id: Long, last_op: String,
       ts_us: Long, last_value: Double)
 
-  /** one change record (public: Spark encoders need reflective access). */
+  /** one change record (public: Spark encoders need reflective access).
+    * `ts` stays a Timestamp so the caller's watermark tag survives the
+    * typed projection into the stateful operator (EventTimeTimeout
+    * requires a watermarked event-time column on its input). */
   final case class Change(
-      user_id: Long, event_id: Long, op: String, ts_us: Long, value: Double)
+      user_id: Long, event_id: Long, op: String, ts: java.sql.Timestamp, value: Double)
 
   /** pure LWW transition — unit-testable without a stream. A delete
     * becomes a TOMBSTONE state (op "d") rather than clearing the slot:
     * the tombstone keeps its clock, so an out-of-order OLDER change
     * arriving after the delete cannot resurrect the key. */
   private[operators] def lww(cur: Option[KeyState], c: Change): Option[KeyState] = {
+    val tsUs = graft.model.OplogEntry.timestampMicros(c.ts)
     val newer = cur.forall(s =>
-      c.ts_us > s.ts_us || (c.ts_us == s.ts_us && c.event_id > s.last_event_id))
+      tsUs > s.ts_us || (tsUs == s.ts_us && c.event_id > s.last_event_id))
     if (!newer) cur
-    else Some(KeyState(c.user_id, c.event_id, c.op, c.ts_us,
+    else Some(KeyState(c.user_id, c.event_id, c.op, tsUs,
       if (c.op == "d") 0.0 else c.value))
   }
 
@@ -85,23 +89,34 @@ object CdcApply {
     * state store (Update output: one row per key per change batch).
     * Tombstoned keys emit their op "d" state — filter for the live
     * view; the tombstone stays in state to block stale resurrection
-    * (reap with a watermark timeout once the lateness horizon passes). */
+    * and is REAPED once the watermark passes its clock (live keys
+    * never time out — they are the materialized state). Requires a
+    * watermark on `ts` upstream. */
   def applyStateStream(events: DataFrame)(implicit spark: SparkSession): Dataset[KeyState] = {
     import spark.implicits._
     events
       .withColumn("op", opCol)
-      .select($"user_id", $"event_id", $"op",
-        unix_micros($"ts").as("ts_us"), $"value")
-      .as[(Long, Long, String, Long, Double)]
-      .map(t => Change(t._1, t._2, t._3, t._4, t._5))
+      .select($"user_id", $"event_id", $"op", $"ts", $"value")
+      .as[Change]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[KeyState, KeyState](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[Change], state: GroupState[KeyState]) =>
-          var cur = state.getOption
-          it.foreach(c => cur = lww(cur, c))
-          val s = cur.get            // at least one change seen for the key
-          state.update(s)
-          s
+          if (state.hasTimedOut) {      // watermark passed a tombstone: reap
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption
+            it.foreach(c => cur = lww(cur, c))
+            val s = cur.get            // at least one change seen for the key
+            state.update(s)
+            if (s.last_op == "d") {
+              state.setTimeoutTimestamp(
+                math.max(s.ts_us / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.single(s)
+          }
       }
   }
 }

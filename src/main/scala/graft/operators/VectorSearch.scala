@@ -260,8 +260,8 @@ object VectorSearch {
     * BIGINT): merge-order noise is ~1e-15 relative — far inside one
     * rounding bucket — which makes the value engine-comparable, so the
     * distributed Aggregator path gets a REAL DuckDB oracle. VectorSpec
-    * additionally pins the unrounded norms to a driver-side
-    * recomputation within 1e-9. */
+    * additionally pins each micro-rounded norm to within 1 micro-unit
+    * of a driver-side recomputation. */
   val labelCentroids: Q = Q(
     "vector_label_centroids",
     (s, dir) => {

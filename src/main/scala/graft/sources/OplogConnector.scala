@@ -129,7 +129,7 @@ object OplogConnector {
     * hands to a DSv2 source for a TimestampType column. */
   private[sources] def tsMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp =>
-      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+      Some(OplogEntry.timestampMicros(t))
     case i: java.time.Instant =>
       Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case _ => None

@@ -20,10 +20,12 @@ import graft.model.OplogEntry
   *    resurrects it.
   *
   * Scale: one ~(key + latest doc) record per key in the state store,
-  * partitioned by key across executors; key cardinality — not change
-  * volume — bounds memory. Tombstones are kept to fence stale
-  * resurrection and should be reaped with a watermark timeout once the
-  * out-of-order horizon passes (the [[QuorumDedup]] reaping pattern).
+  * partitioned by key across executors; LIVE-key cardinality — not
+  * change volume — bounds memory. Tombstones are kept only until the
+  * watermark passes their clock (EventTimeTimeout reaping, the
+  * [[QuorumDedup]] pattern), so delete churn cannot grow state
+  * unboundedly while stale resurrection stays fenced inside the
+  * lateness horizon.
   */
 object OplogApply {
 
@@ -50,45 +52,90 @@ object OplogApply {
     } catch { case _: Exception => payload }
   }
 
-  private def micros(t: java.sql.Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def micros(t: java.sql.Timestamp): Long = OplogEntry.timestampMicros(t)
+
+  /** shallow materialization of an update payload over the prior doc:
+    * a `{"$set": {...}}` operator merges its fields into the previous
+    * document when both parse as objects; any other payload (full
+    * replacement, exotic operators) replaces the doc wholesale. */
+  private[streaming] def applyUpdate(prior: String, payload: String): String = {
+    try {
+      val p = mapper.readTree(payload)
+      if (p != null && p.isObject && p.has("$set") && p.get("$set").isObject) {
+        val base = if (prior.nonEmpty) mapper.readTree(prior) else null
+        if (base != null && base.isObject) {
+          base.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .setAll(p.get("$set").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+          base.toString
+        } else payload   // no prior doc to patch: keep the operator payload
+      } else payload
+    } catch { case _: Exception => payload }
+  }
 
   /** pure LWW transition over the oplog clock — unit-testable.
-    * A delete becomes a TOMBSTONE state (op "d") rather than clearing
-    * the slot: the tombstone keeps its clock so an out-of-order OLDER
-    * op arriving after the delete cannot resurrect the doc. Only an op
-    * genuinely newer than the tombstone wins. */
+    *  - A delete becomes a TOMBSTONE state (op "d") rather than
+    *    clearing the slot: the tombstone keeps its clock so an
+    *    out-of-order OLDER op arriving after the delete cannot
+    *    resurrect the doc. Only a genuinely newer op wins.
+    *  - An update MATERIALIZES: `$set` fields merge into the prior
+    *    live doc (patches must be applied in clock order for the merge
+    *    to be meaningful — the group folds below sort by clock first;
+    *    a patch older than the current state is dropped, LWW-style). */
   private[streaming] def lww(cur: Option[DocState], e: OplogEntry, id: String): Option[DocState] = {
     val ts = micros(e.ts)
     val newer = cur.forall(s => ts > s.tsUs || (ts == s.tsUs && e.tsInc > s.tsInc))
     if (!newer) cur
     else if (e.op == "d") Some(DocState(e.ns, id, "d", ts, e.tsInc, ""))
-    else Some(DocState(e.ns, id, e.op, ts, e.tsInc, e.o))
+    else if (e.op == "u") {
+      val prior = cur.filter(_.op != "d").map(_.doc).getOrElse("")
+      Some(DocState(e.ns, id, "u", ts, e.tsInc, applyUpdate(prior, e.o)))
+    } else Some(DocState(e.ns, id, e.op, ts, e.tsInc, e.o))
+  }
+
+  /** clock-sort a batch's ops for one key before folding, so `$set`
+    * chains compose deterministically regardless of arrival order. */
+  private def foldSorted(cur0: Option[DocState], it: Iterator[OplogEntry], id: String): Option[DocState] = {
+    var cur = cur0
+    it.toSeq.sortBy(e => (micros(e.ts), e.tsInc)).foreach(e => cur = lww(cur, e, id))
+    cur
   }
 
   /** Streaming form (Append output: the state-CHANGE log — one row per
     * changed key per batch, the latest row per key IS the current
-    * state);
-    * a tombstoned key emits its tombstone (op "d") — filter those for
-    * the live view. Tombstones stay in the state store so late older
-    * ops cannot resurrect; pair with a watermark-based timeout to reap
-    * them once the out-of-order horizon passes (the same pattern
-    * [[QuorumDedup]] uses for its keys). */
-  def currentState(ds: Dataset[OplogEntry])(implicit spark: SparkSession): Dataset[DocState] = {
+    * state). A tombstoned key emits its tombstone (op "d") — filter
+    * those for the live view; the tombstone blocks stale resurrection
+    * until the watermark passes its clock, then its state is reaped. */
+  def currentState(ds: Dataset[OplogEntry], lateness: String = "10 seconds")(
+      implicit spark: SparkSession): Dataset[DocState] = {
     import spark.implicits._
     // flatMapGroupsWithState in APPEND mode (not mapGroupsWithState /
     // Update): Spark only allows chaining stateful operators when all
     // of them — and the query — are in append mode, and this operator
     // must run AFTER the quorum dedup's stateful operator in one query.
-    ds.groupByKey(e => (e.ns, docIdOf(e)))
+    // EventTimeTimeout reaps TOMBSTONES once the watermark passes their
+    // clock (live docs never time out — they ARE the materialized
+    // state), so deleted-key state is bounded by the lateness horizon,
+    // not by every key ever seen. Requires a watermark upstream.
+    // the watermark is re-declared here: an upstream stateful operator's
+    // output columns are fresh attributes without the original watermark
+    // tag, and EventTimeTimeout requires one on ITS input
+    ds.withWatermark("ts", lateness)
+      .groupByKey(e => (e.ns, docIdOf(e)))
       .flatMapGroupsWithState[DocState, DocState](
-        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (String, String), it: Iterator[OplogEntry], state: GroupState[DocState]) =>
-          var cur = state.getOption
-          it.foreach(e => cur = lww(cur, e, key._2))
-          cur match {
-            case Some(s) => state.update(s); Iterator.single(s)
-            case None => Iterator.empty
+          if (state.hasTimedOut) {      // watermark passed a tombstone: reap
+            state.remove()
+            Iterator.empty
+          } else {
+            val cur = foldSorted(state.getOption, it, key._2)
+            val s = cur.get             // at least one event seen for the key
+            state.update(s)
+            if (s.op == "d") {
+              state.setTimeoutTimestamp(
+                math.max(s.tsUs / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.single(s)
           }
       }
   }
@@ -99,9 +146,7 @@ object OplogApply {
     import spark.implicits._
     ds.groupByKey(e => (e.ns, docIdOf(e)))
       .flatMapGroups { (key: (String, String), it: Iterator[OplogEntry]) =>
-        var cur: Option[DocState] = None
-        it.foreach(e => cur = lww(cur, e, key._2))
-        cur.filter(_.op != "d").iterator
+        foldSorted(None, it, key._2).filter(_.op != "d").iterator
       }
   }
 }

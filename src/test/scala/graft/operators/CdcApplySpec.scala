@@ -54,6 +54,7 @@ class CdcApplySpec extends SparkSuite {
       }))
       .parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")   // tombstone reaping needs a watermark
 
     val q = CdcApply.applyStateStream(raw)
       .writeStream.format("memory").queryName("apply_out")

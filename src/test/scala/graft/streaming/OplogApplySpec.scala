@@ -44,6 +44,19 @@ class OplogApplySpec extends SparkSuite {
     assert(st("102") == (("i", 6)))
   }
 
+  test("updates MATERIALIZE: a $set patch merges into the prior document") {
+    implicit val s = spark
+    import s.implicits._
+    val ops = Seq(
+      op(1, "r1", 1, "i", 7, 1),       // {"_id":7,"v":1}
+      op(2, "r1", 2, "u", 7, 9)        // {"$set":{"v":9}} on _id 7
+    )
+    val st = OplogApply.currentStateBatch(ops.toDS()).collect()
+    assert(st.length == 1)
+    assert(st.head.doc == """{"_id":7,"v":9}""",
+      s"current doc should be the merged document, got ${st.head.doc}")
+  }
+
   test("end-to-end: replica streams -> quorum dedup -> current state") {
     implicit val s = spark
     import s.implicits._
