@@ -22,6 +22,10 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         df.unpersist()
         spark.catalog.clearCache()   // drop query-internal persisted frames
+        // also drop lineage-truncation (localCheckpoint) blocks, which
+        // clearCache does not cover — 54 queries' worth would otherwise
+        // accumulate in the block manager for the whole run
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
