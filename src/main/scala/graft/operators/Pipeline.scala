@@ -127,5 +127,49 @@ object Pipeline {
     """)
   )
 
-  def queries: Seq[Q] = Seq(splitAssign, filteredTopK, tokenPercentiles)
+  /** Deterministic BALANCED stratified sample: every language stratum
+    * contributes exactly `target` documents, where target = the smallest
+    * stratum's size — the "equalize strata" downsampling a multilingual
+    * training mix needs. Selection within a stratum is rank-by-md5
+    * (content-addressed order, tie-broken by doc_id), so the sample is
+    * exact, reproducible across engines/runs/cluster sizes, and
+    * float-free — no RNG, no Bernoulli approximation of the target size.
+    *
+    * Scale shape: one partial-aggregated count per stratum (tiny,
+    * broadcast back), then a per-stratum rank. The rank is a window =
+    * one shuffle keyed on the stratum; strata are few and can be huge,
+    * so at 100 TB the window partition is the skew risk — the cheap
+    * relaxation is threshold sampling (keep md5 < target/count scaled
+    * hex bound, per-row, shuffle-free, like [[splitAssign]]) at the cost
+    * of a binomially-approximate stratum size; this operator is the
+    * exact-size variant. */
+  val sampleStratified: Q = Q(
+    "sample_stratified",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val target = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+        .agg(min($"n").as("target"))
+      val w = Window.partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      d.select($"doc_id", $"lang")
+        .withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(target))
+        .filter($"rk" <= $"target")
+        .select($"doc_id", $"lang", $"rk")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      t AS (SELECT MIN(n) AS target FROM c),
+      r AS (SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+      SELECT doc_id, lang, rk FROM r, t WHERE rk <= target ORDER BY doc_id
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(splitAssign, filteredTopK, tokenPercentiles, sampleStratified)
 }

@@ -170,5 +170,56 @@ object TextAnalysis {
     """)
   )
 
-  def queries: Seq[Q] = Seq(tokenCount, quality, langId, fingerprintQ)
+  /** Per-language top-10 distinctive terms: tf (term occurrences within
+    * the language) weighted by inverse document frequency. The score is
+    * the exact rational tf/df evaluated as one IEEE double division of
+    * two integers — correctly rounded and therefore bit-identical across
+    * engines, unlike a log-based idf where last-ulp drift could flip a
+    * rank. Ties (equal ratios) break on term ASC, so the top-k is fully
+    * deterministic.
+    *
+    * Scale shape: explode → two partial-aggregated shuffles (tf keyed on
+    * (lang, term); df on term after a distinct that is itself partial)
+    * → broadcast join of the tiny term-level df table → per-language
+    * top-k window. Vocabulary tables are small relative to any corpus,
+    * so nothing here grows with document count except the exploded
+    * token stream, which combines map-side. */
+  val topTerms: Q = Q(
+    "text_topterms",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val k = 10
+      val toks = docs(s, dir)
+        .select($"doc_id", $"lang", explode(TextFns.tokens($"text")).as("term"))
+      val tf = toks.groupBy($"lang", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"lang").orderBy($"score".desc, $"term")
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("score", $"tf".cast("double") / $"df")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k)
+        .select($"lang", $"rn", $"term", $"tf", $"df", $"score")
+        .orderBy($"lang", $"rn")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents
+      ),
+      tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term),
+      df AS (SELECT term, COUNT(*) AS df
+             FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+      sc AS (SELECT lang, tf.term, tf.tf, df.df, CAST(tf.tf AS DOUBLE) / df.df AS score
+             FROM tf JOIN df USING (term)),
+      r AS (SELECT lang, term, tf, df, score,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rn
+            FROM sc)
+      SELECT lang, rn, term, tf, df, score FROM r WHERE rn <= 10 ORDER BY lang, rn
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(tokenCount, quality, langId, fingerprintQ, topTerms)
 }

@@ -30,6 +30,20 @@ class PipelineSpec extends SparkSuite {
     byQ.values.foreach(rs => assert(rs.length == 10))
   }
 
+  test("stratified sample is balanced: every stratum contributes exactly min-stratum-size rows") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val counts = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = counts.values.min
+    val sampled = Pipeline.sampleStratified.run(spark, sf0001).collect()
+    val perLang = sampled.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perLang.keySet == counts.keySet, "a stratum vanished")
+    perLang.foreach { case (lang, n) => assert(n == target, s"$lang: $n != $target") }
+    // content-addressed: the same run again keeps exactly the same docs
+    val again = Pipeline.sampleStratified.run(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(again == sampled.map(_.getLong(0)).toSet)
+  }
+
   test("token percentiles are ordered and cover every lang") {
     val rows = Pipeline.tokenPercentiles.run(spark, sf0001).collect()
     val langs = graft.Tables.load(spark, sf0001, "documents")

@@ -26,6 +26,23 @@ class TextSpec extends SparkSuite {
     assert(df.count() == 500)
   }
 
+  test("top terms: exactly k per lang, ranked by exact tf/df with term tiebreak") {
+    val rows = TextAnalysis.topTerms.run(spark, sf0001).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == 10, s"$lang: ${rs.length} rows")
+      val ordered = rs.sortBy(_.getInt(1))
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        val (sa, sb) = (a.getDouble(5), b.getDouble(5))
+        assert(sa > sb || (sa == sb && a.getString(2) < b.getString(2)),
+          s"$lang rank ${a.getInt(1)}->${b.getInt(1)} not (score desc, term asc)")
+      }
+      // score is the exact rational tf/df
+      rs.foreach(r => assert(r.getDouble(5) == r.getLong(3).toDouble / r.getLong(4)))
+    }
+  }
+
   test("fingerprint is order- and duplication-insensitive") {
     import spark.implicits._
     val df = Seq(
