@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight through to stdout/stderr instead of
+// the sbt logger: Bench's one-line JSON contract must reach the caller
+// unprefixed (sbt's logger writes "[info] {...}", which breaks any
+// machine parse of the line).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
