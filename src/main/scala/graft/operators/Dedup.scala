@@ -306,17 +306,29 @@ object Dedup {
     * unrelated documents, while the 3-gram feature space keeps
     * unrelated signatures near-independent (hamming ≈ 32) and near-dup
     * signatures within a few bits.
-    * (The previous declarative form — a nested
+    *
+    * The per-shingle hash is the FIRST 8 BYTES OF MD5 (big-endian
+    * unsigned) rather than the fnv/splitmix fingerprint the MinHash
+    * kernel uses: md5 exists verbatim in DuckDB, which makes the whole
+    * operator — signature bits included — SQL-expressible, so the
+    * driver gets a full hash-compare oracle instead of a rows-only
+    * check. Hash quality is equivalent for vote purposes.
+    * (The original declarative form — a nested
     * `aggregate(sequence(0,63), … aggregate(th, …))` lambda — was
     * CodegenFallback: 64 interpreted passes over every token-hash array
     * per row.) */
   private[operators] def simhashText(text: String): Option[Long] = {
     val toks = text.split(' ').filter(_.nonEmpty)
     if (toks.length < 3) return None
+    val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](64)
     var p = 0
     while (p + 2 < toks.length) {
-      val h = splitmix64(fnv1a64(toks(p) + " " + toks(p + 1) + " " + toks(p + 2)))
+      val d = md.digest((toks(p) + " " + toks(p + 1) + " " + toks(p + 2))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
@@ -330,17 +342,25 @@ object Dedup {
     Some(sig)
   }
 
-  /** SimHash near-dup: 64-bit signature (sign of per-bit token-hash
+  /** SimHash near-dup: 64-bit signature (sign of per-bit shingle-hash
     * vote) computed in one mapPartitions pass, 4×16-bit chunk banding
     * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal — the banding is
     * LOSSLESS at this radius), hamming ≤ 3 verification via
-    * bit_count(xor). Hash-seeded, so no SQL oracle; instead DedupSpec
-    * gates the output as EXACTLY EQUAL to the operator's definition
-    * (all pairs within hamming ≤ 3, recomputed independently on the
-    * driver) and pins precision ≥ 0.9 / recall ≥ 0.45 vs the exact
-    * j ≥ 0.5 pair set — short-document vote noise bounds radius-3
-    * recall here; the high-recall text near-dup path is
-    * [[minhashLsh]], which is gated EQUAL to the exact pair set. */
+    * bit_count(xor).
+    *
+    * Fully DuckDB-oracled: the md5-based shingle hash (see
+    * [[simhashText]]) is reproduced in SQL by extracting bit j of the
+    * first-16-hex-chars value from hex nibble 16−⌊j/4⌋ (1-based,
+    * big-endian), voting per (doc, bit) over the un-deduplicated
+    * shingle stream, folding the sign vector into a 64-char bit string,
+    * and counting differing positions over all pairs. The oracle's
+    * all-pairs join is fine at oracle scale; the operator itself stays
+    * banded. DedupSpec additionally gates the output as EXACTLY EQUAL
+    * to the kernel's definition recomputed on the driver and pins
+    * precision ≥ 0.9 / recall ≥ 0.45 vs the exact j ≥ 0.5 pair set —
+    * short-document vote noise bounds radius-3 recall here; the
+    * high-recall text near-dup path is [[minhashLsh]], which is gated
+    * EQUAL to the exact pair set. */
   val simhash: Q = Q(
     "dedup_simhash",
     (s, dir) => {
@@ -366,7 +386,43 @@ object Dedup {
         .filter($"hamming" <= 3)
         .orderBy($"d1", $"d2")
     },
-    None
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+        FROM documents
+      ),
+      shm AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(toks)-2),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+        FROM t WHERE len(toks) >= 3
+      ),
+      hx AS (SELECT doc_id, substring(md5(s), 1, 16) AS h FROM shm),
+      votes AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (strpos('0123456789abcdef',
+                                     substring(h, CAST(16 - j // 4 AS INT), 1)) - 1)
+                            // (CASE WHEN j % 4 = 0 THEN 1 WHEN j % 4 = 1 THEN 2
+                                    WHEN j % 4 = 2 THEN 4 ELSE 8 END) % 2 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM hx, (SELECT unnest(range(64)) AS j) bits
+        GROUP BY doc_id, j
+      ),
+      sig AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+        FROM votes GROUP BY doc_id
+      ),
+      p AS (
+        SELECT a.doc_id d1, b.doc_id d2,
+               CAST(len(list_filter(range(64),
+                    i -> substring(a.sig, CAST(i + 1 AS INT), 1)
+                         <> substring(b.sig, CAST(i + 1 AS INT), 1))) AS INT) AS hamming
+        FROM sig a, sig b
+        WHERE a.doc_id < b.doc_id
+      )
+      SELECT d1, d2, hamming FROM p WHERE hamming <= 3 ORDER BY d1, d2
+    """)
   )
 
   /** Maximum corpus size the exact all-pairs baseline will accept —

@@ -171,5 +171,94 @@ object Pipeline {
     """)
   )
 
-  def queries: Seq[Q] = Seq(splitAssign, filteredTopK, tokenPercentiles, sampleStratified)
+  /** Per-domain document cap (the pretraining-mix "no source may
+    * contribute more than N docs" rule): keep at most 10 documents per
+    * `source`, chosen by content-addressed md5 rank (reproducible
+    * across engines/runs/cluster sizes, no RNG). One shuffle keyed on
+    * the domain; at 100 TB a hub domain makes that window partition the
+    * skew term, and the standard relaxation is a two-phase cap — cap
+    * per (source, salt) then re-cap per source — which preserves
+    * determinism; this is the single-phase form. */
+  val sourceCap: Q = Q(
+    "doc_source_cap",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 10)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+      )
+      SELECT doc_id, source, rk FROM r WHERE rk <= 10 ORDER BY doc_id
+    """)
+  )
+
+  /** Statistical outlier detection over the event stream: events whose
+    * value is more than 2 SAMPLE standard deviations from their
+    * event-type mean. The z-test is evaluated ENTIRELY in integer
+    * arithmetic — values become exact cents, and |c−μ| > 2σ is squared
+    * into (c·n−S)²·(n−1) > 4·n·(n·ΣC²−S²) over exact 128-bit integers
+    * (decimal(38,0) here, HUGEINT in the oracle) — so the oracle
+    * compare has zero floating-point hazard and no engine-specific
+    * variance algorithm (Welford vs sum-of-squares) can drift the
+    * boundary.
+    *
+    * Scale shape: per-type {n, S, ΣC²} is a tiny partially-aggregated
+    * frame broadcast back over the stream; the filter is then per-row.
+    * Nothing shuffles with event count. */
+  val eventOutliers: Q = Q(
+    "events_outliers",
+    (s, dir) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type", $"value",
+          round($"value" * 100).cast("long").as("c"))
+      val st = ev.groupBy($"event_type").agg(
+        count(lit(1)).as("n"), sum($"c").as("sm"), sum($"c" * $"c").as("ss"))
+      val dev = ($"c".cast(dec) * $"n".cast(dec)) - $"sm".cast(dec)
+      val lhs = dev * dev * ($"n" - 1).cast(dec)
+      val rhs = lit(4).cast(dec) * $"n".cast(dec) *
+        ($"n".cast(dec) * $"ss".cast(dec) - $"sm".cast(dec) * $"sm".cast(dec))
+      ev.join(broadcast(st), "event_type")
+        .filter(lhs > rhs)
+        .select($"event_id", $"event_type", $"value")
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, event_type, value,
+               CAST(ROUND(value * 100) AS BIGINT) c
+        FROM events
+      ),
+      st AS (
+        SELECT event_type, COUNT(*) n,
+               CAST(SUM(c) AS BIGINT) sm, CAST(SUM(c*c) AS BIGINT) ss
+        FROM ev GROUP BY event_type
+      )
+      SELECT event_id, event_type, value
+      FROM ev JOIN st USING (event_type)
+      WHERE (CAST(c AS HUGEINT) * CAST(n AS HUGEINT) - CAST(sm AS HUGEINT))
+              * (CAST(c AS HUGEINT) * CAST(n AS HUGEINT) - CAST(sm AS HUGEINT))
+              * CAST(n - 1 AS HUGEINT)
+          > CAST(4 AS HUGEINT) * CAST(n AS HUGEINT)
+              * (CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)
+                 - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT))
+      ORDER BY event_id
+    """)
+  )
+
+  def queries: Seq[Q] =
+    Seq(splitAssign, filteredTopK, tokenPercentiles, sampleStratified,
+      sourceCap, eventOutliers)
 }

@@ -221,5 +221,150 @@ object TextAnalysis {
     """)
   )
 
-  def queries: Seq[Q] = Seq(tokenCount, quality, langId, fingerprintQ, topTerms)
+  /** BM25 relevance scoring of a fixed keyword query ("hash join
+    * stream") over the corpus — the lexical half of a hybrid retrieval
+    * pipeline (the vector half is [[Pipeline.filteredTopK]]). Standard
+    * Robertson parameters k1=1.2, b=0.75, idf = ln(1+(N−df+0.5)/(df+0.5)).
+    *
+    * Scale shape: corpus stats (N, avgdl, per-term df) are ONE tiny
+    * aggregate row broadcast back over the corpus; scoring is then a
+    * pure per-row projection — no shuffle grows with document count.
+    * The score is emitted in micro-units (×1e6, rounded) because ln()
+    * is the one sub-ulp-implementation-dependent function in the
+    * engine; both engines see bit-identical inputs, so a flip requires
+    * the true value within ~1 ulp of a micro boundary (~1e-9/row). */
+  val bm25: Q = {
+    val terms = Seq("hash", "join", "stream")
+    Q(
+      "text_bm25",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.Column
+        val d = docs(s, dir)
+          .select($"doc_id", TextFns.tokens($"text").as("toks"))
+          .withColumn("dl", size($"toks"))
+        val tf = terms.foldLeft(d) { (df, t) =>
+          df.withColumn(s"tf_$t", size(filter($"toks", x => x === t)))
+        }
+        val aggExprs = count(lit(1)).as("n_docs") +: avg($"dl").as("avgdl") +:
+          terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+        val stats = tf.agg(aggExprs.head, aggExprs.tail: _*)
+        def termScore(t: String): Column = {
+          val tfc = col(s"tf_$t"); val dfc = col(s"df_$t")
+          val idf = log(lit(1.0) + (($"n_docs" - dfc) + 0.5) / (dfc + 0.5))
+          idf * (tfc * 2.2) / (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl")))
+        }
+        tf.crossJoin(broadcast(stats))
+          .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+          .select($"doc_id" +: terms.map(t => col(s"tf_$t")) :+
+            round(terms.map(termScore).reduce(_ + _) * 1e6).cast("long").as("bm25_micro"): _*)
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, len(toks) dl,
+                 CAST(len(list_filter(toks, x -> x = 'hash'))   AS INT) tf_hash,
+                 CAST(len(list_filter(toks, x -> x = 'join'))   AS INT) tf_join,
+                 CAST(len(list_filter(toks, x -> x = 'stream')) AS INT) tf_stream
+          FROM d
+        ),
+        st AS (
+          SELECT COUNT(*) n_docs, AVG(dl) avgdl,
+                 CAST(SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS BIGINT) df_hash,
+                 CAST(SUM(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS BIGINT) df_join,
+                 CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) df_stream
+          FROM tf
+        )
+        SELECT doc_id, tf_hash, tf_join, tf_stream,
+               CAST(ROUND((
+                   ln(1.0 + ((n_docs - df_hash) + 0.5) / (df_hash + 0.5))
+                     * (tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+                 + ln(1.0 + ((n_docs - df_join) + 0.5) / (df_join + 0.5))
+                     * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+                 + ln(1.0 + ((n_docs - df_stream) + 0.5) / (df_stream + 0.5))
+                     * (tf_stream * 2.2) / (tf_stream + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+               ) * 1e6) AS BIGINT) AS bm25_micro
+        FROM tf, st
+        WHERE tf_hash + tf_join + tf_stream > 0
+        ORDER BY doc_id
+      """)
+    )
+  }
+
+  /** Global top-20 bigrams by corpus frequency — the n-gram corpus
+    * statistic (contamination screens, boilerplate detection, tokenizer
+    * diagnostics). Explode → partially-aggregated count on the bigram
+    * key → top-k as TakeOrderedAndProject: only ≤k rows per partition
+    * survive the map side, so the result traffic is O(k), not O(vocab²).
+    * Ties break on the bigram string, making the top-k total-ordered. */
+  val bigrams: Q = Q(
+    "text_bigrams",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select(explode(TextFns.shingles(TextFns.tokens($"text"), 2)).as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"bigram")
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+      ),
+      bg AS (
+        SELECT unnest(list_transform(range(len(toks)-1),
+               i -> array_to_string(toks[i+1:i+2], ' '))) AS bigram
+        FROM t WHERE len(toks) >= 2
+      )
+      SELECT bigram, COUNT(*) AS cnt
+      FROM bg GROUP BY bigram
+      ORDER BY cnt DESC, bigram LIMIT 20
+    """)
+  )
+
+  /** Repetition-ratio quality signal (the "excessive duplicate n-gram"
+    * filter of web-scale curation pipelines): per document, the
+    * fraction of its bigram stream already seen in the same document —
+    * 1 − distinct/total — with docs above 0.2 flagged. Pure per-row
+    * column math (one int/int IEEE division, exact in both engines),
+    * no shuffle but the presentation sort. */
+  val repetition: Q = Q(
+    "text_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val bg = TextFns.shingles(TextFns.tokens($"text"), 2)
+      docs(s, dir)
+        .select($"doc_id", size(bg).as("n_bigrams"),
+          size(array_distinct(bg)).as("n_distinct"))
+        .filter($"n_bigrams" > 0)
+        .withColumn("rep_ratio", lit(1.0) - ($"n_distinct" / $"n_bigrams"))
+        .withColumn("flagged", $"rep_ratio" > 0.2)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_transform(range(len(toks)-1),
+                 i -> array_to_string(toks[i+1:i+2], ' ')) AS bg
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+              FROM documents)
+        WHERE len(toks) >= 2
+      )
+      SELECT doc_id,
+             CAST(len(bg) AS INT) AS n_bigrams,
+             CAST(len(list_distinct(bg)) AS INT) AS n_distinct,
+             1.0 - (CAST(len(list_distinct(bg)) AS INT) / CAST(len(bg) AS INT)) AS rep_ratio,
+             (1.0 - (CAST(len(list_distinct(bg)) AS INT) / CAST(len(bg) AS INT))) > 0.2 AS flagged
+      FROM t
+      WHERE len(bg) > 0
+      ORDER BY doc_id
+    """)
+  )
+
+  def queries: Seq[Q] =
+    Seq(tokenCount, quality, langId, fingerprintQ, topTerms, bm25, bigrams, repetition)
 }

@@ -296,5 +296,39 @@ object VectorSearch {
   private def graftexprDot(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.graftexpr.VectorFunctions.dot_product(c, c)
 
-  def queries: Seq[Q] = Seq(topK, annLsh, annIvf, labelCentroids)
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * storage/bandwidth reduction step an at-scale vector store applies
+    * before indexing (scale = 127/max|x| per vector, q = round(x·scale)).
+    * Pure per-row projection: no shuffle, embarrassingly parallel, and
+    * the int8 codes stream straight to parquet. Exactly oracled: both
+    * engines compute the same double products and the same
+    * round-half-away-from-zero (Spark HALF_UP on the exact binary
+    * value ≡ DuckDB's round), so the code arrays match element-wise;
+    * the per-vector scale rides along in micro-units. */
+  val quantize: Q = Q(
+    "embed_quantize",
+    (s, dir) => {
+      import s.implicits._
+      graft.Tables.load(s, dir, "embeddings")
+        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .filter($"amax" > 0)
+        .withColumn("scale", lit(127.0) / $"amax")
+        .select($"vec_id",
+          expr("transform(v, x -> cast(round(x * scale) as int))").as("q"),
+          round($"scale" * 1e6).cast("long").as("scale_micro"))
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) amax FROM e)
+      SELECT vec_id,
+             list_transform(v, x -> CAST(ROUND(x * (127.0 / amax)) AS INT)) AS q,
+             CAST(ROUND((127.0 / amax) * 1e6) AS BIGINT) AS scale_micro
+      FROM a WHERE amax > 0 ORDER BY vec_id
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(topK, annLsh, annIvf, labelCentroids, quantize)
 }

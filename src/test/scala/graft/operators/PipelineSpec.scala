@@ -54,4 +54,34 @@ class PipelineSpec extends SparkSuite {
       assert(p50 <= p90 && p90 <= p99, s"${r.getString(0)}: $p50 $p90 $p99")
     }
   }
+  test("source cap keeps at most 10 docs per source, reproducibly") {
+    val a = Pipeline.sourceCap.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val b = Pipeline.sourceCap.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(a.toSet == b.toSet, "cap selection must be reproducible")
+    val bySrc = a.groupBy(_._2)
+    assert(bySrc.values.forall(_.length <= 10))
+    assert(bySrc.values.forall(g => g.map(_._3).sorted.toSeq == (1 to g.length)))
+  }
+
+  test("event outliers equal an exact BigInt recomputation of the 2-sigma test") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .selectExpr("event_id", "event_type", "cast(round(value * 100) as long) c")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = ev.groupBy(_._2).flatMap { case (_, g) =>
+      val n = BigInt(g.length)
+      val s = g.map(e => BigInt(e._3)).sum
+      val ss = g.map(e => BigInt(e._3) * BigInt(e._3)).sum
+      g.filter { e =>
+        val dev = BigInt(e._3) * n - s
+        dev * dev * (n - 1) > BigInt(4) * n * (n * ss - s * s)
+      }.map(_._1).toSeq
+    }.toSet
+    val got = Pipeline.eventOutliers.run(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(got.nonEmpty, "fixture should contain some 2-sigma outliers")
+  }
 }

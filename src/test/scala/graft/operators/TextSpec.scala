@@ -53,4 +53,35 @@ class TextSpec extends SparkSuite {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+  test("bm25 scores only docs containing a query term, positively") {
+    val rows = TextAnalysis.bm25.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tfSum = r.getInt(1) + r.getInt(2) + r.getInt(3)
+      assert(tfSum > 0, s"doc ${r.getLong(0)} scored with no query term")
+      assert(r.getLong(4) > 0, s"doc ${r.getLong(0)} has non-positive bm25")
+    }
+  }
+
+  test("global bigram top-k is 20 rows in (count desc, bigram asc) order") {
+    val rows = TextAnalysis.bigrams.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 20)
+    rows.sliding(2).foreach { case Array((b1, c1), (b2, c2)) =>
+      assert(c1 > c2 || (c1 == c2 && b1 < b2), s"order broke at $b1/$b2")
+    }
+  }
+
+  test("repetition ratio is in [0,1) and the flag matches the threshold") {
+    val rows = TextAnalysis.repetition.run(spark, sf0001).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (nBg, nDist, ratio, flagged) =
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))
+      assert(nDist >= 1 && nDist <= nBg)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(math.abs(ratio - (1.0 - nDist.toDouble / nBg)) < 1e-12)
+      assert(flagged == (ratio > 0.2))
+    }
+  }
 }

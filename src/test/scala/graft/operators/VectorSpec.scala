@@ -94,4 +94,21 @@ class VectorSpec extends SparkSuite {
     // clustered data is VectorPlantedSpec
     assert(mean >= 0.4, s"mean recall $mean")
   }
+  test("int8 quantization: codes bounded, extreme element hits ±127, error <= half step") {
+    val rows = VectorSearch.quantize.run(spark, sf0001).collect()
+    val orig = graft.Tables.load(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.length == orig.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val q = r.getSeq[Int](1)
+      val scale = r.getLong(2) / 1e6
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code out of range")
+      assert(q.exists(c => math.abs(c) == 127), s"vec $id max element not at ±127")
+      val v = orig(id)
+      val maxErr = v.zip(q).map { case (x, c) => math.abs(x - c / scale) }.max
+      assert(maxErr <= 0.5 / scale + 1e-9, s"vec $id reconstruction err $maxErr")
+    }
+  }
 }
