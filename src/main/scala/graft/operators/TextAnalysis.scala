@@ -241,6 +241,7 @@ object TextAnalysis {
         import s.implicits._
         import org.apache.spark.sql.Column
         val d = docs(s, dir)
+          .repartition($"doc_id")   // single-file fixture → spread the work
           .select($"doc_id", TextFns.tokens($"text").as("toks"))
           .withColumn("dl", size($"toks"))
         val tf = terms.foldLeft(d) { (df, t) =>
@@ -295,18 +296,36 @@ object TextAnalysis {
     )
   }
 
+  /** text → bigram stream in one tight pass. The declarative form —
+    * `explode(transform(sequence(...), i -> concat_ws(slice(...))))` —
+    * is interpreted (higher-order functions are not codegen'd) at
+    * ~10µs/shingle AND lands in one task on a single-file scan; the
+    * kernel + an up-front repartition keeps the hot path compiled and
+    * parallel (the `sketchText` precedent, Dedup.scala). Shingling
+    * must match DuckDB `string_split(text,' ')` semantics: split on
+    * the literal space, drop empties. */
+  private def bigramsOf(text: String): Array[String] = {
+    val toks = text.split(' ').filter(_.nonEmpty)
+    if (toks.length < 2) Array.empty
+    else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+  }
+
   /** Global top-20 bigrams by corpus frequency — the n-gram corpus
     * statistic (contamination screens, boilerplate detection, tokenizer
-    * diagnostics). Explode → partially-aggregated count on the bigram
-    * key → top-k as TakeOrderedAndProject: only ≤k rows per partition
-    * survive the map side, so the result traffic is O(k), not O(vocab²).
-    * Ties break on the bigram string, making the top-k total-ordered. */
+    * diagnostics). Kernel-shingle → partially-aggregated count on the
+    * bigram key → top-k as TakeOrderedAndProject: only ≤k rows per
+    * partition survive the map side, so the result traffic is O(k),
+    * not O(vocab²). Ties break on the bigram string, making the top-k
+    * total-ordered. */
   val bigrams: Q = Q(
     "text_bigrams",
     (s, dir) => {
       import s.implicits._
       docs(s, dir)
-        .select(explode(TextFns.shingles(TextFns.tokens($"text"), 2)).as("bigram"))
+        .repartition($"doc_id")   // single-file fixture → spread the work
+        .select($"text").as[String]
+        .mapPartitions(_.flatMap(bigramsOf))
+        .toDF("bigram")
         .groupBy($"bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"bigram")
@@ -330,18 +349,29 @@ object TextAnalysis {
   /** Repetition-ratio quality signal (the "excessive duplicate n-gram"
     * filter of web-scale curation pipelines): per document, the
     * fraction of its bigram stream already seen in the same document —
-    * 1 − distinct/total — with docs above 0.2 flagged. Pure per-row
-    * column math (one int/int IEEE division, exact in both engines),
-    * no shuffle but the presentation sort. */
+    * 1 − distinct/total — with docs above 0.2 flagged. The bigram
+    * count/distinct pair comes from the one-pass kernel (see
+    * [[bigramsOf]]); the ratio is one int/int IEEE division, exact in
+    * both engines. No shuffle grows with the corpus — only the
+    * presentation sort. */
   val repetition: Q = Q(
     "text_repetition",
     (s, dir) => {
       import s.implicits._
-      val bg = TextFns.shingles(TextFns.tokens($"text"), 2)
       docs(s, dir)
-        .select($"doc_id", size(bg).as("n_bigrams"),
-          size(array_distinct(bg)).as("n_distinct"))
-        .filter($"n_bigrams" > 0)
+        .repartition($"doc_id")   // single-file fixture → spread the work
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val bg = bigramsOf(text)
+          if (bg.isEmpty) None
+          else {
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            while (i < bg.length) { seen.add(bg(i)); i += 1 }
+            Some((id, bg.length, seen.size))
+          }
+        })
+        .toDF("doc_id", "n_bigrams", "n_distinct")
         .withColumn("rep_ratio", lit(1.0) - ($"n_distinct" / $"n_bigrams"))
         .withColumn("flagged", $"rep_ratio" > 0.2)
         .orderBy($"doc_id")
