@@ -10,6 +10,12 @@ object Verify {
     // comma-separated query names to restrict the dump to
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) ${unknown.mkString(", ")} — a typo here would " +
+          "silently dump nothing and overwrite oracle_sql.json with a subset")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.builderDefaults(
       SparkSession.builder().master(s"local[$cpus]"), cpus)

@@ -56,6 +56,7 @@ object Dedup {
     * drop empties, space-join 3-grams) so candidate verification and
     * the exact oracle agree on the underlying sets. */
   private def sketchText(text: String): Option[Array[Long]] = {
+    if (text == null) return None   // match string_split(NULL) row-drop
     val toks = text.split(' ').filter(_.nonEmpty)
     if (toks.length < 3) return None
     val seen = new java.util.HashSet[String]()
@@ -86,6 +87,7 @@ object Dedup {
     * to the string sets barring a 64-bit collision among the corpus's
     * distinct shingles (≈ d²/2⁶⁵ — vanishing). */
   private[operators] def shingleHashes(text: String): Option[Array[Long]] = {
+    if (text == null) return None   // match string_split(NULL) row-drop
     val toks = text.split(' ').filter(_.nonEmpty)
     if (toks.length < 3) return None
     val set = new java.util.TreeSet[java.lang.Long]()
@@ -318,6 +320,7 @@ object Dedup {
     * CodegenFallback: 64 interpreted passes over every token-hash array
     * per row.) */
   private[operators] def simhashText(text: String): Option[Long] = {
+    if (text == null) return None   // match string_split(NULL) row-drop
     val toks = text.split(' ').filter(_.nonEmpty)
     if (toks.length < 3) return None
     val md = java.security.MessageDigest.getInstance("MD5")

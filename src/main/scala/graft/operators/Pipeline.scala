@@ -224,8 +224,11 @@ object Pipeline {
       val ev = Tables.load(s, dir, "events")
         .select($"event_id", $"event_type", $"value",
           round($"value" * 100).cast("long").as("c"))
+      // sums in decimal(38,0): a long Σc² overflows past ~9e6 events/type
+      // at $10k values — the "exact 128-bit" contract must hold end-to-end
       val st = ev.groupBy($"event_type").agg(
-        count(lit(1)).as("n"), sum($"c").as("sm"), sum($"c" * $"c").as("ss"))
+        count(lit(1)).as("n"), sum($"c".cast(dec)).as("sm"),
+        sum($"c".cast(dec) * $"c".cast(dec)).as("ss"))
       val dev = ($"c".cast(dec) * $"n".cast(dec)) - $"sm".cast(dec)
       val lhs = dev * dev * ($"n" - 1).cast(dec)
       val rhs = lit(4).cast(dec) * $"n".cast(dec) *
@@ -242,8 +245,8 @@ object Pipeline {
         FROM events
       ),
       st AS (
-        SELECT event_type, COUNT(*) n,
-               CAST(SUM(c) AS BIGINT) sm, CAST(SUM(c*c) AS BIGINT) ss
+        SELECT event_type, COUNT(*) n, SUM(CAST(c AS HUGEINT)) sm,
+               SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) ss
         FROM ev GROUP BY event_type
       )
       SELECT event_id, event_type, value

@@ -282,12 +282,12 @@ object TextAnalysis {
         )
         SELECT doc_id, tf_hash, tf_join, tf_stream,
                CAST(ROUND((
-                   ln(1.0 + ((n_docs - df_hash) + 0.5) / (df_hash + 0.5))
-                     * (tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
-                 + ln(1.0 + ((n_docs - df_join) + 0.5) / (df_join + 0.5))
-                     * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
-                 + ln(1.0 + ((n_docs - df_stream) + 0.5) / (df_stream + 0.5))
-                     * (tf_stream * 2.2) / (tf_stream + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+                   ln(1.0 + (CAST(n_docs - df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
+                     * (CAST(tf_hash AS DOUBLE) * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+                 + ln(1.0 + (CAST(n_docs - df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5))
+                     * (CAST(tf_join AS DOUBLE) * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+                 + ln(1.0 + (CAST(n_docs - df_stream AS DOUBLE) + 0.5) / (CAST(df_stream AS DOUBLE) + 0.5))
+                     * (CAST(tf_stream AS DOUBLE) * 2.2) / (tf_stream + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
                ) * 1e6) AS BIGINT) AS bm25_micro
         FROM tf, st
         WHERE tf_hash + tf_join + tf_stream > 0
@@ -305,6 +305,7 @@ object TextAnalysis {
     * must match DuckDB `string_split(text,' ')` semantics: split on
     * the literal space, drop empties. */
   private def bigramsOf(text: String): Array[String] = {
+    if (text == null) return Array.empty   // match string_split(NULL) row-drop
     val toks = text.split(' ').filter(_.nonEmpty)
     if (toks.length < 2) Array.empty
     else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))

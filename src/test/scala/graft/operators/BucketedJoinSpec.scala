@@ -66,6 +66,11 @@ class BucketedJoinSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
       spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+      // external-table files survive DROP TABLE — remove the temp dir
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
     }
   }
 }
