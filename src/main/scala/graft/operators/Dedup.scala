@@ -485,5 +485,82 @@ object Dedup {
     """)
   )
 
-  def queries: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine)
+  /** Near-dup CLUSTERING: connected components over the verified
+    * near-dup pair graph, labeling every member with the component's
+    * minimum doc_id (the canonical survivor) — the step an actual dedup
+    * pipeline runs after pair generation, since near-duplication is
+    * transitive in effect (A~B, B~C ⇒ keep one of {A,B,C}).
+    *
+    * Algorithm: iterative min-label propagation to fixpoint, the
+    * standard distributed CC shape — each round is one equi-join
+    * (labels ⋈ edges) + one min-aggregation, both partial-aggregated;
+    * rounds ≤ graph diameter (near-dup components are shallow — dup
+    * clusters, not social graphs). Every round's frame is
+    * lineage-truncated (the iterative-algorithm variant of the
+    * localCheckpoint rule: without it the plan doubles per round). At
+    * 100 TB the refinement is alternating large-star/small-star
+    * (Kiveris et al.), which squares-down the diameter; the join
+    * structure is identical.
+    *
+    * Pairs come from [[minhashLsh]] (the scale path); its verified
+    * output equals the exact pair set (see its gate), so the DuckDB
+    * oracle can compute the same components from the exact pairs with
+    * a recursive transitive-closure CTE — fine at oracle scale, and
+    * exactly the kind of query the distributed form replaces. */
+  val clusters: Q = Q(
+    "dedup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = minhashLsh.run(s, dir).select($"d1", $"d2")
+      val edges = pairs.union(pairs.select($"d2", $"d1"))
+        .toDF("a", "b")
+        .localCheckpoint()
+      var lab = edges.select($"a".as("v")).distinct()
+        .withColumn("lab", $"v")
+        .localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val nb = edges.join(lab, edges("a") === lab("v"))
+          .select($"b".as("v"), $"lab")
+        val next = lab.union(nb)
+          .groupBy($"v").agg(min($"lab").as("lab"))
+          .localCheckpoint()
+        changed = next.join(lab.withColumnRenamed("lab", "old"), "v")
+          .filter($"lab" =!= $"old").count()
+        lab = next
+        rounds += 1
+      }
+      val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("cluster_size"))
+      lab.join(broadcast(sizes), "lab")
+        .select($"lab".as("canonical_id"), $"v".as("doc_id"), $"cluster_size")
+        .orderBy($"canonical_id", $"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleSetSql,
+      ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
+      prs AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) inter,
+               ANY_VALUE(a.n) n1, ANY_VALUE(b.n) n2
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      p AS (SELECT d1, d2 FROM prs WHERE 3 * inter >= n1 + n2),
+      verts AS (SELECT DISTINCT d1 AS v FROM p UNION SELECT DISTINCT d2 FROM p),
+      edges AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
+      walk(v, lab) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b, walk.lab FROM walk JOIN edges e ON walk.v = e.a
+      ),
+      cc AS (SELECT v, MIN(lab) AS lab FROM walk GROUP BY v),
+      sz AS (SELECT lab, COUNT(*) AS cluster_size FROM cc GROUP BY lab)
+      SELECT cc.lab AS canonical_id, cc.v AS doc_id, sz.cluster_size
+      FROM cc JOIN sz USING (lab)
+      ORDER BY canonical_id, doc_id
+    """)
+  )
+
+  def queries: Seq[Q] =
+    Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters)
 }

@@ -261,7 +261,56 @@ object Pipeline {
     """)
   )
 
+  /** Ordered funnel analysis (view → click → purchase) per user: the
+    * first view, the first click strictly after it, the first purchase
+    * strictly after that, and the furthest stage reached. Timestamps
+    * compare at epoch-µs on both engines (the events table's parity
+    * convention).
+    *
+    * Scale shape: every step is a partial-aggregated min keyed on
+    * user_id — the SAME key throughout, so a production N-step funnel
+    * co-partitions on user once and the whole chain is one shuffle's
+    * worth of movement (Spark reuses the exchange; the step joins are
+    * then local). Nothing is ever per-(user, event) wide: each step
+    * reduces to one row per surviving user before the next join. */
+  val funnel: Q = Q(
+    "events_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("t"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"t").as("t_view"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"t" > $"t_view")
+        .groupBy($"user_id").agg(min($"t").as("t_click"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"t" > $"t_click")
+        .groupBy($"user_id").agg(min($"t").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when($"t_purchase".isNotNull, 3)
+            .when($"t_click".isNotNull, 2)
+            .otherwise(1))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) t FROM events),
+      v AS (SELECT user_id, MIN(t) t_view FROM ev
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT ev.user_id, MIN(t) t_click FROM ev JOIN v USING (user_id)
+            WHERE event_type = 'click' AND t > t_view GROUP BY ev.user_id),
+      p AS (SELECT ev.user_id, MIN(t) t_purchase FROM ev JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND t > t_click GROUP BY ev.user_id)
+      SELECT v.user_id, t_view, t_click, t_purchase,
+             CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                       WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS INT) AS stage
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      ORDER BY v.user_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, sampleStratified,
-      sourceCap, eventOutliers)
+      sourceCap, eventOutliers, funnel)
 }

@@ -74,4 +74,26 @@ class DedupSpec extends SparkSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.45))
   }
+  test("near-dup clusters are the transitive closure of the pair graph, min-canonical") {
+    val prs = pairs("dedup_ngram_jaccard")
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    prs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = prs.flatMap(p => Seq(p._1, p._2))
+    val want = verts.map(v => v -> find(v)).toMap
+    val rows = Dedup.clusters.run(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))   // (doc, canonical, size)
+    assert(rows.map(_._1).toSet == verts)
+    rows.foreach { case (doc, canon, size) =>
+      assert(canon == want(doc), s"doc $doc: canonical $canon != ${want(doc)}")
+      assert(size == want.count(_._2 == want(doc)), s"doc $doc size $size")
+    }
+  }
 }

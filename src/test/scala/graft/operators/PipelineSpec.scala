@@ -84,4 +84,18 @@ class PipelineSpec extends SparkSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     assert(got.nonEmpty, "fixture should contain some 2-sigma outliers")
   }
+  test("funnel stages are strictly ordered and stage matches the reached step") {
+    val rows = Pipeline.funnel.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tView = r.getLong(1)
+      val tClick = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val tBuy = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val stage = r.getInt(4)
+      tClick.foreach(tc => assert(tc > tView))
+      tBuy.foreach { tb => assert(tClick.nonEmpty); assert(tb > tClick.get) }
+      assert(stage == (if (tBuy.nonEmpty) 3 else if (tClick.nonEmpty) 2 else 1))
+    }
+    assert(rows.exists(_.getInt(4) == 3), "fixture should have full-funnel users")
+  }
 }
