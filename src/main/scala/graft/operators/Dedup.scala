@@ -518,19 +518,33 @@ object Dedup {
       var lab = edges.select($"a".as("v")).distinct()
         .withColumn("lab", $"v")
         .localCheckpoint()
-      var changed = 1L
+      // labels are monotone non-increasing over a fixed vertex set, so
+      // the label-sum strictly decreases iff any label changed — one
+      // scalar aggregate per round detects the fixpoint without a
+      // join+count (half the per-round jobs)
+      def labSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+        df.agg(sum($"lab".cast("decimal(38,0)"))).head().getDecimal(0)
+      var prevSum = labSum(lab)
+      var changed = true
       var rounds = 0
-      while (changed > 0 && rounds < 50) {
+      while (changed && rounds < 50) {
         val nb = edges.join(lab, edges("a") === lab("v"))
           .select($"b".as("v"), $"lab")
         val next = lab.union(nb)
           .groupBy($"v").agg(min($"lab").as("lab"))
           .localCheckpoint()
-        changed = next.join(lab.withColumnRenamed("lab", "old"), "v")
-          .filter($"lab" =!= $"old").count()
+        val nextSum = labSum(next)
+        changed = nextSum.compareTo(prevSum) != 0
+        prevSum = nextSum
         lab = next
         rounds += 1
       }
+      // a silent non-converged exit would report one true cluster as
+      // several with wrong canonicals — fail loudly instead (diameter
+      // > 50 means this corpus needs the large-star/small-star variant)
+      require(!changed,
+        s"dedup_clusters: label propagation did not converge in $rounds rounds; " +
+          "component diameter exceeds the bound — use the large-star/small-star variant")
       val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("cluster_size"))
       lab.join(broadcast(sizes), "lab")
         .select($"lab".as("canonical_id"), $"v".as("doc_id"), $"cluster_size")

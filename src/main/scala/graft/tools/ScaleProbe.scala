@@ -50,7 +50,11 @@ object ScaleProbe {
     val nVecs = 2000L * mult
 
     // documents: ~54 tokens from the fixture vocab; every 200th doc gets
-    // a planted near-dup twin (3 token edits over ~54 => j ~ 0.85-0.9)
+    // a planted near-dup twin. 3 token edits perturb up to ~7 of ~52
+    // shingles => shingle-Jaccard ~ 0.75, where the 16x4 banding miss
+    // probability is ~(1-0.75^4)^16 ~ 2e-3 per pair — a couple of the
+    // 500 planted pairs legitimately go unfound (matches the measured
+    // 498/500 in SCALING.md)
     spark.range(nDocs).select($"id".as("doc_id")).as[Long]
       .mapPartitions(_.flatMap { d =>
         val nTok = 40 + ((mix(d) >>> 16) % 30).toInt
@@ -76,7 +80,7 @@ object ScaleProbe {
     val types = Array("view", "click", "purchase", "signup", "error")
     spark.range(nEvents).select($"id").as[Long]
       .mapPartitions(_.map { i =>
-        val tsUs = 1704067200000000L + (mix(i) >>> 24) % (30L * 86400 * 1000000)
+        val tsUs = 1704067200000000L + (mix(i) >>> 8) % (30L * 86400 * 1000000)
         (i, tsUs, (mix(i + 3) >>> 8) % (nEvents / 40),
           types(((mix(i + 5) >>> 8) % types.length).toInt),
           // heavy-tailed (exponential-ish) so the 2-sigma outlier set is
