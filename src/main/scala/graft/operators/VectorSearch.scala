@@ -259,6 +259,88 @@ object VectorSearch {
     None
   )
 
+  /** IVF-Flat with a CONTENT-ADDRESSED codebook: the coarse quantizer's
+    * 16 centroids are the corpus vectors with the lowest vec_ids
+    * (random-sample codebook init — the standard cheap alternative to
+    * Lloyd iterations), which makes the whole operator deterministic
+    * and SQL-expressible, so unlike [[annIvf]] (KMeans cells,
+    * spec-gated) this variant carries a full DuckDB oracle. Same
+    * serving shape as every IVF: assign each vector to its nearest
+    * centroid (argmin of c·c − 2v·c — a per-row scan of the broadcast
+    * codebook folded by a partial-aggregated min-struct, so ≤1 row per
+    * vector crosses the shuffle), probe the nprobe=2 nearest cells per
+    * query, exact-cosine-rank only those candidates. Cell quality is
+    * below a trained quantizer's; the dial trade is the point — the
+    * oracle pins the machinery exactly, the KMeans variant keeps the
+    * trained-quality path. */
+  val annIvfFlat: Q = Q(
+    "vector_ann_ivf_flat",
+    (s, dir) => {
+      import s.implicits._
+      val k = 10
+      val nprobe = 2   // fixed: the oracle mirrors this literal
+      val e = normed(s, dir)
+      val cents = e.filter($"vec_id" < 16)
+        .select($"vec_id".cast("int").as("cell"), $"v".as("cvec"))
+      val dist = dot_product($"cvec", $"cvec") - lit(2.0) * dot_product($"v", $"cvec")
+      val best = e.crossJoin(broadcast(cents))
+        .withColumn("score", dist)
+        .groupBy($"vec_id").agg(min(struct($"score", $"cell")).as("b"))
+        .select($"vec_id", $"b.cell".as("cell"))
+      val assigned = e.join(best, "vec_id")
+      val qdist = dot_product($"cvec", $"cvec") - lit(2.0) * dot_product($"qv", $"cvec")
+      val probeW = Window.partitionBy($"qid").orderBy($"score", $"cell")
+      val probes = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("score", qdist)
+        .withColumn("pr", row_number().over(probeW))
+        .filter($"pr" <= nprobe)
+        .select($"qid", $"qv", $"qnrm", $"cell")
+      val cand = assigned.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+      rankTopK(s, cand, k)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM n WHERE vec_id < 16),
+      sc AS (SELECT n.vec_id, cell,
+               list_reduce(list_transform(list_zip(cvec, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 - 2.0 * list_reduce(list_transform(list_zip(v, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 AS score
+             FROM n, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                   FROM sc) WHERE rn = 1),
+      qs AS (SELECT vec_id qid, v qv, nrm qnrm FROM n WHERE vec_id < 8),
+      qsc AS (SELECT qid, qv, qnrm, cell,
+                list_reduce(list_transform(list_zip(cvec, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                  - 2.0 * list_reduce(list_transform(list_zip(qv, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                  AS score
+              FROM qs, cents),
+      probes AS (SELECT qid, qv, qnrm, cell FROM (
+                   SELECT qid, qv, qnrm, cell,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score, cell) pr
+                   FROM qsc) WHERE pr <= 2),
+      cand AS (SELECT p.qid, a.vec_id,
+                 list_reduce(list_transform(list_zip(p.qv, n.v), s -> s[1]*s[2]), (x, y) -> x + y)
+                   / (p.qnrm * n.nrm) AS cos
+               FROM probes p JOIN assign a USING (cell) JOIN n ON n.vec_id = a.vec_id
+               WHERE a.vec_id <> p.qid),
+      r AS (SELECT qid, vec_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
+            FROM cand)
+      SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 10 ORDER BY qid, rn
+    """)
+  )
+
   /** Per-label centroids via the typed [[graft.functions.VectorMeanAggregator]]
     * (partial-aggregating Aggregator: one small buffer per group per
     * partition crosses the shuffle). FP sums depend on partial-merge
@@ -336,5 +418,5 @@ object VectorSearch {
     """)
   )
 
-  def queries: Seq[Q] = Seq(topK, annLsh, annIvf, labelCentroids, quantize)
+  def queries: Seq[Q] = Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize)
 }

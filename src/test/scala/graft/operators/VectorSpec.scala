@@ -111,4 +111,33 @@ class VectorSpec extends SparkSuite {
       assert(maxErr <= 0.5 / scale + 1e-9, s"vec $id reconstruction err $maxErr")
     }
   }
+  test("IVF-flat (content-addressed codebook) returns full top-k from probed cells only") {
+    val rows = VectorSearch.annIvfFlat.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"query $q ranks not dense")
+      assert(rs.length == 10, s"query $q returned ${rs.length} rows")
+      rs.foreach { case (qid, _, vid, cos) =>
+        assert(vid != qid); assert(cos <= 1.0 + 1e-9 && cos >= -1.0 - 1e-9)
+      }
+    }
+    // driver-recomputed cell assignment: every returned candidate must
+    // live in one of its query's nprobe=2 nearest cells
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cents = (0L until 16L).map(c => c -> e(c)).toMap
+    def dist(v: Array[Double], c: Long) = dot(cents(c), cents(c)) - 2.0 * dot(v, cents(c))
+    def cellOf(v: Array[Double]) = (0L until 16L).minBy(c => (dist(v, c), c))
+    def probesOf(q: Array[Double]) = (0L until 16L).sortBy(c => (dist(q, c), c)).take(2).toSet
+    rows.foreach { case (qid, _, vid, _) =>
+      assert(probesOf(e(qid)).contains(cellOf(e(vid))),
+        s"candidate $vid of query $qid escaped the probed cells")
+    }
+  }
 }
