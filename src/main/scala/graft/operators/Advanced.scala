@@ -196,6 +196,110 @@ object Advanced {
     None
   )
 
+  /** Distributed HyperLogLog with a DETERMINISTIC md5-based sketch
+    * (p=8, m=256 registers): register index = the hash's top byte,
+    * rank = leading-zero count of the remaining 56 bits + 1, extracted
+    * from the md5 hex by exact integer/string ops — so unlike the
+    * engine-private `approx_count_distinct` sketch ([[approxDistinct]],
+    * spec-gated), this estimator is reproducible in SQL and carries a
+    * full DuckDB oracle. The estimate is the standard HLL formula
+    * (alpha_m·m²/Σ2^−M, linear-counting correction below 2.5m) in
+    * micro-units; exact COUNT(DISTINCT) rides along so the sketch
+    * error is visible in the output.
+    *
+    * Scale shape — the reason HLL exists: registers partial-aggregate
+    * (max per (group, idx)) map-side, so each partition contributes at
+    * most m=256 rows per group to the shuffle regardless of row count,
+    * and sketches merge associatively (register-wise max) — the
+    * mergeable-sketch property that lets 1000 executors sketch 100 TB
+    * and combine in O(m) per group. */
+  val hllDistinct: Q = Q(
+    "hll_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val hexdig = "'0123456789abcdef'"
+      val base = Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag".as("grp"),
+          md5($"l_partkey".cast("string")).as("hx"))
+        .selectExpr("grp",
+          s"CAST((instr($hexdig, substring(hx, 1, 1)) - 1) * 16 " +
+            s"+ (instr($hexdig, substring(hx, 2, 1)) - 1) AS INT) AS idx",
+          "substring(hx, 3, 14) AS suffix")
+        .selectExpr("grp", "idx",
+          s"""CASE WHEN length(regexp_extract(suffix, '^0*', 0)) >= 14 THEN 57
+             |ELSE CAST(length(regexp_extract(suffix, '^0*', 0)) * 4
+             |  + (CASE WHEN (instr($hexdig, substring(suffix, CAST(length(regexp_extract(suffix, '^0*', 0)) + 1 AS INT), 1)) - 1) >= 8 THEN 0
+             |          WHEN (instr($hexdig, substring(suffix, CAST(length(regexp_extract(suffix, '^0*', 0)) + 1 AS INT), 1)) - 1) >= 4 THEN 1
+             |          WHEN (instr($hexdig, substring(suffix, CAST(length(regexp_extract(suffix, '^0*', 0)) + 1 AS INT), 1)) - 1) >= 2 THEN 2
+             |          ELSE 3 END) + 1 AS INT) END AS rho""".stripMargin)
+      val regs = base.groupBy($"grp", $"idx").agg(max($"rho").as("mr"))
+      val agg = regs.groupBy($"grp").agg(
+        count(lit(1)).as("present"),
+        sum(expr("pow(2.0, -mr)")).as("sum_present"))
+      val est = agg.selectExpr("grp", "present",
+        "(CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0" +
+          " / (sum_present + (256.0 - present)) AS e_raw")
+      val exact = Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag".as("grp"))
+        .agg(countDistinct($"l_partkey").as("exact_distinct"))
+      est.join(broadcast(exact), "grp")
+        .selectExpr("grp AS l_returnflag",
+          "CAST(present AS INT) AS registers_present",
+          """CAST(ROUND((CASE WHEN e_raw <= 640.0 AND present < 256
+            |  THEN 256.0 * ln(256.0 / (256.0 - present))
+            |  ELSE e_raw END) * 1e6) AS BIGINT) AS hll_micro""".stripMargin,
+          "exact_distinct")
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH h AS (
+        SELECT l_returnflag AS grp, md5(CAST(l_partkey AS VARCHAR)) AS hx
+        FROM lineitem
+      ),
+      b AS (
+        SELECT grp,
+               CAST((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS INT) AS idx,
+               substring(hx, 3, 14) AS suffix
+        FROM h
+      ),
+      r AS (
+        SELECT grp, idx,
+               CASE WHEN length(regexp_extract(suffix, '^0*')) >= 14 THEN 57
+                    ELSE CAST(length(regexp_extract(suffix, '^0*')) * 4
+                         + (CASE WHEN (strpos('0123456789abcdef',
+                                substring(suffix, CAST(length(regexp_extract(suffix, '^0*')) + 1 AS INT), 1)) - 1) >= 8 THEN 0
+                                WHEN (strpos('0123456789abcdef',
+                                substring(suffix, CAST(length(regexp_extract(suffix, '^0*')) + 1 AS INT), 1)) - 1) >= 4 THEN 1
+                                WHEN (strpos('0123456789abcdef',
+                                substring(suffix, CAST(length(regexp_extract(suffix, '^0*')) + 1 AS INT), 1)) - 1) >= 2 THEN 2
+                                ELSE 3 END) + 1 AS INT) END AS rho
+        FROM b
+      ),
+      m AS (SELECT grp, idx, MAX(rho) AS mr FROM r GROUP BY grp, idx),
+      agg AS (
+        SELECT grp, COUNT(*) AS present, SUM(pow(2.0, -mr)) AS sum_present
+        FROM m GROUP BY grp
+      ),
+      est AS (
+        SELECT grp, present,
+               (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0
+                 / (sum_present + (256.0 - present)) AS e_raw
+        FROM agg
+      ),
+      ex AS (SELECT l_returnflag AS grp, COUNT(DISTINCT l_partkey) AS exact_distinct
+             FROM lineitem GROUP BY 1)
+      SELECT est.grp AS l_returnflag,
+             CAST(present AS INT) AS registers_present,
+             CAST(ROUND((CASE WHEN e_raw <= 640.0 AND present < 256
+                              THEN 256.0 * ln(256.0 / (256.0 - present))
+                              ELSE e_raw END) * 1e6) AS BIGINT) AS hll_micro,
+             exact_distinct
+      FROM est JOIN ex ON est.grp = ex.grp
+      ORDER BY l_returnflag
+    """)
+  )
+
   /** Interval/range join, distributed form: for each error event, the
     * number of events by the same user in the following hour. A naive
     * range join is a per-key nested loop; here both sides bucketize
@@ -335,5 +439,5 @@ object Advanced {
   )
 
   def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf, groupingSets, pivot,
-    approxDistinct, intervalJoin, slidingWindow)
+    approxDistinct, hllDistinct, intervalJoin, slidingWindow)
 }

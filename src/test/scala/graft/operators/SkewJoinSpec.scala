@@ -30,4 +30,14 @@ class SkewJoinSpec extends SparkSuite {
       assert(err <= 0.1, s"$flag: approx=$approx exact=${exact(flag)} err=$err")
     }
   }
+  test("deterministic md5 HLL estimate stays within 10% of exact") {
+    val rows = Advanced.hllDistinct.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getLong(2) / 1e6
+      val exact = r.getLong(3).toDouble
+      assert(math.abs(est - exact) / exact <= 0.10,
+        s"${r.getString(0)}: hll $est vs exact $exact")
+    }
+  }
 }
