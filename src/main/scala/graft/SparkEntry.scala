@@ -8,11 +8,13 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 60 of
-  * 62, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 64 of
+  * 66, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes) and the multimodal stubs; only the two
-  * inherently engine-specific ops (q23 HLL sketch state, IVF KMeans
-  * cells) are rows-only here, each strictly pinned by ScalaTest.
+  * inherently engine-specific ops (q23's HLL++ sketch state, IVF KMeans
+  * cells) are rows-only here, each strictly pinned by ScalaTest — and
+  * both families also carry fully-oracled deterministic members
+  * (hll_distinct, vector_ann_ivf_flat).
   */
 object SparkEntry {
 

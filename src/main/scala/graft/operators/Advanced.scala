@@ -203,9 +203,12 @@ object Advanced {
     * engine-private `approx_count_distinct` sketch ([[approxDistinct]],
     * spec-gated), this estimator is reproducible in SQL and carries a
     * full DuckDB oracle. The estimate is the standard HLL formula
-    * (alpha_m·m²/Σ2^−M, linear-counting correction below 2.5m) in
-    * micro-units; exact COUNT(DISTINCT) rides along so the sketch
-    * error is visible in the output.
+    * (alpha_m·m²/Σ2^−M, linear-counting correction below 2.5m) rounded
+    * to a whole count (a micro-unit encoding would overflow int64 right
+    * in the trillion-key regime HLL exists for; whole-count rounding
+    * keeps the same sub-ulp cross-engine safety margin); exact
+    * COUNT(DISTINCT) rides along so the sketch error is visible in the
+    * output.
     *
     * Scale shape — the reason HLL exists: registers partial-aggregate
     * (max per (group, idx)) map-side, so each partition contributes at
@@ -225,13 +228,18 @@ object Advanced {
           s"CAST((instr($hexdig, substring(hx, 1, 1)) - 1) * 16 " +
             s"+ (instr($hexdig, substring(hx, 2, 1)) - 1) AS INT) AS idx",
           "substring(hx, 3, 14) AS suffix")
+        // z = leading zero NIBBLES of the 56-bit suffix; nv = value of
+        // the first non-zero nibble (computed once, reused below)
         .selectExpr("grp", "idx",
-          s"""CASE WHEN length(regexp_extract(suffix, '^0*', 0)) >= 14 THEN 57
-             |ELSE CAST(length(regexp_extract(suffix, '^0*', 0)) * 4
-             |  + (CASE WHEN (instr($hexdig, substring(suffix, CAST(length(regexp_extract(suffix, '^0*', 0)) + 1 AS INT), 1)) - 1) >= 8 THEN 0
-             |          WHEN (instr($hexdig, substring(suffix, CAST(length(regexp_extract(suffix, '^0*', 0)) + 1 AS INT), 1)) - 1) >= 4 THEN 1
-             |          WHEN (instr($hexdig, substring(suffix, CAST(length(regexp_extract(suffix, '^0*', 0)) + 1 AS INT), 1)) - 1) >= 2 THEN 2
-             |          ELSE 3 END) + 1 AS INT) END AS rho""".stripMargin)
+          "CAST(length(regexp_extract(suffix, '^0*', 0)) AS INT) AS z",
+          "suffix")
+        .selectExpr("grp", "idx", "z",
+          s"(instr($hexdig, substring(suffix, z + 1, 1)) - 1) AS nv")
+        .selectExpr("grp", "idx",
+          """CASE WHEN z >= 14 THEN 57
+            |ELSE CAST(z * 4 + (CASE WHEN nv >= 8 THEN 0 WHEN nv >= 4 THEN 1
+            |                        WHEN nv >= 2 THEN 2 ELSE 3 END) + 1 AS INT)
+            |END AS rho""".stripMargin)
       val regs = base.groupBy($"grp", $"idx").agg(max($"rho").as("mr"))
       val agg = regs.groupBy($"grp").agg(
         count(lit(1)).as("present"),
@@ -245,9 +253,9 @@ object Advanced {
       est.join(broadcast(exact), "grp")
         .selectExpr("grp AS l_returnflag",
           "CAST(present AS INT) AS registers_present",
-          """CAST(ROUND((CASE WHEN e_raw <= 640.0 AND present < 256
+          """CAST(ROUND(CASE WHEN e_raw <= 640.0 AND present < 256
             |  THEN 256.0 * ln(256.0 / (256.0 - present))
-            |  ELSE e_raw END) * 1e6) AS BIGINT) AS hll_micro""".stripMargin,
+            |  ELSE e_raw END) AS BIGINT) AS hll_est""".stripMargin,
           "exact_distinct")
         .orderBy($"l_returnflag")
     },
@@ -263,18 +271,23 @@ object Advanced {
                substring(hx, 3, 14) AS suffix
         FROM h
       ),
+      zb AS (
+        SELECT grp, idx,
+               CAST(length(regexp_extract(suffix, '^0*')) AS INT) AS z, suffix
+        FROM b
+      ),
+      nb AS (
+        SELECT grp, idx, z,
+               (strpos('0123456789abcdef', substring(suffix, z + 1, 1)) - 1) AS nv
+        FROM zb
+      ),
       r AS (
         SELECT grp, idx,
-               CASE WHEN length(regexp_extract(suffix, '^0*')) >= 14 THEN 57
-                    ELSE CAST(length(regexp_extract(suffix, '^0*')) * 4
-                         + (CASE WHEN (strpos('0123456789abcdef',
-                                substring(suffix, CAST(length(regexp_extract(suffix, '^0*')) + 1 AS INT), 1)) - 1) >= 8 THEN 0
-                                WHEN (strpos('0123456789abcdef',
-                                substring(suffix, CAST(length(regexp_extract(suffix, '^0*')) + 1 AS INT), 1)) - 1) >= 4 THEN 1
-                                WHEN (strpos('0123456789abcdef',
-                                substring(suffix, CAST(length(regexp_extract(suffix, '^0*')) + 1 AS INT), 1)) - 1) >= 2 THEN 2
-                                ELSE 3 END) + 1 AS INT) END AS rho
-        FROM b
+               CASE WHEN z >= 14 THEN 57
+                    ELSE CAST(z * 4 + (CASE WHEN nv >= 8 THEN 0 WHEN nv >= 4 THEN 1
+                                            WHEN nv >= 2 THEN 2 ELSE 3 END) + 1 AS INT)
+               END AS rho
+        FROM nb
       ),
       m AS (SELECT grp, idx, MAX(rho) AS mr FROM r GROUP BY grp, idx),
       agg AS (
@@ -291,9 +304,9 @@ object Advanced {
              FROM lineitem GROUP BY 1)
       SELECT est.grp AS l_returnflag,
              CAST(present AS INT) AS registers_present,
-             CAST(ROUND((CASE WHEN e_raw <= 640.0 AND present < 256
-                              THEN 256.0 * ln(256.0 / (256.0 - present))
-                              ELSE e_raw END) * 1e6) AS BIGINT) AS hll_micro,
+             CAST(ROUND(CASE WHEN e_raw <= 640.0 AND present < 256
+                             THEN 256.0 * ln(256.0 / (256.0 - present))
+                             ELSE e_raw END) AS BIGINT) AS hll_est,
              exact_distinct
       FROM est JOIN ex ON est.grp = ex.grp
       ORDER BY l_returnflag

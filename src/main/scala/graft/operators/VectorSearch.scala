@@ -222,6 +222,35 @@ object VectorSearch {
     s.conf.getOption("graft.vector.ivf.nprobe").map(_.toInt)
       .getOrElse(IvfDefaultNprobe)
 
+  /** nprobe nearest cells per query vector (vec_id < 8) over a
+    * broadcast centroid table (cell, cvec): distance ranked by
+    * c·c − 2q·c (q·q is constant per query). Shared by both IVF
+    * variants so the serving path cannot silently diverge. */
+  private def probeCells(s: SparkSession, queries: DataFrame,
+      cents: DataFrame, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val probeW = Window.partitionBy($"qid").orderBy($"score", $"cell")
+    queries.crossJoin(broadcast(cents))
+      .withColumn("score",
+        dot_product($"cvec", $"cvec") - lit(2.0) * dot_product($"qv", $"cvec"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter($"pr" <= nprobe)
+      .select($"qid", $"qv", $"qnrm", $"cell")
+  }
+
+  /** candidates = assigned vectors in the probed cells (self excluded),
+    * exact-cosine-ranked to the global top-k. Shared by both IVF
+    * variants. */
+  private def serveCandidates(s: SparkSession, assigned: DataFrame,
+      probes: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+    rankTopK(s, cand, k)
+  }
+
   val annIvf: Q = Q(
     "vector_ann_ivf",
     (s, dir) => {
@@ -240,21 +269,7 @@ object VectorSearch {
         .toSeq.toDF("cell", "cvec")
       val q = assigned.filter($"vec_id" < 8)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
-      // nprobe nearest cells per query (distance via the codegen'd dot:
-      // ||q-c||² = q·q − 2q·c + c·c; q·q constant per query → rank by
-      // c·c − 2q·c)
-      val probeW = Window.partitionBy($"qid").orderBy($"score", $"cell")
-      val probes = q.crossJoin(broadcast(cents))
-        .withColumn("score",
-          dot_product($"cvec", $"cvec") - lit(2.0) * dot_product($"qv", $"cvec"))
-        .withColumn("pr", row_number().over(probeW))
-        .filter($"pr" <= nprobe)
-        .select($"qid", $"qv", $"qnrm", $"cell")
-      val cand = assigned.join(broadcast(probes), Seq("cell"))
-        .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id",
-          (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
-      rankTopK(s, cand, k)
+      serveCandidates(s, assigned, probeCells(s, q, cents, nprobe), k)
     },
     None
   )
@@ -288,20 +303,9 @@ object VectorSearch {
         .groupBy($"vec_id").agg(min(struct($"score", $"cell")).as("b"))
         .select($"vec_id", $"b.cell".as("cell"))
       val assigned = e.join(best, "vec_id")
-      val qdist = dot_product($"cvec", $"cvec") - lit(2.0) * dot_product($"qv", $"cvec")
-      val probeW = Window.partitionBy($"qid").orderBy($"score", $"cell")
-      val probes = e.filter($"vec_id" < 8)
+      val q = e.filter($"vec_id" < 8)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
-        .crossJoin(broadcast(cents))
-        .withColumn("score", qdist)
-        .withColumn("pr", row_number().over(probeW))
-        .filter($"pr" <= nprobe)
-        .select($"qid", $"qv", $"qnrm", $"cell")
-      val cand = assigned.join(broadcast(probes), Seq("cell"))
-        .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id",
-          (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
-      rankTopK(s, cand, k)
+      serveCandidates(s, assigned, probeCells(s, q, cents, nprobe), k)
     },
     Some("""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

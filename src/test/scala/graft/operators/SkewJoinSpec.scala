@@ -34,7 +34,7 @@ class SkewJoinSpec extends SparkSuite {
     val rows = Advanced.hllDistinct.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val est = r.getLong(2) / 1e6
+      val est = r.getLong(2).toDouble
       val exact = r.getLong(3).toDouble
       assert(math.abs(est - exact) / exact <= 0.10,
         s"${r.getString(0)}: hll $est vs exact $exact")
