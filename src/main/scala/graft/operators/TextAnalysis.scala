@@ -180,10 +180,13 @@ object TextAnalysis {
     *
     * Scale shape: explode → two partial-aggregated shuffles (tf keyed on
     * (lang, term); df on term after a distinct that is itself partial)
-    * → broadcast join of the tiny term-level df table → per-language
-    * top-k window. Vocabulary tables are small relative to any corpus,
-    * so nothing here grows with document count except the exploded
-    * token stream, which combines map-side. */
+    * → tf⋈df equi-join on term → per-language top-k window. The df side
+    * is NOT broadcast-hinted: vocabulary cardinality grows with corpus
+    * size (heaps-law — hundreds of millions of distinct terms at the
+    * 100 TB target would OOM a forced driver broadcast), so the planner
+    * (with AQE runtime stats) picks broadcast vs shuffle-hash per run;
+    * both sides are already term-keyed aggregates, so the sort-merge
+    * fallback reuses the df shuffle's partitioning. */
   val topTerms: Q = Q(
     "text_topterms",
     (s, dir) => {
@@ -196,7 +199,7 @@ object TextAnalysis {
       val dfreq = toks.select($"doc_id", $"term").distinct()
         .groupBy($"term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy($"lang").orderBy($"score".desc, $"term")
-      tf.join(broadcast(dfreq), "term")
+      tf.join(dfreq, "term")
         .withColumn("score", $"tf".cast("double") / $"df")
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= k)

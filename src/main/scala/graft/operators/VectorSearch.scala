@@ -396,7 +396,14 @@ object VectorSearch {
     * engines compute the same double products and the same
     * round-half-away-from-zero (Spark HALF_UP on the exact binary
     * value ≡ DuckDB's round), so the code arrays match element-wise;
-    * the per-vector scale rides along in micro-units. */
+    * the per-vector scale rides along in micro-units. The codes are
+    * emitted as ONE comma-joined string column (`q_str`) rather than an
+    * array<int>: the correctness harness canonicalizes result frames by
+    * sorting every column, and list-typed columns are unsortable there
+    * (pandas `Categorical` raises "unhashable type") — the round-3 gate
+    * recorded exactly that error, so the comparison never ran. The
+    * string join is lossless (ints have one decimal rendering), keeping
+    * the element-exact contract while making the frame hashable. */
   val quantize: Q = Q(
     "embed_quantize",
     (s, dir) => {
@@ -407,7 +414,8 @@ object VectorSearch {
         .filter($"amax" > 0)
         .withColumn("scale", lit(127.0) / $"amax")
         .select($"vec_id",
-          expr("transform(v, x -> cast(round(x * scale) as int))").as("q"),
+          array_join(expr("transform(v, x -> cast(round(x * scale) as int))"), ",")
+            .as("q_str"),
           round($"scale" * 1e6).cast("long").as("scale_micro"))
         .orderBy($"vec_id")
     },
@@ -416,7 +424,9 @@ object VectorSearch {
                  FROM embeddings),
       a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) amax FROM e)
       SELECT vec_id,
-             list_transform(v, x -> CAST(ROUND(x * (127.0 / amax)) AS INT)) AS q,
+             array_to_string(
+               list_transform(v, x -> CAST(ROUND(x * (127.0 / amax)) AS INT)),
+               ',') AS q_str,
              CAST(ROUND((127.0 / amax) * 1e6) AS BIGINT) AS scale_micro
       FROM a WHERE amax > 0 ORDER BY vec_id
     """)

@@ -102,7 +102,7 @@ class VectorSpec extends SparkSuite {
     assert(rows.length == orig.size)
     rows.foreach { r =>
       val id = r.getLong(0)
-      val q = r.getSeq[Int](1)
+      val q = r.getString(1).split(',').map(_.toInt).toSeq
       val scale = r.getLong(2) / 1e6
       assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code out of range")
       assert(q.exists(c => math.abs(c) == 127), s"vec $id max element not at ±127")
