@@ -203,6 +203,20 @@ object Pipeline {
     """)
   )
 
+  /** Every decimal(38,0) intermediate of the outlier z-test is bounded
+    * by 4·cmax²·n³ (|c·n−S| ≤ 2·cmax·n, so lhs ≤ 4·cmax²·n²·(n−1) and
+    * rhs ≤ 4·cmax²·n³). The exact-128-bit contract holds iff that bound
+    * stays under 10³⁸ for every event type; past it, non-ANSI Spark
+    * would overflow to NULL and SILENTLY DROP outliers where DuckDB's
+    * HUGEINT errors loudly — so [[eventOutliers]] refuses to run
+    * instead (same fence discipline as
+    * [[Dedup.EmbeddingBruteForceMaxRows]]). At cent values ≤ $10k
+    * (cmax=1e6) the safe per-type count is ~2.9e8 events; larger
+    * corpora should pre-aggregate per (type, day) or switch the test to
+    * doubles with an explicit tolerance. */
+  private[operators] def outlierBoundOk(n: Long, cmaxCents: Long): Boolean =
+    BigInt(4) * BigInt(cmaxCents).pow(2) * BigInt(n).pow(3) < BigInt(10).pow(38)
+
   /** Statistical outlier detection over the event stream: events whose
     * value is more than 2 SAMPLE standard deviations from their
     * event-type mean. The z-test is evaluated ENTIRELY in integer
@@ -211,11 +225,16 @@ object Pipeline {
     * (decimal(38,0) here, HUGEINT in the oracle) — so the oracle
     * compare has zero floating-point hazard and no engine-specific
     * variance algorithm (Welford vs sum-of-squares) can drift the
-    * boundary.
+    * boundary. The 128-bit headroom is GUARDED, not assumed: the tiny
+    * per-type stats row carries max|c|, and [[outlierBoundOk]] refuses
+    * any type whose 4·cmax²·n³ could overflow decimal(38,0).
     *
     * Scale shape: per-type {n, S, ΣC²} is a tiny partially-aggregated
-    * frame broadcast back over the stream; the filter is then per-row.
-    * Nothing shuffles with event count. */
+    * frame (one row per event type) collected once — the collect IS the
+    * overflow fence — and re-broadcast as a local relation over the
+    * stream; the filter is then per-row. Nothing shuffles with event
+    * count, and the stream is scanned once per pass (stats pass +
+    * filter pass), same as the unguarded form. */
   val eventOutliers: Q = Q(
     "events_outliers",
     (s, dir) => {
@@ -226,9 +245,28 @@ object Pipeline {
           round($"value" * 100).cast("long").as("c"))
       // sums in decimal(38,0): a long Σc² overflows past ~9e6 events/type
       // at $10k values — the "exact 128-bit" contract must hold end-to-end
-      val st = ev.groupBy($"event_type").agg(
+      val statRows = ev.groupBy($"event_type").agg(
         count(lit(1)).as("n"), sum($"c".cast(dec)).as("sm"),
-        sum($"c".cast(dec) * $"c".cast(dec)).as("ss"))
+        sum($"c".cast(dec) * $"c".cast(dec)).as("ss"),
+        max(abs($"c")).as("cmax")).collect()
+      statRows.foreach { r =>
+        val (t, n, cmax) = (r.getString(0), r.getLong(1), r.getLong(4))
+        require(outlierBoundOk(n, cmax),
+          s"events_outliers: type '$t' (n=$n, max|cents|=$cmax) exceeds the " +
+            "decimal(38,0) bound 4*cmax^2*n^3 < 1e38; pre-aggregate or use doubles")
+      }
+      val st = s.createDataFrame(
+        java.util.Arrays.asList(statRows.map(r => org.apache.spark.sql.Row(
+          r.get(0), r.get(1), r.get(2), r.get(3))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sm",
+            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)),
+          org.apache.spark.sql.types.StructField("ss",
+            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))))
       val dev = ($"c".cast(dec) * $"n".cast(dec)) - $"sm".cast(dec)
       val lhs = dev * dev * ($"n" - 1).cast(dec)
       val rhs = lit(4).cast(dec) * $"n".cast(dec) *

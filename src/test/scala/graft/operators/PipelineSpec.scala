@@ -84,6 +84,19 @@ class PipelineSpec extends SparkSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     assert(got.nonEmpty, "fixture should contain some 2-sigma outliers")
   }
+  test("outlier overflow fence: bound is exact at the decimal(38,0) boundary") {
+    // the guarded invariant: 4*cmax^2*n^3 < 1e38
+    assert(Pipeline.outlierBoundOk(1, 1))
+    // cmax=1e6 cents ($10k): safe through ~2.9e8 events/type, not 3e8
+    assert(Pipeline.outlierBoundOk(292401773L, 1000000L))
+    assert(!Pipeline.outlierBoundOk(292401774L, 1000000L))
+    // the ADVICE scenario: 1e9 events/type at cent magnitude 1e6 → 4e39
+    assert(!Pipeline.outlierBoundOk(1000000000L, 1000000L))
+    // exact boundary is excluded (strict <): 4*(5e18)^2*1^3 = 1e38
+    assert(!Pipeline.outlierBoundOk(1L, 5000000000000000000L))
+    assert(Pipeline.outlierBoundOk(1L, 4999999999999999999L))
+  }
+
   test("funnel stages are strictly ordered and stage matches the reached step") {
     val rows = Pipeline.funnel.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
