@@ -16,6 +16,15 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is reported at a loud 9999.0 s and named in
   * "failed" — a broken query must worsen the headline number, never
   * improve it.
+  *
+  * After the batch queries, the STREAMING path is benched once (see
+  * [[graft.streaming.StreamBench]]): the events corpus fanned out ×3
+  * replicas, driven as a file stream with maxFilesPerTrigger admission
+  * through O3 filter → quorum dedup → apply. Reported under the
+  * "streaming" key (source rows/s + per-micro-batch latency); the
+  * headline "value" stays batch-only so it remains comparable across
+  * rounds. A streaming failure reports rows_per_sec 0.0 and a
+  * "streaming_failed" marker — loud, never silently absent.
   */
 object Bench {
 
@@ -63,8 +72,26 @@ object Bench {
     val coldQs = fmt(results.map { case (k, c, _, ok) => k -> (if (ok) c else FailedSentinelSec) })
     val failed = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map { case (_, _, w, ok) => if (ok) w else FailedSentinelSec }.sum
+
+    // streaming throughput: one metered drain of the CDC chain
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-streambench")
+      .toFile.getAbsolutePath
+    val streaming =
+      try {
+        val (r, ops) = graft.streaming.StreamBench.bench(spark, sfDir, scratch)
+        f"""{"rows_per_sec":${r.rowsPerSec}%.0f,"input_rows":${r.inputRows},"applied_rows":${r.appliedRows},"ops":$ops,"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"max_files_per_trigger":8,"state_partitions":4,"replicas":3}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming failed: $e")
+          """{"rows_per_sec":0.0,"streaming_failed":true}"""
+      } finally {
+        scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
+      }
+
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$warmQs,"cold":$coldQs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$warmQs,"cold":$coldQs,"failed":$failed,"streaming":$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

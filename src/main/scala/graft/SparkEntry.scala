@@ -33,15 +33,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Catalog.all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
 
-  /** headline subset for the benchmark: one representative per operator
-    * family, weighted toward the scale-critical ones (including the two
-    * most expensive catalog queries, ngram-jaccard and interval join). */
+  /** headline subset for the benchmark: at least one query per operator
+    * family — relational, window, interval join, CDC analogs, every
+    * dedup variant, vector exact + bucketed ANN, text analysis, sketch,
+    * pipeline stats, multimodal — weighted toward the scale-critical
+    * ones (including the two most expensive catalog queries,
+    * ngram-jaccard and interval join), so a perf regression in any
+    * family shows up in the round-over-round bench diff. */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
     "q8_window_rank", "q24_interval_join", "cdc_quorum_batch",
     "cdc_offsets", "cdc_apply_state", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "vector_topk",
-    "vector_filtered_topk", "text_tokens", "text_fingerprint",
-    "multimodal_meta"
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters", "vector_topk", "vector_filtered_topk",
+    "vector_ann_ivf_flat", "hll_distinct", "text_tokens",
+    "text_fingerprint", "text_bm25", "text_bigrams", "events_funnel",
+    "token_percentiles", "multimodal_meta"
   )
 }

@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+import graft.model.OplogEntry
+
+/** Streaming throughput benchmark for the engine's production path —
+  * the Spark rendition of the reference's entire job
+  * (`reference:src/main/java/org/flinkmon/main/MongoDBOplogTail.java:36-42`):
+  *
+  *   tailable source (file-modeled, `maxFilesPerTrigger` admission =
+  *   the reference's 128-slot queue, `MongoDBOplogSource.java:58`)
+  *   → O3 static filter → quorum dedup (O7, stateful)
+  *   → apply-to-current-state (stateful LWW materialization)
+  *
+  * and reports end-to-end SOURCE rows/s plus per-micro-batch latency.
+  * Batch queries measure the relational surface; this measures the one
+  * axis a CDC engine actually ships — sustained change-stream
+  * throughput through two chained stateful operators.
+  *
+  * Fixture: the sf events table fanned out ×`replicas` oplog copies
+  * (one per simulated replica-set member), written as `files` JSON
+  * files co-partitioned on the op hash `h` so every copy of an op
+  * lands in the same file — quorum then resolves within each
+  * micro-batch and the emitted count is exactly the op count,
+  * independent of trigger pacing. Event times span the whole corpus
+  * out of arrival order, so the watermark lateness must cover the full
+  * span (no row may be late-dropped by the stateful operators — the
+  * bench measures state-store work, not the drop fast-path).
+  */
+object StreamBench {
+
+  final case class Result(
+      inputRows: Long,
+      appliedRows: Long,
+      batches: Int,
+      elapsedSec: Double,
+      rowsPerSec: Double,
+      batchMsP50: Long,
+      batchMsMax: Long)
+
+  /** events → oplog-shaped JSON dir; returns the op count (pre-fanout).
+    * Generation is setup, never timed. */
+  def prepareFixture(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      files: Int = 96,
+      replicas: Int = 3): Long = {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val hosts = array((1 to replicas).map(i => lit(s"r$i")): _*)
+    val oplog = ev.select(
+        $"ts",
+        ($"event_id" % 1000).cast("int").as("tsInc"),
+        $"event_id".as("h"),
+        lit("i").as("op"),
+        lit("bench.events").as("ns"),
+        to_json(struct($"user_id".as("_id"), $"value".as("v"),
+          unix_micros($"ts").as("t"))).as("o"),
+        lit(null).cast("string").as("o2"))
+      .withColumn("sourceHost", explode(hosts))
+    // co-partition replica copies by op hash (see scaladoc)
+    oplog.repartition(files, $"h").write.mode("overwrite").json(outDir)
+    ev.count()
+  }
+
+  /** Run the chain once over the fixture dir and meter it. The trigger
+    * is AvailableNow so admission control (`maxFilesPerTrigger`) still
+    * paces micro-batches but the query drains and terminates itself. */
+  def run(
+      spark: SparkSession,
+      srcDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8,
+      depth: Int = 3,
+      lateness: String = "3650 days",
+      statePartitions: Int = 4): Result = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+
+    // State partitioning: each stateful operator commits one state
+    // store per shuffle partition per micro-batch, a fixed ~100ms-class
+    // fsync cost that dwarfs task work at local scale — measured on
+    // this box (sf0.1, 300k rows, 12 batches): 32 partitions → 5.2k
+    // rows/s, 8 → 18.7k, 4 → 37.9k (SCALING.md). So the streaming
+    // query gets its own partition count, sized to STATE VOLUME (on a
+    // 1000-executor cluster: hundreds+, so each store holds a bounded
+    // shard of keys), not to the session's CPU-count default.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val priorParts = spark.conf.getOption(partsKey)
+
+    // Spark refuses chained stateful operators by default because an
+    // upstream stateful op CAN emit rows older than watermark+lateness.
+    // Here the lateness covers the whole corpus span (the watermark
+    // never passes any event time), so no downstream row is ever late
+    // and the chain is sound; disable the check for this query only
+    // and restore the prior setting after.
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prior = spark.conf.getOption(checkKey)
+    spark.conf.set(checkKey, "false")
+    spark.conf.set(partsKey, statePartitions.toString)
+
+    val src = spark.readStream
+      .schema(OplogEntry.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(srcDir)
+    val deduped = QuorumDedup(
+      OplogPipeline.staticFilter(src)
+        .withWatermark("ts", lateness)
+        .as[OplogEntry],
+      depth)
+    val applied = OplogApply.currentState(deduped, lateness)
+
+    val appliedRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val q = applied.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[OplogApply.DocState], _: Long) =>
+        appliedRows.addAndGet(b.count()); ()
+      }
+      .start()
+    try q.awaitTermination()
+    finally {
+      prior match {
+        case Some(v) => spark.conf.set(checkKey, v)
+        case None => spark.conf.unset(checkKey)
+      }
+      priorParts match {
+        case Some(v) => spark.conf.set(partsKey, v)
+        case None => spark.conf.unset(partsKey)
+      }
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+
+    val progs = q.recentProgress.filter(_.numInputRows > 0)
+    val inputRows = progs.map(_.numInputRows).sum
+    val durs = progs.flatMap(p => Option(p.durationMs.get("triggerExecution")))
+      .map(_.longValue).sorted
+    Result(
+      inputRows = inputRows,
+      appliedRows = appliedRows.get(),
+      batches = progs.length,
+      elapsedSec = elapsed,
+      rowsPerSec = if (elapsed > 0) inputRows / elapsed else 0.0,
+      batchMsP50 = if (durs.nonEmpty) durs(durs.length / 2) else 0L,
+      batchMsMax = if (durs.nonEmpty) durs.last else 0L)
+  }
+
+  /** Fixture + run in a scratch dir; returns the result and the op
+    * count so callers can sanity-check emitted == ops. */
+  def bench(
+      spark: SparkSession,
+      sfDir: String,
+      scratch: String,
+      files: Int = 96,
+      replicas: Int = 3,
+      maxFilesPerTrigger: Int = 8,
+      statePartitions: Int = 4): (Result, Long) = {
+    val srcDir = s"$scratch/oplog"
+    val ops = prepareFixture(spark, sfDir, srcDir, files, replicas)
+    val res = run(spark, srcDir, s"$scratch/ckpt", maxFilesPerTrigger,
+      statePartitions = statePartitions)
+    (res, ops)
+  }
+}
