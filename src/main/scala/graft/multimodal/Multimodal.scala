@@ -9,29 +9,71 @@ import graft.operators.Q
   * opaque `binary` columns with typed metadata structs, plus
   * decode / feature-extract / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * STUB — `fakeDecode` derives deterministic pseudo-features from the
-  * bytes. Everything around it is the real Spark shape a 100 TB media
-  * pipeline needs: binary columns carried through parquet, per-batch
-  * `mapPartitions` so a real decoder would amortize model/codec init
-  * per partition (the Scala analog of `mapInPandas` batching), bounded
-  * memory per task, and schema'd struct outputs.
+  * The decode step is a REAL image decode: deterministic grayscale
+  * PNGs are synthesized per document with `java.awt.image.
+  * BufferedImage` + `javax.imageio.ImageIO` (JDK-only — no external
+  * codecs needed), carried as opaque `binary` columns, and decoded
+  * back with `ImageIO.read` inside `mapPartitions` — the real Spark
+  * shape of a 100 TB media pipeline: binary columns through parquet,
+  * per-partition batching so a codec/model initializes once per task
+  * (the Scala analog of `mapInPandas` batching), bounded memory per
+  * task, and schema'd struct outputs. Because the pixel generator is
+  * closed-form in `doc_id`, the DuckDB oracle recomputes every decoded
+  * feature independently — the decode path is verified end-to-end
+  * through real PNG bytes.
   */
 object Multimodal {
 
-  /** typed per-row media features (what a real decoder would emit). */
+  /** typed per-row media features (what the decoder emits). */
   final case class MediaFeatures(
       doc_id: Long, width: Int, height: Int, channels: Int, mean_byte: Double)
 
-  /** STUB decoder: deterministic fake "image decode" from raw bytes.
-    * A real implementation would hand `bytes` to a codec; the Spark
-    * plumbing (signature, batching, schema) is what's load-bearing. */
-  private[multimodal] def fakeDecode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
-    val w = 64 + (math.abs(bytes.length) % 512)
-    val h = 64 + (math.abs(if (bytes.isEmpty) 0 else bytes(0) & 0xff) % 512)
-    val mean = if (bytes.isEmpty) 0.0
-      else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-    MediaFeatures(docId, w, h, 3, mean)
+  /** FIXTURE side: a deterministic grayscale PNG for a document.
+    * Dimensions and pixels are closed-form in `doc_id` (so an oracle
+    * can recompute them without decoding): w = 8 + id%16,
+    * h = 8 + (id·7)%16, pixel(x,y) = (id·31 + x·7 + y·13) % 256 in all
+    * three RGB channels. PNG is lossless, so the decode side recovers
+    * these values exactly. */
+  private[multimodal] def pngFor(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 16).toInt
+    val h = 8 + ((docId * 7) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decoder: `ImageIO.read` over the PNG bytes; emits the
+    * decoded dimensions, channel count from the decoded color model,
+    * and the exact mean gray value (integer pixel sum / pixel count —
+    * the channels are equal by construction, so the gray mean IS the
+    * per-sample mean). */
+  private[multimodal] def decodeImage(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sum += (img.getRGB(x, y) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(docId, w, h, img.getColorModel.getNumComponents,
+      sum.toDouble / (w.toLong * h))
   }
 
   /** documents with an attached opaque binary payload + metadata struct
@@ -42,6 +84,16 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         octet_length(col("blob")).as("n_bytes")))
 
+  /** documents with an attached REAL image payload: the deterministic
+    * per-doc PNG, encoded in a mapPartitions stage (codec init once per
+    * partition — here ImageIO's writer registry lookup). */
+  def withImageBlob(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, pngFor(id))))
+      .toDF("doc_id", "blob")
+  }
+
   /** decode/feature-extract over the binary column, one decoder init
     * per partition. */
   def extractFeatures(spark: SparkSession, df: DataFrame): Dataset[MediaFeatures] = {
@@ -49,7 +101,7 @@ object Multimodal {
     df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real pipeline: initialize codec/model ONCE here, then stream
-        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+        it.map { case (id, bytes) => decodeImage(id, bytes) }
       }
   }
 
@@ -78,32 +130,35 @@ object Multimodal {
     """)
   )
 
-  /** Stubbed decode + feature extraction (deterministic fake): binary →
-    * typed features via per-partition mapPartitions. The stub is
-    * arithmetic over the bytes, and the fixture text is pure ASCII, so
-    * the whole distributed decode path gets a REAL DuckDB oracle
-    * (byte = ord(char)); MultimodalSpec additionally pins schema and
-    * determinism. */
+  /** REAL image decode + feature extraction: per-doc deterministic PNG
+    * bytes → `ImageIO.read` in per-partition mapPartitions → typed
+    * features. The pixel generator is closed-form in doc_id, so the
+    * oracle recomputes width/height/mean-gray WITHOUT decoding — a
+    * value match proves the encode→binary-column→decode path is
+    * lossless and the decoder reads what was written. The mean is an
+    * exact integer pixel sum divided once by the pixel count; both
+    * engines perform the identical IEEE division. */
   val features: Q = Q(
     "multimodal_features",
     (s, dir) => {
       import s.implicits._
-      extractFeatures(s, withBlob(Tables.load(s, dir, "documents")))
+      extractFeatures(s, withImageBlob(s, Tables.load(s, dir, "documents")))
         .toDF()
         .orderBy($"doc_id")
     },
     Some("""
-      SELECT doc_id,
-             CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
-             CAST(CASE WHEN length(text) = 0 THEN 64
-                       ELSE 64 + ord(text[1]) % 512 END AS INT) AS height,
-             CAST(3 AS INT) AS channels,
-             CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(list_aggregate(
-                         list_transform(range(1, length(text)+1), i -> ord(text[i])),
-                         'sum') AS DOUBLE) / length(text)
-             END AS mean_byte
-      FROM documents
+      WITH dims AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 16 AS INT) AS width,
+               CAST(8 + (doc_id * 7) % 16 AS INT) AS height
+        FROM documents
+      )
+      SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+             CAST(list_aggregate(
+                    list_transform(range(0, width * height),
+                      i -> (doc_id * 31 + (i % width) * 7 + (i // width) * 13) % 256),
+                    'sum') AS DOUBLE) / (width * height) AS mean_byte
+      FROM dims
       ORDER BY doc_id
     """)
   )

@@ -13,7 +13,19 @@ class MultimodalSpec extends SparkSuite {
     assert(row.getAs[org.apache.spark.sql.Row]("media_meta").getAs[Int]("n_bytes") == 11)
   }
 
-  test("stubbed decode emits deterministic schema'd features") {
+  test("png encode → ImageIO decode recovers the closed-form pixels exactly") {
+    Seq(0L, 1L, 17L, 255L, 499L).foreach { id =>
+      val f = Multimodal.decodeImage(id, Multimodal.pngFor(id))
+      val (w, h) = (8 + (id % 16).toInt, 8 + ((id * 7) % 16).toInt)
+      assert(f.width == w && f.height == h, s"id=$id got ${f.width}x${f.height}")
+      assert(f.channels == 3)
+      val sum = (for { y <- 0 until h; x <- 0 until w }
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(f.mean_byte == sum.toDouble / (w.toLong * h), s"id=$id mean drifted")
+    }
+  }
+
+  test("real decode emits deterministic schema'd features over the corpus") {
     val feats = Multimodal.features.run(spark, sf0001)
     assert(feats.columns.toSeq == Seq("doc_id", "width", "height", "channels", "mean_byte"))
     assert(feats.count() == 500)
