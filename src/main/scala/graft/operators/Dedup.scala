@@ -498,9 +498,9 @@ object Dedup {
     * clusters, not social graphs). Every round's frame is
     * lineage-truncated (the iterative-algorithm variant of the
     * localCheckpoint rule: without it the plan doubles per round). At
-    * 100 TB the refinement is alternating large-star/small-star
-    * (Kiveris et al.), which squares-down the diameter; the join
-    * structure is identical.
+    * 100 TB the refinement is alternating large-star/small-star —
+    * implemented as [[connectedComponentsStar]] / [[clustersStar]],
+    * which contracts the diameter instead of walking it.
     *
     * Pairs come from [[minhashLsh]] (the scale path); its verified
     * output equals the exact pair set (see its gate), so the DuckDB
@@ -550,7 +550,14 @@ object Dedup {
         .select($"lab".as("canonical_id"), $"v".as("doc_id"), $"cluster_size")
         .orderBy($"canonical_id", $"doc_id")
     },
-    Some(s"""
+    clustersOracle
+  )
+
+  /** Transitive-closure oracle shared by BOTH connected-components
+    * implementations ([[clusters]] and [[clustersStar]]): same pair
+    * graph, same canonical-min labeling, so the two algorithms must
+    * hash-match each other through the oracle. */
+  private lazy val clustersOracle: Option[String] = Some(s"""
       WITH RECURSIVE $shingleSetSql,
       ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
       prs AS (
@@ -573,8 +580,92 @@ object Dedup {
       FROM cc JOIN sz USING (lab)
       ORDER BY canonical_id, doc_id
     """)
+
+  /** Alternating large-star/small-star connected components — the
+    * 100 TB-scale refinement [[clusters]] names. Min-label propagation
+    * needs ~diameter rounds; star contraction CONTRACTS the graph
+    * instead of walking it and converges in O(log² n) worst case
+    * (≈2·log₂ d in practice), which is the difference between 12
+    * rounds and 4000 on a deep chain.
+    *
+    * Each round is two half-steps over the undirected edge list
+    * (canonical (a<b) form), each one partial-aggregated min + one
+    * equi-join:
+    *  - LARGE-STAR: every node u links each strictly-larger neighbor
+    *    to m(u) = min of u's closed neighborhood — deep chains fold
+    *    onto local minima;
+    *  - SMALL-STAR: every node u links its not-larger neighbors and
+    *    itself to its minimum neighbor — partial stars flatten.
+    * Fixpoint (edge set unchanged — checked exactly via count +
+    * anti-join, no probabilistic checksum) is reached precisely when
+    * every edge runs root→member for its component's minimum. Per
+    * round the edge frame is lineage-truncated (iterative
+    * localCheckpoint rule) so plan size stays O(1) in rounds.
+    *
+    * Returns (labels (v, lab), rounds). Non-convergence within
+    * maxRounds fails loudly, mirroring [[clusters]]. */
+  private[operators] def connectedComponentsStar(
+      s: SparkSession,
+      pairs: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = 30): (org.apache.spark.sql.DataFrame, Int) = {
+    import s.implicits._
+    val p0 = pairs.toDF("x", "y")
+    val verts = p0.select(explode(array($"x", $"y")).as("v"))
+      .distinct().localCheckpoint()
+    var edges = p0.filter($"x" =!= $"y")
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done && rounds < maxRounds) {
+      val prev = edges
+      val prevCount = prev.count()
+      val nbrs = edges.select($"a".as("u"), $"b".as("v"))
+        .union(edges.select($"b".as("u"), $"a".as("v")))
+      // m(u) over the CLOSED neighborhood: min neighbor, clamped by u
+      val mins = nbrs.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      // large-star: (v, m(u)) for v > u; m ≤ u < v keeps (a,b) canonical
+      val large = nbrs.join(mins, "u").filter($"v" > $"u")
+        .select($"m".as("a"), $"v".as("b"))
+        .filter($"a" =!= $"b").distinct().localCheckpoint()
+      // small-star over larger→smaller directed edges: u = b side
+      val dir = large.select($"b".as("u"), $"a".as("v"))
+      val joined = dir.join(dir.groupBy($"u").agg(min($"v").as("m")), "u")
+      val small = joined.select($"m".as("a"), $"v".as("b")).filter($"a" =!= $"b")
+        .union(joined.select($"m".as("a"), $"u".as("b")))
+        .distinct().localCheckpoint()
+      edges = small
+      done = edges.count() == prevCount &&
+        edges.join(prev, Seq("a", "b"), "left_anti").isEmpty
+      rounds += 1
+    }
+    require(done,
+      s"dedup_clusters_star: star contraction did not converge in $rounds rounds")
+    val labels = verts.join(edges.select($"b".as("v"), $"a".as("lab")), Seq("v"), "left")
+      .select($"v", coalesce($"lab", $"v").as("lab"))
+    (labels, rounds)
+  }
+
+  /** [[clusters]] recomputed through [[connectedComponentsStar]]: same
+    * pair graph, same output contract, same shared DuckDB oracle — so
+    * the contraction algorithm is hash-gated against the recursive-CTE
+    * ground truth (and, transitively, against the propagation form). */
+  val clustersStar: Q = Q(
+    "dedup_clusters_star",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = minhashLsh.run(s, dir).select($"d1", $"d2")
+      val (lab, _) = connectedComponentsStar(s, pairs)
+      val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("cluster_size"))
+      lab.join(broadcast(sizes), "lab")
+        .select($"lab".as("canonical_id"), $"v".as("doc_id"), $"cluster_size")
+        .orderBy($"canonical_id", $"doc_id")
+    },
+    clustersOracle
   )
 
   def queries: Seq[Q] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters)
+    Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
+      clustersStar)
 }

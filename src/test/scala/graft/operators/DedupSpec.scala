@@ -96,4 +96,38 @@ class DedupSpec extends SparkSuite {
       assert(size == want.count(_._2 == want(doc)), s"doc $doc size $size")
     }
   }
+
+  test("large-star/small-star CC matches min-label propagation on the fixture") {
+    val a = Dedup.clusters.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dedup.clustersStar.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, s"only-prop=${(a -- b).take(3)} only-star=${(b -- a).take(3)}")
+  }
+
+  test("star contraction converges in O(log d) rounds on a deep chain") {
+    import spark.implicits._
+    // path 0-1-2-...-1024: diameter 1024. Min-label propagation needs
+    // ~diameter rounds (clusters' 50-round fence would fail loudly);
+    // star contraction must fold it in ~2·log2(1024) ≈ 20.
+    val n = 1024L
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("x", "y")
+    val (lab, rounds) = Dedup.connectedComponentsStar(spark, chain)
+    assert(rounds <= 20, s"took $rounds rounds — not contracting")
+    val got = lab.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n + 1)
+    assert(got.forall(_._2 == 0L), s"bad labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("star contraction handles forests, singleton-free vertex sets, and empty input") {
+    import spark.implicits._
+    // two components + a 2-cycle-ish duplicate edge + reversed pairs
+    val pairs = Seq((5L, 3L), (3L, 9L), (9L, 5L), (20L, 21L), (21L, 20L))
+      .toDF("x", "y")
+    val (lab, _) = Dedup.connectedComponentsStar(spark, pairs)
+    val m = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+    val (empty, r0) = Dedup.connectedComponentsStar(spark, Seq.empty[(Long, Long)].toDF("x", "y"))
+    assert(empty.collect().isEmpty && r0 == 0)
+  }
 }
