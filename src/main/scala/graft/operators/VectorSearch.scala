@@ -180,27 +180,31 @@ object VectorSearch {
     * the default dials; VectorSpec floors recall vs the exact top-k on
     * the (isotropic) fixture and VectorPlantedSpec gates recall ≥ 0.9
     * on planted-neighbor data. */
+  /** the LSH candidate stream (qid, vec_id, cos) BEFORE ranking —
+    * factored out so scale probes can measure candidate volume (the
+    * fraction of the corpus each query actually scans) on the exact
+    * code path the operator runs. */
+  private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucketExpr = hyperplanes.zipWithIndex.map { case (hp, i) =>
+      when(dot_product($"v", typedLit(hp)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val e = normed(s, dir).withColumn("bucket", bucketExpr)
+    val q = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"), $"bucket".as("qb"))
+    val masks = probeMasks(lshProbeHamming(s))
+    val probes = q.select($"qid", $"qv", $"qnrm",
+      explode(expr(
+        s"transform(array(${masks.mkString(",")}), m -> cast(qb ^ m as int))")).as("bucket"))
+    e.join(broadcast(probes), Seq("bucket"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+  }
+
   val annLsh: Q = Q(
     "vector_ann_lsh",
-    (s, dir) => {
-      import s.implicits._
-      val k = 10
-      val bucketExpr = hyperplanes.zipWithIndex.map { case (hp, i) =>
-        when(dot_product($"v", typedLit(hp)) > 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val e = normed(s, dir).withColumn("bucket", bucketExpr)
-      val q = e.filter($"vec_id" < 8)
-        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"), $"bucket".as("qb"))
-      val masks = probeMasks(lshProbeHamming(s))
-      val probes = q.select($"qid", $"qv", $"qnrm",
-        explode(expr(
-          s"transform(array(${masks.mkString(",")}), m -> cast(qb ^ m as int))")).as("bucket"))
-      val cand = e.join(broadcast(probes), Seq("bucket"))
-        .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id",
-          (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
-      rankTopK(s, cand, k)
-    },
+    (s, dir) => rankTopK(s, lshCandidates(s, dir), 10),
     Some(annLshOracleSql)
   )
 
@@ -238,17 +242,40 @@ object VectorSearch {
       .select($"qid", $"qv", $"qnrm", $"cell")
   }
 
-  /** candidates = assigned vectors in the probed cells (self excluded),
-    * exact-cosine-ranked to the global top-k. Shared by both IVF
-    * variants. */
-  private def serveCandidates(s: SparkSession, assigned: DataFrame,
-      probes: DataFrame, k: Int): DataFrame = {
+  /** candidates = assigned vectors in the probed cells (self excluded).
+    * Shared by both IVF variants; exposed to the scale probes for
+    * candidate-volume measurement. */
+  private[graft] def cellCandidates(s: SparkSession, assigned: DataFrame,
+      probes: DataFrame): DataFrame = {
     import s.implicits._
-    val cand = assigned.join(broadcast(probes), Seq("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id",
         (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
-    rankTopK(s, cand, k)
+  }
+
+  /** probed-cell candidates exact-cosine-ranked to the global top-k. */
+  private def serveCandidates(s: SparkSession, assigned: DataFrame,
+      probes: DataFrame, k: Int): DataFrame =
+    rankTopK(s, cellCandidates(s, assigned, probes), k)
+
+  /** the IVF-Flat candidate stream (same content-addressed codebook and
+    * serving path as [[annIvfFlat]]) BEFORE ranking — for scale probes. */
+  private[graft] def ivfFlatCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 2
+    val e = normed(s, dir)
+    val cents = e.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cell"), $"v".as("cvec"))
+    val dist = dot_product($"cvec", $"cvec") - lit(2.0) * dot_product($"v", $"cvec")
+    val best = e.crossJoin(broadcast(cents))
+      .withColumn("score", dist)
+      .groupBy($"vec_id").agg(min(struct($"score", $"cell")).as("b"))
+      .select($"vec_id", $"b.cell".as("cell"))
+    val assigned = e.join(best, "vec_id")
+    val q = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+    cellCandidates(s, assigned, probeCells(s, q, cents, nprobe))
   }
 
   val annIvf: Q = Q(
@@ -290,23 +317,9 @@ object VectorSearch {
     * trained-quality path. */
   val annIvfFlat: Q = Q(
     "vector_ann_ivf_flat",
-    (s, dir) => {
-      import s.implicits._
-      val k = 10
-      val nprobe = 2   // fixed: the oracle mirrors this literal
-      val e = normed(s, dir)
-      val cents = e.filter($"vec_id" < 16)
-        .select($"vec_id".cast("int").as("cell"), $"v".as("cvec"))
-      val dist = dot_product($"cvec", $"cvec") - lit(2.0) * dot_product($"v", $"cvec")
-      val best = e.crossJoin(broadcast(cents))
-        .withColumn("score", dist)
-        .groupBy($"vec_id").agg(min(struct($"score", $"cell")).as("b"))
-        .select($"vec_id", $"b.cell".as("cell"))
-      val assigned = e.join(best, "vec_id")
-      val q = e.filter($"vec_id" < 8)
-        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
-      serveCandidates(s, assigned, probeCells(s, q, cents, nprobe), k)
-    },
+    // candidate generation factored into [[ivfFlatCandidates]] (nprobe=2
+    // fixed there: the oracle mirrors that literal)
+    (s, dir) => rankTopK(s, ivfFlatCandidates(s, dir), 10),
     Some("""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
                  FROM embeddings),
