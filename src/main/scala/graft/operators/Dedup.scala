@@ -86,7 +86,7 @@ object Dedup {
     * 4× less data; the set sizes (what the oracle checks) are identical
     * to the string sets barring a 64-bit collision among the corpus's
     * distinct shingles (≈ d²/2⁶⁵ — vanishing). */
-  private[operators] def shingleHashes(text: String): Option[Array[Long]] = {
+  private[graft] def shingleHashes(text: String): Option[Array[Long]] = {
     if (text == null) return None   // match string_split(NULL) row-drop
     val toks = text.split(' ').filter(_.nonEmpty)
     if (toks.length < 3) return None
@@ -184,31 +184,92 @@ object Dedup {
     """)
   )
 
+  /** Count-min sketch over 64-bit shingle fingerprints: `depth` rows ×
+    * `width` counters, splitmix-mixed row indexes. Properties the
+    * prefix filter leans on: NEVER underestimates (so true hub
+    * shingles always rank at the end), bounded memory independent of
+    * the shingle universe (2 MB at 4×65536 — broadcastable at any
+    * corpus size, where an exact per-shingle df table grows with the
+    * corpus and was this operator's scale ceiling), and deterministic
+    * (same data → same sketch → same ranking on every executor). Width
+    * is the accuracy dial: size ~O(distinct hubs), not O(universe). */
+  private[graft] final class CountMin(
+      val depth: Int, val width: Int) extends Serializable {
+    private val rows = Array.ofDim[Long](depth, width)
+    private def idx(i: Int, h0: Long): Int = {
+      var x = h0 + 0x9e3779b97f4a7c15L * (i + 1)
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      ((x ^ (x >>> 31)) & (width - 1)).toInt
+    }
+    def add(h: Long): Unit = {
+      var i = 0
+      while (i < depth) { rows(i)(idx(i, h)) += 1; i += 1 }
+    }
+    def estimate(h: Long): Long = {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < depth) { m = math.min(m, rows(i)(idx(i, h))); i += 1 }
+      m
+    }
+    def mergeInPlace(o: CountMin): CountMin = {
+      var i = 0
+      while (i < depth) {
+        var j = 0
+        while (j < width) { rows(i)(j) += o.rows(i)(j); j += 1 }
+        i += 1
+      }
+      this
+    }
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5) with PREFIX
     * FILTERING (the set-similarity-join technique of PAPERS.md's ICDE
     * 2020 entry): candidates are generated only from each document's
-    * prefix — its |s| − ⌈t·|s|⌉ + 1 globally-rarest shingles — which is
-    * provably sufficient for Jaccard ≥ t under a consistent global
-    * ordering, then verified exactly. The hub shingles that make a
+    * prefix — its |s| − ⌈t·|s|⌉ + 1 rarest shingles — which is provably
+    * sufficient for Jaccard ≥ t under ANY total order both documents
+    * agree on, then verified exactly. The hub shingles that make a
     * naive inverted-index self-join quadratic are excluded from
     * candidate generation entirely (~10× at sf0.1), while the output —
-    * and hence the DuckDB oracle — is the exact pair set. */
+    * and hence the DuckDB oracle — is the exact pair set.
+    *
+    * Rarity ranking uses a broadcast [[CountMin]] sketch rather than an
+    * exact global df table (the round-4 refinement note): losslessness
+    * needs only a CONSISTENT order — rarest-first merely minimizes
+    * candidate volume, and CMS keeps exactly the property that matters
+    * for that (hubs never underestimated → never in a prefix) — so the
+    * exploded shingle stream no longer shuffles through a frequency
+    * join + per-doc rank window at all. Sketch build is one bounded
+    * per-partition pass + an associative driver merge (the RDD
+    * aggregate idiom; 2 MB × partitions), and prefix selection
+    * becomes a map-side sort of each doc's own shingle array. Two
+    * pre-candidate shuffles of the widest frame in the query → zero. */
   val ngramJaccard: Q = Q(
     "dedup_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
       val t = 0.5
       val sh = shingleSets(s, dir)
-      val ex = sh.select($"doc_id", explode($"sh").as("h"), size($"sh").as("n"))
-      // global frequency order (ties by fingerprint) — the canonical
-      // ordering both documents of a pair agree on
-      val freq = ex.groupBy($"h").agg(count(lit(1)).as("f"))
-      val ranked = ex.join(freq, "h")
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy($"doc_id").orderBy($"f", $"h")))
-        .filter($"rk" <= $"n" - ceil(lit(t) * $"n") + 1)   // prefix
-        .select($"doc_id", $"h", $"n")
+      val sketch = sh.select($"sh").as[Seq[Long]].rdd
+        .mapPartitions { it =>
+          val c = new CountMin(4, 65536)
+          it.foreach(_.foreach(c.add))
+          Iterator.single(c)
+        }
+        .fold(new CountMin(4, 65536))(_.mergeInPlace(_))
+      val bc = s.sparkContext.broadcast(sketch)
+      val ranked = sh.select($"doc_id", $"sh").as[(Long, Seq[Long])]
+        .mapPartitions { it =>
+          val c = bc.value
+          it.flatMap { case (doc, set) =>
+            val n = set.size
+            val keep = n - math.ceil(t * n).toInt + 1
+            if (keep <= 0) Iterator.empty
+            else set.map(h => (c.estimate(h), h)).sorted.iterator
+              .take(keep).map { case (_, h) => (doc, h, n) }
+          }
+        }
+        .toDF("doc_id", "h", "n")
         .localCheckpoint()   // lineage barrier: self-joined below
       // candidate equi-join on the 8-byte fingerprint, with the
       // LOSSLESS size-ratio filter (j ≥ t ⇒ max(n1,n2) ≤ n/t·min):
