@@ -78,20 +78,23 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     val scratch = java.nio.file.Files.createTempDirectory("graft-streambench")
       .toFile.getAbsolutePath
+    def streamJson(r: graft.streaming.StreamBench.Result, ops: Long): String =
+      f"""{"rows_per_sec":${r.rowsPerSec}%.0f,"input_rows":${r.inputRows},"applied_rows":${r.appliedRows},"ops":$ops,"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"max_files_per_trigger":8,"state_partitions":4,"replicas":3}"""
+    val failedStream = """{"rows_per_sec":0.0,"streaming_failed":true}"""
     val streaming =
-      try {
-        val (r, ops) = graft.streaming.StreamBench.bench(spark, sfDir, scratch)
-        f"""{"rows_per_sec":${r.rowsPerSec}%.0f,"input_rows":${r.inputRows},"applied_rows":${r.appliedRows},"ops":$ops,"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"max_files_per_trigger":8,"state_partitions":4,"replicas":3}"""
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] streaming failed: $e")
-          """{"rows_per_sec":0.0,"streaming_failed":true}"""
-      } finally {
-        scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
-      }
+      try { val (r, ops) = graft.streaming.StreamBench.bench(spark, sfDir, scratch); streamJson(r, ops) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming failed: $e"); failedStream }
+    // same chain through the native DSv2 connector (one InputPartition
+    // per replica member; copies of an op cross micro-batches)
+    val streamingConn =
+      try { val (r, ops) = graft.streaming.StreamBench.benchConnector(spark, sfDir, scratch); streamJson(r, ops) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] connector streaming failed: $e"); failedStream }
+    scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$warmQs,"cold":$coldQs,"failed":$failed,"streaming":$streaming,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$warmQs,"cold":$coldQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -151,6 +151,127 @@ object StreamBench {
       batchMsMax = if (durs.nonEmpty) durs.last else 0L)
   }
 
+  /** Connector-mode fixture: the SAME op stream written the way a
+    * replica set actually presents it — one directory per replica-set
+    * member (`root/s0/rN_port/` JSON files), each holding a FULL copy of
+    * every op with itself as sourceHost. The DSv2 connector plans one
+    * InputPartition per member and splits the admission budget
+    * round-robin across them, so replica copies of one op can land in
+    * DIFFERENT micro-batches — the cross-batch quorum-state path the
+    * co-partitioned file fixture never exercises. */
+  def prepareConnectorFixture(
+      spark: SparkSession,
+      sfDir: String,
+      root: String,
+      filesPerMember: Int = 32,
+      replicas: Int = 3): Long = {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val oplog = ev.select(
+      $"ts",
+      ($"event_id" % 1000).cast("int").as("tsInc"),
+      $"event_id".as("h"),
+      lit("i").as("op"),
+      lit("bench.events").as("ns"),
+      to_json(struct($"user_id".as("_id"), $"value".as("v"),
+        unix_micros($"ts").as("t"))).as("o"),
+      lit(null).cast("string").as("o2"))
+    (1 to replicas).foreach { i =>
+      oplog.withColumn("sourceHost", lit(s"r$i"))
+        .repartition(filesPerMember)
+        .write.mode("overwrite")
+        .json(graft.sources.OplogConnector.memberDir(root, "s0", s"r$i", 27017 + i))
+    }
+    ev.count()
+  }
+
+  /** [[run]]'s chain over the native DSv2 connector source instead of
+    * the file stream (same filter → quorum → apply, same metering). */
+  def runConnector(
+      spark: SparkSession,
+      root: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 8,
+      replicas: Int = 3,
+      depth: Int = 3,
+      lateness: String = "3650 days",
+      statePartitions: Int = 4): Result = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prior = spark.conf.getOption(checkKey)
+    spark.conf.set(checkKey, "false")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val priorParts = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, statePartitions.toString)
+
+    val topology = (1 to replicas).map(i => s"r$i:${27017 + i}")
+      .mkString("s0/", ",", "")
+    val src = spark.readStream
+      .format("graft.sources.OplogSourceProvider")
+      .option("topology", topology)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(root)
+    val deduped = QuorumDedup(
+      OplogPipeline.staticFilter(src)
+        .withWatermark("ts", lateness)
+        .as[OplogEntry],
+      depth)
+    val applied = OplogApply.currentState(deduped, lateness)
+
+    val appliedRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val q = applied.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .foreachBatch { (b: Dataset[OplogApply.DocState], _: Long) =>
+        appliedRows.addAndGet(b.count()); ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(checkKey, v)
+        case None => spark.conf.unset(checkKey)
+      }
+      priorParts match {
+        case Some(v) => spark.conf.set(partsKey, v)
+        case None => spark.conf.unset(partsKey)
+      }
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+
+    val progs = q.recentProgress.filter(_.numInputRows > 0)
+    val inputRows = progs.map(_.numInputRows).sum
+    val durs = progs.flatMap(p => Option(p.durationMs.get("triggerExecution")))
+      .map(_.longValue).sorted
+    Result(
+      inputRows = inputRows,
+      appliedRows = appliedRows.get(),
+      batches = progs.length,
+      elapsedSec = elapsed,
+      rowsPerSec = if (elapsed > 0) inputRows / elapsed else 0.0,
+      batchMsP50 = if (durs.nonEmpty) durs(durs.length / 2) else 0L,
+      batchMsMax = if (durs.nonEmpty) durs.last else 0L)
+  }
+
+  /** Connector fixture + metered run in a scratch dir. */
+  def benchConnector(
+      spark: SparkSession,
+      sfDir: String,
+      scratch: String,
+      filesPerMember: Int = 32,
+      replicas: Int = 3,
+      maxFilesPerTrigger: Int = 8): (Result, Long) = {
+    val root = s"$scratch/members"
+    val ops = prepareConnectorFixture(spark, sfDir, root, filesPerMember, replicas)
+    val res = runConnector(spark, root, s"$scratch/ckpt_conn", maxFilesPerTrigger, replicas)
+    (res, ops)
+  }
+
   /** Fixture + run in a scratch dir; returns the result and the op
     * count so callers can sanity-check emitted == ops. */
   def bench(

@@ -28,4 +28,24 @@ class StreamBenchSpec extends SparkSuite {
       ()
     }
   }
+
+  test("connector-mode stream bench drains every member copy exactly once") {
+    val scratch = Files.createTempDirectory("graft-sbench-conn").toFile.getAbsolutePath
+    try {
+      val (r, ops) = StreamBench.benchConnector(
+        spark, sf0001, scratch, filesPerMember = 4, replicas = 3, maxFilesPerTrigger = 3)
+      assert(ops > 0)
+      // each member holds a full copy: 3 × ops source rows, once each
+      assert(r.inputRows == ops * 3, s"input=${r.inputRows} ops=$ops")
+      // 12 member files / 3 per trigger → several admission-paced batches
+      assert(r.batches >= 3, s"batches=${r.batches}")
+      // every op reaches quorum across batches; apply emits ≥ 1 row per
+      // changed key per batch, never more than one per op
+      assert(r.appliedRows > 0 && r.appliedRows <= ops, s"applied=${r.appliedRows}")
+      assert(r.rowsPerSec > 0 && r.elapsedSec > 0)
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
+      ()
+    }
+  }
 }
