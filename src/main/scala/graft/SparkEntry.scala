@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 64 of
-  * 66, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 67 of
+  * 69, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes) and the multimodal stubs; only the two
   * inherently engine-specific ops (q23's HLL++ sketch state, IVF KMeans
   * cells) are rows-only here, each strictly pinned by ScalaTest — and
@@ -45,7 +45,7 @@ object SparkEntry {
     "q8_window_rank", "q24_interval_join", "cdc_quorum_batch",
     "cdc_offsets", "cdc_apply_state", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_clusters", "vector_topk", "vector_filtered_topk",
+    "dedup_clusters", "dedup_contamination", "vector_topk", "vector_filtered_topk",
     "vector_ann_ivf_flat", "hll_distinct", "text_tokens",
     "text_fingerprint", "text_bm25", "text_bigrams", "events_funnel",
     "token_percentiles", "multimodal_meta"

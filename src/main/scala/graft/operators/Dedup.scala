@@ -726,7 +726,67 @@ object Dedup {
     clustersOracle
   )
 
+  /** Benchmark decontamination: flag every training document that
+    * shares at least one 8-token shingle with the held-out benchmark
+    * set — the standard n-gram-overlap contamination check a
+    * pretraining pipeline runs before any eval (the reference has no
+    * analog; this is pure LLM-pipeline surface). The benchmark split
+    * is content-addressed (first md5 byte ≥ 'f0', ~6% of docs — the
+    * [[Pipeline.splitAssign]] idiom), so both engines and every run
+    * agree on it with no RNG. 8-gram matches on this vocabulary are
+    * ~(1/V)⁸ by chance, so a hit means a genuinely copied span, not a
+    * common phrase.
+    *
+    * Scale shape (100 TB): real benchmark sets are FIXED and TINY
+    * (thousands of docs) while the train corpus is the 100 TB side —
+    * so the distinct benchmark shingle set is BROADCAST and the train
+    * corpus is scanned exactly once with a map-side hash-join probe:
+    * the corpus never shuffles, and per-doc hit counts partial-
+    * aggregate. If the benchmark side ever outgrew broadcast the same
+    * plan degrades gracefully to a shuffle equi-join on a 64-bit
+    * shingle fingerprint ([[fnv1a64]]); the join here stays on the
+    * raw shingle string only so the DuckDB oracle is byte-identical. */
+  val contamination: Q = Q(
+    "dedup_contamination",
+    (s, dir) => {
+      import s.implicits._
+      val n = 8
+      val sh = docs(s, dir)
+        .select($"doc_id",
+          substring(md5($"doc_id".cast("string")), 1, 2).as("bucket"),
+          TextFns.tokens($"text").as("toks"))
+        .filter(size($"toks") >= n)
+        .select($"doc_id", $"bucket",
+          explode(array_distinct(TextFns.shingles($"toks", n))).as("g"))
+      val bench = sh.filter($"bucket" >= "f0").select($"g").distinct()
+      sh.filter($"bucket" < "f0")
+        .join(broadcast(bench), "g")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"g").as("n_hits"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+      ),
+      sh AS (
+        SELECT doc_id, bucket,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 8 + 2),
+                 i -> array_to_string(toks[i:i+7], ' ')))) AS g
+        FROM t WHERE len(toks) >= 8
+      ),
+      bench AS (SELECT DISTINCT g FROM sh WHERE bucket >= 'f0')
+      SELECT s.doc_id, COUNT(DISTINCT s.g) AS n_hits
+      FROM sh s JOIN bench USING (g)
+      WHERE s.bucket < 'f0'
+      GROUP BY s.doc_id
+      ORDER BY s.doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
-      clustersStar)
+      clustersStar, contamination)
 }

@@ -348,7 +348,64 @@ object Pipeline {
     """)
   )
 
+  /** GPT-style sequence packing: concatenate documents in a
+    * deterministic content-addressed order and cut fixed 512-token
+    * training windows, reporting each document's token offset and the
+    * first/last window it lands in — the layout a training dataloader
+    * consumes. Packing is PER LANGUAGE (the partition key a real mix
+    * packs within), ordered by (md5(doc_id), doc_id) so the layout is
+    * reproducible across engines, runs, and cluster sizes with no RNG.
+    * All arithmetic is integral (token counts, exclusive running sum,
+    * floor-div) — zero floating-point hazard in the oracle compare.
+    *
+    * Scale shape: one window-sum shuffle keyed on the pack partition.
+    * Languages are few and can be huge, so at 100 TB the pack key must
+    * be finer — the production form packs per (lang, shard) where
+    * shard = first md5 byte of doc_id (1/256 slices, deterministic),
+    * then offsets each shard by the broadcast per-shard token totals:
+    * same code shape, window skew bounded by the shard fan-out. This
+    * is the single-level form over the small fixture. */
+  val packSequences: Q = Q(
+    "pack_sequences",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val seqLen = 512
+      val w = Window.partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(TextFns.tokens($"text")).cast("long").as("n_tokens"))
+        .withColumn("tok_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .withColumn("bin_first", floor($"tok_offset" / seqLen).cast("long"))
+        .withColumn("bin_last",
+          floor(($"tok_offset" + $"n_tokens" - 1) / seqLen).cast("long"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+      ),
+      o AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        FROM t
+      )
+      SELECT doc_id, lang, n_tokens, tok_offset,
+             CAST(FLOOR(tok_offset / 512.0) AS BIGINT) AS bin_first,
+             CAST(FLOOR((tok_offset + n_tokens - 1) / 512.0) AS BIGINT) AS bin_last
+      FROM o
+      ORDER BY doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, sampleStratified,
-      sourceCap, eventOutliers, funnel)
+      sourceCap, eventOutliers, funnel, packSequences)
 }

@@ -130,4 +130,26 @@ class DedupSpec extends SparkSuite {
     val (empty, r0) = Dedup.connectedComponentsStar(spark, Seq.empty[(Long, Long)].toDF("x", "y"))
     assert(empty.collect().isEmpty && r0 == 0)
   }
+
+  test("contamination equals an exact 8-gram-overlap recomputation vs the benchmark split") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def grams8(text: String): Set[String] = {
+      val toks = text.split(' ').filter(_.nonEmpty)
+      if (toks.length < 8) Set.empty
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), md5hex(r.getLong(0).toString).take(2), grams8(r.getString(1))))
+    val benchGrams = docs.filter(_._2 >= "f0").flatMap(_._3).toSet
+    val want = docs.filter(_._2 < "f0")
+      .map { case (id, _, g) => id -> (g & benchGrams).size.toLong }
+      .filter(_._2 > 0).toMap
+    val got = Dedup.contamination.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(got.nonEmpty, "fixture should contain contaminated train docs")
+  }
 }

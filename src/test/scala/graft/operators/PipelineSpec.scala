@@ -111,4 +111,29 @@ class PipelineSpec extends SparkSuite {
     }
     assert(rows.exists(_.getInt(4) == 3), "fixture should have full-funnel users")
   }
+
+  test("sequence packing equals an exact per-lang recomputation of offsets and bins") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(' ').count(_.nonEmpty).toLong))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val ordered = g.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+      ordered.scanLeft(0L) { case (off, (_, _, n)) => off + n }.zip(ordered)
+        .map { case (off, (id, lang, n)) =>
+          id -> ((lang, n, off, off / 512, (off + n - 1) / 512))
+        }.toSeq
+    }.toMap
+    val got = Pipeline.packSequences.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) => assert(got(id) == w, s"doc $id: ${got(id)} != $w") }
+    // the packing must actually span multiple training windows
+    assert(got.values.map(_._5).max > 0, "fixture should fill >1 bin per lang")
+  }
 }
