@@ -60,7 +60,12 @@ object Multimodal {
     * the channels are equal by construction, so the gray mean IS the
     * per-sample mean). */
   private[multimodal] def decodeImage(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    // ImageIO.read returns null (no exception) for undecodable bytes —
+    // extractFeatures accepts ANY (doc_id, blob) frame, so fail with
+    // the doc id instead of an opaque executor-side NPE
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null,
+      s"undecodable image payload for doc $docId (${bytes.length} bytes)")
     val (w, h) = (img.getWidth, img.getHeight)
     var sum = 0L
     var y = 0

@@ -195,6 +195,10 @@ object Dedup {
     * is the accuracy dial: size ~O(distinct hubs), not O(universe). */
   private[graft] final class CountMin(
       val depth: Int, val width: Int) extends Serializable {
+    // idx masks with (width-1): anything else silently collapses the
+    // hash space onto a subset of counters and inflates every estimate
+    require(width > 0 && (width & (width - 1)) == 0,
+      s"CountMin width must be a power of two, got $width")
     private val rows = Array.ofDim[Long](depth, width)
     private def idx(i: Int, h0: Long): Int = {
       var x = h0 + 0x9e3779b97f4a7c15L * (i + 1)
@@ -221,6 +225,40 @@ object Dedup {
       }
       this
     }
+  }
+
+  /** The CMS-ranked prefix stage [[ngramJaccard]] runs — factored out
+    * (like [[VectorSearch.lshCandidates]]) so [[graft.tools.JaccardProbe]]
+    * measures the operator's own code path, not a copy that can drift.
+    * Input: (doc_id, sh: array<long>) distinct-shingle frame. Output:
+    * (doc_id, h, n) — each doc's |s|−⌈t·|s|⌉+1 rarest shingles under
+    * the broadcast count-min ranking, localCheckpoint'd because every
+    * caller self-joins it. */
+  private[graft] def cmsPrefixRanked(
+      s: SparkSession, sh: DataFrame, t: Double,
+      depth: Int = 4, width: Int = 65536): DataFrame = {
+    import s.implicits._
+    val sketch = sh.select($"sh").as[Seq[Long]].rdd
+      .mapPartitions { it =>
+        val c = new CountMin(depth, width)
+        it.foreach(_.foreach(c.add))
+        Iterator.single(c)
+      }
+      .fold(new CountMin(depth, width))(_.mergeInPlace(_))
+    val bc = s.sparkContext.broadcast(sketch)
+    sh.select($"doc_id", $"sh").as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.flatMap { case (doc, set) =>
+          val n = set.size
+          val keep = n - math.ceil(t * n).toInt + 1
+          if (keep <= 0) Iterator.empty
+          else set.map(h => (c.estimate(h), h)).sorted.iterator
+            .take(keep).map { case (_, h) => (doc, h, n) }
+        }
+      }
+      .toDF("doc_id", "h", "n")
+      .localCheckpoint()   // lineage barrier: callers self-join this frame
   }
 
   /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5) with PREFIX
@@ -250,27 +288,7 @@ object Dedup {
       import s.implicits._
       val t = 0.5
       val sh = shingleSets(s, dir)
-      val sketch = sh.select($"sh").as[Seq[Long]].rdd
-        .mapPartitions { it =>
-          val c = new CountMin(4, 65536)
-          it.foreach(_.foreach(c.add))
-          Iterator.single(c)
-        }
-        .fold(new CountMin(4, 65536))(_.mergeInPlace(_))
-      val bc = s.sparkContext.broadcast(sketch)
-      val ranked = sh.select($"doc_id", $"sh").as[(Long, Seq[Long])]
-        .mapPartitions { it =>
-          val c = bc.value
-          it.flatMap { case (doc, set) =>
-            val n = set.size
-            val keep = n - math.ceil(t * n).toInt + 1
-            if (keep <= 0) Iterator.empty
-            else set.map(h => (c.estimate(h), h)).sorted.iterator
-              .take(keep).map { case (_, h) => (doc, h, n) }
-          }
-        }
-        .toDF("doc_id", "h", "n")
-        .localCheckpoint()   // lineage barrier: self-joined below
+      val ranked = cmsPrefixRanked(s, sh, t)
       // candidate equi-join on the 8-byte fingerprint, with the
       // LOSSLESS size-ratio filter (j ≥ t ⇒ max(n1,n2) ≤ n/t·min):
       // at t=0.5 a pair whose set sizes differ over 2× cannot qualify,

@@ -379,8 +379,10 @@ object Pipeline {
           size(TextFns.tokens($"text")).cast("long").as("n_tokens"))
         .withColumn("tok_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
         .withColumn("bin_first", floor($"tok_offset" / seqLen).cast("long"))
-        .withColumn("bin_last",
-          floor(($"tok_offset" + $"n_tokens" - 1) / seqLen).cast("long"))
+        // a zero-token doc occupies no window: pin bin_last to bin_first
+        // (the n-1 form would yield bin_first-1 at a window boundary)
+        .withColumn("bin_last", greatest($"bin_first",
+          floor(($"tok_offset" + $"n_tokens" - 1) / seqLen).cast("long")))
         .orderBy($"doc_id")
     },
     Some("""
@@ -399,7 +401,8 @@ object Pipeline {
       )
       SELECT doc_id, lang, n_tokens, tok_offset,
              CAST(FLOOR(tok_offset / 512.0) AS BIGINT) AS bin_first,
-             CAST(FLOOR((tok_offset + n_tokens - 1) / 512.0) AS BIGINT) AS bin_last
+             GREATEST(CAST(FLOOR(tok_offset / 512.0) AS BIGINT),
+                      CAST(FLOOR((tok_offset + n_tokens - 1) / 512.0) AS BIGINT)) AS bin_last
       FROM o
       ORDER BY doc_id
     """)

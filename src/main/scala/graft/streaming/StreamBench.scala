@@ -67,6 +67,99 @@ object StreamBench {
     ev.count()
   }
 
+  /** Sets session confs for the duration of `body` and ALWAYS restores
+    * the prior values — including when stream construction or start()
+    * throws (Bench catches streaming failures and keeps using the
+    * session, so a leaked shuffle.partitions=4 or a disabled
+    * stateful-operator check would silently poison every later query). */
+  private def withSessionConf[T](
+      spark: SparkSession, confs: Map[String, String])(body: => T): T = {
+    val priors = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally priors.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The shared metering core: wires the production chain
+    * (O3 filter → quorum dedup → LWW apply) onto `src`, drains it once
+    * under the given trigger, and assembles the [[Result]] — one body
+    * for both the file-stream and DSv2-connector modes so the
+    * conf-scoping and metering can never diverge between them.
+    *
+    * State partitioning: each stateful operator commits one state
+    * store per shuffle partition per micro-batch, a fixed ~100ms-class
+    * fsync cost that dwarfs task work at local scale — measured on
+    * this box (sf0.1, 300k rows, 12 batches): 32 partitions → 5.2k
+    * rows/s, 8 → 18.7k, 4 → 37.9k (SCALING.md). So the streaming
+    * query gets its own partition count, sized to STATE VOLUME (on a
+    * 1000-executor cluster: hundreds+, so each store holds a bounded
+    * shard of keys), not to the session's CPU-count default.
+    *
+    * Spark refuses chained stateful operators by default because an
+    * upstream stateful op CAN emit rows older than watermark+lateness.
+    * Here the lateness covers the whole corpus span (the watermark
+    * never passes any event time), so no downstream row is ever late
+    * and the chain is sound; the check is disabled for this query only.
+    *
+    * The progress-retention conf is raised for the run because
+    * inputRows/batches are summed from `q.recentProgress`, whose buffer
+    * is CAPPED at `numRecentProgressUpdates` (default 100) entries — a
+    * probe run at mfpt=1 (96 data batches + stateful no-data batches)
+    * would silently evict early entries and undercount. */
+  private def meter(
+      spark: SparkSession,
+      src: org.apache.spark.sql.DataFrame,
+      checkpointDir: String,
+      depth: Int,
+      lateness: String,
+      statePartitions: Int,
+      availableNow: Boolean): Result = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    withSessionConf(spark, Map(
+      "spark.sql.shuffle.partitions" -> statePartitions.toString,
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false",
+      "spark.sql.streaming.numRecentProgressUpdates" -> "10000")) {
+      val deduped = QuorumDedup(
+        OplogPipeline.staticFilter(src)
+          .withWatermark("ts", lateness)
+          .as[OplogEntry],
+        depth)
+      val applied = OplogApply.currentState(deduped, lateness)
+
+      val appliedRows = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val q = applied.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime("0 seconds"))
+        .foreachBatch { (b: Dataset[OplogApply.DocState], _: Long) =>
+          appliedRows.addAndGet(b.count()); ()
+        }
+        .start()
+      try { if (availableNow) q.awaitTermination() else q.processAllAvailable() }
+      finally { if (!availableNow) q.stop() }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val inputRows = progs.map(_.numInputRows).sum
+      val durs = progs.flatMap(p => Option(p.durationMs.get("triggerExecution")))
+        .map(_.longValue).sorted
+      Result(
+        inputRows = inputRows,
+        appliedRows = appliedRows.get(),
+        batches = progs.length,
+        elapsedSec = elapsed,
+        rowsPerSec = if (elapsed > 0) inputRows / elapsed else 0.0,
+        batchMsP50 = if (durs.nonEmpty) durs(durs.length / 2) else 0L,
+        batchMsMax = if (durs.nonEmpty) durs.last else 0L)
+    }
+  }
+
   /** Run the chain once over the fixture dir and meter it. The trigger
     * is AvailableNow so admission control (`maxFilesPerTrigger`) still
     * paces micro-batches but the query drains and terminates itself. */
@@ -78,77 +171,12 @@ object StreamBench {
       depth: Int = 3,
       lateness: String = "3650 days",
       statePartitions: Int = 4): Result = {
-    import spark.implicits._
-    implicit val s: SparkSession = spark
-
-    // State partitioning: each stateful operator commits one state
-    // store per shuffle partition per micro-batch, a fixed ~100ms-class
-    // fsync cost that dwarfs task work at local scale — measured on
-    // this box (sf0.1, 300k rows, 12 batches): 32 partitions → 5.2k
-    // rows/s, 8 → 18.7k, 4 → 37.9k (SCALING.md). So the streaming
-    // query gets its own partition count, sized to STATE VOLUME (on a
-    // 1000-executor cluster: hundreds+, so each store holds a bounded
-    // shard of keys), not to the session's CPU-count default.
-    val partsKey = "spark.sql.shuffle.partitions"
-    val priorParts = spark.conf.getOption(partsKey)
-
-    // Spark refuses chained stateful operators by default because an
-    // upstream stateful op CAN emit rows older than watermark+lateness.
-    // Here the lateness covers the whole corpus span (the watermark
-    // never passes any event time), so no downstream row is ever late
-    // and the chain is sound; disable the check for this query only
-    // and restore the prior setting after.
-    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val prior = spark.conf.getOption(checkKey)
-    spark.conf.set(checkKey, "false")
-    spark.conf.set(partsKey, statePartitions.toString)
-
     val src = spark.readStream
       .schema(OplogEntry.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(srcDir)
-    val deduped = QuorumDedup(
-      OplogPipeline.staticFilter(src)
-        .withWatermark("ts", lateness)
-        .as[OplogEntry],
-      depth)
-    val applied = OplogApply.currentState(deduped, lateness)
-
-    val appliedRows = new java.util.concurrent.atomic.AtomicLong(0L)
-    val t0 = System.nanoTime()
-    val q = applied.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: Dataset[OplogApply.DocState], _: Long) =>
-        appliedRows.addAndGet(b.count()); ()
-      }
-      .start()
-    try q.awaitTermination()
-    finally {
-      prior match {
-        case Some(v) => spark.conf.set(checkKey, v)
-        case None => spark.conf.unset(checkKey)
-      }
-      priorParts match {
-        case Some(v) => spark.conf.set(partsKey, v)
-        case None => spark.conf.unset(partsKey)
-      }
-    }
-    val elapsed = (System.nanoTime() - t0) / 1e9
-
-    val progs = q.recentProgress.filter(_.numInputRows > 0)
-    val inputRows = progs.map(_.numInputRows).sum
-    val durs = progs.flatMap(p => Option(p.durationMs.get("triggerExecution")))
-      .map(_.longValue).sorted
-    Result(
-      inputRows = inputRows,
-      appliedRows = appliedRows.get(),
-      batches = progs.length,
-      elapsedSec = elapsed,
-      rowsPerSec = if (elapsed > 0) inputRows / elapsed else 0.0,
-      batchMsP50 = if (durs.nonEmpty) durs(durs.length / 2) else 0L,
-      batchMsMax = if (durs.nonEmpty) durs.last else 0L)
+    meter(spark, src, checkpointDir, depth, lateness, statePartitions,
+      availableNow = true)
   }
 
   /** Connector-mode fixture: the SAME op stream written the way a
@@ -186,7 +214,9 @@ object StreamBench {
   }
 
   /** [[run]]'s chain over the native DSv2 connector source instead of
-    * the file stream (same filter → quorum → apply, same metering). */
+    * the file stream (same filter → quorum → apply, same metering; the
+    * connector doesn't implement AvailableNow semantics, so the drain
+    * is ProcessingTime(0) + processAllAvailable + stop). */
   def runConnector(
       spark: SparkSession,
       root: String,
@@ -196,16 +226,6 @@ object StreamBench {
       depth: Int = 3,
       lateness: String = "3650 days",
       statePartitions: Int = 4): Result = {
-    import spark.implicits._
-    implicit val s: SparkSession = spark
-
-    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val prior = spark.conf.getOption(checkKey)
-    spark.conf.set(checkKey, "false")
-    val partsKey = "spark.sql.shuffle.partitions"
-    val priorParts = spark.conf.getOption(partsKey)
-    spark.conf.set(partsKey, statePartitions.toString)
-
     val topology = (1 to replicas).map(i => s"r$i:${27017 + i}")
       .mkString("s0/", ",", "")
     val src = spark.readStream
@@ -213,49 +233,8 @@ object StreamBench {
       .option("topology", topology)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(root)
-    val deduped = QuorumDedup(
-      OplogPipeline.staticFilter(src)
-        .withWatermark("ts", lateness)
-        .as[OplogEntry],
-      depth)
-    val applied = OplogApply.currentState(deduped, lateness)
-
-    val appliedRows = new java.util.concurrent.atomic.AtomicLong(0L)
-    val t0 = System.nanoTime()
-    val q = applied.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime("0 seconds"))
-      .foreachBatch { (b: Dataset[OplogApply.DocState], _: Long) =>
-        appliedRows.addAndGet(b.count()); ()
-      }
-      .start()
-    try q.processAllAvailable()
-    finally {
-      q.stop()
-      prior match {
-        case Some(v) => spark.conf.set(checkKey, v)
-        case None => spark.conf.unset(checkKey)
-      }
-      priorParts match {
-        case Some(v) => spark.conf.set(partsKey, v)
-        case None => spark.conf.unset(partsKey)
-      }
-    }
-    val elapsed = (System.nanoTime() - t0) / 1e9
-
-    val progs = q.recentProgress.filter(_.numInputRows > 0)
-    val inputRows = progs.map(_.numInputRows).sum
-    val durs = progs.flatMap(p => Option(p.durationMs.get("triggerExecution")))
-      .map(_.longValue).sorted
-    Result(
-      inputRows = inputRows,
-      appliedRows = appliedRows.get(),
-      batches = progs.length,
-      elapsedSec = elapsed,
-      rowsPerSec = if (elapsed > 0) inputRows / elapsed else 0.0,
-      batchMsP50 = if (durs.nonEmpty) durs(durs.length / 2) else 0L,
-      batchMsMax = if (durs.nonEmpty) durs.last else 0L)
+    meter(spark, src, checkpointDir, depth, lateness, statePartitions,
+      availableNow = false)
   }
 
   /** Connector fixture + metered run in a scratch dir. */

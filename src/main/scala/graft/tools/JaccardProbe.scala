@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   * operator should default to at a given corpus shape.
   *
   * Usage: runMain graft.tools.JaccardProbe <sfDir> [cmsWidth]
+  * (cmsWidth must be a power of two — CountMin masks with width-1
+  * and rejects anything else)
   */
 object JaccardProbe {
   def main(args: Array[String]): Unit = {
@@ -47,31 +49,12 @@ object JaccardProbe {
       .select($"doc_id", $"h", $"n").localCheckpoint()
     val nExact = candCount(exactRanked)
 
-    // CMS ranking
-    val tS = System.nanoTime()
-    val sketch = sh.select($"sh").as[Seq[Long]].rdd
-      .mapPartitions { it =>
-        val c = new graft.operators.Dedup.CountMin(4, width)
-        it.foreach(_.foreach(c.add))
-        Iterator.single(c)
-      }
-      .fold(new graft.operators.Dedup.CountMin(4, width))(_.mergeInPlace(_))
-    println(f"[jaccardprobe] sketch_build_s=${(System.nanoTime() - tS) / 1e9}%.2f")
-    val bc = spark.sparkContext.broadcast(sketch)
+    // CMS ranking — THE operator's own stage (Dedup.cmsPrefixRanked),
+    // not a copy, so these numbers always describe the shipped code path
     val tR = System.nanoTime()
-    val cmsRanked = sh.select($"doc_id", $"sh").as[(Long, Seq[Long])]
-      .mapPartitions { it =>
-        val c = bc.value
-        it.flatMap { case (doc, set) =>
-          val n = set.size
-          val keep = n - math.ceil(t * n).toInt + 1
-          if (keep <= 0) Iterator.empty
-          else set.map(h => (c.estimate(h), h)).sorted.iterator
-            .take(keep).map { case (_, h) => (doc, h, n) }
-        }
-      }
-      .toDF("doc_id", "h", "n").localCheckpoint()
-    println(f"[jaccardprobe] cms_rank_s=${(System.nanoTime() - tR) / 1e9}%.2f")
+    val cmsRanked = graft.operators.Dedup.cmsPrefixRanked(spark, sh, t, width = width)
+    cmsRanked.count()   // materialize so the timing covers build+rank
+    println(f"[jaccardprobe] cms_build_rank_s=${(System.nanoTime() - tR) / 1e9}%.2f")
     val tC = System.nanoTime()
     val nCms = candCount(cmsRanked)
     println(f"[jaccardprobe] cms_cand_s=${(System.nanoTime() - tC) / 1e9}%.2f")

@@ -124,7 +124,8 @@ class PipelineSpec extends SparkSuite {
       val ordered = g.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
       ordered.scanLeft(0L) { case (off, (_, _, n)) => off + n }.zip(ordered)
         .map { case (off, (id, lang, n)) =>
-          id -> ((lang, n, off, off / 512, (off + n - 1) / 512))
+          // zero-token doc occupies no window: bin_last pinned to bin_first
+          id -> ((lang, n, off, off / 512, math.max(off / 512, (off + n - 1) / 512)))
         }.toSeq
     }.toMap
     val got = Pipeline.packSequences.run(spark, sf0001).collect()
