@@ -408,7 +408,118 @@ object Pipeline {
     """)
   )
 
+  /** Mixture-weight downsampling (the pretraining "data mixing" step):
+    * each source keeps a configured fraction of its documents —
+    * full src0-src4, half src5-src9, a quarter of the rest — selected
+    * by a content-addressed hex threshold: keep iff the first 4 md5
+    * hex chars of doc_id ≤ the source's threshold ('ffff' = all,
+    * '7fff' = exactly 32768/65536, '3fff' = exactly 1/4). No RNG, no
+    * Bernoulli drift: the kept set is a pure function of content, so
+    * reruns, engines, and cluster sizes agree row-for-row, and the
+    * realized fraction is exact in expectation over the uniform md5.
+    *
+    * Scale shape: the rate table is configuration (dozens of rows) —
+    * broadcast; the corpus side is one scan with a per-row projection
+    * and filter, shuffle-free like [[splitAssign]]. At 100 TB this is
+    * a free column plus a predicate. */
+  val mixSample: Q = Q(
+    "mix_sample",
+    (s, dir) => {
+      import s.implicits._
+      val rates = ((0 to 4).map(i => (s"src$i", "ffff")) ++
+        (5 to 9).map(i => (s"src$i", "7fff")) ++
+        (10 to 19).map(i => (s"src$i", "3fff")))
+        .toDF("source", "thr")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source",
+          substring(md5($"doc_id".cast("string")), 1, 4).as("bucket"))
+        .join(broadcast(rates), Seq("source"))
+        .filter($"bucket" <= $"thr")
+        .select($"doc_id", $"source", $"bucket")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH rates(source, thr) AS (
+        VALUES ('src0','ffff'),('src1','ffff'),('src2','ffff'),('src3','ffff'),
+               ('src4','ffff'),('src5','7fff'),('src6','7fff'),('src7','7fff'),
+               ('src8','7fff'),('src9','7fff'),('src10','3fff'),('src11','3fff'),
+               ('src12','3fff'),('src13','3fff'),('src14','3fff'),('src15','3fff'),
+               ('src16','3fff'),('src17','3fff'),('src18','3fff'),('src19','3fff')
+      )
+      SELECT doc_id, source, bucket
+      FROM (SELECT doc_id, source,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+            FROM documents) d
+      JOIN rates USING (source)
+      WHERE bucket <= thr
+      ORDER BY doc_id
+    """)
+  )
+
+  /** The composed curation pass — the flagship "what a user actually
+    * runs": quality gate (≥ 20 tokens) → exact content dedup (min
+    * doc_id survives per canonical fingerprint) → per-source cap
+    * (≤ 10, content-addressed rank) → train/val/test split, emitting
+    * the final curated manifest in one plan. Every stage is an
+    * already-oracled operator's logic ([[TextFns.fingerprint]],
+    * [[sourceCap]], [[splitAssign]]); composing them end-to-end proves
+    * the stages stay exact UNDER each other, not just in isolation.
+    *
+    * Scale shape: one scan; dedup and cap are each one keyed window
+    * (fingerprint, then source) — the same two shuffles the standalone
+    * operators pay — and the quality gate runs FIRST so both windows
+    * see only surviving rows. Nothing here is per-pair or iterative;
+    * at 100 TB this is two partial-aggregated exchanges over a
+    * filtered corpus. */
+  val curationE2e: Q = Q(
+    "curation_e2e",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"lang",
+          size(TextFns.tokens($"text")).cast("long").as("n_tokens"),
+          TextFns.fingerprint($"text").as("fp"))
+        .filter($"n_tokens" >= 20)
+      val wDedup = Window.partitionBy($"fp").orderBy($"doc_id")
+      val wCap = Window.partitionBy($"source")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      base
+        .withColumn("dup_rk", row_number().over(wDedup))
+        .filter($"dup_rk" === 1)
+        .withColumn("cap_rk", row_number().over(wCap))
+        .filter($"cap_rk" <= 10)
+        .withColumn("split",
+          when(substring(md5($"doc_id".cast("string")), 1, 2) < "cd", "train")
+            .when(substring(md5($"doc_id".cast("string")), 1, 2) < "e6", "val")
+            .otherwise("test"))
+        .select($"doc_id", $"source", $"lang", $"n_tokens", $"split")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               md5(array_to_string(list_sort(list_distinct(
+                 list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+        FROM documents
+      ),
+      q AS (SELECT * FROM base WHERE n_tokens >= 20),
+      d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rk
+            FROM q),
+      c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rk
+            FROM d WHERE dup_rk = 1)
+      SELECT doc_id, source, lang, n_tokens,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM c WHERE cap_rk <= 10
+      ORDER BY doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, sampleStratified,
-      sourceCap, eventOutliers, funnel, packSequences)
+      sourceCap, eventOutliers, funnel, packSequences, mixSample, curationE2e)
 }

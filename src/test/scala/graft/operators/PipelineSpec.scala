@@ -137,4 +137,55 @@ class PipelineSpec extends SparkSuite {
     // the packing must actually span multiple training windows
     assert(got.values.map(_._5).max > 0, "fixture should fill >1 bin per lang")
   }
+
+  private def md5hex2(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("mix sample keeps exactly the content-addressed subset per source band") {
+    def thr(src: String): String = src.stripPrefix("src").toInt match {
+      case i if i <= 4 => "ffff"
+      case i if i <= 9 => "7fff"
+      case _ => "3fff"
+    }
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.filter { case (id, src) =>
+      md5hex2(id.toString).take(4) <= thr(src)
+    }.map(_._1).toSet
+    val got = Pipeline.mixSample.run(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // the full-rate band must be complete; the quarter band genuinely thinned
+    val bySrc = docs.groupBy(_._2)
+    val full = bySrc.filter(_._1.stripPrefix("src").toInt <= 4).values.flatten.map(_._1).toSet
+    assert((full -- got).isEmpty, "rate-1.0 sources must keep every doc")
+    assert(got.size < docs.length, "lower bands must actually drop docs")
+  }
+
+  test("curation e2e equals quality->dedup->cap->split recomputed stepwise") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val sigs = docs.map { case (id, src, lang, text) =>
+      val toks = text.split(' ').filter(_.nonEmpty)
+      val fp = toks.distinct.sorted.mkString(" ")
+      (id, src, lang, toks.length.toLong, fp)
+    }.filter(_._4 >= 20)
+    val deduped = sigs.groupBy(_._5).values.map(_.minBy(_._1)).toSeq
+    val capped = deduped.groupBy(_._2).values.flatMap { g =>
+      g.sortBy(d => (md5hex2(d._1.toString), d._1)).take(10)
+    }
+    val want = capped.map { case (id, src, lang, n, _) =>
+      val b = md5hex2(id.toString).take(2)
+      id -> ((src, lang, n, if (b < "cd") "train" else if (b < "e6") "val" else "test"))
+    }.toMap
+    val got = Pipeline.curationE2e.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got == want, s"missing=${(want.keySet -- got.keySet).take(5)} " +
+      s"extra=${(got.keySet -- want.keySet).take(5)}")
+    assert(got.nonEmpty)
+  }
 }
