@@ -479,19 +479,19 @@ object Pipeline {
       val base = Tables.load(s, dir, "documents")
         .select($"doc_id", $"source", $"lang",
           size(TextFns.tokens($"text")).cast("long").as("n_tokens"),
-          TextFns.fingerprint($"text").as("fp"))
+          TextFns.fingerprint($"text").as("fp"),
+          md5($"doc_id".cast("string")).as("mh"))   // one md5, reused 3×
         .filter($"n_tokens" >= 20)
       val wDedup = Window.partitionBy($"fp").orderBy($"doc_id")
-      val wCap = Window.partitionBy($"source")
-        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      val wCap = Window.partitionBy($"source").orderBy($"mh", $"doc_id")
       base
         .withColumn("dup_rk", row_number().over(wDedup))
         .filter($"dup_rk" === 1)
         .withColumn("cap_rk", row_number().over(wCap))
         .filter($"cap_rk" <= 10)
         .withColumn("split",
-          when(substring(md5($"doc_id".cast("string")), 1, 2) < "cd", "train")
-            .when(substring(md5($"doc_id".cast("string")), 1, 2) < "e6", "val")
+          when(substring($"mh", 1, 2) < "cd", "train")
+            .when(substring($"mh", 1, 2) < "e6", "val")
             .otherwise("test"))
         .select($"doc_id", $"source", $"lang", $"n_tokens", $"split")
         .orderBy($"doc_id")
