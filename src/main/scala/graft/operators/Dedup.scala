@@ -764,23 +764,44 @@ object Dedup {
     * plan degrades gracefully to a shuffle equi-join on a 64-bit
     * shingle fingerprint ([[fnv1a64]]); the join here stays on the
     * raw shingle string only so the DuckDB oracle is byte-identical. */
+  /** (doc_id, bucket, g): each document's DISTINCT 8-token shingles,
+    * exploded, with its content-addressed split bucket. Stateless, so
+    * it applies unchanged to a document STREAM (see
+    * ContaminationStreamSpec — the probe is a stream-static join). */
+  private[graft] def contaminationShingles(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val n = 8
+    df.select(c("doc_id"),
+        substring(md5(c("doc_id").cast("string")), 1, 2).as("bucket"),
+        TextFns.tokens(c("text")).as("toks"))
+      .filter(size(c("toks")) >= n)
+      .select(c("doc_id"), c("bucket"),
+        explode(array_distinct(TextFns.shingles(c("toks"), n))).as("g"))
+  }
+
+  /** Probe `trainShingles` against the broadcast benchmark gram set and
+    * count hits per doc. `count`, not `countDistinct`: shingles are
+    * array_distinct'd per doc BEFORE the explode, so the counts are
+    * equal — and plain count drops the two-phase distinct aggregate
+    * from the plan and keeps the probe legal in streaming aggregation
+    * (countDistinct is not). Unsorted: callers order (batch oracle) or
+    * can't (streaming). */
+  private[graft] def contaminationProbe(
+      trainShingles: DataFrame, benchGrams: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    trainShingles
+      .join(broadcast(benchGrams), "g")
+      .groupBy(c("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   val contamination: Q = Q(
     "dedup_contamination",
     (s, dir) => {
       import s.implicits._
-      val n = 8
-      val sh = docs(s, dir)
-        .select($"doc_id",
-          substring(md5($"doc_id".cast("string")), 1, 2).as("bucket"),
-          TextFns.tokens($"text").as("toks"))
-        .filter(size($"toks") >= n)
-        .select($"doc_id", $"bucket",
-          explode(array_distinct(TextFns.shingles($"toks", n))).as("g"))
+      val sh = contaminationShingles(docs(s, dir))
       val bench = sh.filter($"bucket" >= "f0").select($"g").distinct()
-      sh.filter($"bucket" < "f0")
-        .join(broadcast(bench), "g")
-        .groupBy($"doc_id")
-        .agg(countDistinct($"g").as("n_hits"))
+      contaminationProbe(sh.filter($"bucket" < "f0"), bench)
         .orderBy($"doc_id")
     },
     Some("""
