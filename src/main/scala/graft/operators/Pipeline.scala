@@ -519,7 +519,93 @@ object Pipeline {
     """)
   )
 
+  /** The PRODUCTION form of [[packSequences]]: two-level packing that
+    * bounds window skew. Documents are sliced into 16 deterministic
+    * shards per language (first md5 hex char of doc_id); each shard
+    * packs independently (window keyed on (lang, shard) — fan-out ×16
+    * over the single-level form, so no window partition exceeds
+    * ~1/16th of a language), and each shard's documents are then
+    * offset by the running total of all PRIOR shards' tokens — a
+    * per-(lang, shard) one-row frame, cumsum'd and joined back
+    * broadcast-size. Global offsets differ from the single-level form
+    * (shard-major order instead of global md5 order) but the packing
+    * contract is identical: within a lang, offsets are dense, disjoint
+    * and total exactly the token count — asserted by the spec against
+    * [[packSequences]]'s totals. At 100 TB the shard count is the skew
+    * dial (256 or 4096 slices, same code). */
+  val packSequencesSharded: Q = Q(
+    "pack_sequences_sharded",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val seqLen = 512
+      val t = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(TextFns.tokens($"text")).cast("long").as("n_tokens"),
+          md5($"doc_id".cast("string")).as("mh"))
+        .withColumn("shard", substring($"mh", 1, 1))
+      // local (within-shard) exclusive running sum — the skew-bounded window
+      val wLocal = Window.partitionBy($"lang", $"shard")
+        .orderBy($"mh", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // per-shard totals, cumsum'd over prior shards within the lang:
+      // 16 rows per lang — broadcast-size whatever the corpus is
+      val wBase = Window.partitionBy($"lang").orderBy($"shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bases = t.groupBy($"lang", $"shard")
+        .agg(sum($"n_tokens").as("shard_tokens"))
+        .withColumn("shard_base",
+          coalesce(sum($"shard_tokens").over(wBase), lit(0L)))
+        .select($"lang", $"shard", $"shard_base")
+      t.withColumn("local_offset", coalesce(sum($"n_tokens").over(wLocal), lit(0L)))
+        .join(broadcast(bases), Seq("lang", "shard"))
+        .withColumn("tok_offset", $"shard_base" + $"local_offset")
+        .withColumn("bin_first", floor($"tok_offset" / seqLen).cast("long"))
+        .withColumn("bin_last", greatest($"bin_first",
+          floor(($"tok_offset" + $"n_tokens" - 1) / seqLen).cast("long")))
+        .select($"doc_id", $"lang", $"shard", $"n_tokens", $"tok_offset",
+          $"bin_first", $"bin_last")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS mh,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        FROM documents
+      ),
+      l AS (
+        SELECT doc_id, lang, shard, n_tokens, mh,
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang, shard ORDER BY mh, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_offset
+        FROM t
+      ),
+      b AS (
+        SELECT lang, shard,
+               COALESCE(SUM(shard_tokens) OVER (
+                 PARTITION BY lang ORDER BY shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_base
+        FROM (SELECT lang, shard, SUM(n_tokens) AS shard_tokens
+              FROM t GROUP BY lang, shard)
+      ),
+      o AS (
+        SELECT l.doc_id, l.lang, l.shard, l.n_tokens,
+               b.shard_base + l.local_offset AS tok_offset
+        FROM l JOIN b USING (lang, shard)
+      )
+      SELECT doc_id, lang, shard, n_tokens, tok_offset,
+             CAST(FLOOR(tok_offset / 512.0) AS BIGINT) AS bin_first,
+             GREATEST(CAST(FLOOR(tok_offset / 512.0) AS BIGINT),
+                      CAST(FLOOR((tok_offset + n_tokens - 1) / 512.0) AS BIGINT)) AS bin_last
+      FROM o
+      ORDER BY doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, sampleStratified,
-      sourceCap, eventOutliers, funnel, packSequences, mixSample, curationE2e)
+      sourceCap, eventOutliers, funnel, packSequences, mixSample, curationE2e,
+      packSequencesSharded)
 }

@@ -188,4 +188,28 @@ class PipelineSpec extends SparkSuite {
       s"extra=${(got.keySet -- want.keySet).take(5)}")
     assert(got.nonEmpty)
   }
+
+  test("sharded packing tiles each lang densely and matches single-level totals") {
+    val rows = Pipeline.packSequencesSharded.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val single = Pipeline.packSequences.run(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2))) // (lang, n_tokens)
+    rows.groupBy(_._2).foreach { case (lang, g) =>
+      // intervals [offset, offset+n) tile [0, total) with no gap/overlap
+      val sorted = g.sortBy(_._5)
+      var expect = 0L
+      sorted.foreach { case (id, _, _, n, off) =>
+        assert(off == expect, s"$lang doc $id: offset $off, expected $expect")
+        expect += n
+      }
+      // same total tokens as the single-level packing
+      val total = single.filter(_._1 == lang).map(_._2).sum
+      assert(expect == total, s"$lang: sharded total $expect != single $total")
+      // shard-major: offset order never goes back to an earlier shard
+      val shardSeq = sorted.map(_._3).toSeq
+      assert(shardSeq == shardSeq.sorted, s"$lang: shards interleave")
+    }
+    assert(rows.nonEmpty)
+  }
 }
