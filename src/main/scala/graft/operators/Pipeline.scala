@@ -430,11 +430,14 @@ object Pipeline {
         (5 to 9).map(i => (s"src$i", "7fff")) ++
         (10 to 19).map(i => (s"src$i", "3fff")))
         .toDF("source", "thr")
+      // LEFT join + default: a source absent from the rate table gets
+      // the quarter rate (the documented "rest" band) instead of being
+      // silently dropped by an inner join
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"source",
           substring(md5($"doc_id".cast("string")), 1, 4).as("bucket"))
-        .join(broadcast(rates), Seq("source"))
-        .filter($"bucket" <= $"thr")
+        .join(broadcast(rates), Seq("source"), "left")
+        .filter($"bucket" <= coalesce($"thr", lit("3fff")))
         .select($"doc_id", $"source", $"bucket")
         .orderBy($"doc_id")
     },
@@ -450,8 +453,8 @@ object Pipeline {
       FROM (SELECT doc_id, source,
                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
             FROM documents) d
-      JOIN rates USING (source)
-      WHERE bucket <= thr
+      LEFT JOIN rates USING (source)
+      WHERE bucket <= COALESCE(thr, '3fff')
       ORDER BY doc_id
     """)
   )

@@ -35,11 +35,15 @@ object ContaminationScaleProbe {
     val maxId = docs.agg(max($"doc_id")).first().getLong(0) + 1
 
     mults.foreach { mult =>
+      // persist(), not localCheckpoint(): Dataset.unpersist only frees
+      // CacheManager entries, so checkpoint blocks would accumulate
+      // across multipliers (~51× the corpus held at once on a 1/10/40
+      // sweep) while persist+unpersist actually releases each corpus
       val fanned = (0 until mult)
         .map(k => docs.select(($"doc_id" + k * maxId).as("doc_id"), $"text"))
         .reduce(_ union _)
         .repartition(32)
-        .localCheckpoint()
+        .persist()
       val nDocs = fanned.count()
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()

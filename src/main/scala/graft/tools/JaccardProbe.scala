@@ -52,8 +52,9 @@ object JaccardProbe {
     // CMS ranking — THE operator's own stage (Dedup.cmsPrefixRanked),
     // not a copy, so these numbers always describe the shipped code path
     val tR = System.nanoTime()
+    // cmsPrefixRanked ends in an EAGER localCheckpoint, so returning
+    // IS materialization — no extra count() inside the timed region
     val cmsRanked = graft.operators.Dedup.cmsPrefixRanked(spark, sh, t, width = width)
-    cmsRanked.count()   // materialize so the timing covers build+rank
     println(f"[jaccardprobe] cms_build_rank_s=${(System.nanoTime() - tR) / 1e9}%.2f")
     val tC = System.nanoTime()
     val nCms = candCount(cmsRanked)

@@ -112,10 +112,11 @@ class PipelineSpec extends SparkSuite {
     assert(rows.exists(_.getInt(4) == 3), "fixture should have full-funnel users")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("sequence packing equals an exact per-lang recomputation of offsets and bins") {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val docs = graft.Tables.load(spark, sf0001, "documents")
       .selectExpr("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1),
@@ -138,10 +139,6 @@ class PipelineSpec extends SparkSuite {
     assert(got.values.map(_._5).max > 0, "fixture should fill >1 bin per lang")
   }
 
-  private def md5hex2(s: String): String =
-    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
   test("mix sample keeps exactly the content-addressed subset per source band") {
     def thr(src: String): String = src.stripPrefix("src").toInt match {
       case i if i <= 4 => "ffff"
@@ -152,7 +149,7 @@ class PipelineSpec extends SparkSuite {
       .selectExpr("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val want = docs.filter { case (id, src) =>
-      md5hex2(id.toString).take(4) <= thr(src)
+      md5hex(id.toString).take(4) <= thr(src)
     }.map(_._1).toSet
     val got = Pipeline.mixSample.run(spark, sf0001).collect().map(_.getLong(0)).toSet
     assert(got == want)
@@ -174,10 +171,10 @@ class PipelineSpec extends SparkSuite {
     }.filter(_._4 >= 20)
     val deduped = sigs.groupBy(_._5).values.map(_.minBy(_._1)).toSeq
     val capped = deduped.groupBy(_._2).values.flatMap { g =>
-      g.sortBy(d => (md5hex2(d._1.toString), d._1)).take(10)
+      g.sortBy(d => (md5hex(d._1.toString), d._1)).take(10)
     }
     val want = capped.map { case (id, src, lang, n, _) =>
-      val b = md5hex2(id.toString).take(2)
+      val b = md5hex(id.toString).take(2)
       id -> ((src, lang, n, if (b < "cd") "train" else if (b < "e6") "val" else "test"))
     }.toMap
     val got = Pipeline.curationE2e.run(spark, sf0001).collect()
@@ -196,8 +193,11 @@ class PipelineSpec extends SparkSuite {
     val single = Pipeline.packSequences.run(spark, sf0001).collect()
       .map(r => (r.getString(1), r.getLong(2))) // (lang, n_tokens)
     rows.groupBy(_._2).foreach { case (lang, g) =>
-      // intervals [offset, offset+n) tile [0, total) with no gap/overlap
-      val sorted = g.sortBy(_._5)
+      // intervals [offset, offset+n) tile [0, total) with no gap/overlap.
+      // Tie-break equal offsets by (shard, n_tokens): a zero-token doc at
+      // a shard boundary shares its offset with the next shard's first
+      // doc and must sort before it (earlier shard, then n=0 first)
+      val sorted = g.sortBy(d => (d._5, d._3, d._4))
       var expect = 0L
       sorted.foreach { case (id, _, _, n, off) =>
         assert(off == expect, s"$lang doc $id: offset $off, expected $expect")
