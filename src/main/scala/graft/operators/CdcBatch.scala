@@ -195,8 +195,43 @@ object CdcBatch {
     """)
   )
 
+  /** Privacy-preserving sink projection — pseudonymization in the
+    * replication path (the GDPR-shaped requirement of any CDC-to-search
+    * pipeline; the reference forwards subject identifiers verbatim).
+    * The subject id becomes a salted irreversible token (md5 over a
+    * tenant salt + user_id — stable per subject, so downstream joins
+    * and aggregations still work on the token), the payload keeps only
+    * the declared-safe field (`props.k`), and the monetary value is
+    * generalized to a 100-unit band. A pure per-row projection:
+    * stateless, shuffle-free at any scale, and composes unchanged with
+    * the O12 sink wrap and the streaming pipeline. */
+  val pseudonymize: Q = Q(
+    "cdc_pseudonymize",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .filter($"event_type" === "purchase")
+        .select(
+          $"event_id",
+          md5(concat(lit("tenant-salt:"), $"user_id".cast("string")))
+            .as("subject_key"),
+          get_json_object($"props", "$.k").cast("long").as("k"),
+          (floor($"value" / 100) * 100).cast("long").as("value_band"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+             md5('tenant-salt:' || CAST(user_id AS VARCHAR)) AS subject_key,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CAST(FLOOR(value / 100) * 100 AS BIGINT) AS value_band
+      FROM events
+      WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """)
+  )
+
   def queries: Seq[Q] = Seq(
     filterPushdown, resumeRange, sortLimit, quorumBatch, offsets,
-    unionFanIn, esProjection
+    unionFanIn, esProjection, pseudonymize
   )
 }
