@@ -365,24 +365,34 @@ object Pipeline {
     * then offsets each shard by the broadcast per-shard token totals:
     * same code shape, window skew bounded by the shard fan-out. This
     * is the single-level form over the small fixture. */
+  /** The packing layout over any (doc_id, lang, n_tokens) frame —
+    * factored from [[packSequences]] so PackPropertySpec can drive it
+    * with generated corpora (zero-token docs, single-doc langs, bin-
+    * boundary sizes) beyond what the fixture contains. */
+  private[operators] def packLayout(
+      df: DataFrame, seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col => c}
+    val w = Window.partitionBy(c("lang"))
+      .orderBy(md5(c("doc_id").cast("string")), c("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("tok_offset", coalesce(sum(c("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_first", floor(c("tok_offset") / seqLen).cast("long"))
+      // a zero-token doc occupies no window: pin bin_last to bin_first
+      // (the n-1 form would yield bin_first-1 at a window boundary)
+      .withColumn("bin_last", greatest(c("bin_first"),
+        floor((c("tok_offset") + c("n_tokens") - 1) / seqLen).cast("long")))
+  }
+
   val packSequences: Q = Q(
     "pack_sequences",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val seqLen = 512
-      val w = Window.partitionBy($"lang")
-        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.load(s, dir, "documents")
-        .select($"doc_id", $"lang",
-          size(TextFns.tokens($"text")).cast("long").as("n_tokens"))
-        .withColumn("tok_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
-        .withColumn("bin_first", floor($"tok_offset" / seqLen).cast("long"))
-        // a zero-token doc occupies no window: pin bin_last to bin_first
-        // (the n-1 form would yield bin_first-1 at a window boundary)
-        .withColumn("bin_last", greatest($"bin_first",
-          floor(($"tok_offset" + $"n_tokens" - 1) / seqLen).cast("long")))
+      packLayout(
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            size(TextFns.tokens($"text")).cast("long").as("n_tokens")),
+        512)
         .orderBy($"doc_id")
     },
     Some("""
