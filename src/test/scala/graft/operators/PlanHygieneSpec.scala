@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Locks the performance-critical physical-plan shapes (PLANS.md) into
+  * the test suite: these are the properties that make the operators
+  * 100 TB-viable — pushdown reaching the scan, top-k planned as
+  * TakeOrderedAndProject, dimension/benchmark sides broadcast, window
+  * ranks pruned map-side. A refactor that silently loses one (e.g. a
+  * filter moved above a join barrier, a broadcast hint dropped) fails
+  * HERE instead of surfacing as an unexplained bench regression.
+  *
+  * Assertions are substring checks on the statically-planned execution
+  * plan (no job runs); under AQE the initial plan already contains the
+  * static broadcast/top-k/window choices asserted.
+  */
+class PlanHygieneSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(400))
+  }
+
+  test("q3: top-10 is TakeOrderedAndProject, customer side broadcast") {
+    val p = plan("q3_top_revenue")
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")
+    assert(p.contains("BroadcastHashJoin"), "dimension broadcast was lost")
+  }
+
+  test("contamination: benchmark gram set is the broadcast build side") {
+    val p = plan("dedup_contamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark probe must not shuffle the corpus")
+    assert(p.contains("BroadcastExchange"), p.take(400))
+  }
+
+  test("mix_sample: rate table broadcast, no corpus shuffle before the filter") {
+    val p = plan("mix_sample")
+    assert(p.contains("BroadcastHashJoin"), "rate-table join must broadcast")
+  }
+
+  test("curation: both keyed windows get map-side WindowGroupLimit pruning") {
+    val p = plan("curation_e2e")
+    val n = "WindowGroupLimit".r.findAllIn(p).size
+    // two windows × (partial below exchange + final above) = 4 nodes
+    assert(n >= 4, s"expected >=4 WindowGroupLimit nodes, found $n")
+  }
+
+  test("cdc_apply_state: per-key rank pruned below the exchange") {
+    val p = plan("cdc_apply_state")
+    assert(p.contains("WindowGroupLimit"), "LWW rank must prune map-side")
+  }
+
+  test("events_outliers: stats enter as a broadcast local relation") {
+    val p = plan("events_outliers")
+    assert(p.contains("BroadcastHashJoin"), "z-test must stay a per-row broadcast filter")
+    assert(p.contains("LocalTableScan"), "fenced stats should be a literal local relation")
+  }
+}
