@@ -198,13 +198,17 @@ object CdcBatch {
   /** Privacy-preserving sink projection — pseudonymization in the
     * replication path (the GDPR-shaped requirement of any CDC-to-search
     * pipeline; the reference forwards subject identifiers verbatim).
-    * The subject id becomes a salted irreversible token (md5 over a
-    * tenant salt + user_id — stable per subject, so downstream joins
-    * and aggregations still work on the token), the payload keeps only
-    * the declared-safe field (`props.k`), and the monetary value is
-    * generalized to a 100-unit band. A pure per-row projection:
-    * stateless, shuffle-free at any scale, and composes unchanged with
-    * the O12 sink wrap and the streaming pipeline. */
+    * The subject id becomes a stable keyed token (md5 over a salt +
+    * user_id — same token per subject, so downstream joins and
+    * aggregations still work on it), the payload keeps only the
+    * declared-safe field (`props.k`), and the monetary value is
+    * generalized to a 100-unit band. NOTE: the literal salt here is a
+    * DEMO (it also ships in the oracle SQL); production pseudonymity
+    * requires a secret per-tenant key (HMAC) — md5 over a known salt
+    * and a small id space is enumerable, not irreversible. A pure
+    * per-row projection: stateless, shuffle-free at any scale, and
+    * composes unchanged with the O12 sink wrap and the streaming
+    * pipeline. */
   val pseudonymize: Q = Q(
     "cdc_pseudonymize",
     (s, dir) => {

@@ -348,6 +348,34 @@ object Pipeline {
     """)
   )
 
+  /** The bin columns from (tok_offset, n_tokens) — ONE closed form
+    * shared by every packing variant so single-level and sharded bins
+    * can never drift. */
+  private def withBinColumns(df: DataFrame, seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    df.withColumn("bin_first", floor(c("tok_offset") / seqLen).cast("long"))
+      // a zero-token doc occupies no window: pin bin_last to bin_first
+      // (the n-1 form would yield bin_first-1 at a window boundary)
+      .withColumn("bin_last", greatest(c("bin_first"),
+        floor((c("tok_offset") + c("n_tokens") - 1) / seqLen).cast("long")))
+  }
+
+  /** The packing layout over any (doc_id, lang, n_tokens) frame —
+    * factored from [[packSequences]] so PackPropertySpec can drive it
+    * with generated corpora (zero-token docs, single-doc langs, bin-
+    * boundary sizes) beyond what the fixture contains. */
+  private[operators] def packLayout(
+      df: DataFrame, seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col => c}
+    val w = Window.partitionBy(c("lang"))
+      .orderBy(md5(c("doc_id").cast("string")), c("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withBinColumns(
+      df.withColumn("tok_offset", coalesce(sum(c("n_tokens")).over(w), lit(0L))),
+      seqLen)
+  }
+
   /** GPT-style sequence packing: concatenate documents in a
     * deterministic content-addressed order and cut fixed 512-token
     * training windows, reporting each document's token offset and the
@@ -360,30 +388,8 @@ object Pipeline {
     *
     * Scale shape: one window-sum shuffle keyed on the pack partition.
     * Languages are few and can be huge, so at 100 TB the pack key must
-    * be finer — the production form packs per (lang, shard) where
-    * shard = first md5 byte of doc_id (1/256 slices, deterministic),
-    * then offsets each shard by the broadcast per-shard token totals:
-    * same code shape, window skew bounded by the shard fan-out. This
+    * be finer — [[packSequencesSharded]] is that production form. This
     * is the single-level form over the small fixture. */
-  /** The packing layout over any (doc_id, lang, n_tokens) frame —
-    * factored from [[packSequences]] so PackPropertySpec can drive it
-    * with generated corpora (zero-token docs, single-doc langs, bin-
-    * boundary sizes) beyond what the fixture contains. */
-  private[operators] def packLayout(
-      df: DataFrame, seqLen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col => c}
-    val w = Window.partitionBy(c("lang"))
-      .orderBy(md5(c("doc_id").cast("string")), c("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("tok_offset", coalesce(sum(c("n_tokens")).over(w), lit(0L)))
-      .withColumn("bin_first", floor(c("tok_offset") / seqLen).cast("long"))
-      // a zero-token doc occupies no window: pin bin_last to bin_first
-      // (the n-1 form would yield bin_first-1 at a window boundary)
-      .withColumn("bin_last", greatest(c("bin_first"),
-        floor((c("tok_offset") + c("n_tokens") - 1) / seqLen).cast("long")))
-  }
-
   val packSequences: Q = Q(
     "pack_sequences",
     (s, dir) => {
@@ -570,12 +576,11 @@ object Pipeline {
         .withColumn("shard_base",
           coalesce(sum($"shard_tokens").over(wBase), lit(0L)))
         .select($"lang", $"shard", $"shard_base")
-      t.withColumn("local_offset", coalesce(sum($"n_tokens").over(wLocal), lit(0L)))
-        .join(broadcast(bases), Seq("lang", "shard"))
-        .withColumn("tok_offset", $"shard_base" + $"local_offset")
-        .withColumn("bin_first", floor($"tok_offset" / seqLen).cast("long"))
-        .withColumn("bin_last", greatest($"bin_first",
-          floor(($"tok_offset" + $"n_tokens" - 1) / seqLen).cast("long")))
+      withBinColumns(
+        t.withColumn("local_offset", coalesce(sum($"n_tokens").over(wLocal), lit(0L)))
+          .join(broadcast(bases), Seq("lang", "shard"))
+          .withColumn("tok_offset", $"shard_base" + $"local_offset"),
+        seqLen)
         .select($"doc_id", $"lang", $"shard", $"n_tokens", $"tok_offset",
           $"bin_first", $"bin_last")
         .orderBy($"doc_id")

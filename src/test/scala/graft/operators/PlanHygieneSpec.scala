@@ -11,14 +11,27 @@ import graft.SparkSuite
   * HERE instead of surfacing as an unexplained bench regression.
   *
   * Assertions are substring checks on the statically-planned execution
-  * plan (no job runs); under AQE the initial plan already contains the
-  * static broadcast/top-k/window choices asserted.
+  * plan; under AQE the initial plan already contains the static
+  * broadcast/top-k/window choices asserted. Plan construction is
+  * usually job-free, but not always — events_outliers runs its stats
+  * collect (the overflow fence) while building the frame.
+  *
+  * Broadcast assertions are made under autoBroadcastJoinThreshold=-1:
+  * at fixture scale EVERY side fits the session's 64 MB auto threshold,
+  * so without disabling it a dropped broadcast() hint would still
+  * auto-broadcast here and the regression would only surface at
+  * production scale — the exact blindness this spec exists to prevent.
   */
 class PlanHygieneSpec extends SparkSuite {
 
-  private def plan(name: String): String =
-    graft.SparkEntry.queries(name)(spark, sf0001)
+  private def plan(name: String): String = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try graft.SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.executedPlan.toString
+    finally spark.conf.set(key, prior)
+  }
 
   test("q1: shipdate filter is pushed to the parquet scan") {
     val p = plan("q1_pricing_summary")
