@@ -48,6 +48,8 @@ object SparkEntry {
     "dedup_clusters", "dedup_contamination", "vector_topk", "vector_filtered_topk",
     "vector_ann_ivf_flat", "hll_distinct", "text_tokens",
     "text_fingerprint", "text_bm25", "text_bigrams", "events_funnel",
-    "token_percentiles", "multimodal_meta", "curation_e2e"
+    "token_percentiles", "multimodal_meta", "curation_e2e",
+    "pack_sequences", "pack_sequences_sharded", "mix_sample",
+    "cdc_pseudonymize"
   )
 }
