@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 71 of
-  * 73, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 72 of
+  * 74, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes) and the multimodal stubs; only the two
   * inherently engine-specific ops (q23's HLL++ sketch state, IVF KMeans
   * cells) are rows-only here, each strictly pinned by ScalaTest — and
@@ -50,6 +50,6 @@ object SparkEntry {
     "text_fingerprint", "text_bm25", "text_bigrams", "events_funnel",
     "token_percentiles", "multimodal_meta", "curation_e2e",
     "pack_sequences", "pack_sequences_sharded", "mix_sample",
-    "cdc_pseudonymize"
+    "cdc_pseudonymize", "doc_chunks"
   )
 }

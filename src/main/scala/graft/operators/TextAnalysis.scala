@@ -399,6 +399,57 @@ object TextAnalysis {
     """)
   )
 
+  /** Document chunking for embedding/RAG ingestion: fixed 32-token
+    * windows at stride 24 (8-token overlap so no boundary sentence is
+    * ever split across chunks without context), each with its ordinal,
+    * exact token count, and a content-address (md5 of the chunk text)
+    * ready for downstream chunk-level dedup and vectorization. Chunk
+    * boundaries are a pure function of the token sequence — no model,
+    * no RNG — so both engines and any rerun produce identical chunks.
+    *
+    * Scale shape: a per-row explode (fan-out ≈ n_tokens/24), no
+    * shuffle — chunking rides the ingest scan; at 100 TB the output
+    * feeds the embedding stage partition-local. */
+  val docChunks: Q = Q(
+    "doc_chunks",
+    (s, dir) => {
+      import s.implicits._
+      val (win, stride) = (32, 24)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", TextFns.tokens($"text").as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+          posexplode(expr(
+            s"transform(sequence(0, size(toks) - 1, $stride), " +
+              s"st -> concat_ws(' ', slice(toks, st + 1, $win)))")))
+        .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+          least(lit(win).cast("long"), $"n_tokens" - $"pos" * stride)
+            .as("n_chunk_tokens"),
+          md5($"col").as("chunk_fp"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+      ),
+      c AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               unnest(list_transform(range(0, len(toks), 24),
+                 st -> struct_pack(idx := st // 24,
+                   txt := array_to_string(toks[st + 1 : st + 32], ' ')))) AS ch
+        FROM t WHERE len(toks) > 0
+      )
+      SELECT doc_id, CAST(ch.idx AS BIGINT) AS chunk_idx,
+             LEAST(CAST(32 AS BIGINT), n_tokens - ch.idx * 24) AS n_chunk_tokens,
+             md5(ch.txt) AS chunk_fp
+      FROM c
+      ORDER BY doc_id, chunk_idx
+    """)
+  )
+
   def queries: Seq[Q] =
-    Seq(tokenCount, quality, langId, fingerprintQ, topTerms, bm25, bigrams, repetition)
+    Seq(tokenCount, quality, langId, fingerprintQ, topTerms, bm25, bigrams,
+      repetition, docChunks)
 }

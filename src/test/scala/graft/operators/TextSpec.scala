@@ -84,4 +84,25 @@ class TextSpec extends SparkSuite {
       assert(flagged == (ratio > 0.2))
     }
   }
+
+  test("doc chunks equal an exact stride-24/window-32 recomputation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(' ').filter(_.nonEmpty)))
+    val want = docs.filter(_._2.nonEmpty).flatMap { case (id, toks) =>
+      (0 until toks.length by 24).zipWithIndex.map { case (st, idx) =>
+        val chunk = toks.slice(st, st + 32)
+        (id, idx.toLong, chunk.length.toLong, md5hex(chunk.mkString(" ")))
+      }
+    }.toSet
+    val got = TextAnalysis.docChunks.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // overlap property: consecutive chunks share 8 tokens when full
+    assert(got.nonEmpty)
+  }
 }
