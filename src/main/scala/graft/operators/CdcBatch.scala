@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -195,20 +195,48 @@ object CdcBatch {
     """)
   )
 
+  /** Subject-id tokenization column. With a secret key supplied via
+    * `graft.pseudonymize.hmacKey` (Spark conf) or `GRAFT_PSEUDONYMIZE_KEY`
+    * (env), emits a true HMAC-SHA256 token — built from codegen'd
+    * builtins only (sha2/concat/unhex with the ipad/opad-XORed key as
+    * driver-side literal constants, RFC 2104), so the hot path stays
+    * inside whole-stage codegen with no UDF. Without a key it falls
+    * back to the keyless DEMO token (md5 over a public salt) that the
+    * DuckDB oracle reproduces — enumerable over a small id space,
+    * clearly NOT production pseudonymity. CdcBatchSpec pins the HMAC
+    * path bit-for-bit against javax.crypto.Mac. */
+  def subjectToken(s: SparkSession, uid: Column): Column = {
+    val key = s.conf.getOption("graft.pseudonymize.hmacKey")
+      .orElse(sys.env.get("GRAFT_PSEUDONYMIZE_KEY"))
+    key match {
+      case Some(k) =>
+        val raw = k.getBytes("UTF-8")
+        val block =
+          if (raw.length > 64)
+            java.security.MessageDigest.getInstance("SHA-256").digest(raw)
+          else raw
+        val padded = java.util.Arrays.copyOf(block, 64)
+        val ipad = padded.map(b => (b ^ 0x36).toByte)
+        val opad = padded.map(b => (b ^ 0x5c).toByte)
+        sha2(concat(lit(opad),
+          unhex(sha2(concat(lit(ipad), encode(uid.cast("string"), "UTF-8")), 256))), 256)
+      case None =>
+        md5(concat(lit("tenant-salt:"), uid.cast("string")))
+    }
+  }
+
   /** Privacy-preserving sink projection — pseudonymization in the
     * replication path (the GDPR-shaped requirement of any CDC-to-search
     * pipeline; the reference forwards subject identifiers verbatim).
-    * The subject id becomes a stable keyed token (md5 over a salt +
-    * user_id — same token per subject, so downstream joins and
-    * aggregations still work on it), the payload keeps only the
-    * declared-safe field (`props.k`), and the monetary value is
-    * generalized to a 100-unit band. NOTE: the literal salt here is a
-    * DEMO (it also ships in the oracle SQL); production pseudonymity
-    * requires a secret per-tenant key (HMAC) — md5 over a known salt
-    * and a small id space is enumerable, not irreversible. A pure
-    * per-row projection: stateless, shuffle-free at any scale, and
-    * composes unchanged with the O12 sink wrap and the streaming
-    * pipeline. */
+    * The subject id becomes a stable keyed token via [[subjectToken]]
+    * (same token per subject, so downstream joins and aggregations
+    * still work on it), the payload keeps only the declared-safe field
+    * (`props.k`), and the monetary value is generalized to a 100-unit
+    * band. The oracled form runs keyless (DEMO token, reproducible in
+    * DuckDB); supply `graft.pseudonymize.hmacKey` for the production
+    * HMAC-SHA256 path. A pure per-row projection: stateless,
+    * shuffle-free at any scale, and composes unchanged with the O12
+    * sink wrap and the streaming pipeline. */
   val pseudonymize: Q = Q(
     "cdc_pseudonymize",
     (s, dir) => {
@@ -217,8 +245,7 @@ object CdcBatch {
         .filter($"event_type" === "purchase")
         .select(
           $"event_id",
-          md5(concat(lit("tenant-salt:"), $"user_id".cast("string")))
-            .as("subject_key"),
+          subjectToken(s, $"user_id").as("subject_key"),
           get_json_object($"props", "$.k").cast("long").as("k"),
           (floor($"value" / 100) * 100).cast("long").as("value_band"))
         .orderBy($"event_id")

@@ -409,10 +409,10 @@ object Pipeline {
       ),
       o AS (
         SELECT doc_id, lang, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (
+               CAST(COALESCE(SUM(n_tokens) OVER (
                  PARTITION BY lang
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
         FROM t
       )
       SELECT doc_id, lang, n_tokens, tok_offset,
@@ -595,22 +595,22 @@ object Pipeline {
       ),
       l AS (
         SELECT doc_id, lang, shard, n_tokens, mh,
-               COALESCE(SUM(n_tokens) OVER (
+               CAST(COALESCE(SUM(n_tokens) OVER (
                  PARTITION BY lang, shard ORDER BY mh, doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS local_offset
         FROM t
       ),
       b AS (
         SELECT lang, shard,
-               COALESCE(SUM(shard_tokens) OVER (
+               CAST(COALESCE(SUM(shard_tokens) OVER (
                  PARTITION BY lang ORDER BY shard
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_base
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS shard_base
         FROM (SELECT lang, shard, SUM(n_tokens) AS shard_tokens
               FROM t GROUP BY lang, shard)
       ),
       o AS (
         SELECT l.doc_id, l.lang, l.shard, l.n_tokens,
-               b.shard_base + l.local_offset AS tok_offset
+               CAST(b.shard_base + l.local_offset AS BIGINT) AS tok_offset
         FROM l JOIN b USING (lang, shard)
       )
       SELECT doc_id, lang, shard, n_tokens, tok_offset,

@@ -141,8 +141,12 @@ object StreamBench {
           appliedRows.addAndGet(b.count()); ()
         }
         .start()
+      // stop() unconditionally: idempotent on a terminated AvailableNow
+      // query, and without it a throwing awaitTermination (e.g.
+      // StreamingQueryException) would leak the failed query past
+      // withSessionConf's conf restore
       try { if (availableNow) q.awaitTermination() else q.processAllAvailable() }
-      finally { if (!availableNow) q.stop() }
+      finally { q.stop() }
       val elapsed = (System.nanoTime() - t0) / 1e9
 
       val progs = q.recentProgress.filter(_.numInputRows > 0)

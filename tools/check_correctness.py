@@ -56,6 +56,18 @@ def main(sfdir, outdir):
             print(f"SCHEMA   {name}: spark={sorted(mine_cols)} duck={sorted(ref_cols)}")
             n_bad += 1
             continue
+        # driver's hash compare is TYPED (Arrow-level): a value-equal column
+        # with a different dtype (e.g. DuckDB window SUM(BIGINT) -> HUGEINT
+        # vs Spark int64) still fails. Mirror that here via DuckDB type names.
+        mine_types = {d[0]: str(d[1]) for d in mine_rel.description}
+        ref_types = {d[0]: str(d[1]) for d in ref_rel.description}
+        dt_diff = [(c, mine_types[c], ref_types[c]) for c in sorted(mine_cols)
+                   if mine_types[c] != ref_types[c]]
+        if dt_diff:
+            print(f"DTYPE    {name}: " + "; ".join(
+                f"{c}: spark={a} duck={b}" for c, a, b in dt_diff))
+            n_bad += 1
+            continue
         # reorder both to sorted column order
         m_idx = [mine_cols.index(c) for c in sorted(mine_cols)]
         r_idx = [ref_cols.index(c) for c in sorted(ref_cols)]
