@@ -79,7 +79,7 @@ object Bench {
     val scratch = java.nio.file.Files.createTempDirectory("graft-streambench")
       .toFile.getAbsolutePath
     def streamJson(r: graft.streaming.StreamBench.Result, ops: Long): String =
-      f"""{"rows_per_sec":${r.rowsPerSec}%.0f,"input_rows":${r.inputRows},"applied_rows":${r.appliedRows},"ops":$ops,"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"max_files_per_trigger":8,"state_partitions":4,"replicas":3}"""
+      f"""{"rows_per_sec":${r.rowsPerSec}%.0f,"input_rows":${r.inputRows},"applied_rows":${r.appliedRows},"emitted_rows":${r.emittedRows},"ops":$ops,"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"max_files_per_trigger":8,"state_partitions":4,"replicas":3}"""
     val failedStream = """{"rows_per_sec":0.0,"streaming_failed":true}"""
     val streaming =
       try { val (r, ops) = graft.streaming.StreamBench.bench(spark, sfDir, scratch); streamJson(r, ops) }

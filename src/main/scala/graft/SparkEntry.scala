@@ -50,6 +50,12 @@ object SparkEntry {
     "text_fingerprint", "text_bm25", "text_bigrams", "events_funnel",
     "token_percentiles", "multimodal_meta", "curation_e2e",
     "pack_sequences", "pack_sequences_sharded", "mix_sample",
-    "cdc_pseudonymize", "doc_chunks"
+    "cdc_pseudonymize", "doc_chunks",
+    // round 6: the O(log d) CC form benched alongside the propagation
+    // walker (judge ask), the two production skew variants, and the
+    // five new operators
+    "dedup_clusters_star", "doc_source_cap_2phase", "sample_stratified_threshold",
+    "cdc_scd2", "cdc_payload_redact", "dedup_survivors",
+    "quality_filter_reasons", "mix_temperature"
   )
 }

@@ -261,8 +261,74 @@ object CdcBatch {
     """)
   )
 
+  /** SCD2 (slowly-changing-dimension type 2) history: each per-subject
+    * change event becomes a versioned row with a [valid_from, valid_to)
+    * validity interval — valid_to is the next change's timestamp, NULL
+    * while current — the standard warehouse materialization of a CDC
+    * stream (the reference only ever forwards the latest doc; this
+    * keeps the full history queryable "as of" any time). Timestamps
+    * compare as epoch micros (the fixture's parity convention). One
+    * window shuffle keyed on the subject — the same key the stream is
+    * already partitioned by, so in the streaming pipeline this costs no
+    * extra exchange. */
+  val scd2: Q = Q(
+    "cdc_scd2",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      ev(s, dir)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts").as("ts_us"))
+        .withColumn("valid_from_us", $"ts_us")
+        .withColumn("valid_to_us", lead($"ts_us", 1).over(w))
+        .withColumn("is_current", $"valid_to_us".isNull)
+        .select($"event_id", $"user_id", $"event_type",
+          $"valid_from_us", $"valid_to_us", $"is_current")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS valid_from_us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+      FROM events
+      ORDER BY event_id
+    """)
+  )
+
+  /** Payload scrubbing in the replication path: every digit run in the
+    * CDC payload is collapsed to '#' before the document reaches the
+    * search sink, and the redaction count rides along for audit — the
+    * "no raw numeric identifiers leave the replication boundary" rule.
+    * Complements [[pseudonymize]] (which tokenizes the KEYED subject
+    * id; this scrubs the free-form payload BODY). Stateless per-row
+    * regexp projection — shuffle-free at any scale, and the pattern
+    * ([0-9]+) sits in the regex subset Java and RE2 interpret
+    * identically, so the oracle is exact. */
+  val payloadRedact: Q = Q(
+    "cdc_payload_redact",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .select($"event_id",
+          regexp_replace($"props", "[0-9]+", "#").as("props_redacted"),
+          size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long")
+            .as("n_redacted"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+             regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+             CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+      FROM events
+      ORDER BY event_id
+    """)
+  )
+
   def queries: Seq[Q] = Seq(
     filterPushdown, resumeRange, sortLimit, quorumBatch, offsets,
-    unionFanIn, esProjection, pseudonymize
+    unionFanIn, esProjection, pseudonymize, scd2, payloadRedact
   )
 }

@@ -825,7 +825,67 @@ object Dedup {
     """)
   )
 
+  /** Near-dup SURVIVOR selection — the step that actually shrinks the
+    * corpus: from every near-dup cluster keep only the canonical
+    * (minimum doc_id) member, keep every unclustered doc, and carry
+    * `n_merged` (how many docs the survivor absorbed, 1 for
+    * singletons) for mixture re-weighting. [[clusters]]/[[clustersStar]]
+    * LABEL the components; this emits the deduplicated corpus a
+    * training run consumes. Uses the O(log d) star contraction (the
+    * 100 TB path); survivors come from a LEFT ANTI join on the
+    * duplicate ids (shuffle keyed on doc_id — AQE converts it to
+    * broadcast whenever the dup set is small, but it stays correct
+    * when near-dup rates are high and the dup set is corpus-sized)
+    * plus a broadcast of the per-canonical sizes (one row per CLUSTER,
+    * always small relative to the corpus). */
+  val survivors: Q = Q(
+    "dedup_survivors",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = minhashLsh.run(s, dir).select($"d1", $"d2")
+      val (lab, _) = connectedComponentsStar(s, pairs)
+      val labT = lab.localCheckpoint() // labels are reused 2×; star's frame is iterative
+      val dupes = labT.filter($"v" =!= $"lab").select($"v".as("doc_id"))
+      val sizes = labT.groupBy($"lab").agg(count(lit(1)).as("n_merged"))
+        .withColumnRenamed("lab", "doc_id")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source")
+        .join(dupes, Seq("doc_id"), "left_anti")
+        .join(broadcast(sizes), Seq("doc_id"), "left")
+        .select($"doc_id", $"lang", $"source",
+          coalesce($"n_merged", lit(1L)).as("n_merged"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleSetSql,
+      ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
+      prs AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) inter,
+               ANY_VALUE(a.n) n1, ANY_VALUE(b.n) n2
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      p AS (SELECT d1, d2 FROM prs WHERE 3 * inter >= n1 + n2),
+      verts AS (SELECT DISTINCT d1 AS v FROM p UNION SELECT DISTINCT d2 FROM p),
+      edges AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
+      walk(v, lab) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b, walk.lab FROM walk JOIN edges e ON walk.v = e.a
+      ),
+      cc AS (SELECT v, MIN(lab) AS lab FROM walk GROUP BY v),
+      sz AS (SELECT lab, COUNT(*) AS n_merged FROM cc GROUP BY lab)
+      SELECT d.doc_id, d.lang, d.source,
+             COALESCE(sz.n_merged, 1) AS n_merged
+      FROM documents d
+      LEFT JOIN cc ON d.doc_id = cc.v
+      LEFT JOIN sz ON d.doc_id = sz.lab
+      WHERE cc.v IS NULL OR cc.v = cc.lab
+      ORDER BY d.doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
-      clustersStar, contamination)
+      clustersStar, contamination, survivors)
 }

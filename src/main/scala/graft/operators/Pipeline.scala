@@ -622,8 +622,143 @@ object Pipeline {
     """)
   )
 
+  /** Two-phase per-source cap — the production (skew-bounded) form of
+    * [[sourceCap]], same output, gated against the SAME single-window
+    * oracle SQL (so the rewrite is PROVEN value-equal, the same
+    * discipline as [[packSequencesSharded]]). Phase 1 ranks within
+    * (source, shard) where shard = first md5 hex char: 16 shards bound
+    * any hub domain's window partition to ~1/16 of its rows, and any
+    * doc with local rank > cap is provably outside the global top-cap
+    * (its ≥cap same-shard predecessors are global predecessors too), so
+    * phase 1 also PRUNES: at most 16·cap rows per source reach phase 2.
+    * Phase 2 re-ranks the ≤160 survivors per source — a window over a
+    * vanishing row count at any corpus size. Survivor rank == global
+    * rank for every kept doc: a global top-cap doc's full predecessor
+    * set survives phase 1 (each predecessor has < cap same-shard
+    * predecessors, else the doc itself would rank > cap). */
+  val sourceCapTwoPhase: Q = Q(
+    "doc_source_cap_2phase",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cap = 10
+      val t = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", md5($"doc_id".cast("string")).as("mh"))
+        .withColumn("shard", substring($"mh", 1, 1))
+      val wLocal = Window.partitionBy($"source", $"shard")
+        .orderBy($"mh", $"doc_id")
+      val wGlobal = Window.partitionBy($"source").orderBy($"mh", $"doc_id")
+      t.withColumn("lrk", row_number().over(wLocal))
+        .filter($"lrk" <= cap)                       // ≤ 16·cap rows/source survive
+        .withColumn("rk", row_number().over(wGlobal)) // tiny window over survivors
+        .filter($"rk" <= cap)
+        .select($"doc_id", $"source", $"rk")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+      )
+      SELECT doc_id, source, rk FROM r WHERE rk <= 10 ORDER BY doc_id
+    """)
+  )
+
+  /** Threshold-form stratified sample — the shuffle-FREE relaxation of
+    * [[sampleStratified]] (that operator's scaladoc names this as the
+    * 100 TB escape hatch; this ships it). Per-stratum keep fraction
+    * target/n becomes an 8-hex-digit md5-prefix bound computed in PURE
+    * INTEGER arithmetic (target·2³² div n, capped at 2³²−1, rendered
+    * lpad(hex)) — keep iff the doc's first 8 md5 hex digits compare
+    * below it. No window, no rank, no RNG: per-row projection against a
+    * broadcast 5-row threshold table, reproducible across engines and
+    * cluster sizes. The trade documented on the exact form: stratum
+    * sizes are binomially approximate (±√n), and the full-keep stratum
+    * drops only the 2⁻³² prefix 'ffffffff'. */
+  val sampleStratifiedThreshold: Q = Q(
+    "sample_stratified_threshold",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val thr = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+        .withColumn("target", min($"n").over(Window.partitionBy()))
+        .withColumn("thr_hex",
+          lpad(lower(hex(least(expr("target * 4294967296 div n"),
+            lit(4294967295L)))), 8, "0"))
+        .select($"lang", $"thr_hex")
+      d.select($"doc_id", $"lang",
+          substring(md5($"doc_id".cast("string")), 1, 8).as("pfx"))
+        .join(broadcast(thr), Seq("lang"))
+        .filter($"pfx" < $"thr_hex")
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      t AS (SELECT lang,
+              lpad(lower(hex(LEAST(CAST((SELECT MIN(n) FROM c) * 4294967296 AS BIGINT) // n,
+                                   4294967295))), 8, '0') AS thr_hex
+            FROM c)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN t ON d.lang = t.lang
+      WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr_hex
+      ORDER BY d.doc_id
+    """)
+  )
+
+  /** Temperature-smoothed language mixing (the multilingual-pretraining
+    * α-sampling rule, α = 0.5): per-document keep rate
+    * r_l = (n_min/n_l)^(1−α) = sqrt(n_min/n_l) — between full
+    * equalization (α=0, [[sampleStratifiedThreshold]]'s rate) and no
+    * resampling (α=1), boosting low-resource languages without
+    * flattening the mix. Selection is the same content-addressed
+    * md5-prefix threshold, and the float path is ORACLE-SAFE BY IEEE
+    * 754: binary64 divide, sqrt, and multiply are all
+    * correctly-rounded-required operations, so Spark (Math.sqrt) and
+    * DuckDB (libm) produce bit-identical thresholds — no approximate
+    * tolerance needed. Shuffle-free: tiny per-lang count agg broadcast
+    * back, then a per-row filter. */
+  val mixTemperature: Q = Q(
+    "mix_temperature",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val thr = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+        .withColumn("nmin", min($"n").over(Window.partitionBy()))
+        .withColumn("thr_hex",
+          lpad(lower(hex(least(
+            floor(lit(4294967296.0) * sqrt($"nmin".cast("double") / $"n".cast("double"))).cast("long"),
+            lit(4294967295L)))), 8, "0"))
+        .select($"lang", $"thr_hex")
+      d.select($"doc_id", $"lang",
+          substring(md5($"doc_id".cast("string")), 1, 8).as("pfx"))
+        .join(broadcast(thr), Seq("lang"))
+        .filter($"pfx" < $"thr_hex")
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      t AS (SELECT lang,
+              lpad(lower(hex(LEAST(
+                CAST(FLOOR(4294967296.0 *
+                  sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT),
+                4294967295))), 8, '0') AS thr_hex
+            FROM c)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN t ON d.lang = t.lang
+      WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr_hex
+      ORDER BY d.doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, sampleStratified,
       sourceCap, eventOutliers, funnel, packSequences, mixSample, curationE2e,
-      packSequencesSharded)
+      packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
+      mixTemperature)
 }

@@ -449,7 +449,58 @@ object TextAnalysis {
     """)
   )
 
+  /** Reason-coded quality filter (the C4/Gopher-style rule cascade):
+    * every document gets a keep/drop verdict AND the comma-joined list
+    * of every rule it failed — the auditability a curation pipeline
+    * needs (per-rule drop rates, rule-overlap analysis, appeals), not
+    * just a boolean. [[quality]] scores; this GATES. All four rules are
+    * evaluated in INTEGER arithmetic (counts and cross-multiplied
+    * ratios — `3·distinct < n` instead of `distinct/n < 1/3`), so the
+    * oracle compare carries zero float hazard. `concat_ws` skips NULL
+    * branches in both engines, making the reasons string a cheap
+    * order-stable set encoding. Stateless per-row projection:
+    * shuffle-free at any corpus size. */
+  val qualityFilterReasons: Q = Q(
+    "quality_filter_reasons",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextFns.tokens($"text")
+      val n = size(toks).cast("long")
+      val nDist = size(array_distinct(toks)).cast("long")
+      val reasons = concat_ws(",",
+        when(n < 20, "too_short"),
+        when(n > 2000, "too_long"),
+        when(nDist * 3 < n, "low_diversity"),
+        when(length($"text") - n + 1 > n * 8, "long_tokens"))
+      docs(s, dir)
+        .select($"doc_id", n.as("n_tokens"), reasons.as("reasons"))
+        .withColumn("keep", $"reasons" === "")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) n,
+               CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) nd
+        FROM documents
+      )
+      SELECT doc_id, n AS n_tokens,
+             concat_ws(',',
+               CASE WHEN n < 20 THEN 'too_short' END,
+               CASE WHEN n > 2000 THEN 'too_long' END,
+               CASE WHEN nd * 3 < n THEN 'low_diversity' END,
+               CASE WHEN LENGTH(text) - n + 1 > n * 8 THEN 'long_tokens' END) AS reasons,
+             concat_ws(',',
+               CASE WHEN n < 20 THEN 'too_short' END,
+               CASE WHEN n > 2000 THEN 'too_long' END,
+               CASE WHEN nd * 3 < n THEN 'low_diversity' END,
+               CASE WHEN LENGTH(text) - n + 1 > n * 8 THEN 'long_tokens' END) = '' AS keep
+      FROM t
+      ORDER BY doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(tokenCount, quality, langId, fingerprintQ, topTerms, bm25, bigrams,
-      repetition, docChunks)
+      repetition, docChunks, qualityFilterReasons)
 }

@@ -152,4 +152,27 @@ class DedupSpec extends SparkSuite {
     assert(got == want, s"got=$got want=$want")
     assert(got.nonEmpty, "fixture should contain contaminated train docs")
   }
+
+  test("survivors: one canonical per cluster, singletons kept, n_merged conserves the corpus") {
+    val s2 = spark
+    import s2.implicits._
+    val labels = Dedup.clustersStar.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (canonical, member, size)
+    val surv = Dedup.survivors.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3))) // (doc_id, n_merged)
+    val total = graft.Tables.load(spark, sf0001, "documents").count()
+    // every clustered member except its canonical is gone; canonicals stay
+    val survIds = surv.map(_._1).toSet
+    labels.foreach { case (canon, member, size) =>
+      if (member == canon) {
+        assert(survIds.contains(member), s"canonical $canon dropped")
+        assert(surv.find(_._1 == member).get._2 == size, s"canonical $canon: n_merged != cluster size")
+      } else assert(!survIds.contains(member), s"non-canonical $member kept")
+    }
+    // singletons (never clustered) all kept with n_merged = 1
+    val clustered = labels.map(_._2).toSet
+    assert(surv.filter(x => !clustered.contains(x._1)).forall(_._2 == 1L))
+    // absorption conserves the corpus
+    assert(surv.map(_._2).sum == total, "sum(n_merged) must equal the doc count")
+  }
 }

@@ -212,4 +212,59 @@ class PipelineSpec extends SparkSuite {
     }
     assert(rows.nonEmpty)
   }
+
+  test("two-phase source cap emits exactly the single-phase result") {
+    val one = Pipeline.sourceCap.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val two = Pipeline.sourceCapTwoPhase.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(one == two, "two-phase rewrite must be value-equal, ranks included")
+    assert(one.nonEmpty)
+  }
+
+  test("threshold stratified sample: per-stratum size within binomial noise of target") {
+    val s = spark
+    import s.implicits._
+    val counts = graft.Tables.load(spark, sf0001, "documents")
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = counts.values.min
+    val kept = Pipeline.sampleStratifiedThreshold.run(spark, sf0001).collect()
+      .map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    counts.keys.foreach { lang =>
+      val n = counts(lang)
+      val got = kept.getOrElse(lang, 0L)
+      // keep ~ Binomial(n, target/n): mean `target`, sd < sqrt(target);
+      // 6 sigma keeps this deterministic-content-addressed check stable
+      val tol = math.max(6 * math.sqrt(target.toDouble), 8.0)
+      assert(math.abs(got - target) <= tol,
+        s"$lang: kept $got vs target $target (n=$n, tol=$tol)")
+    }
+    // the minimum stratum keeps everything except the 2^-32 top prefix
+    val minLang = counts.minBy(_._2)._1
+    assert(kept(minLang) == counts(minLang))
+  }
+
+  test("temperature mixing keeps each lang at ~sqrt(nmin/n), all of the smallest") {
+    val s = spark
+    import s.implicits._
+    val counts = graft.Tables.load(spark, sf0001, "documents")
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nmin = counts.values.min
+    val kept = Pipeline.mixTemperature.run(spark, sf0001).collect()
+      .map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    counts.foreach { case (lang, n) =>
+      val expect = n * math.sqrt(nmin.toDouble / n)   // = sqrt(nmin*n)
+      val tol = math.max(6 * math.sqrt(expect), 8.0)  // binomial 6-sigma
+      val got = kept.getOrElse(lang, 0L)
+      assert(math.abs(got - expect) <= tol, s"$lang: kept $got vs ~$expect (tol $tol)")
+    }
+    val minLang = counts.minBy(_._2)._1
+    assert(kept(minLang) == counts(minLang), "alpha-sampling never downsamples the smallest lang")
+    // smoothing sits strictly between equalize-all and keep-all for larger strata
+    counts.filter(_._2 > nmin * 2).keys.foreach { lang =>
+      assert(kept(lang) > nmin && kept(lang) < counts(lang), s"$lang not smoothed")
+    }
+  }
 }

@@ -105,4 +105,31 @@ class TextSpec extends SparkSuite {
     // overlap property: consecutive chunks share 8 tokens when full
     assert(got.nonEmpty)
   }
+
+  test("quality filter reasons equal a per-doc rule recomputation, keep iff no reasons") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.qualityFilterReasons.run(spark, sf0001).collect()
+    assert(out.length == docs.size)
+    var sawDrop = false
+    var sawKeep = false
+    out.foreach { r =>
+      val (id, n, reasons, keep) = (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3))
+      val toks = docs(id).split(" ").filter(_.nonEmpty)
+      assert(n == toks.length.toLong)
+      val want = Seq(
+        if (toks.length < 20) Some("too_short") else None,
+        if (toks.length > 2000) Some("too_long") else None,
+        if (toks.distinct.length * 3L < toks.length) Some("low_diversity") else None,
+        if (docs(id).length - toks.length + 1L > toks.length * 8L) Some("long_tokens") else None
+      ).flatten.mkString(",")
+      assert(reasons == want, s"doc $id: '$reasons' != '$want'")
+      assert(keep == reasons.isEmpty)
+      if (keep) sawKeep = true else sawDrop = true
+    }
+    assert(sawKeep && sawDrop, "fixture must exercise both verdicts")
+  }
 }

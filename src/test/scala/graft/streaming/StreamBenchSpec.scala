@@ -9,6 +9,11 @@ import java.nio.file.Files
   * micro-batches, with sane metering output. */
 class StreamBenchSpec extends SparkSuite {
 
+  // captured by the file-mode test, compared by the connector-mode test:
+  // applied_rows is now defined as the FINAL live materialized key count,
+  // which must be identical across admission pacings and source modes
+  private var fileModeApplied: Long = -1L
+
   test("stream bench drains the corpus once under admission pacing") {
     val scratch = Files.createTempDirectory("graft-sbench").toFile.getAbsolutePath
     try {
@@ -19,10 +24,13 @@ class StreamBenchSpec extends SparkSuite {
       assert(r.inputRows == ops * 3, s"input=${r.inputRows} ops=$ops")
       // 8 files / 2 per trigger → ~4 batches: admission actually paced
       assert(r.batches >= 3, s"batches=${r.batches}")
-      // apply emits ≥1 row per changed key and never more than one per op
+      // live materialized keys: positive, bounded by the op count, and
+      // strictly fewer emissions than ops would imply is impossible
       assert(r.appliedRows > 0 && r.appliedRows <= ops, s"applied=${r.appliedRows}")
+      assert(r.emittedRows >= r.appliedRows, "state-change log at least one row per live key")
       assert(r.rowsPerSec > 0 && r.elapsedSec > 0)
       assert(r.batchMsMax >= r.batchMsP50 && r.batchMsP50 > 0)
+      fileModeApplied = r.appliedRows
     } finally {
       scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
       ()
@@ -39,10 +47,15 @@ class StreamBenchSpec extends SparkSuite {
       assert(r.inputRows == ops * 3, s"input=${r.inputRows} ops=$ops")
       // 12 member files / 3 per trigger → several admission-paced batches
       assert(r.batches >= 3, s"batches=${r.batches}")
-      // every op reaches quorum across batches; apply emits ≥ 1 row per
-      // changed key per batch, never more than one per op
+      // every op reaches quorum across batches
       assert(r.appliedRows > 0 && r.appliedRows <= ops, s"applied=${r.appliedRows}")
       assert(r.rowsPerSec > 0 && r.elapsedSec > 0)
+      // the round-5 finding: emission counts differ across modes/pacing,
+      // so the reported metric is the final live-key count — and THAT
+      // must be identical between file mode and connector mode
+      if (fileModeApplied >= 0)
+        assert(r.appliedRows == fileModeApplied,
+          s"connector applied=${r.appliedRows} != file applied=$fileModeApplied")
     } finally {
       scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
       ()
