@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -139,6 +139,28 @@ object VectorSearch {
   private[operators] def probeMasks(radius: Int): Seq[Int] =
     (0 until 256).filter(m => Integer.bitCount(m) <= radius)
 
+  /** the 8-plane sign bucket of a (double-array) vector column —
+    * shared with [[Dedup.embeddingLsh]] so the dedup scale path hashes
+    * with exactly the planes the ANN path serves from. */
+  private[operators] def signBucket(v: Column): Column = {
+    import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
+    hyperplanes.zipWithIndex.map { case (hp, i) =>
+      when(dot_product(v, typedLit(hp)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+  }
+
+  /** DuckDB rendition of the left-fold dot product over list columns. */
+  private[operators] def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), s -> s[1]*s[2]), (x, y) -> x + y)"
+
+  /** DuckDB rendition of [[signBucket]] over a list column named `v`. */
+  private[operators] def sqlSignBucket(v: String): String = {
+    def lit(hp: Seq[Double]): String = hp.map(_.toString).mkString("[", ", ", "]")
+    hyperplanes.zipWithIndex.map { case (hp, i) =>
+      s"CASE WHEN ${sqlDot(v, lit(hp))} > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+  }
+
   /** DuckDB rendition of the LSH path at the DEFAULT dials: the
     * hyperplanes are fixed literals and every step (sign buckets,
     * XOR multiprobe, left-fold cosine, rank) is exact arithmetic, so
@@ -146,12 +168,8 @@ object VectorSearch {
     * its input — and therefore fully oracle-able. Doubles are embedded
     * via Double.toString (round-trip exact). */
   private def annLshOracleSql: String = {
-    def lit(hp: Seq[Double]): String = hp.map(_.toString).mkString("[", ", ", "]")
-    def dot(a: String, b: String): String =
-      s"list_reduce(list_transform(list_zip($a, $b), s -> s[1]*s[2]), (x, y) -> x + y)"
-    val bucketExpr = hyperplanes.zipWithIndex.map { case (hp, i) =>
-      s"CASE WHEN ${dot("v", lit(hp))} > 0 THEN ${1 << i} ELSE 0 END"
-    }.mkString(" + ")
+    def dot(a: String, b: String): String = sqlDot(a, b)
+    val bucketExpr = sqlSignBucket("v")
     val masks = probeMasks(LshDefaultProbeHamming).mkString(", ")
     s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -175,4 +175,47 @@ class DedupSpec extends SparkSuite {
     // absorption conserves the corpus
     assert(surv.map(_._2).sum == total, "sum(n_merged) must equal the doc count")
   }
+
+  test("embedding LSH near-dup: exact-subset precision and unique pairs on the fixture") {
+    val exact = Dedup.embeddingCosine.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.embeddingLsh.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the probe algebra must emit each unordered pair exactly once
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    // exact-cosine verify at the same threshold -> precision is 1 by construction
+    assert(got.toSet.subsetOf(exact), s"false positives: ${got.toSet -- exact}")
+    // this fixture's pairs sit at cos 0.45-0.51 (theta ~ 60 deg), the worst
+    // regime for 8 sign planes: the collision curve predicts ~0.4 at
+    // hamming<=2, and the deterministic planes make the value reproducible
+    val recall = got.length.toDouble / exact.size
+    assert(exact.nonEmpty && recall >= 0.3, s"recall $recall (${got.length}/${exact.size})")
+  }
+
+  test("embedding LSH near-dup: recall >= 0.9 on planted near-identical vectors (the dup regime)") {
+    val s2 = spark
+    import s2.implicits._
+    // 40 base vectors (deterministic, no RNG), each with one planted
+    // near-copy: copy = base + small deterministic perturbation -> pairwise
+    // cos ~ 0.99 for planted pairs, ~0 for unrelated ones
+    val dim = 64
+    def base(k: Int): Array[Double] =
+      Array.tabulate(dim)(d => math.sin((k * dim + d + 7).toDouble))
+    val rows = (0 until 40).flatMap { k =>
+      val b = base(k)
+      val dup = b.zipWithIndex.map { case (x, d) => x + 0.05 * math.cos((k + d).toDouble) }
+      Seq((k.toLong * 2, b.map(_.toFloat)), (k.toLong * 2 + 1, dup.map(_.toFloat)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshdup").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", org.apache.spark.sql.functions.lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Dedup.embeddingLsh.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 40).map(k => (k.toLong * 2, k.toLong * 2 + 1)).toSet
+    val exact = Dedup.embeddingCosine.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "false positives vs the exact baseline")
+    val recall = (got & planted).size.toDouble / planted.size
+    assert(recall >= 0.9, s"planted-pair recall $recall — sign-LSH must catch near-identical dups")
+  }
 }
