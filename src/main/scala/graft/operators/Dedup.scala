@@ -910,7 +910,15 @@ object Dedup {
     * fixture's borderline threshold (pairs sit at cos 0.45–0.51,
     * θ ≈ 60°) the curve gives ~0.4 — measured and asserted as the
     * documented trade, with [[embeddingCosine]] as the exact fallback
-    * below its row fence. */
+    * below its row fence.
+    *
+    * Scale dial: p planes → 2^p buckets, and the verify term is
+    * quadratic-within-bucket (~37·n²/2^p pair evaluations), so the
+    * plane count is what holds a 100 TB corpus sub-quadratic — 8
+    * planes (256 buckets) fits this fixture; production would use
+    * 16–24 (65k–16M buckets, same code path: [[VectorSearch.signBucket]]
+    * generalizes per plane seq) so per-bucket populations stay
+    * executor-sized and the bucket key carries enough parallelism. */
   val embeddingLsh: Q = Q(
     "dedup_embedding_lsh",
     (s, dir) => {

@@ -681,10 +681,10 @@ object Pipeline {
     "sample_stratified_threshold",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val d = Tables.load(s, dir, "documents")
-      val thr = d.groupBy($"lang").agg(count(lit(1)).as("n"))
-        .withColumn("target", min($"n").over(Window.partitionBy()))
+      val counts = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+      val thr = counts
+        .crossJoin(broadcast(counts.agg(min($"n").as("target"))))
         .withColumn("thr_hex",
           lpad(lower(hex(least(expr("target * 4294967296 div n"),
             lit(4294967295L)))), 8, "0"))
@@ -725,10 +725,10 @@ object Pipeline {
     "mix_temperature",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val d = Tables.load(s, dir, "documents")
-      val thr = d.groupBy($"lang").agg(count(lit(1)).as("n"))
-        .withColumn("nmin", min($"n").over(Window.partitionBy()))
+      val counts = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+      val thr = counts
+        .crossJoin(broadcast(counts.agg(min($"n").as("nmin"))))
         .withColumn("thr_hex",
           lpad(lower(hex(least(
             floor(lit(4294967296.0) * sqrt($"nmin".cast("double") / $"n".cast("double"))).cast("long"),

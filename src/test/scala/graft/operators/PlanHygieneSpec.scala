@@ -72,4 +72,32 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "z-test must stay a per-row broadcast filter")
     assert(p.contains("LocalTableScan"), "fenced stats should be a literal local relation")
   }
+
+  test("doc_source_cap_2phase: both window stages prune map-side, survivors filtered before re-rank") {
+    val p = plan("doc_source_cap_2phase")
+    // (source, shard) local rank + source global re-rank, each with a
+    // partial WindowGroupLimit below its exchange — 4 nodes total
+    val n = "WindowGroupLimit".r.findAllIn(p).size
+    assert(n >= 4, s"expected >=4 WindowGroupLimit nodes, found $n:\n${p.take(600)}")
+  }
+
+  test("threshold samplers: per-stratum threshold table broadcast, corpus never shuffles") {
+    for (name <- Seq("sample_stratified_threshold", "mix_temperature")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: threshold join must broadcast")
+      // the corpus side reaches the broadcast join scan->filter only: no
+      // Exchange may sit between the documents scan and the keep-filter
+      // (the whole point of the threshold relaxation is zero corpus shuffle)
+      val corpusSide = p.substring(p.indexOf("BroadcastHashJoin"))
+      assert(!corpusSide.replaceAll("(?s)BroadcastExchange.*", "")
+        .contains("Exchange hashpartitioning"),
+        s"$name: corpus shuffled before the threshold filter")
+    }
+  }
+
+  test("dedup_survivors: per-cluster sizes broadcast; dup removal is an anti join") {
+    val p = plan("dedup_survivors")
+    assert(p.contains("BroadcastHashJoin"), "cluster-size join must broadcast")
+    assert(p.contains("LeftAnti"), "dup removal must be an anti join, not a subtract")
+  }
 }
