@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
@@ -677,36 +677,59 @@ object Pipeline {
     * cluster sizes. The trade documented on the exact form: stratum
     * sizes are binomially approximate (±√n), and the full-keep stratum
     * drops only the 2⁻³² prefix 'ffffffff'. */
-  val sampleStratifiedThreshold: Q = Q(
-    "sample_stratified_threshold",
-    (s, dir) => {
-      import s.implicits._
-      val d = Tables.load(s, dir, "documents")
-      val counts = d.groupBy($"lang").agg(count(lit(1)).as("n"))
-      val thr = counts
-        .crossJoin(broadcast(counts.agg(min($"n").as("target"))))
-        .withColumn("thr_hex",
-          lpad(lower(hex(least(expr("target * 4294967296 div n"),
-            lit(4294967295L)))), 8, "0"))
-        .select($"lang", $"thr_hex")
-      d.select($"doc_id", $"lang",
-          substring(md5($"doc_id".cast("string")), 1, 8).as("pfx"))
-        .join(broadcast(thr), Seq("lang"))
-        .filter($"pfx" < $"thr_hex")
-        .select($"doc_id", $"lang")
-        .orderBy($"doc_id")
-    },
-    Some("""
+  /** Shared scaffold for the md5-prefix threshold samplers: per-lang
+    * counts, the global min broadcast alongside as `nmin`, a per-lang
+    * 8-hex-digit bound from `thrLong` (a Long column over `nmin`/`n`,
+    * capped at 2³²−1), then the shuffle-free per-row keep filter.
+    * Centralized so a threshold-formula fix can never drift between
+    * the samplers ([[sampleStratifiedThreshold]], [[mixTemperature]]). */
+  private def thresholdSample(s: SparkSession, dir: String, thrLong: Column): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    val counts = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val thr = counts
+      .crossJoin(broadcast(counts.agg(min($"n").as("nmin"))))
+      .withColumn("thr_hex",
+        lpad(lower(hex(least(thrLong, lit(4294967295L)))), 8, "0"))
+      .select($"lang", $"thr_hex")
+    d.select($"doc_id", $"lang",
+        substring(md5($"doc_id".cast("string")), 1, 8).as("pfx"))
+      .join(broadcast(thr), Seq("lang"))
+      .filter($"pfx" < $"thr_hex")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB rendition of [[thresholdSample]]: `thrSql` may reference
+    * `n` (the stratum count) and `(SELECT MIN(n) FROM c)` (nmin). */
+  private def thresholdSampleSql(thrSql: String): String = s"""
       WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
       t AS (SELECT lang,
-              lpad(lower(hex(LEAST(CAST((SELECT MIN(n) FROM c) * 4294967296 AS BIGINT) // n,
-                                   4294967295))), 8, '0') AS thr_hex
+              lpad(lower(hex(LEAST($thrSql, 4294967295))), 8, '0') AS thr_hex
             FROM c)
       SELECT d.doc_id, d.lang
       FROM documents d JOIN t ON d.lang = t.lang
       WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr_hex
       ORDER BY d.doc_id
-    """)
+    """
+
+  /** nmin·2³² div n WITHOUT Long overflow: nmin can exceed 2³¹ at the
+    * corpus sizes this operator exists for, and with ANSI off Spark's
+    * bare `nmin * 4294967296` would WRAP NEGATIVE and silently turn the
+    * stratum into keep-everything (lpad truncating hex(negative) to
+    * 'ffffffff'). The product is computed in decimal(38,0) — exact to
+    * 10³⁸ — and `div` (IntegralDivide accepts decimals) returns the
+    * exact bigint quotient; the DuckDB side widens to HUGEINT for the
+    * same exactness. PipelineSpec pins the over-2³¹ case. */
+  private[operators] val stratifiedThrCol: Column =
+    expr("CAST(nmin AS DECIMAL(38,0)) * 4294967296 div n")
+  private[operators] val stratifiedThrSql: String =
+    "CAST(CAST((SELECT MIN(n) FROM c) AS HUGEINT) * 4294967296 // n AS BIGINT)"
+
+  val sampleStratifiedThreshold: Q = Q(
+    "sample_stratified_threshold",
+    (s, dir) => thresholdSample(s, dir, stratifiedThrCol),
+    Some(thresholdSampleSql(stratifiedThrSql))
   )
 
   /** Temperature-smoothed language mixing (the multilingual-pretraining
@@ -721,39 +744,19 @@ object Pipeline {
     * DuckDB (libm) produce bit-identical thresholds — no approximate
     * tolerance needed. Shuffle-free: tiny per-lang count agg broadcast
     * back, then a per-row filter. */
+  /** sqrt(nmin/n)·2³² as a Long — overflow-free by construction (the
+    * double is ≤ 2³² before the cast) and bit-stable across engines
+    * (IEEE correctly-rounded divide/sqrt/multiply). */
+  private[operators] val temperatureThrCol: Column =
+    floor(lit(4294967296.0) * sqrt(col("nmin").cast("double") / col("n").cast("double"))).cast("long")
+  private[operators] val temperatureThrSql: String =
+    """CAST(FLOOR(4294967296.0 *
+         sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)"""
+
   val mixTemperature: Q = Q(
     "mix_temperature",
-    (s, dir) => {
-      import s.implicits._
-      val d = Tables.load(s, dir, "documents")
-      val counts = d.groupBy($"lang").agg(count(lit(1)).as("n"))
-      val thr = counts
-        .crossJoin(broadcast(counts.agg(min($"n").as("nmin"))))
-        .withColumn("thr_hex",
-          lpad(lower(hex(least(
-            floor(lit(4294967296.0) * sqrt($"nmin".cast("double") / $"n".cast("double"))).cast("long"),
-            lit(4294967295L)))), 8, "0"))
-        .select($"lang", $"thr_hex")
-      d.select($"doc_id", $"lang",
-          substring(md5($"doc_id".cast("string")), 1, 8).as("pfx"))
-        .join(broadcast(thr), Seq("lang"))
-        .filter($"pfx" < $"thr_hex")
-        .select($"doc_id", $"lang")
-        .orderBy($"doc_id")
-    },
-    Some("""
-      WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-      t AS (SELECT lang,
-              lpad(lower(hex(LEAST(
-                CAST(FLOOR(4294967296.0 *
-                  sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT),
-                4294967295))), 8, '0') AS thr_hex
-            FROM c)
-      SELECT d.doc_id, d.lang
-      FROM documents d JOIN t ON d.lang = t.lang
-      WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr_hex
-      ORDER BY d.doc_id
-    """)
+    (s, dir) => thresholdSample(s, dir, temperatureThrCol),
+    Some(thresholdSampleSql(temperatureThrSql))
   )
 
   def queries: Seq[Q] =

@@ -204,10 +204,7 @@ object VectorSearch {
     * code path the operator runs. */
   private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucketExpr = hyperplanes.zipWithIndex.map { case (hp, i) =>
-      when(dot_product($"v", typedLit(hp)) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val e = normed(s, dir).withColumn("bucket", bucketExpr)
+    val e = normed(s, dir).withColumn("bucket", signBucket($"v"))
     val q = e.filter($"vec_id" < 8)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"), $"bucket".as("qb"))
     val masks = probeMasks(lshProbeHamming(s))

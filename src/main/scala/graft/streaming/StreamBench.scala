@@ -132,14 +132,17 @@ object StreamBench {
       val applied = OplogApply.currentState(deduped, lateness)
 
       val emittedRows = new java.util.concurrent.atomic.AtomicLong(0L)
-      // LWW fold of the state-change log on the driver: the latest
-      // emission per key IS the current state (currentState's contract),
-      // so live-key count at drain time equals the BATCH materialization
-      // of the same input — invariant under trigger pacing, unlike the
-      // raw emission count (round-5 finding: 17,931 file vs 14,050
-      // connector for identical input). Key cardinality is the distinct
-      // doc count (thousands at bench scale), not the row count.
-      val lastPerKey = new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Int, String)]()
+      // The sink keeps only the 5 narrow key/clock/op fields per emission
+      // (never the materialized `doc` payload — shipping it to the driver
+      // would tax the timed region with payload-size-dependent work), and
+      // the LWW fold over them runs AFTER the drain, outside the timing.
+      // The latest emission per key IS the current state (currentState's
+      // contract), so the folded live-key count equals the BATCH
+      // materialization of the same input — invariant under trigger
+      // pacing, unlike the raw emission count (round-5 finding: 17,931
+      // file vs 14,050 connector for identical input).
+      val chunks =
+        new java.util.concurrent.ConcurrentLinkedQueue[Array[(String, String, Long, Int, String)]]()
       val t0 = System.nanoTime()
       val q = applied.writeStream
         .outputMode("append")
@@ -147,14 +150,10 @@ object StreamBench {
         .trigger(if (availableNow) Trigger.AvailableNow()
                  else Trigger.ProcessingTime("0 seconds"))
         .foreachBatch { (b: Dataset[OplogApply.DocState], _: Long) =>
-          val rows = b.collect()
+          val rows = b.select($"ns", $"docId", $"tsUs", $"tsInc", $"op").collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3), r.getString(4)))
           emittedRows.addAndGet(rows.length.toLong)
-          rows.foreach { d =>
-            lastPerKey.merge((d.ns, d.docId), (d.tsUs, d.tsInc, d.op),
-              (old, nw) =>
-                if (nw._1 > old._1 || (nw._1 == old._1 && nw._2 >= old._2)) nw
-                else old)
-          }
+          chunks.add(rows)
           ()
         }
         .start()
@@ -172,7 +171,15 @@ object StreamBench {
         .map(_.longValue).sorted
       val liveKeys = {
         import scala.jdk.CollectionConverters._
-        lastPerKey.values.asScala.count(_._3 != "d")
+        val last = new scala.collection.mutable.HashMap[(String, String), (Long, Int, String)]()
+        chunks.asScala.foreach(_.foreach { case (ns, id, ts, inc, op) =>
+          val k = (ns, id)
+          last.get(k) match {
+            case Some((ots, oinc, _)) if ts < ots || (ts == ots && inc < oinc) => ()
+            case _ => last(k) = (ts, inc, op)
+          }
+        })
+        last.valuesIterator.count(_._3 != "d")
       }
       Result(
         inputRows = inputRows,

@@ -245,6 +245,21 @@ class PipelineSpec extends SparkSuite {
     assert(kept(minLang) == counts(minLang))
   }
 
+  test("stratified threshold is exact past 2^31 rows per stratum (no Long wrap)") {
+    val s = spark
+    import s.implicits._
+    // nmin=3e9, n=5e9: bare Long nmin*2^32 wraps negative; the decimal
+    // path must give the exact floor(3e9 * 2^32 / 5e9) = 2576980377
+    val got = Seq((3000000000L, 5000000000L), (5000000000L, 5000000000L))
+      .toDF("nmin", "n")
+      .select(Pipeline.stratifiedThrCol.as("thr")).collect().map(_.getLong(0))
+    assert(got(0) == 2576980377L, s"expected exact quotient, got ${got(0)}")
+    assert(got(1) == 4294967296L, "full-keep stratum (capped to 2^32-1 downstream)")
+    // and the DuckDB side agrees (same HUGEINT-widened formula)
+    val duck = Pipeline.stratifiedThrSql.replace("(SELECT MIN(n) FROM c)", "3000000000")
+    assert(duck.contains("HUGEINT"), "oracle must widen before multiplying")
+  }
+
   test("temperature mixing keeps each lang at ~sqrt(nmin/n), all of the smallest") {
     val s = spark
     import s.implicits._

@@ -40,13 +40,19 @@ def main(sfdir, outdir):
             print(f"MISSING  {name}: no spark output")
             n_bad += 1
             continue
-        mine_rel = con.execute(
-            f"SELECT * FROM read_parquet({files!r})")
-        mine_cols = [d[0] for d in mine_rel.description]
+        # con.sql(...) relations, NOT con.execute(...): execute returns the
+        # connection itself (so two "results" would alias each other and a
+        # late .description read reflects the LAST query), and DB-API type
+        # codes are coarse categories (BIGINT and HUGEINT both say NUMBER).
+        # Relation .types carry real DuckDB types, captured per relation.
+        mine_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        mine_cols = list(mine_rel.columns)
+        mine_type_list = [str(t) for t in mine_rel.types]
         mine_rows = mine_rel.fetchall()
         try:
-            ref_rel = con.execute(oracle[name])
-            ref_cols = [d[0] for d in ref_rel.description]
+            ref_rel = con.sql(oracle[name])
+            ref_cols = list(ref_rel.columns)
+            ref_type_list = [str(t) for t in ref_rel.types]
             ref_rows = ref_rel.fetchall()
         except Exception as e:
             print(f"ORA-ERR  {name}: {e}")
@@ -57,10 +63,16 @@ def main(sfdir, outdir):
             n_bad += 1
             continue
         # driver's hash compare is TYPED (Arrow-level): a value-equal column
-        # with a different dtype (e.g. DuckDB window SUM(BIGINT) -> HUGEINT
-        # vs Spark int64) still fails. Mirror that here via DuckDB type names.
-        mine_types = {d[0]: str(d[1]) for d in mine_rel.description}
-        ref_types = {d[0]: str(d[1]) for d in ref_rel.description}
+        # with a different dtype (e.g. DuckDB window SUM(BIGINT) -> HUGEINT,
+        # Arrow decimal128) fails even though values match. Plain integer
+        # WIDTHS however are tolerated by the driver (row_number int32 vs
+        # ROW_NUMBER BIGINT has hash-matched for rounds), so normalize the
+        # int family but keep HUGEINT/DECIMAL distinct — that is the class
+        # that actually burned round 5.
+        def norm(t):
+            return "INT" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
+        mine_types = {c: norm(t) for c, t in zip(mine_cols, mine_type_list)}
+        ref_types = {c: norm(t) for c, t in zip(ref_cols, ref_type_list)}
         dt_diff = [(c, mine_types[c], ref_types[c]) for c in sorted(mine_cols)
                    if mine_types[c] != ref_types[c]]
         if dt_diff:
