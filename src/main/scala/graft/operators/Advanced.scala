@@ -451,6 +451,54 @@ object Advanced {
     """)
   )
 
+  /** Native session windows — the same gaps-and-islands semantics as
+    * [[sessionize]] but through Spark's `session_window` operator, the
+    * form that ALSO runs under Structured Streaming with a watermark
+    * (StreamingWindowSpec proves stream ≡ batch on this query). One
+    * boundary subtlety pinned by the oracle: `session_window` SPLITS
+    * when the inter-event gap is exactly the gap duration (an event
+    * merges only while its start is strictly inside the previous
+    * session's [last + gap) extension), so the oracle's island split is
+    * `>=` where q21's manual rendition uses `>`. Window end is
+    * last-event + gap by definition; outputs compare in epoch micros.
+    * Scale shape: one shuffle keyed on user_id (session assembly is a
+    * merge within the key), identical to the manual form. */
+  val sessionWindow: Q = Q(
+    "q28_session_window",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          unix_micros($"w.start").as("start_us"),
+          unix_micros($"w.end").as("end_us"),
+          $"n_events")
+        .orderBy($"user_id", $"start_us")
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events
+      ), flagged AS (
+        SELECT user_id, t,
+               CASE WHEN prev IS NULL OR t - prev >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM t
+      ), numbered AS (
+        SELECT user_id, t,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM flagged
+      )
+      SELECT user_id, MIN(t) AS start_us, MAX(t) + 1800000000 AS end_us,
+             COUNT(*) AS n_events
+      FROM numbered
+      GROUP BY user_id, sess
+      ORDER BY user_id, start_us
+    """)
+  )
+
   def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf, groupingSets, pivot,
-    approxDistinct, hllDistinct, intervalJoin, slidingWindow)
+    approxDistinct, hllDistinct, intervalJoin, slidingWindow, sessionWindow)
 }

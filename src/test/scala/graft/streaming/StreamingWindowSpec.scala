@@ -96,6 +96,40 @@ class StreamingWindowSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window over the real fixture equals the batch q28 result") {
+    import spark.implicits._
+    val schema = graft.Tables.load(spark, sf0001, "events").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-sessstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema.map {
+        case f if f.name == "ts" =>
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = raw
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"w.start").as("start_us"),
+        unix_micros($"w.end").as("end_us"), $"n_events")
+    val q = agg.writeStream.format("memory").queryName("sess_q28")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_q28").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.operators.Advanced.sessionWindow.run(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch, "stream and batch session assembly must agree")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups late copies") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
