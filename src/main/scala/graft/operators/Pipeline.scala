@@ -127,6 +127,64 @@ object Pipeline {
     """)
   )
 
+  /** Binned (histogram) percentiles — the MERGEABLE scale path for
+    * [[tokenPercentiles]]: exact `percentile()` buffers every value of
+    * a group in executor memory (O(group) state — the term that breaks
+    * first at 100 TB), while a fixed-width histogram is a two-level
+    * partial aggregation with O(bins) state per group, mergeable across
+    * partitions, executors, and days. The price is resolution: each
+    * percentile comes back as its bin's inclusive upper bound (width 16
+    * here). Everything is INTEGER arithmetic — bin = n div 16, and the
+    * rank test `cum ≥ ceil(q·n)` is evaluated as `100·cum ≥ q%·n` (exact
+    * for integer cum) — so the oracle compare is hash-exact with no
+    * interpolation-rule hazard (which quantile_cont vs percentile would
+    * otherwise introduce). Same family discipline as HLL↔q13 and
+    * IVF↔flat: the exact twin stays in the catalog, this is the form
+    * you run when groups are huge. */
+  val tokenPercentilesBinned: Q = Q(
+    "token_percentiles_binned",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = 16
+      val binned = Tables.load(s, dir, "documents")
+        .select($"lang",
+          expr(s"CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) div $w").as("bin"))
+        .groupBy($"lang", $"bin").agg(count(lit(1)).as("cnt"))
+      val byBin = Window.partitionBy($"lang").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy($"lang")
+      val cum = binned
+        .withColumn("cum", sum($"cnt").over(byBin))
+        .withColumn("n", sum($"cnt").over(whole))
+      def pick(pct: Int) =
+        min(when($"cum" * 100 >= $"n" * pct, $"bin" * w + (w - 1))).as(s"p${pct}_hi")
+      cum.groupBy($"lang")
+        .agg(max($"n").as("n_docs"), pick(50), pick(90), pick(99))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) // 16 AS bin
+        FROM documents
+      ),
+      b AS (SELECT lang, bin, COUNT(*) AS cnt FROM t GROUP BY lang, bin),
+      c AS (SELECT lang, bin, cnt,
+              CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+              CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+            FROM b)
+      SELECT lang, MAX(n) AS n_docs,
+             MIN(CASE WHEN cum * 100 >= n * 50 THEN bin * 16 + 15 END) AS p50_hi,
+             MIN(CASE WHEN cum * 100 >= n * 90 THEN bin * 16 + 15 END) AS p90_hi,
+             MIN(CASE WHEN cum * 100 >= n * 99 THEN bin * 16 + 15 END) AS p99_hi
+      FROM c
+      GROUP BY lang
+      ORDER BY lang
+    """)
+  )
+
   /** Deterministic BALANCED stratified sample: every language stratum
     * contributes exactly `target` documents, where target = the smallest
     * stratum's size — the "equalize strata" downsampling a multilingual
@@ -760,7 +818,7 @@ object Pipeline {
   )
 
   def queries: Seq[Q] =
-    Seq(splitAssign, filteredTopK, tokenPercentiles, sampleStratified,
+    Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified,
       sourceCap, eventOutliers, funnel, packSequences, mixSample, curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature)

@@ -245,6 +245,29 @@ class PipelineSpec extends SparkSuite {
     assert(kept(minLang) == counts(minLang))
   }
 
+  test("binned percentiles equal the exact rank statistic's bin, per lang") {
+    val s = spark
+    import s.implicits._
+    val toks = graft.Tables.load(spark, sf0001, "documents")
+      .select($"lang", $"text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").count(_.nonEmpty).toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val out = Pipeline.tokenPercentilesBinned.run(spark, sf0001).collect()
+    assert(out.length == toks.size)
+    out.foreach { r =>
+      val (lang, n) = (r.getString(0), r.getLong(1))
+      val vals = toks(lang)
+      assert(n == vals.length.toLong)
+      for ((pct, idx) <- Seq(50 -> 2, 90 -> 3, 99 -> 4)) {
+        // exact rank statistic: k = ceil(pct*n/100), value = kth smallest
+        val k = (pct.toLong * n + 99) / 100
+        val v = vals((k - 1).toInt)
+        val wantHi = (v / 16) * 16 + 15
+        assert(r.getLong(idx) == wantHi, s"$lang p$pct: got ${r.getLong(idx)}, want $wantHi (v=$v)")
+      }
+    }
+  }
+
   test("stratified threshold is exact past 2^31 rows per stratum (no Long wrap)") {
     val s = spark
     import s.implicits._
