@@ -194,5 +194,80 @@ object Multimodal {
     """)
   )
 
-  def queries: Seq[Q] = Seq(meta, features, frames)
+  final case class ResizedThumb(
+      doc_id: Long, width: Int, height: Int, thumb: Seq[Int])
+
+  /** REAL image resize: decode the PNG with ImageIO, then 4×4
+    * integer block-average downscale over the decoded gray channel
+    * (output pixel (i,j) averages the source block
+    * [⌊i·w/4⌋, ⌊(i+1)·w/4⌋) × [⌊j·h/4⌋, ⌊(j+1)·h/4⌋), floor-div mean).
+    * Deliberately NOT Graphics2D scaling — its filter kernels are
+    * implementation-defined, while block averaging is exact integer
+    * arithmetic, which is what lets the decode+resize PATH get a full
+    * DuckDB oracle via the fixture's pixel formula (the
+    * [[features]] discipline: the operator decodes real bytes; the
+    * oracle recomputes from the generator; equality proves the real
+    * path end-to-end). One codec init per partition, same as decode. */
+  private[multimodal] def resizeThumb(docId: Long, bytes: Array[Byte]): ResizedThumb = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null,
+      s"undecodable image payload for doc $docId (${bytes.length} bytes)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](16)
+    var j = 0
+    while (j < 4) {
+      val y0 = j * h / 4; val y1 = (j + 1) * h / 4
+      var i = 0
+      while (i < 4) {
+        val x0 = i * w / 4; val x1 = (i + 1) * w / 4
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        out(j * 4 + i) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+        i += 1
+      }
+      j += 1
+    }
+    ResizedThumb(docId, w, h, out.toSeq)
+  }
+
+  val resize: Q = Q(
+    "multimodal_resize",
+    (s, dir) => {
+      import s.implicits._
+      withImageBlob(s, Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+        .mapPartitions(it => it.map { case (id, bytes) => resizeThumb(id, bytes) })
+        .toDF()
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH dims AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 16 AS INT) AS width,
+               CAST(8 + (doc_id * 7) % 16 AS INT) AS height
+        FROM documents
+      )
+      SELECT doc_id, width, height,
+             list_transform(range(0, 16), k ->
+               CAST(list_aggregate(
+                      flatten(list_transform(
+                        range((k // 4) * height // 4, ((k // 4) + 1) * height // 4),
+                        y -> list_transform(
+                          range((k % 4) * width // 4, ((k % 4) + 1) * width // 4),
+                          x -> (doc_id * 31 + x * 7 + y * 13) % 256))),
+                      'sum')
+                    // ((((k // 4) + 1) * height // 4 - (k // 4) * height // 4)
+                       * (((k % 4) + 1) * width // 4 - (k % 4) * width // 4))
+                 AS INT)) AS thumb
+      FROM dims
+      ORDER BY doc_id
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(meta, features, frames, resize)
 }

@@ -499,6 +499,47 @@ object Advanced {
     """)
   )
 
+  /** Unpivot (melt) — the inverse of the q27 pivot: the four lineitem
+    * measures become (measure, value) rows via `stack`, then aggregate
+    * per (returnflag, measure). Values go through ROUND(value·100) cents
+    * before summation — the doubles carry 2-decimal data, so rounding
+    * the scaled value is exact and the aggregate is pure BIGINT (no
+    * float-sum ordering hazard in the oracle compare). `stack` is a
+    * generator projection: melt adds NO shuffle of its own; the only
+    * exchange is the (tiny-keyed) final aggregation. */
+  val unpivot: Q = Q(
+    "q29_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .selectExpr("l_returnflag",
+          """stack(4,
+               'discount', l_discount,
+               'extendedprice', l_extendedprice,
+               'quantity', l_quantity,
+               'tax', l_tax) AS (measure, val)""")
+        .select($"l_returnflag", $"measure",
+          expr("CAST(ROUND(val * 100) AS BIGINT)").as("cents"))
+        .groupBy($"l_returnflag", $"measure")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+        .orderBy($"l_returnflag", $"measure")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag, measure, CAST(ROUND(val * 100) AS BIGINT) AS cents
+        FROM (
+          SELECT l_returnflag, l_discount AS discount, l_extendedprice AS extendedprice,
+                 l_quantity AS quantity, l_tax AS tax
+          FROM lineitem
+        ) UNPIVOT (val FOR measure IN (discount, extendedprice, quantity, tax))
+      )
+      SELECT l_returnflag, measure, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM m
+      GROUP BY l_returnflag, measure
+      ORDER BY l_returnflag, measure
+    """)
+  )
+
   def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf, groupingSets, pivot,
-    approxDistinct, hllDistinct, intervalJoin, slidingWindow, sessionWindow)
+    approxDistinct, hllDistinct, intervalJoin, slidingWindow, sessionWindow, unpivot)
 }

@@ -41,4 +41,22 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.count() > 0)
     assert(frames.filter(col("frame_idx") > 3).count() == 0)
   }
+
+  test("resize: decoded 4x4 block-average equals the closed-form recomputation") {
+    val out = Multimodal.resize.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Int](3)))
+    assert(out.length == 500)
+    out.take(25).foreach { case (id, w, h, thumb) =>
+      assert(w == 8 + (id % 16).toInt && h == 8 + ((id * 7) % 16).toInt)
+      assert(thumb.length == 16)
+      for (j <- 0 until 4; i <- 0 until 4) {
+        val (y0, y1) = (j * h / 4, (j + 1) * h / 4)
+        val (x0, x1) = (i * w / 4, (i + 1) * w / 4)
+        val vals = for (y <- y0 until y1; x <- x0 until x1)
+          yield ((id * 31 + x * 7 + y * 13) % 256)
+        val want = (vals.sum / vals.length).toInt
+        assert(thumb(j * 4 + i) == want, s"doc $id block ($i,$j)")
+      }
+    }
+  }
 }
