@@ -482,12 +482,12 @@ object Advanced {
                LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
         FROM events
       ), flagged AS (
-        SELECT user_id, t,
+        SELECT user_id, event_id, t,
                CASE WHEN prev IS NULL OR t - prev >= 1800000000 THEN 1 ELSE 0 END AS new_sess
         FROM t
       ), numbered AS (
         SELECT user_id, t,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
         FROM flagged
       )
@@ -531,7 +531,7 @@ object Advanced {
           SELECT l_returnflag, l_discount AS discount, l_extendedprice AS extendedprice,
                  l_quantity AS quantity, l_tax AS tax
           FROM lineitem
-        ) UNPIVOT (val FOR measure IN (discount, extendedprice, quantity, tax))
+        ) UNPIVOT INCLUDE NULLS (val FOR measure IN (discount, extendedprice, quantity, tax))
       )
       SELECT l_returnflag, measure, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
       FROM m

@@ -24,6 +24,13 @@ class Scd2StreamSpec extends SparkSuite {
       chunk.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
         .toDF("event_id", "user_id", "event_type", "ts_us")
         .coalesce(1).write.parquet(s"$dir/f$i")
+      // FileStreamSource admits pending files in last-modified order;
+      // fast sequential writes can tie at FS timestamp granularity and
+      // flip chunk order, so pin a strictly monotonic mod time per chunk
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/f$i")).forEach { f =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
     }
     // one sequential-file stream, one file per trigger
     val schema = org.apache.spark.sql.types.StructType(Seq(
