@@ -919,29 +919,37 @@ object Dedup {
     * 16–24 (65k–16M buckets, same code path: [[VectorSearch.signBucket]]
     * generalizes per plane seq) so per-bucket populations stay
     * executor-sized and the bucket key carries enough parallelism. */
+  /** plane-parameterized core of [[embeddingLsh]] (and of
+    * `tools.EmbedDedupScaleProbe`, which dials the plane count to
+    * measure the 2^p sub-quadratic knob): sign-bucket the corpus at
+    * `nPlanes` planes, bucket-equi-join against the ≤2-bit-flip
+    * multiprobe explode, exact-cosine verify at 0.45. */
+  private[graft] def embeddingLshPairs(
+      s: SparkSession, dir: String, nPlanes: Int,
+      minCos: Double = 0.45): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
+    val masks = (0 until (1 << nPlanes)).filter(m => Integer.bitCount(m) <= 2)
+    val e = Tables.load(s, dir, "embeddings")
+      .repartition($"vec_id")   // single-file fixture → spread the work
+      .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(dot_product($"v", $"v")))
+      .withColumn("bucket", VectorSearch.signBucket($"v", VectorSearch.planesFor(nPlanes)))
+      .persist()   // norms+buckets computed once, reused on both join sides
+    val probes = e.select($"vec_id".as("j"), $"v".as("vb"), $"nrm".as("nb"),
+      explode(expr(
+        s"transform(array(${masks.mkString(",")}), m -> cast(bucket ^ m as int))"))
+        .as("bucket"))
+    e.join(probes, Seq("bucket"))
+      .filter($"vec_id" < $"j")
+      .withColumn("cos", dot_product($"v", $"vb") / ($"nrm" * $"nb"))
+      .filter($"cos" >= minCos)
+      .select($"vec_id".as("i"), $"j", $"cos")
+  }
+
   val embeddingLsh: Q = Q(
     "dedup_embedding_lsh",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
-      val masks = VectorSearch.probeMasks(2)
-      val e = Tables.load(s, dir, "embeddings")
-        .repartition($"vec_id")   // single-file fixture → spread the work
-        .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", sqrt(dot_product($"v", $"v")))
-        .withColumn("bucket", VectorSearch.signBucket($"v"))
-        .persist()   // norms+buckets computed once, reused on both join sides
-      val probes = e.select($"vec_id".as("j"), $"v".as("vb"), $"nrm".as("nb"),
-        explode(expr(
-          s"transform(array(${masks.mkString(",")}), m -> cast(bucket ^ m as int))"))
-          .as("bucket"))
-      e.join(probes, Seq("bucket"))
-        .filter($"vec_id" < $"j")
-        .withColumn("cos", dot_product($"v", $"vb") / ($"nrm" * $"nb"))
-        .filter($"cos" >= 0.45)
-        .select($"vec_id".as("i"), $"j", $"cos")
-        .orderBy($"i", $"j")
-    },
+    (s, dir) => embeddingLshPairs(s, dir, 8).orderBy("i", "j"),
     Some(s"""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
                  FROM embeddings),

@@ -117,11 +117,30 @@ object VectorSearch {
     """)
   )
 
-  /** fixed pseudo-random hyperplanes (component d of plane i is
-    * sin(i*64+d+1)): deterministic, seedless, shipped as literals so
-    * the 8 sign-bit dot products stay codegen'd. */
-  private val hyperplanes: Seq[Seq[Double]] =
-    Seq.tabulate(8, 64)((i, d) => math.sin((i * 64 + d + 1).toDouble))
+  /** splitmix64 finalizer + Box–Muller: a seedless deterministic
+    * standard-normal stream for plane components. */
+  private def planeGauss(seed: Long): Double = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    val u1 = ((mix(seed) >>> 11).toDouble + 1.0) / 9007199254740993.0
+    val u2 = ((mix(seed + 0x632be59bd9b4e019L) >>> 11).toDouble + 0.5) / 9007199254740992.0
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
+  /** fixed pseudo-random hyperplanes: INDEPENDENT standard-normal
+    * components (deterministic, seedless, shipped as literals so the
+    * sign-bit dot products stay codegen'd). The original family —
+    * consecutive samples of sin() — carried cos(64 mod 2π) ≈ 0.39
+    * inter-plane correlation (plane i+1 is the same stream shifted
+    * 1.17 rad), which `tools.EmbedDedupScaleProbe` measured as ~2×
+    * candidate inflation at equal recall and near-flat candidate
+    * volume in the plane count; independent Gaussians restore the
+    * 2ᵖ bucket-count scaling the LSH analysis assumes. */
+  private val hyperplanes: Seq[Seq[Double]] = planesFor(8)
 
   /** Multiprobe radius for [[annLsh]] (bit flips of the 8-bit sign
     * bucket explored per query): radius 1 → 9 probes of 256 buckets
@@ -139,12 +158,20 @@ object VectorSearch {
   private[operators] def probeMasks(radius: Int): Seq[Int] =
     (0 until 256).filter(m => Integer.bitCount(m) <= radius)
 
-  /** the 8-plane sign bucket of a (double-array) vector column —
-    * shared with [[Dedup.embeddingLsh]] so the dedup scale path hashes
-    * with exactly the planes the ANN path serves from. */
-  private[operators] def signBucket(v: Column): Column = {
+  /** deterministic hyperplane set at any plane count (the serving set
+    * [[hyperplanes]] is the 8-plane prefix), so scale probes can dial
+    * bucket counts without a second plane-generation code path. */
+  private[graft] def planesFor(count: Int): Seq[Seq[Double]] =
+    Seq.tabulate(count, 64)((i, d) => planeGauss(i * 131071L + d * 257L))
+
+  /** the sign bucket of a (double-array) vector column — shared with
+    * [[Dedup.embeddingLsh]] so the dedup scale path hashes with exactly
+    * the planes the ANN path serves from (default: the 8 serving
+    * planes; probes pass wider sets to dial 2^p). */
+  private[graft] def signBucket(
+      v: Column, planes: Seq[Seq[Double]] = hyperplanes): Column = {
     import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
-    hyperplanes.zipWithIndex.map { case (hp, i) =>
+    planes.zipWithIndex.map { case (hp, i) =>
       when(dot_product(v, typedLit(hp)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
   }

@@ -64,12 +64,35 @@ class VectorPlantedSpec extends SparkSuite {
     rs.sum / rs.size
   }
 
-  test("LSH ANN recalls >= 0.9 of exact top-10 on planted neighbors (default dials)") {
+  test("LSH ANN recalls >= 0.85 of exact top-10 on planted neighbors (default dials)") {
     val exact = topSets(VectorSearch.topK)
     assert(exact.values.forall(_.size == 10))
     val recall = meanRecall(topSets(VectorSearch.annLsh), exact)
     info(s"planted LSH recall@10 = $recall")
-    assert(recall >= 0.9, s"planted LSH recall $recall")
+    // independent Gaussian planes (round 6): at cos~0.93 the collision
+    // curve gives P[hamming<=2 of 8] ~ 0.94 per neighbor -> ~0.89
+    // measured @10 (the earlier 0.9 gate was met only because the
+    // correlated sin-planes inflated candidate sets ~2x across the
+    // board; see EmbedDedupScaleProbe + SCALING.md). Radius 3 or IVF
+    // (gated at 0.9 below) are the documented dials when recall
+    // dominates cost.
+    assert(recall >= 0.85, s"planted LSH recall $recall")
+  }
+
+  test("LSH ANN at probe radius 3 recalls >= 0.9 (the recall-dominant dial)") {
+    val exact = topSets(VectorSearch.topK)
+    val prior = spark.conf.getOption("graft.vector.lsh.probeHamming")
+    spark.conf.set("graft.vector.lsh.probeHamming", "3")
+    try {
+      val recall = meanRecall(topSets(VectorSearch.annLsh), exact)
+      info(s"planted LSH recall@10 at radius 3 = $recall")
+      assert(recall >= 0.9, s"planted LSH radius-3 recall $recall")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("graft.vector.lsh.probeHamming", v)
+        case None => spark.conf.unset("graft.vector.lsh.probeHamming")
+      }
+    }
   }
 
   test("IVF ANN recalls >= 0.9 of exact top-10 on planted neighbors (default dials)") {
