@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_clusters_star", "doc_source_cap_2phase", "sample_stratified_threshold",
     "cdc_scd2", "cdc_payload_redact", "dedup_survivors",
     "quality_filter_reasons", "mix_temperature", "dedup_embedding_lsh",
-    "q28_session_window", "token_percentiles_binned", "q29_unpivot", "multimodal_resize"
+    "q28_session_window", "token_percentiles_binned", "q29_unpivot", "multimodal_resize",
+    "dedup_substring", "dedup_substring_clean"
   )
 }

@@ -967,7 +967,136 @@ object Dedup {
     """)
   )
 
+  /** Shingle width for substring-granularity dedup: 8 tokens on the
+    * short-doc fixture (production corpora use 50, per the Lee et al.
+    * finding that ~50-token repeats are near-always boilerplate; the
+    * dial is this one constant). */
+  val SubstringK: Int = 8
+
+  /** Maximal duplicated-substring spans, the substring-granularity
+    * dedup the doc-level family (exact/minhash/simhash/jaccard) can't
+    * see: a k-token shingle whose hash occurs ≥2 times ANYWHERE in the
+    * corpus (other docs or elsewhere in the same doc — both are
+    * training-set repetition) marks its start position duplicated;
+    * runs of duplicated starts ≤k apart merge into maximal spans
+    * (contiguous duplicated coverage), the shingle-granularity
+    * approximation of Lee et al.'s suffix-array repeated substrings.
+    *
+    * 100 TB shape: ONE shuffle on the shingle hash with map-side
+    * partial counts (the dup filter is an aggregate, never a join of
+    * the exploded stream against itself), a semi-join of positions to
+    * the dup-hash set on the same key, and a per-doc window bounded by
+    * document length. No all-pairs anything; cost is linear in corpus
+    * token count.
+    *
+    * Returns (doc_id, span_start, span_end inclusive, span_tokens,
+    * n_dup_shingles), token positions 0-based. */
+  private def substringSpans(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val sh = Tables.load(s, dir, "documents")
+      .select($"doc_id", TextFns.tokens($"text").as("toks"))
+      .select($"doc_id", posexplode(TextFns.shingles($"toks", k)))
+      .select($"doc_id", $"pos".cast("long").as("pos"), md5($"col").as("h"))
+    val dup = sh.groupBy($"h").count().filter($"count" >= 2).select($"h")
+    val hits = sh.join(dup, Seq("h"), "left_semi").select($"doc_id", $"pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    hits
+      .withColumn("prev", lag($"pos", 1).over(w))
+      .withColumn("island",
+        sum(when($"prev".isNull || $"pos" - $"prev" > k, 1L).otherwise(0L)).over(w))
+      .groupBy($"doc_id", $"island")
+      .agg(
+        min($"pos").as("span_start"),
+        (max($"pos") + (k - 1)).as("span_end"),
+        (max($"pos") - min($"pos") + k).as("span_tokens"),
+        count(lit(1)).as("n_dup_shingles"))
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens", $"n_dup_shingles")
+  }
+
+  /** shared oracle prefix: duplicated-shingle islands at width k (the
+    * window SUM is CAST BIGINT — DuckDB window sums go HUGEINT). */
+  private def spansOracleCte(k: Int): String = s"""
+      WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                 FROM documents),
+      sh AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - ${k - 1}), i ->
+               struct_pack(pos := i, h := md5(array_to_string(toks[i + 1 : i + $k], ' '))))) s
+             FROM t WHERE len(toks) >= $k),
+      dup AS (SELECT s.h h FROM sh GROUP BY s.h HAVING count(*) >= 2),
+      hits AS (SELECT doc_id, s.pos pos FROM sh WHERE s.h IN (SELECT h FROM dup)),
+      lagd AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) prev
+               FROM hits),
+      isl AS (SELECT doc_id, pos,
+                CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) island
+              FROM lagd),
+      spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) span_start,
+                       CAST(max(pos) + ${k - 1} AS BIGINT) span_end,
+                       CAST(max(pos) - min(pos) + $k AS BIGINT) span_tokens,
+                       CAST(count(*) AS BIGINT) n_dup_shingles
+                FROM isl GROUP BY doc_id, island)"""
+
+  val substringDetect: Q = Q(
+    "dedup_substring",
+    (s, dir) => {
+      import s.implicits._
+      substringSpans(s, dir, SubstringK).orderBy($"doc_id", $"span_start")
+    },
+    Some(s"""
+      ${spansOracleCte(SubstringK)}
+      SELECT doc_id, span_start, span_end, span_tokens, n_dup_shingles
+      FROM spans ORDER BY doc_id, span_start
+    """)
+  )
+
+  /** The apply side of [[substringDetect]]: remove every token covered by a
+    * duplicated span and reconstruct the cleaned document — the actual
+    * corpus transformation substring dedup exists for. Per-doc span
+    * lists are collected (order-independent membership test, so
+    * `collect_list` nondeterminism is harmless) and joined back to the
+    * corpus; the planner broadcasts the spans side while it is small
+    * (the usual case — spans ∝ duplicated content, not corpus size)
+    * and falls back to a shuffle join when it is not. */
+  val substringClean: Q = Q(
+    "dedup_substring_clean",
+    (s, dir) => {
+      import s.implicits._
+      val spans = substringSpans(s, dir, SubstringK)
+        .groupBy($"doc_id")
+        .agg(collect_list(struct($"span_start".as("s"), $"span_end".as("e"))).as("sp"))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", TextFns.tokens($"text").as("toks"))
+        .join(spans, Seq("doc_id"), "left")
+        .select($"doc_id", $"toks",
+          coalesce($"sp", array().cast("array<struct<s:bigint,e:bigint>>")).as("sp"))
+        .select($"doc_id", $"toks",
+          filter($"toks", (_, i) =>
+            !exists($"sp", p => p.getField("s") <= i && i <= p.getField("e"))).as("kept"))
+        .select($"doc_id",
+          size($"toks").cast("long").as("n_tokens"),
+          (size($"toks") - size($"kept")).cast("long").as("n_removed"),
+          concat_ws(" ", $"kept").as("clean_text"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      ${spansOracleCte(SubstringK)},
+      bydoc AS (SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) sp
+                FROM spans GROUP BY doc_id),
+      j AS (SELECT t.doc_id, toks, coalesce(sp, []) sp
+            FROM t LEFT JOIN bydoc ON t.doc_id = bydoc.doc_id)
+      SELECT doc_id, CAST(len(toks) AS BIGINT) n_tokens,
+             CAST(len(toks) - len(kept) AS BIGINT) n_removed,
+             coalesce(array_to_string(kept, ' '), '') clean_text
+      FROM (SELECT doc_id, toks,
+              list_filter(toks, (x, i) ->
+                len(list_filter(sp, p -> p.s <= i - 1 AND i - 1 <= p.e)) = 0) kept
+            FROM j)
+      ORDER BY doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
-      clustersStar, contamination, survivors, embeddingLsh)
+      clustersStar, contamination, survivors, embeddingLsh, substringDetect,
+      substringClean)
 }

@@ -220,4 +220,48 @@ class DedupSpec extends SparkSuite {
     val recall = (got & planted).size.toDouble / planted.size
     assert(recall >= 0.9, s"planted-pair recall $recall — sign-LSH must catch near-identical dups")
   }
+
+  test("substring dedup: spans EQUAL a pure-Scala recompute; clean removes exactly the covered tokens") {
+    val k = Dedup.SubstringK
+    val toks = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty)).toMap
+
+    // independent recompute on the driver: count every k-shingle
+    // corpus-wide, mark duplicated start positions, merge runs <= k apart
+    val counts = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (t <- toks.values; i <- 0 to t.length - k)
+      counts(t.slice(i, i + k).mkString(" ")) += 1
+    val want = (for ((id, t) <- toks.toSeq) yield {
+      val dupPos = (0 to t.length - k).filter(i => counts(t.slice(i, i + k).mkString(" ")) >= 2)
+      val islands = dupPos.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (cur :: rest), p) if p - cur.head <= k => (p :: cur) :: rest
+        case (acc, p) => List(p) :: acc
+      }
+      islands.map { isl =>
+        (id, isl.last.toLong, isl.head.toLong + k - 1,
+          (isl.head - isl.last + k).toLong, isl.length.toLong)
+      }
+    }).flatten.toSet
+    val got = Dedup.substringDetect.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(want.nonEmpty, "fixture should contain duplicated substrings")
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+
+    // clean side: per doc, n_removed equals the span coverage and the
+    // surviving text is exactly the uncovered tokens in original order
+    val spansByDoc = got.groupBy(_._1)
+    val clean = Dedup.substringClean.run(spark, sf0001).collect()
+    assert(clean.length == toks.size)
+    clean.foreach { r =>
+      val (id, nTok, nRem, txt) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val t = toks(id)
+      val covered = spansByDoc.getOrElse(id, Set.empty)
+        .flatMap { case (_, s, e, _, _) => s to e }
+      assert(nTok == t.length)
+      assert(nRem == covered.size, s"doc $id removed $nRem != covered ${covered.size}")
+      val keptWant = t.indices.filterNot(i => covered.contains(i.toLong)).map(t)
+      assert(txt == keptWant.mkString(" "), s"doc $id clean text drifted")
+    }
+  }
 }
