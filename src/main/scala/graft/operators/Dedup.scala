@@ -997,8 +997,16 @@ object Dedup {
       .select($"doc_id", TextFns.tokens($"text").as("toks"))
       .select($"doc_id", posexplode(TextFns.shingles($"toks", k)))
       .select($"doc_id", $"pos".cast("long").as("pos"), md5($"col").as("h"))
-    val dup = sh.groupBy($"h").count().filter($"count" >= 2).select($"h")
-    val hits = sh.join(dup, Seq("h"), "left_semi").select($"doc_id", $"pos")
+    // corpus-wide occurrence count as a whole-partition window over the
+    // hash, NOT groupBy-count + semi-join back: one shuffle of the
+    // exploded stream and ONE scan of the corpus instead of two scans
+    // joined on the hash (the explode is cheaper to carry through the
+    // shuffle once than to recompute and re-join at 100 TB)
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    val hits = sh
+      .withColumn("n_occ", count(lit(1)).over(wh))
+      .filter($"n_occ" >= 2)
+      .select($"doc_id", $"pos")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"pos")
     hits
