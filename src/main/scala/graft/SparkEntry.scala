@@ -8,12 +8,13 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 72 of
-  * 74, including simhash (md5-based signature reproduced in SQL), LSH
-  * ANN (literal hyperplanes) and the multimodal stubs; only the two
-  * inherently engine-specific ops (q23's HLL++ sketch state, IVF KMeans
-  * cells) are rows-only here, each strictly pinned by ScalaTest — and
-  * both families also carry fully-oracled deterministic members
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 86 of
+  * 88, including simhash (md5-based signature reproduced in SQL), LSH
+  * ANN (literal hyperplanes), the multimodal decode/resize paths and
+  * the substring-granularity dedup; only the two inherently
+  * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
+  * rows-only here, each strictly pinned by ScalaTest — and both
+  * families also carry fully-oracled deterministic members
   * (hll_distinct, vector_ann_ivf_flat).
   */
 object SparkEntry {

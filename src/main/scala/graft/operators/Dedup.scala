@@ -908,9 +908,9 @@ object Dedup {
     * regime this operator is FOR) P[hamming ≤ 2 of 8] ≈ 0.90, which
     * DedupSpec PROVES on planted near-identical vectors; at this
     * fixture's borderline threshold (pairs sit at cos 0.45–0.51,
-    * θ ≈ 60°) the curve gives ~0.4 — measured and asserted as the
-    * documented trade, with [[embeddingCosine]] as the exact fallback
-    * below its row fence.
+    * θ ≈ 60°) the curve decays fast — measured 1/7 on the fixture with
+    * a ≥ 0.1 floor asserted in DedupSpec as the documented trade, with
+    * [[embeddingCosine]] as the exact fallback below its row fence.
     *
     * Scale dial: p planes → 2^p buckets, and the verify term is
     * quadratic-within-bucket (~37·n²/2^p pair evaluations), so the
@@ -982,12 +982,13 @@ object Dedup {
     * (contiguous duplicated coverage), the shingle-granularity
     * approximation of Lee et al.'s suffix-array repeated substrings.
     *
-    * 100 TB shape: ONE shuffle on the shingle hash with map-side
-    * partial counts (the dup filter is an aggregate, never a join of
-    * the exploded stream against itself), a semi-join of positions to
-    * the dup-hash set on the same key, and a per-doc window bounded by
-    * document length. No all-pairs anything; cost is linear in corpus
-    * token count.
+    * 100 TB shape: ONE shuffle of the exploded shingle stream on the
+    * shingle hash, with the corpus-wide occurrence count as a
+    * whole-partition window over that hash (never a join of the
+    * exploded stream against itself, and no second corpus scan — the
+    * positions ride the same shuffle the count uses), then a per-doc
+    * window bounded by document length. No all-pairs anything; cost is
+    * linear in corpus token count.
     *
     * Returns (doc_id, span_start, span_end inclusive, span_tokens,
     * n_dup_shingles), token positions 0-based. */

@@ -146,8 +146,10 @@ object VectorSearch {
     * bucket explored per query): radius 1 → 9 probes of 256 buckets
     * (~3.5% of a uniform corpus), radius 2 → 37 (~14%). The
     * recall/cost dial; overridable via `graft.vector.lsh.probeHamming`.
-    * On clustered data (the regime ANN is for) radius 2 recalls ≥ 0.9
-    * of true cos ≥ 0.9 neighbors — VectorPlantedSpec gates this. */
+    * On clustered data (the regime ANN is for) radius 2 measures ~0.89
+    * recall of true cos ≥ 0.9 neighbors (floor 0.85 gated in
+    * VectorPlantedSpec); the ≥ 0.9-gated dial is radius 3 (measured
+    * 0.9875) or IVF. */
   val LshDefaultProbeHamming = 2
 
   private def lshProbeHamming(s: SparkSession): Int =
@@ -223,8 +225,8 @@ object VectorSearch {
     * exploring all buckets within [[lshProbeHamming]] bit flips.
     * Deterministic (fixed literal hyperplanes) → FULL DuckDB oracle at
     * the default dials; VectorSpec floors recall vs the exact top-k on
-    * the (isotropic) fixture and VectorPlantedSpec gates recall ≥ 0.9
-    * on planted-neighbor data. */
+    * the (isotropic) fixture and VectorPlantedSpec gates planted-data
+    * recall (≥ 0.85 at the default radius 2, ≥ 0.9 at radius 3). */
   /** the LSH candidate stream (qid, vec_id, cos) BEFORE ranking —
     * factored out so scale probes can measure candidate volume (the
     * fraction of the corpus each query actually scans) on the exact
