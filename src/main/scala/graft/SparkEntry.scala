@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 86 of
-  * 88, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 89 of
+  * 91, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -59,6 +59,9 @@ object SparkEntry {
     "cdc_scd2", "cdc_payload_redact", "dedup_survivors",
     "quality_filter_reasons", "mix_temperature", "dedup_embedding_lsh",
     "q28_session_window", "token_percentiles_binned", "q29_unpivot", "multimodal_resize",
-    "dedup_substring", "dedup_substring_clean"
+    "dedup_substring", "dedup_substring_clean",
+    // round 6 late adds: SemDeDup-style semantic dedup on the IVF
+    // codebook, boilerplate-chunk detection, time-RANGE window frame
+    "dedup_semantic", "dedup_boilerplate", "q30_range_frame"
   )
 }

@@ -540,6 +540,53 @@ object Advanced {
     """)
   )
 
+  /** Time-RANGE window frame — the one frame flavor the catalog's other
+    * windows don't cover (q9 is ROWS-unbounded running, q25 is
+    * tumbling-window sliding): per event, the count and cents-sum of
+    * the SAME USER's events in the trailing 10 minutes, expressed as
+    * `rangeBetween(-600, 0)` over epoch seconds. RANGE frames include
+    * all order-value peers in both engines, so second-collapsed ties
+    * are deterministic. Value is scaled to cents BEFORE the frame sum
+    * (pure BIGINT — no float-sum ordering hazard), and the DuckDB sum
+    * is cast back from HUGEINT.
+    *
+    * 100 TB shape: one shuffle on user_id + a per-user sort; the frame
+    * evaluator is a sliding two-pointer over each partition (O(events
+    * per user)), state bounded by the 10-minute horizon. Hot users are
+    * a data-skew concern, not an operator concern — the same AQE
+    * skew-split story as q21_sessionize applies. */
+  val rangeFrame: Q = Q(
+    "q30_range_frame",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"epoch_s")
+        .rangeBetween(-600, 0)
+      ev(s, dir)
+        .select($"event_id", $"user_id",
+          unix_timestamp($"ts").as("epoch_s"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("n_10m", count(lit(1)).over(w))
+        .withColumn("sum_cents_10m", sum($"cents").over(w))
+        .select($"event_id", $"user_id", $"epoch_s", $"n_10m", $"sum_cents_10m")
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+      )
+      SELECT event_id, user_id, epoch_s,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
+             CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents_10m
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """)
+  )
+
   def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf, groupingSets, pivot,
-    approxDistinct, hllDistinct, intervalJoin, slidingWindow, sessionWindow, unpivot)
+    approxDistinct, hllDistinct, intervalJoin, slidingWindow, sessionWindow, unpivot, rangeFrame)
 }

@@ -1104,8 +1104,139 @@ object Dedup {
     """)
   )
 
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space coarsely, then prune within-cluster
+    * pairs above a cosine threshold — semantically-redundant documents
+    * that near-dup text methods can't see. Reuses the content-addressed
+    * IVF-Flat codebook ([[VectorSearch.ivfFlatAssign]] — the 16
+    * lowest-vec_id vectors, broadcast, argmin assignment), which keeps
+    * the whole operator deterministic and fully DuckDB-oracled, unlike
+    * a KMeans quantizer. A vector is flagged when SOME lower-vec_id
+    * member of its cell sits at cos ≥ 0.45 (the corpus-wide threshold
+    * shared with [[embeddingCosine]]); `dup_of` is the smallest such
+    * survivor — min-id canonicalization, same convention as
+    * [[clusters]].
+    *
+    * 100 TB shape: this is THE reason SemDeDup clusters first — the
+    * quadratic term drops from n² to C·(n/C)² = n²/C, bounded per cell
+    * and embarrassingly parallel across cells (one shuffle on the cell
+    * id). Scale the cell count ~√n (here the oracle-able fixture
+    * codebook is 16) and per-cell work stays constant; a skewed cell
+    * re-splits with the same two-phase pattern as
+    * [[Pipeline.sourceCap2Phase]]. Cosine is exact inside the cell, so
+    * precision is 1 by construction; recall misses only cross-cell
+    * pairs (the documented SemDeDup trade vs the all-pairs baseline
+    * this catalog also carries, fence-bounded, in [[embeddingCosine]]). */
+  val semantic: Q = Q(
+    "dedup_semantic",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
+      val (assigned, _) = VectorSearch.ivfFlatAssign(s, dir)
+      val m = assigned.select($"cell", $"vec_id", $"v", $"nrm")
+      val x = m.select($"cell", $"vec_id".as("i"), $"v".as("va"), $"nrm".as("na"))
+      val y = m.select($"cell", $"vec_id".as("j"), $"v".as("vb"), $"nrm".as("nb"))
+      x.join(y, Seq("cell")).filter($"j" < $"i")
+        .withColumn("cos", dot_product($"va", $"vb") / ($"na" * $"nb"))
+        .filter($"cos" >= 0.45)
+        .groupBy($"cell", $"i")
+        .agg(min($"j").as("dup_of"),
+          round(max($"cos") * 1e6).cast("long").as("cos_micro"))
+        .select($"i".as("vec_id"), $"cell", $"dup_of", $"cos_micro")
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM n WHERE vec_id < 16),
+      sc AS (SELECT n.vec_id, cell,
+               list_reduce(list_transform(list_zip(cvec, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 - 2.0 * list_reduce(list_transform(list_zip(v, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 AS score
+             FROM n, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                   FROM sc) WHERE rn = 1),
+      m AS (SELECT a.cell, n.vec_id, n.v, n.nrm FROM assign a JOIN n USING (vec_id)),
+      p AS (SELECT x.cell, x.vec_id AS i, y.vec_id AS j,
+              list_reduce(list_transform(list_zip(x.v, y.v), s -> s[1]*s[2]), (a, b) -> a + b)
+                / (x.nrm * y.nrm) AS cos
+            FROM m x JOIN m y ON x.cell = y.cell AND y.vec_id < x.vec_id)
+      SELECT i AS vec_id, cell, MIN(j) AS dup_of,
+             CAST(ROUND(MAX(cos) * 1e6) AS BIGINT) AS cos_micro
+      FROM p WHERE cos >= 0.45
+      GROUP BY i, cell
+      ORDER BY vec_id
+    """)
+  )
+
+  /** Boilerplate-chunk detection (the RefinedWeb / CCNet repeated-
+    * paragraph stage at chunk granularity): a chunk whose content hash
+    * appears in ≥ 2 DISTINCT documents is boilerplate (headers,
+    * footers, license blocks, templated spans — cross-document
+    * repetition, where [[substringDetect]] counts raw occurrences
+    * including within-doc repeats). Chunking is the same win=32 /
+    * stride=24 scheme as `doc_chunks`, so this composes with the RAG
+    * path. Output is the per-document audit row — total chunk
+    * instances and how many are cross-doc-shared — the rate a curation
+    * pipeline monitors before applying removal.
+    *
+    * 100 TB shape: explode is linear in corpus tokens; the
+    * distinct-doc-frequency agg partial-aggregates on (fp, doc_id)
+    * then (fp); the flagged-fp set (df ≥ 2 survivors) is tiny relative
+    * to the corpus — the planner broadcasts it back onto the chunk
+    * stream, so the corpus-side stream shuffles ONCE (the final
+    * per-doc rollup). Same broadcast-probe story as
+    * [[contamination]], with the probe set discovered from the corpus
+    * instead of supplied. */
+  val boilerplate: Q = Q(
+    "dedup_boilerplate",
+    (s, dir) => {
+      import s.implicits._
+      val c = docs(s, dir)
+        .select($"doc_id", TextFns.tokens($"text").as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(toks) - 1, 24), " +
+            "st -> md5(concat_ws(' ', slice(toks, st + 1, 32))))")).as("fp"))
+      val flagged = c.groupBy($"fp")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" >= 2)
+        .select($"fp", lit(1).as("is_b"))
+      c.join(flagged, Seq("fp"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"), count($"is_b").as("n_boiler"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+      ),
+      c AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(toks), 24),
+                 st -> md5(array_to_string(toks[st + 1 : st + 32], ' ')))) AS fp
+        FROM t WHERE len(toks) > 0
+      ),
+      b AS (
+        SELECT fp, 1 AS is_b FROM c GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+      )
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(is_b) AS BIGINT) AS n_boiler
+      FROM c LEFT JOIN b USING (fp)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
       clustersStar, contamination, survivors, embeddingLsh, substringDetect,
-      substringClean)
+      substringClean, semantic, boilerplate)
 }

@@ -305,9 +305,16 @@ object VectorSearch {
 
   /** the IVF-Flat candidate stream (same content-addressed codebook and
     * serving path as [[annIvfFlat]]) BEFORE ranking — for scale probes. */
-  private[graft] def ivfFlatCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** content-addressed coarse-quantizer assignment shared by
+    * [[annIvfFlat]] and [[graft.operators.Dedup.semantic]]: the 16
+    * lowest-vec_id corpus vectors are the codebook (random-sample
+    * init), every vector goes to its argmin(c·c − 2v·c) cell via a
+    * broadcast codebook scan folded by a partial-aggregated
+    * min-struct. Returns (vec_id, v, nrm, cell) plus the centroid
+    * frame. */
+  private[operators] def ivfFlatAssign(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val nprobe = 2
     val e = normed(s, dir)
     val cents = e.filter($"vec_id" < 16)
       .select($"vec_id".cast("int").as("cell"), $"v".as("cvec"))
@@ -316,8 +323,14 @@ object VectorSearch {
       .withColumn("score", dist)
       .groupBy($"vec_id").agg(min(struct($"score", $"cell")).as("b"))
       .select($"vec_id", $"b.cell".as("cell"))
-    val assigned = e.join(best, "vec_id")
-    val q = e.filter($"vec_id" < 8)
+    (e.join(best, "vec_id"), cents)
+  }
+
+  private[graft] def ivfFlatCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 2
+    val (assigned, cents) = ivfFlatAssign(s, dir)
+    val q = assigned.filter($"vec_id" < 8)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
     cellCandidates(s, assigned, probeCells(s, q, cents, nprobe))
   }

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Driver-side recomputation gates for the Advanced relational family
+  * (the rest of the family is pinned by the DuckDB oracle gate; these
+  * cover the semantics the hash compare can't explain when it fails).
+  */
+class AdvancedSpec extends SparkSuite {
+
+  test("q30 range frame EQUALS a two-pointer trailing-10-minute recompute per user") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .selectExpr("event_id", "user_id", "CAST(unix_timestamp(ts) AS BIGINT) epoch_s",
+        "CAST(ROUND(value * 100) AS BIGINT) cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // per user: sort by epoch second and slide a [t-600, t] window; RANGE
+    // frames include ALL peers of the current order value, so every row
+    // sharing a second gets the same frame
+    val want = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.toSeq.sortBy(_._3)
+      sorted.map { case (id, u, t, _) =>
+        val in = sorted.filter(r => r._3 >= t - 600 && r._3 <= t)
+        (id, u, t, in.length.toLong, in.map(_._4).sum)
+      }
+    }.toSet
+
+    val got = Advanced.rangeFrame.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(want.exists(_._4 > 1), "fixture should have overlapping 10-minute frames")
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+}

@@ -264,4 +264,62 @@ class DedupSpec extends SparkSuite {
       assert(txt == keptWant.mkString(" "), s"doc $id clean text drifted")
     }
   }
+
+  test("semantic dedup: flags EQUAL a pure-Scala SemDeDup recompute, pairs subset of all-pairs") {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val e = graft.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val nrm = e.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val cents = e.filter(_._1 < 16).toSeq.sortBy(_._1)
+    val cell = e.map { case (id, v) =>
+      id -> cents.map { case (cid, c) => (dot(c, c) - 2.0 * dot(v, c), cid.toInt) }.min._2
+    }
+    val want = (for {
+      (c, members) <- e.keys.groupBy(cell).toSeq
+      i <- members
+      hits = members.toSeq.filter(_ < i)
+        .map(j => (j, dot(e(i), e(j)) / (nrm(i) * nrm(j))))
+        .filter(_._2 >= 0.45)
+      if hits.nonEmpty
+    } yield (i, c, hits.map(_._1).min, math.round(hits.map(_._2).max * 1e6))).toSet
+    val got = Dedup.semantic.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want.nonEmpty, "fixture should contain within-cell semantic dups")
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+
+    // every (dup_of, vec_id) flag is a pair the all-pairs baseline also
+    // emits (same threshold, cell-restricted) — precision 1 by construction
+    val allPairs = Dedup.embeddingCosine.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (v, _, d, _) =>
+      assert(allPairs.contains((d, v)), s"flag ($d,$v) missing from all-pairs baseline")
+    }
+  }
+
+  test("boilerplate chunks: per-doc counts EQUAL a pure-Scala cross-doc chunk-df recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty))
+      .filter(_._2.nonEmpty).toMap
+    val chunks = toks.map { case (id, t) =>
+      id -> (0 until t.length by 24).map(st => md5hex(t.slice(st, st + 32).mkString(" ")))
+    }
+    val flagged = chunks.toSeq.flatMap { case (id, fps) => fps.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    assert(flagged.nonEmpty, "fixture should contain cross-doc shared chunks")
+    val want = chunks.map { case (id, fps) =>
+      (id, fps.length.toLong, fps.count(flagged).toLong)
+    }.toSet
+    val got = Dedup.boilerplate.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
 }
