@@ -1185,14 +1185,15 @@ object Dedup {
     * instances and how many are cross-doc-shared — the rate a curation
     * pipeline monitors before applying removal.
     *
-    * 100 TB shape: explode is linear in corpus tokens; the
-    * distinct-doc-frequency agg partial-aggregates on (fp, doc_id)
-    * then (fp); the flagged-fp set (df ≥ 2 survivors) is tiny relative
-    * to the corpus — the planner broadcasts it back onto the chunk
-    * stream, so the corpus-side stream shuffles ONCE (the final
-    * per-doc rollup). Same broadcast-probe story as
-    * [[contamination]], with the probe set discovered from the corpus
-    * instead of supplied. */
+    * 100 TB shape: ONE corpus scan + explode (linear in corpus
+    * tokens), immediately partial-aggregated to (fp, doc_id)
+    * granularity with map-side combine — within-doc repeats collapse
+    * before anything shuffles — then the document frequency is a
+    * whole-partition window count over fp on that collapsed stream
+    * (the same one-scan-instead-of-rescan-and-join lesson as
+    * [[substringDetect]]), and the per-doc audit rollup is the final
+    * small-keyed aggregation. Three shuffles total, all at collapsed
+    * granularity; the corpus text is read and tokenized exactly once. */
   val boilerplate: Q = Q(
     "dedup_boilerplate",
     (s, dir) => {
@@ -1203,13 +1204,12 @@ object Dedup {
         .select($"doc_id", explode(expr(
           "transform(sequence(0, size(toks) - 1, 24), " +
             "st -> md5(concat_ws(' ', slice(toks, st + 1, 32))))")).as("fp"))
-      val flagged = c.groupBy($"fp")
-        .agg(countDistinct($"doc_id").as("df"))
-        .filter($"df" >= 2)
-        .select($"fp", lit(1).as("is_b"))
-      c.join(flagged, Seq("fp"), "left")
+      val perDoc = c.groupBy($"fp", $"doc_id").agg(count(lit(1)).as("n_inst"))
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+      perDoc.withColumn("df", count(lit(1)).over(wf))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_chunks"), count($"is_b").as("n_boiler"))
+        .agg(sum($"n_inst").as("n_chunks"),
+          coalesce(sum(when($"df" >= 2, $"n_inst")), lit(0L)).as("n_boiler"))
         .orderBy($"doc_id")
     },
     Some("""
