@@ -100,4 +100,34 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "cluster-size join must broadcast")
     assert(p.contains("LeftAnti"), "dup removal must be an anti join, not a subtract")
   }
+
+  test("dedup_semantic: codebook broadcast; pair join is a keyed equi-join on cell") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid assignment must scan a broadcast codebook")
+    // the within-cell pair join must key on cell (n^2/C, parallel per
+    // cell) — a nested-loop pair join would be the all-pairs O(n^2)
+    // this operator exists to avoid
+    val tail = p.substring(p.indexOf("BroadcastNestedLoopJoin").max(0))
+    assert(p.contains("SortMergeJoin [cell") || p.contains("ShuffledHashJoin [cell")
+      || p.contains("SortMergeJoin [coalesce(cell") || tail.contains("hashpartitioning(cell"),
+      s"pair join must be keyed on cell\n${p.take(600)}")
+  }
+
+  test("dedup_boilerplate: one corpus scan, df via window (no self-join)") {
+    val p = plan("dedup_boilerplate")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "boilerplate must read the corpus exactly once")
+    assert(p.contains("Window"), "document frequency must be a window count")
+    assert(!p.contains("Join"), "no join anywhere in the single-scan form")
+  }
+
+  test("q30_range_frame: single user_id exchange feeding the RANGE window") {
+    val p = plan("q30_range_frame")
+    assert(p.contains("RANGE BETWEEN -600 FOLLOWING AND CURRENT ROW")
+      || p.contains("specifiedwindowframe(RangeFrame"),
+      s"frame must be a RANGE frame\n${p.take(600)}")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      "both frame aggregates must share ONE user_id exchange")
+  }
 }
