@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 89 of
-  * 91, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 92 of
+  * 94, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -62,6 +62,10 @@ object SparkEntry {
     "dedup_substring", "dedup_substring_clean",
     // round 6 late adds: SemDeDup-style semantic dedup on the IVF
     // codebook, boilerplate-chunk detection, time-RANGE window frame
-    "dedup_semantic", "dedup_boilerplate", "q30_range_frame"
+    "dedup_semantic", "dedup_boilerplate", "q30_range_frame",
+    // round 6: incremental-ingest dedup (exact + bloom-prefiltered —
+    // benched as a pair so the sketch's shuffle savings are measured)
+    // and epoch-weighted upsampling
+    "dedup_incremental", "dedup_incremental_bloom", "mix_upsample"
   )
 }

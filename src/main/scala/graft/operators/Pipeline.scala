@@ -533,6 +533,58 @@ object Pipeline {
     """)
   )
 
+  /** Epoch-weighted upsampling — the repetition counterpart of
+    * [[mixSample]]: high-value sources appear MORE than once per epoch
+    * (Llama/DoReMi-style mixture weights > 1). A broadcast weight table
+    * gives each source an integer base copy count plus a fractional
+    * tail expressed as a content-addressed md5-bucket threshold (so
+    * weight 2.5 = 2 full copies + the half of documents whose bucket
+    * clears the threshold gets a third); sources absent from the table
+    * default to exactly one copy. Emits one row per (document, copy).
+    *
+    * Scale shape: broadcast left join + `explode(sequence(...))` — a
+    * pure per-row projection with NO shuffle of the corpus, and the
+    * output is written partition-local. Deterministic (content-
+    * addressed buckets, no RNG), so fully oracled. */
+  val mixUpsample: Q = Q(
+    "mix_upsample",
+    (s, dir) => {
+      import s.implicits._
+      val weights = ((0 to 4).map(i => (s"src$i", 2L, "7fff")) ++
+        (5 to 9).map(i => (s"src$i", 1L, "3fff")))
+        .toDF("source", "base", "thr")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source",
+          substring(md5($"doc_id".cast("string")), 1, 4).as("bucket"))
+        .join(broadcast(weights), Seq("source"), "left")
+        .withColumn("n_copies",
+          coalesce($"base", lit(1L)) +
+            when($"bucket" <= $"thr", 1L).otherwise(0L)) // null thr → +0
+        .select($"doc_id", $"source",
+          explode(sequence(lit(1L), $"n_copies")).as("copy_idx"))
+        .orderBy($"doc_id", $"copy_idx")
+    },
+    Some("""
+      WITH w(source, base, thr) AS (
+        VALUES ('src0',2,'7fff'),('src1',2,'7fff'),('src2',2,'7fff'),
+               ('src3',2,'7fff'),('src4',2,'7fff'),('src5',1,'3fff'),
+               ('src6',1,'3fff'),('src7',1,'3fff'),('src8',1,'3fff'),
+               ('src9',1,'3fff')
+      ),
+      e AS (
+        SELECT doc_id, source,
+               COALESCE(base, 1)
+                 + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= thr
+                        THEN 1 ELSE 0 END AS n_copies
+        FROM documents LEFT JOIN w USING (source)
+      )
+      SELECT doc_id, source,
+             unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS copy_idx
+      FROM e
+      ORDER BY doc_id, copy_idx
+    """)
+  )
+
   /** The composed curation pass — the flagship "what a user actually
     * runs": quality gate (≥ 20 tokens) → exact content dedup (min
     * doc_id survives per canonical fingerprint) → per-source cap
@@ -819,7 +871,8 @@ object Pipeline {
 
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified,
-      sourceCap, eventOutliers, funnel, packSequences, mixSample, curationE2e,
+      sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
+      curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature)
 }

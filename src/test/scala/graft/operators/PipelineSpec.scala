@@ -305,4 +305,29 @@ class PipelineSpec extends SparkSuite {
       assert(kept(lang) > nmin && kept(lang) < counts(lang), s"$lang not smoothed")
     }
   }
+
+  test("mix upsample emits exactly base+fractional copies per doc, 1..n indexed") {
+    def weights(src: String): (Long, Option[String]) = src.stripPrefix("src").toInt match {
+      case i if i <= 4 => (2L, Some("7fff"))
+      case i if i <= 9 => (1L, Some("3fff"))
+      case _ => (1L, None)
+    }
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wantCopies = docs.map { case (id, src) =>
+      val (base, thr) = weights(src)
+      (id, base + (if (thr.exists(md5hex(id.toString).take(4) <= _)) 1L else 0L))
+    }.toMap
+    val got = Pipeline.mixUpsample.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // every emitted (doc, copy_idx) is a dense 1..n tiling of its doc
+    val byDoc = got.groupBy(_._1).map { case (id, g) => id -> g.map(_._2).sorted.toSeq }
+    byDoc.foreach { case (id, idxs) =>
+      assert(idxs == (1L to wantCopies(id)),
+        s"doc $id copies $idxs != 1..${wantCopies(id)}")
+    }
+    assert(byDoc.keySet == wantCopies.keySet, "every doc appears at least once")
+    assert(got.length > docs.length, "upsampling must actually add copies")
+  }
 }

@@ -130,4 +130,31 @@ class PlanHygieneSpec extends SparkSuite {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
       "both frame aggregates must share ONE user_id exchange")
   }
+
+  test("dedup_incremental_bloom: codegen'd bloom prefilter gates the anti join") {
+    val p = plan("dedup_incremental_bloom")
+    // the membership test runs as our native expression inside the
+    // filter (codegen), not a UDF
+    assert(p.contains("bloom_might_contain"),
+      s"prefilter must be the native bloom expression\n${p.take(600)}")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "prefilter must not be a UDF")
+    // history must never be exchanged: the exact check is a broadcast
+    // semi probe of history by the candidate keys, then a broadcast
+    // anti join of the hits — both survive autoBroadcastJoinThreshold=-1
+    // because the hints are explicit
+    assert(p.contains("LeftAnti"), "FP removal must be an anti join")
+    assert(p.contains("LeftSemi"), "history probe must be a semi join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both history-side joins must broadcast\n${p.take(800)}")
+  }
+
+  test("mix_upsample: weight table broadcast; corpus never shuffles before explode") {
+    val p = plan("mix_upsample")
+    assert(p.contains("BroadcastHashJoin"), "weight join must broadcast")
+    assert(p.contains("Generate explode"), "copies must come from a generator, not a join")
+    // final orderBy is the only exchange: no hashpartitioning of the corpus
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus must not hash-shuffle\n${p.take(600)}")
+  }
 }
