@@ -41,10 +41,14 @@ object IncrementalScaleProbe {
     val nFresh = fresh.count()
 
     mults.foreach { mult =>
-      // history = generations 0..mult-1; gen-0 overlaps the batch, the
-      // rest are distinct archive mass the exact form must re-shuffle
-      val hist = (0 until mult)
-        .map(k => docs.select(md5(concat($"text", lit(k.toString))).as("content_md5")))
+      // history = the even-doc_id half of the batch's own fingerprints
+      // (real cross-batch dups, so the candidate path carries rows)
+      // plus mult-1 generations of distinct archive mass — the part
+      // the exact form must re-shuffle every run and the sketch absorbs
+      val histBase = docs.filter($"doc_id" % 2 === 0)
+        .select(md5($"text").as("content_md5"))
+      val hist = (histBase +: (1 until mult)
+        .map(k => docs.select(md5(concat($"text", lit(k.toString))).as("content_md5"))))
         .reduce(_ union _)
         .repartition(32)
         .persist()
