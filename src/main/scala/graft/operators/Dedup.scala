@@ -1380,8 +1380,87 @@ object Dedup {
     incrementalOracle
   )
 
+  /** Incremental NEAR-dup: today's batch MinHash-banded against the
+    * historical corpus — the [[minhashLsh]] semantics with the
+    * [[incremental]] split. Candidates come from a band equi-join of
+    * the batch's bands against history's (no in-batch pairs: the join
+    * crosses the split by construction), then the exact integer-Jaccard
+    * verify runs only on candidate docs.
+    *
+    * Scale shape: production persists history's band table once
+    * (bucketed by (b, bh)), so a daily run sketches ONLY the batch —
+    * one kernel pass over new text — and equi-joins ~16·|batch| band
+    * rows against the stored index; history text is never re-read and
+    * never re-sketched. The fixture form derives both sides from the
+    * shared table so the driver can oracle it against the exact
+    * cross-split Jaccard pair set (same 16×4 banding ⇒ a true j ≥ 2/3
+    * pair misses with prob ≤ (1−(2/3)⁴)¹⁶ ≈ 3e-2 at the threshold and
+    * ~4e-9 at the planted j ≈ 0.9; on this fixture the sets match
+    * exactly, which the oracle hash-gates). */
+  val incrementalMinhash: Q = Q(
+    "dedup_incremental_minhash",
+    (s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select($"doc_id", $"text",
+        substring(md5($"doc_id".cast("string")), 1, 1).as("bk"))
+      val minhashes = base.select($"doc_id", $"bk", $"text")
+        .as[(Long, String, String)]
+        .mapPartitions(_.flatMap { case (doc, bk, text) =>
+          sketchText(text).map(mh => (doc, bk, mh))
+        })
+        .toDF("doc_id", "bk", "mh")
+      val bandStructs = (0 until 16).map { b =>
+        struct(lit(b).as("b"),
+          xxhash64(element_at($"mh", 4 * b + 1), element_at($"mh", 4 * b + 2),
+            element_at($"mh", 4 * b + 3), element_at($"mh", 4 * b + 4)).as("bh"))
+      }
+      // sketched once, split after: referenced by both sides below
+      val bands = minhashes
+        .select($"doc_id", $"bk", explode(array(bandStructs: _*)).as("band"))
+        .select($"doc_id", $"bk", $"band.b".as("b"), $"band.bh".as("bh"))
+        .localCheckpoint()
+      val hb = bands.filter($"bk" < "8").select($"doc_id".as("hist_id"), $"b", $"bh")
+      val fb = bands.filter($"bk" >= "8").select($"doc_id".as("fresh_id"), $"b", $"bh")
+      val cand = hb.join(fb, Seq("b", "bh"))
+        .select($"hist_id", $"fresh_id").distinct()
+        .localCheckpoint() // referenced three times below
+      val candDocs = cand
+        .select(explode(array($"hist_id", $"fresh_id")).as("doc_id")).distinct()
+      val shCand = docs(s, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .select($"doc_id", TextFns.shingleSet($"text").as("sh"))
+        .localCheckpoint() // both verify sides
+      cand
+        .join(shCand.select($"doc_id".as("hist_id"), $"sh".as("sh1")), "hist_id")
+        .join(shCand.select($"doc_id".as("fresh_id"), $"sh".as("sh2")), "fresh_id")
+        .withColumn("inter", size(array_intersect($"sh1", $"sh2")))
+        .withColumn("n1", size($"sh1")).withColumn("n2", size($"sh2"))
+        .filter($"inter" * 3 >= $"n1" + $"n2")
+        .select($"hist_id", $"fresh_id", $"inter".cast("long").as("inter_size"),
+          ($"n1" + $"n2" - $"inter").cast("long").as("union_size"))
+        .orderBy($"hist_id", $"fresh_id")
+    },
+    Some(s"""
+      WITH $shingleSetSql,
+      ex AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bk,
+                    unnest(shset) s, len(shset) n FROM sh),
+      pairs AS (
+        SELECT h.doc_id hist_id, f.doc_id fresh_id, COUNT(*) inter,
+               ANY_VALUE(h.n) nh, ANY_VALUE(f.n) nf
+        FROM ex h JOIN ex f ON h.s = f.s AND h.bk < '8' AND f.bk >= '8'
+        GROUP BY 1, 2
+      )
+      SELECT hist_id, fresh_id, CAST(inter AS BIGINT) AS inter_size,
+             CAST(nh + nf - inter AS BIGINT) AS union_size
+      FROM pairs
+      WHERE 3 * inter >= nh + nf
+      ORDER BY hist_id, fresh_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
       clustersStar, contamination, survivors, embeddingLsh, substringDetect,
-      substringClean, semantic, boilerplate, incremental, incrementalBloom)
+      substringClean, semantic, boilerplate, incremental, incrementalBloom,
+      incrementalMinhash)
 }

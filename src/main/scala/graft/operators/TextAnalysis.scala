@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
@@ -236,33 +236,43 @@ object TextAnalysis {
     * is the one sub-ulp-implementation-dependent function in the
     * engine; both engines see bit-identical inputs, so a flip requires
     * the true value within ~1 ulp of a micro boundary (~1e-9/row). */
+  private val bm25Terms = Seq("hash", "join", "stream")
+
+  /** The shared BM25-scored frame (doc_id, tf_*, bm25_micro) for the
+    * fixed query — [[bm25]] emits it by doc_id, [[searchTopK]] ranks
+    * it. One tiny stats row broadcast over the corpus; pure per-row
+    * scoring after that. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    val terms = bm25Terms
+    val d = docs(s, dir)
+      .repartition($"doc_id")   // single-file fixture → spread the work
+      .select($"doc_id", TextFns.tokens($"text").as("toks"))
+      .withColumn("dl", size($"toks"))
+    val tf = terms.foldLeft(d) { (df, t) =>
+      df.withColumn(s"tf_$t", size(filter($"toks", x => x === t)))
+    }
+    val aggExprs = count(lit(1)).as("n_docs") +: avg($"dl").as("avgdl") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = tf.agg(aggExprs.head, aggExprs.tail: _*)
+    def termScore(t: String): Column = {
+      val tfc = col(s"tf_$t"); val dfc = col(s"df_$t")
+      val idf = log(lit(1.0) + (($"n_docs" - dfc) + 0.5) / (dfc + 0.5))
+      idf * (tfc * 2.2) / (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl")))
+    }
+    tf.crossJoin(broadcast(stats))
+      .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .select($"doc_id" +: terms.map(t => col(s"tf_$t")) :+
+        round(terms.map(termScore).reduce(_ + _) * 1e6).cast("long").as("bm25_micro"): _*)
+  }
+
   val bm25: Q = {
-    val terms = Seq("hash", "join", "stream")
     Q(
       "text_bm25",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.Column
-        val d = docs(s, dir)
-          .repartition($"doc_id")   // single-file fixture → spread the work
-          .select($"doc_id", TextFns.tokens($"text").as("toks"))
-          .withColumn("dl", size($"toks"))
-        val tf = terms.foldLeft(d) { (df, t) =>
-          df.withColumn(s"tf_$t", size(filter($"toks", x => x === t)))
-        }
-        val aggExprs = count(lit(1)).as("n_docs") +: avg($"dl").as("avgdl") +:
-          terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-        val stats = tf.agg(aggExprs.head, aggExprs.tail: _*)
-        def termScore(t: String): Column = {
-          val tfc = col(s"tf_$t"); val dfc = col(s"df_$t")
-          val idf = log(lit(1.0) + (($"n_docs" - dfc) + 0.5) / (dfc + 0.5))
-          idf * (tfc * 2.2) / (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl")))
-        }
-        tf.crossJoin(broadcast(stats))
-          .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
-          .select($"doc_id" +: terms.map(t => col(s"tf_$t")) :+
-            round(terms.map(termScore).reduce(_ + _) * 1e6).cast("long").as("bm25_micro"): _*)
-          .orderBy($"doc_id")
+        bm25Scored(s, dir).orderBy($"doc_id")
       },
       Some("""
         WITH d AS (
@@ -298,6 +308,58 @@ object TextAnalysis {
       """)
     )
   }
+
+  /** BM25 RETRIEVAL: the top-10 documents for the fixed query, ranked
+    * by [[bm25]]'s micro-unit score (ties broken by doc_id, so the
+    * result is total-ordered and fully oracled). This is the serving
+    * half of lexical search — ranking, not per-doc audit.
+    *
+    * Scale shape: identical scoring plan (one broadcast stats row, per-
+    * row projection), then top-k planned as TakeOrderedAndProject — at
+    * most k rows leave each partition, so result traffic is O(k·parts)
+    * regardless of corpus size; no global sort materializes. */
+  val searchTopK: Q = Q(
+    "text_search_topk",
+    (s, dir) => {
+      import s.implicits._
+      bm25Scored(s, dir)
+        .orderBy(desc("bm25_micro"), $"doc_id")
+        .limit(10)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+        FROM documents
+      ),
+      tf AS (
+        SELECT doc_id, len(toks) dl,
+               CAST(len(list_filter(toks, x -> x = 'hash'))   AS INT) tf_hash,
+               CAST(len(list_filter(toks, x -> x = 'join'))   AS INT) tf_join,
+               CAST(len(list_filter(toks, x -> x = 'stream')) AS INT) tf_stream
+        FROM d
+      ),
+      st AS (
+        SELECT COUNT(*) n_docs, AVG(dl) avgdl,
+               CAST(SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS BIGINT) df_hash,
+               CAST(SUM(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS BIGINT) df_join,
+               CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) df_stream
+        FROM tf
+      )
+      SELECT doc_id, tf_hash, tf_join, tf_stream,
+             CAST(ROUND((
+                 ln(1.0 + (CAST(n_docs - df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
+                   * (CAST(tf_hash AS DOUBLE) * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+               + ln(1.0 + (CAST(n_docs - df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5))
+                   * (CAST(tf_join AS DOUBLE) * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+               + ln(1.0 + (CAST(n_docs - df_stream AS DOUBLE) + 0.5) / (CAST(df_stream AS DOUBLE) + 0.5))
+                   * (CAST(tf_stream AS DOUBLE) * 2.2) / (tf_stream + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+             ) * 1e6) AS BIGINT) AS bm25_micro
+      FROM tf, st
+      WHERE tf_hash + tf_join + tf_stream > 0
+      ORDER BY bm25_micro DESC, doc_id
+      LIMIT 10
+    """)
+  )
 
   /** text → bigram stream in one tight pass. The declarative form —
     * `explode(transform(sequence(...), i -> concat_ws(slice(...))))` —
@@ -501,6 +563,6 @@ object TextAnalysis {
   )
 
   def queries: Seq[Q] =
-    Seq(tokenCount, quality, langId, fingerprintQ, topTerms, bm25, bigrams,
-      repetition, docChunks, qualityFilterReasons)
+    Seq(tokenCount, quality, langId, fingerprintQ, topTerms, bm25, searchTopK,
+      bigrams, repetition, docChunks, qualityFilterReasons)
 }

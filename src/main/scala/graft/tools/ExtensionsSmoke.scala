@@ -17,7 +17,19 @@ object ExtensionsSmoke {
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head().getDouble(0)
     assert(v == 11.0, s"dot_product via extensions returned $v")
-    println(s"[extensions-smoke] OK dot_product=$v")
+    // bloom_might_contain from SQL text: build a tiny sketch, pass it
+    // as a binary literal — present key true, absent key can be false
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(16, 0.01)
+    bf.putString("present")
+    val hex = org.apache.spark.sql.graftexpr.BloomFunctions.toBytes(bf)
+      .map("%02X".format(_)).mkString
+    val Array(hit, miss) = spark.sql(
+      s"SELECT bloom_might_contain('present', X'$hex'), " +
+        s"bloom_might_contain('absent-key', X'$hex')")
+      .head().toSeq.map(_.asInstanceOf[Boolean]).toArray
+    assert(hit, "sketch must contain the inserted key (no false negatives)")
+    assert(!miss, "16-key sketch at 1% fpp should reject the probe key")
+    println(s"[extensions-smoke] OK dot_product=$v bloom hit=$hit miss=$miss")
     spark.stop()
   }
 }

@@ -13,22 +13,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
-  test("injected builder arity-checks and constructs DotProduct") {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    val ext = new GraftExtensions
-    // reuse the builder through a capturing extensions instance
-    var built: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-      org.apache.spark.sql.catalyst.expressions.Expression] = None
+  private def builders: Map[String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression] = {
+    var built = Map.empty[String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression]
     val capture = new SparkSessionExtensions {
       override def injectFunction(fd: FunctionDescription): Unit = {
-        built = Some(fd._3)
+        built += fd._1.funcName -> fd._3
         super.injectFunction(fd)
       }
     }
-    ext.apply(capture)
-    val b = built.get
+    new GraftExtensions().apply(capture)
+    built
+  }
+
+  test("injected builder arity-checks and constructs DotProduct") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val b = builders("dot_product")
     val e = b(Seq(Literal(Array(1.0, 2.0)), Literal(Array(3.0, 4.0))))
     assert(e.isInstanceOf[org.apache.spark.sql.graftexpr.DotProduct])
     assertThrows[IllegalArgumentException](b(Seq(Literal(1))))
+  }
+
+  test("injected bloom builder requires a foldable binary sketch") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val b = builders("bloom_might_contain")
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(16, 0.01)
+    bf.putString("k")
+    val bytes = org.apache.spark.sql.graftexpr.BloomFunctions.toBytes(bf)
+    val e = b(Seq(Literal.create("k", StringType), Literal.create(bytes, BinaryType)))
+    assert(e.isInstanceOf[org.apache.spark.sql.graftexpr.BloomMightContainString])
+    // non-foldable sketch argument is rejected at build time
+    assertThrows[IllegalArgumentException](b(Seq(
+      Literal.create("k", StringType),
+      AttributeReference("sketch", BinaryType)())))
+    assertThrows[IllegalArgumentException](b(Seq(Literal.create("k", StringType))))
   }
 }

@@ -374,6 +374,27 @@ class DedupSpec extends SparkSuite {
     assert(Set("A", "B").subsetOf(caught), s"sketch missed a true dup: $caught")
   }
 
+  test("incremental minhash pairs ARE the cross-split slice of the full pair set") {
+    def bucket(id: Long): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+    // the full-corpus near-dup pair set (itself oracled == exact
+    // Jaccard pairs), re-oriented to (hist, fresh) across the split
+    val want = Dedup.minhashLsh.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .flatMap { case (d1, d2, inter, uni) =>
+        (bucket(d1) < '8', bucket(d2) < '8') match {
+          case (true, false) => Some((d1, d2, inter, uni))
+          case (false, true) => Some((d2, d1, inter, uni))
+          case _ => None // both sides same half: not a cross-split pair
+        }
+      }.toSet
+    val got = Dedup.incrementalMinhash.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "fixture must contain cross-split near-dups")
+  }
+
   test("bloom-prefiltered incremental dedup is bit-identical to the exact form") {
     val exact = Dedup.incremental.run(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet

@@ -149,6 +149,12 @@ class PlanHygieneSpec extends SparkSuite {
       s"both history-side joins must broadcast\n${p.take(800)}")
   }
 
+  test("text_search_topk: ranking is TakeOrderedAndProject, not a global sort") {
+    val p = plan("text_search_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not materialize a global sort\n${p.take(400)}")
+  }
+
   test("mix_upsample: weight table broadcast; corpus never shuffles before explode") {
     val p = plan("mix_upsample")
     assert(p.contains("BroadcastHashJoin"), "weight join must broadcast")

@@ -63,6 +63,16 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("search top-k IS the 10 best bm25 rows ranked by (score desc, doc_id)") {
+    val all = TextAnalysis.bm25.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    val want = all.sortBy { case (id, score) => (-score, id) }.take(10).toSeq
+    val got = TextAnalysis.searchTopK.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(all.length > 10, "top-k must actually truncate the scored set")
+  }
+
   test("global bigram top-k is 20 rows in (count desc, bigram asc) order") {
     val rows = TextAnalysis.bigrams.run(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1)))
