@@ -869,10 +869,112 @@ object Pipeline {
     Some(thresholdSampleSql(temperatureThrSql))
   )
 
+  /** RAG SERVING SHAPE: exact cosine top-5 per query over the
+    * embedding store, then the winners fetch their payload from the
+    * document store (`vec_id = doc_id` — document embeddings). This is
+    * the retrieval half of every RAG pipeline: rank in vector space,
+    * hydrate from the row store.
+    *
+    * Scale shape: the ranked result is O(k·queries) rows regardless of
+    * corpus size, so it is BROADCAST into the payload join — the
+    * document store is hash-probed locally, never shuffled, and only
+    * the projected payload columns are read (column pruning reaches
+    * the parquet scan). Swap [[VectorSearch.rankTopK]]'s exact scorer
+    * for the LSH/IVF candidate paths and the payload join is
+    * unchanged — the composition, not the scorer, is the operator. */
+  val ragRetrieve: Q = Q(
+    "vector_rag_retrieve",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
+      val k = 5
+      val e = VectorSearch.withNorms(
+        Tables.load(s, dir, "embeddings")
+          .repartition($"vec_id")   // single-file fixture → spread the scoring
+          .select($"vec_id", $"embedding"))
+        .localCheckpoint()          // referenced as both query and corpus side
+      val q = e.filter($"vec_id" < 4)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+      val top = VectorSearch.rankTopK(s, scored, k)
+      Tables.load(s, dir, "documents")
+        .join(broadcast(top), $"doc_id" === $"vec_id")
+        .select($"qid", $"rn", $"doc_id", $"lang", $"source", $"n_chars", $"cos")
+        .orderBy($"qid", $"rn")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      qs AS (SELECT vec_id qid, v qv, nrm qnrm FROM n WHERE vec_id < 4),
+      p AS (SELECT qid, vec_id,
+              list_reduce(list_transform(list_zip(qv, v), s -> s[1]*s[2]), (x, y) -> x + y)
+                / (qnrm * nrm) AS cos
+            FROM qs, n WHERE vec_id <> qid),
+      r AS (SELECT qid, vec_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
+            FROM p)
+      SELECT r.qid, CAST(r.rn AS INT) AS rn, d.doc_id, d.lang, d.source, d.n_chars, r.cos
+      FROM r JOIN documents d ON d.doc_id = r.vec_id
+      WHERE r.rn <= 5
+      ORDER BY r.qid, r.rn
+    """)
+  )
+
+  /** Deterministic CORPUS SHUFFLE: the training-order assignment every
+    * pretraining run needs — each document gets a shard (which output
+    * file group it lands in) and a position within that shard, from a
+    * salted content address (`md5("epoch0:" || doc_id)`). Change the
+    * epoch salt and the whole corpus reshuffles; keep it and the order
+    * is bit-reproducible across engines, runs, and cluster sizes — no
+    * RNG state to coordinate.
+    *
+    * Scale shape: ONE hash shuffle on `shard` (the window's partition
+    * key), then a per-shard sort — shard count is chosen so a shard
+    * fits an executor (the [[packSequencesSharded]] discipline), and at
+    * 100 TB the same plan writes straight out via
+    * `repartition($"shard").sortWithinPartitions($"skey")` with `pos`
+    * implicit in file order; the windowed rank here materializes it so
+    * the assignment is exactly oracle-able. */
+  val corpusShuffle: Q = Q(
+    "corpus_shuffle",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          md5(concat(lit("epoch0:"), $"doc_id".cast("string"))).as("skey"))
+        .withColumn("shard",
+          ((expr("instr('0123456789abcdef', substring(skey, 1, 1))") - 1) % 8)
+            .cast("int"))
+      val w = Window.partitionBy($"shard").orderBy($"skey", $"doc_id")
+      sh.withColumn("pos", row_number().over(w))
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy($"shard", $"pos")
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) skey
+        FROM documents
+      ), h AS (
+        SELECT doc_id, skey,
+               CAST((strpos('0123456789abcdef', substring(skey, 1, 1)) - 1) % 8 AS INT) shard
+        FROM s
+      )
+      SELECT doc_id, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS INT) pos
+      FROM h
+      ORDER BY shard, pos
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified,
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
-      mixTemperature)
+      mixTemperature, ragRetrieve, corpusShuffle)
 }

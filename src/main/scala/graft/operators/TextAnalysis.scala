@@ -95,6 +95,62 @@ object TextAnalysis {
     """)
   )
 
+  /** Quality CLASSIFIER: a fixed-weight linear model over the
+    * [[quality]] features — the engine-side stand-in for the
+    * fastText-style quality gates every pretraining corpus runs
+    * (weights would come from a trained model; the plumbing is what
+    * the engine owns). Emits the raw logit and the keep decision
+    * (logit > 0), so downstream curation composes on `keep` without
+    * re-deriving features.
+    *
+    * Numeric-parity design: every feature is a ratio of integers and
+    * the logit is a fixed left-associated chain of IEEE adds/muls — no
+    * exp/log — so the double is bit-identical across engines and the
+    * oracle compares it EXACTLY (no micro-rounding needed; same
+    * discipline as [[quality]]). A pure per-row projection: stateless,
+    * shuffle-free, free at 100 TB. */
+  val qualityClassifier: Q = Q(
+    "text_quality_classifier",
+    (s, dir) => {
+      import s.implicits._
+      val toks = TextFns.tokens($"text")
+      val nTok = size(toks)
+      val diversity = size(array_distinct(toks)) / nTok
+      val stopRatio = TextFns.markerCount(toks, stopEn) / nTok
+      val meanLen = (length($"text") - nTok + 1) / nTok
+      val lenBand = when(nTok >= 20 && nTok <= 2000, 0.8).otherwise(-0.6)
+      val logit =
+        lit(-1.5) + diversity * 3.2 + stopRatio * 2.0 + lenBand + meanLen * -0.02
+      docs(s, dir)
+        .filter(nTok > 0)
+        .select($"doc_id", logit.as("logit"), (logit > 0).as("keep"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') toks
+        FROM documents
+      ), f AS (
+        SELECT doc_id,
+          CAST(len(list_distinct(toks)) AS INT) / CAST(len(toks) AS INT) AS diversity,
+          ${sqlMarker(stopEn)} / CAST(len(toks) AS INT) AS stop_ratio,
+          CAST(LENGTH(text) - len(toks) + 1 AS INT) / CAST(len(toks) AS INT) AS mean_token_len,
+          len(toks) AS n_tok
+        FROM t
+        WHERE len(toks) > 0
+      )
+      SELECT doc_id,
+        -1.5 + diversity * 3.2 + stop_ratio * 2.0
+          + CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 0.8 ELSE -0.6 END
+          + mean_token_len * -0.02 AS logit,
+        (-1.5 + diversity * 3.2 + stop_ratio * 2.0
+          + CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 0.8 ELSE -0.6 END
+          + mean_token_len * -0.02) > 0 AS keep
+      FROM f
+      ORDER BY doc_id
+    """)
+  )
+
   /** Language ID by stopword-marker voting + CJK character heuristic,
     * ties broken by a fixed chain (en > es > de > fr). On this corpus
     * (shared synthetic vocab) the value is determinism, not accuracy —
@@ -563,6 +619,6 @@ object TextAnalysis {
   )
 
   def queries: Seq[Q] =
-    Seq(tokenCount, quality, langId, fingerprintQ, topTerms, bm25, searchTopK,
-      bigrams, repetition, docChunks, qualityFilterReasons)
+    Seq(tokenCount, quality, qualityClassifier, langId, fingerprintQ, topTerms,
+      bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons)
 }

@@ -330,4 +330,58 @@ class PipelineSpec extends SparkSuite {
     assert(byDoc.keySet == wantCopies.keySet, "every doc appears at least once")
     assert(got.length > docs.length, "upsampling must actually add copies")
   }
+
+  test("corpus shuffle is a deterministic permutation with dense per-shard order") {
+    def run() = Pipeline.corpusShuffle.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val rows = run()
+    val nDocs = graft.Tables.load(spark, sf0001, "documents").count()
+    assert(rows.length == nDocs && rows.map(_._1).distinct.length == rows.length,
+      "every doc assigned exactly once")
+    // shard/order match the pure-Scala content address
+    val hexDigits = "0123456789abcdef"
+    val want = rows.map(_._1).map { id =>
+      val skey = md5hex(s"epoch0:$id")
+      (id, hexDigits.indexOf(skey.head) % 8, skey)
+    }
+    assert(rows.map(r => r._1 -> r._2).toMap ==
+      want.map(w => w._1 -> w._2).toMap, "shard must be the md5 hex bucket")
+    val orderWant = want.groupBy(_._2).view.mapValues(
+      _.sortBy(w => (w._3, w._1)).map(_._1).toSeq).toMap
+    rows.groupBy(_._2).foreach { case (shard, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length), s"shard $shard positions not dense")
+      assert(g.sortBy(_._3).map(_._1).toSeq == orderWant(shard),
+        s"shard $shard order must follow the salted content address")
+    }
+    assert(rows.toSet == run().toSet, "assignment must be reproducible")
+  }
+
+  test("rag retrieval: exact top-5 per query with the right document payload") {
+    val rows = Pipeline.ragRetrieve.run(spark, sf0001).collect()
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 4L).toSet)
+    byQ.foreach { case (q, g) =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to 5), s"qid $q ranks not dense")
+      val got = g.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      val wantTop = emb.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(emb(q), emb(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(5).map(_._1)
+      assert(got == wantTop, s"qid $q: $got != brute-force $wantTop")
+    }
+    val meta = graft.Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id", "lang", "source", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    rows.foreach { r =>
+      assert((r.getString(3), r.getString(4), r.getLong(5)) == meta(r.getLong(2)),
+        s"payload mismatch for doc ${r.getLong(2)}")
+    }
+  }
 }

@@ -155,6 +155,36 @@ class PlanHygieneSpec extends SparkSuite {
       s"top-k must not materialize a global sort\n${p.take(400)}")
   }
 
+  test("vector_rag_retrieve: ranked winners broadcast into the payload join; doc scan pruned") {
+    val p = plan("vector_rag_retrieve")
+    // the O(k·q) ranked result must be the build side — the document
+    // store is probed in place, never shuffled
+    assert(p.contains("BroadcastHashJoin"), "payload join must broadcast the top-k side")
+    // column pruning: the documents scan (the one reading `lang`) must
+    // not read `text` — the payload projection reaches the reader
+    val docSchemas = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("lang")).toSeq
+    assert(docSchemas.nonEmpty, s"expected a documents ReadSchema line\n${p.take(600)}")
+    assert(docSchemas.forall(!_.contains("text")),
+      s"documents scan must prune the text column\n${docSchemas.mkString("\n")}")
+  }
+
+  test("corpus_shuffle: exactly one hash exchange (the shard window)") {
+    val p = plan("corpus_shuffle")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).length == 1,
+      s"shard assignment must be a projection; only the window may shuffle\n${p.take(600)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"no other hash exchange may appear\n${p.take(600)}")
+  }
+
+  test("text_quality_classifier: stateless projection — no join, no aggregate, no hash exchange") {
+    val p = plan("text_quality_classifier")
+    assert(!p.contains("Join"), "classifier must not join")
+    assert(!p.contains("HashAggregate"), "classifier must not aggregate")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"classifier must be shuffle-free (output sort aside)\n${p.take(600)}")
+  }
+
   test("mix_upsample: weight table broadcast; corpus never shuffles before explode") {
     val p = plan("mix_upsample")
     assert(p.contains("BroadcastHashJoin"), "weight join must broadcast")

@@ -142,4 +142,25 @@ class TextSpec extends SparkSuite {
     }
     assert(sawKeep && sawDrop, "fixture must exercise both verdicts")
   }
+
+  test("quality classifier logit matches a pure recompute; keep == logit>0") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.qualityClassifier.run(spark, sf0001).collect()
+    assert(out.length == docs.values.count(_.split(" ").exists(_.nonEmpty)))
+    out.foreach { r =>
+      val (id, logit, keep) = (r.getLong(0), r.getDouble(1), r.getBoolean(2))
+      val text = docs(id)
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val d = toks.distinct.length.toDouble / toks.length
+      val sr = toks.count(stop).toDouble / toks.length
+      val ml = (text.length - toks.length + 1).toDouble / toks.length
+      val band = if (toks.length >= 20 && toks.length <= 2000) 0.8 else -0.6
+      val want = -1.5 + d * 3.2 + sr * 2.0 + band + ml * -0.02
+      assert(math.abs(logit - want) < 1e-12, s"doc $id: $logit != $want")
+      assert(keep == (logit > 0))
+    }
+  }
 }
