@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 97 of
-  * 99, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 99 of
+  * 101, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -71,6 +71,8 @@ object SparkEntry {
     "dedup_incremental_minhash", "text_search_topk",
     // round 6: RAG retrieval composition, linear quality gate,
     // deterministic corpus shuffle
-    "vector_rag_retrieve", "text_quality_classifier", "corpus_shuffle"
+    "vector_rag_retrieve", "text_quality_classifier", "corpus_shuffle",
+    // round 6: cohort retention, unigram-LM quality scoring
+    "events_retention", "text_unigram_logprob"
   )
 }

@@ -869,6 +869,48 @@ object Pipeline {
     Some(thresholdSampleSql(temperatureThrSql))
   )
 
+  /** COHORT RETENTION matrix: users grouped by the week of their first
+    * event (the cohort), then for each later week the count of cohort
+    * members still active — the activation/retention readout every
+    * product-analytics stack computes, and the engagement-weighting
+    * signal a behavioral-data training pipeline uses.
+    *
+    * Week index is INTEGER division of epoch-µs (`div` / `//`), so
+    * bucketing is exact in both engines — no timestamp truncation
+    * semantics to match. One shuffle on `user_id` feeds the per-user
+    * first-week window (no join: the cohort rides the same exchange),
+    * then the (cohort, offset) count-distinct aggregates with map-side
+    * partials. Users >> weeks, so the second key-space is tiny and
+    * skew-free at any scale. */
+  val retention: Q = Q(
+    "events_retention",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wk = Tables.load(s, dir, "events")
+        .select($"user_id", expr("unix_micros(ts) div 604800000000").as("wk"))
+      val cohort = wk.withColumn("cohort_wk",
+        min($"wk").over(Window.partitionBy($"user_id")))
+      cohort
+        .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+        .agg(count_distinct($"user_id").as("n_users"))
+        .orderBy($"cohort_wk", $"week_offset")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+      ), c AS (
+        SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+        FROM e
+      )
+      SELECT cohort_wk, wk - cohort_wk AS week_offset,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM c
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """)
+  )
+
   /** RAG SERVING SHAPE: exact cosine top-5 per query over the
     * embedding store, then the winners fetch their payload from the
     * document store (`vec_id = doc_id` — document embeddings). This is
@@ -976,5 +1018,5 @@ object Pipeline {
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
-      mixTemperature, ragRetrieve, corpusShuffle)
+      mixTemperature, ragRetrieve, corpusShuffle, retention)
 }

@@ -417,6 +417,62 @@ object TextAnalysis {
     """)
   )
 
+  /** Unigram LM scoring: per-document total log-probability under the
+    * corpus's own unigram distribution — the cheap stand-in for the
+    * KenLM/perplexity quality filters (CCNet-style) every pretraining
+    * corpus runs; low `sum_lp_micro / n_tokens` flags gibberish and
+    * boilerplate-heavy docs.
+    *
+    * Parity discipline: each DISTINCT term's `ln(cnt/N)` is
+    * micro-rounded to BIGINT once (ln is the only sub-ulp function;
+    * a flip needs the true value within ~1 ulp of a micro boundary,
+    * ~1e-9 per term — the [[bm25]] discipline), then per-doc totals
+    * are exact integer sums — order-independent, so fully oracled.
+    *
+    * Scale shape: term-frequency agg with map-side combine (one
+    * shuffle on term); the term→logprob table is vocabulary-sized
+    * (bounded in practice: top-V + OOV floor) and BROADCAST back onto
+    * the exploded token stream, whose per-doc re-sum partial-aggregates
+    * to one row per doc before its exchange. The corpus is scanned
+    * twice (tf build + scoring) rather than materializing the exploded
+    * stream — at 100 TB a rescan beats a shuffle-sized cache. */
+  val unigramLogprob: Q = Q(
+    "text_unigram_logprob",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
+      val tf = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val total = tf.agg(sum($"cnt").as("n"))
+      val lp = tf.crossJoin(broadcast(total))
+        .select($"term",
+          round(log($"cnt" / $"n") * 1e6).cast("long").as("lp_micro"))
+      toks.join(broadcast(lp), "term")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"lp_micro").as("sum_lp_micro"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        FROM documents
+      ), tf AS (
+        SELECT term, COUNT(*) cnt FROM t GROUP BY 1
+      ), n AS (
+        SELECT SUM(cnt) n FROM tf
+      ), lp AS (
+        SELECT term,
+               CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) lp_micro
+        FROM tf, n
+      )
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro
+      FROM t JOIN lp USING (term)
+      GROUP BY 1
+      ORDER BY 1
+    """)
+  )
+
   /** text → bigram stream in one tight pass. The declarative form —
     * `explode(transform(sequence(...), i -> concat_ws(slice(...))))` —
     * is interpreted (higher-order functions are not codegen'd) at
@@ -620,5 +676,6 @@ object TextAnalysis {
 
   def queries: Seq[Q] =
     Seq(tokenCount, quality, qualityClassifier, langId, fingerprintQ, topTerms,
-      bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons)
+      bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons,
+      unigramLogprob)
 }

@@ -356,6 +356,23 @@ class PipelineSpec extends SparkSuite {
     assert(rows.toSet == run().toSet, "assignment must be reproducible")
   }
 
+  test("cohort retention equals a pure per-user recompute") {
+    val weekUs = 604800000000L
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "unix_micros(ts) as t").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / weekUs))
+    val firstWk = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = ev.map { case (u, wk) => (firstWk(u), wk - firstWk(u), u) }
+      .distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.length.toLong).toMap
+    val got = Pipeline.retention.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"retention matrix mismatch: $got != $want")
+    // offset-0 row of each cohort counts the whole cohort
+    want.keys.map(_._1).foreach { c =>
+      assert(got((c, 0L)) == firstWk.values.count(_ == c).toLong)
+    }
+  }
+
   test("rag retrieval: exact top-5 per query with the right document payload") {
     val rows = Pipeline.ragRetrieve.run(spark, sf0001).collect()
     val emb = graft.Tables.load(spark, sf0001, "embeddings")

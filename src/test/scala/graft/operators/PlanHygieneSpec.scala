@@ -185,6 +185,20 @@ class PlanHygieneSpec extends SparkSuite {
       s"classifier must be shuffle-free (output sort aside)\n${p.take(600)}")
   }
 
+  test("events_retention: one user_id exchange feeds the cohort window; no join") {
+    val p = plan("events_retention")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"cohort must ride the single user_id exchange\n${p.take(600)}")
+    assert(p.contains("Window"), "first-week must be a window min, not a join")
+    assert(!p.contains("Join"), "no join anywhere — the window subsumes it")
+  }
+
+  test("text_unigram_logprob: vocabulary logprob table broadcast onto the token stream") {
+    val p = plan("text_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"),
+      s"term scoring must broadcast the vocab table, not shuffle the corpus\n${p.take(600)}")
+  }
+
   test("mix_upsample: weight table broadcast; corpus never shuffles before explode") {
     val p = plan("mix_upsample")
     assert(p.contains("BroadcastHashJoin"), "weight join must broadcast")

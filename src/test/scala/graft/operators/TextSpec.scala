@@ -143,6 +143,23 @@ class TextSpec extends SparkSuite {
     assert(sawKeep && sawDrop, "fixture must exercise both verdicts")
   }
 
+  test("unigram logprob totals equal a pure recompute with per-term micro-rounding") {
+    val texts = graft.Tables.load(spark, sf0001, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val tf = texts.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = tf.values.sum.toDouble
+    val lp = tf.map { case (t, c) => t -> math.round(math.log(c / n) * 1e6) }
+    val want = texts.filter(_._2.nonEmpty).map { case (id, toks) =>
+      id -> ((toks.length.toLong, toks.map(lp).sum))
+    }.toMap
+    val got = TextAnalysis.unigramLogprob.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want, "per-doc (n_tokens, sum_lp_micro) mismatch")
+    // totals are negative log-probs: every doc must score below zero
+    assert(got.values.forall(_._2 < 0))
+  }
+
   test("quality classifier logit matches a pure recompute; keep == logit>0") {
     val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
     val docs = graft.Tables.load(spark, sf0001, "documents")
