@@ -1397,27 +1397,35 @@ object Dedup {
     * pair misses with prob ≤ (1−(2/3)⁴)¹⁶ ≈ 3e-2 at the threshold and
     * ~4e-9 at the planted j ≈ 0.9; on this fixture the sets match
     * exactly, which the oracle hash-gates). */
+  /** (doc_id, text) frame → its 16×4 MinHash band rows (doc_id, b, bh)
+    * — one kernel pass, the [[minhashLsh]] banding. Works on batch AND
+    * streaming frames (the kernel is a stateless mapPartitions +
+    * generator), which is how IncrementalMinhashStreamSpec probes a
+    * static history band index with an arriving document stream. */
+  private[graft] def minhashBandRows(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    val minhashes = d.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (doc, text) =>
+        sketchText(text).map(mh => (doc, mh))
+      })
+      .toDF("doc_id", "mh")
+    val bandStructs = (0 until 16).map { b =>
+      struct(lit(b).as("b"),
+        xxhash64(element_at($"mh", 4 * b + 1), element_at($"mh", 4 * b + 2),
+          element_at($"mh", 4 * b + 3), element_at($"mh", 4 * b + 4)).as("bh"))
+    }
+    minhashes
+      .select($"doc_id", explode(array(bandStructs: _*)).as("band"))
+      .select($"doc_id", $"band.b".as("b"), $"band.bh".as("bh"))
+  }
+
   val incrementalMinhash: Q = Q(
     "dedup_incremental_minhash",
     (s, dir) => {
       import s.implicits._
-      val base = docs(s, dir).select($"doc_id", $"text",
-        substring(md5($"doc_id".cast("string")), 1, 1).as("bk"))
-      val minhashes = base.select($"doc_id", $"bk", $"text")
-        .as[(Long, String, String)]
-        .mapPartitions(_.flatMap { case (doc, bk, text) =>
-          sketchText(text).map(mh => (doc, bk, mh))
-        })
-        .toDF("doc_id", "bk", "mh")
-      val bandStructs = (0 until 16).map { b =>
-        struct(lit(b).as("b"),
-          xxhash64(element_at($"mh", 4 * b + 1), element_at($"mh", 4 * b + 2),
-            element_at($"mh", 4 * b + 3), element_at($"mh", 4 * b + 4)).as("bh"))
-      }
       // sketched once, split after: referenced by both sides below
-      val bands = minhashes
-        .select($"doc_id", $"bk", explode(array(bandStructs: _*)).as("band"))
-        .select($"doc_id", $"bk", $"band.b".as("b"), $"band.bh".as("bh"))
+      val bands = minhashBandRows(s, docs(s, dir).select($"doc_id", $"text"))
+        .withColumn("bk", substring(md5($"doc_id".cast("string")), 1, 1))
         .localCheckpoint()
       val hb = bands.filter($"bk" < "8").select($"doc_id".as("hist_id"), $"b", $"bh")
       val fb = bands.filter($"bk" >= "8").select($"doc_id".as("fresh_id"), $"b", $"bh")
