@@ -73,6 +73,9 @@ object SparkEntry {
     // deterministic corpus shuffle
     "vector_rag_retrieve", "text_quality_classifier", "corpus_shuffle",
     // round 6: cohort retention, unigram-LM quality scoring
-    "events_retention", "text_unigram_logprob"
+    "events_retention", "text_unigram_logprob",
+    // round 6: point-in-time replay, basket co-occurrence mining,
+    // capped-postings index build
+    "cdc_time_travel", "market_basket_pairs", "text_inverted_index"
   )
 }

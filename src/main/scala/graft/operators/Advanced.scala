@@ -587,6 +587,54 @@ object Advanced {
     """)
   )
 
+  /** Market-basket pair mining (frequent co-occurrence): parts ordered
+    * together, support-counted, thresholded, top-k — the
+    * association-rule primitive (and, over token/shingle baskets, the
+    * co-occurrence statistic corpus analysis uses).
+    *
+    * Scale shape: the basket-aggregation form, NOT the naive self-join.
+    * `lineitem ⋈ lineitem` on the order key would shuffle the fact
+    * TWICE and rely on the join to bound the blow-up; instead ONE
+    * shuffle builds each order's distinct sorted basket
+    * (`collect_set`, partially aggregated map-side), and the pair
+    * explosion is a per-row codegen'd higher-order function bounded by
+    * basket size b (b≤7 in TPC-H ⇒ ≤21 pairs; retail-scale b~100 ⇒
+    * ~5k — still a per-row constant, never corpus-quadratic). Pair
+    * supports then hash-aggregate with map-side combine (pair space is
+    * sparse: only co-ordered pairs exist), and the thresholded top-k
+    * plans as TakeOrderedAndProject — O(k·partitions) result traffic.
+    * Sorting each basket once makes p1 < p2 structural, halving the
+    * pair stream vs. emitting both orientations. */
+  val marketBasket: Q = Q(
+    "market_basket_pairs",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+        .select(explode(expr(
+          """flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)), y ->
+               struct(x AS p1, y AS p2))))""")).as("pr"))
+        .groupBy($"pr.p1".as("p1"), $"pr.p2".as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter($"support" >= 2)
+        .orderBy($"support".desc, $"p1", $"p2")
+        .limit(100)
+    },
+    Some("""
+      WITH pr AS (
+        SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ),
+      sup AS (SELECT p1, p2, COUNT(*) AS support FROM pr GROUP BY p1, p2)
+      SELECT p1, p2, support FROM sup WHERE support >= 2
+      ORDER BY support DESC, p1, p2 LIMIT 100
+    """)
+  )
+
   def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf, groupingSets, pivot,
-    approxDistinct, hllDistinct, intervalJoin, slidingWindow, sessionWindow, unpivot, rangeFrame)
+    approxDistinct, hllDistinct, intervalJoin, slidingWindow, sessionWindow, unpivot, rangeFrame,
+    marketBasket)
 }

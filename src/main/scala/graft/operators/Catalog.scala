@@ -17,7 +17,7 @@ object Catalog {
   /** Everything the engine exposes, keyed by name. */
   def all: Seq[Q] =
     Relational.queries ++ Advanced.queries ++ CdcBatch.queries ++
-      Seq(CdcApply.applyState) ++ Dedup.queries ++
+      CdcApply.queries ++ Dedup.queries ++
       VectorSearch.queries ++ Pipeline.queries ++ TextAnalysis.queries ++
       graft.multimodal.Multimodal.queries
 }

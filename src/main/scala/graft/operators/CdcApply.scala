@@ -60,6 +60,61 @@ object CdcApply {
     """)
   )
 
+  /** Point-in-time recovery ("time travel"): materialize the state the
+    * table had AS OF a pinned instant T by replaying only changes with
+    * ts ≤ T — the inverse of the reference's resume-offset tailing
+    * (O4 replays FROM an offset forward; this replays UP TO one). T is
+    * pinned content-addressed at min+60% of the log's time span in
+    * exact integer microseconds, so both engines derive the identical
+    * cut with no float interpolation.
+    *
+    * Scale shape: the cutoff is ONE map-side-combined scalar aggregate
+    * broadcast back over the log; the `ts_us <= asof_us` filter prunes
+    * BEFORE the key shuffle (at a real 100 TB log the predicate lands
+    * on the scan of a time-partitioned log and skips whole partitions),
+    * and the LWW fold is the same single key-shuffle window as
+    * `cdc_apply_state`. */
+  val timeTravel: Q = Q(
+    "cdc_time_travel",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events").withColumn("ts_us", unix_micros($"ts"))
+      val cut = ev.agg(min($"ts_us").as("mn"), max($"ts_us").as("mx"))
+        .selectExpr("mn + ((mx - mn) * 3) div 5 AS asof_us")
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+      ev.crossJoin(broadcast(cut))
+        .filter($"ts_us" <= $"asof_us")
+        .withColumn("op", opCol)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 && $"op" =!= "d")
+        .select($"user_id", $"event_id".as("last_event_id"), $"op".as("last_op"),
+          $"ts_us", $"value".as("last_value"), $"asof_us")
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH cut AS (
+        SELECT MIN(epoch_us(ts)) + ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 3) // 5 AS asof_us
+        FROM events
+      )
+      SELECT user_id, event_id AS last_event_id, op AS last_op,
+             ts_us, value AS last_value, asof_us
+      FROM (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us, asof_us,
+               CASE WHEN event_type = 'signup' THEN 'i'
+                    WHEN event_type = 'error' THEN 'd'
+                    ELSE 'u' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events, cut
+        WHERE epoch_us(ts) <= asof_us
+      )
+      WHERE rn = 1 AND op <> 'd'
+      ORDER BY user_id
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(applyState, timeTravel)
+
   /** one live-state record per key. */
   final case class KeyState(
       user_id: Long, last_event_id: Long, last_op: String,

@@ -674,8 +674,62 @@ object TextAnalysis {
     """)
   )
 
+  /** Inverted-index construction — capped posting lists (term → top-8
+    * docs by tf, doc_id tie-break, for terms with df ≥ 4), emitted as
+    * flat (term, df, pos, doc_id, tf) rows: the index-BUILD half of
+    * lexical search ([[searchTopK]] is the query half). Capping
+    * postings is what production indexes do (impact-ordered /
+    * early-termination indexes keep the highest-impact postings first).
+    *
+    * Scale shape: (term, doc) tf is a hash aggregate with map-side
+    * combine; df per term likewise (both key-shuffled once on term
+    * after that). The top-8 cap is TWO-PHASE exactly like
+    * `pack_sequences_sharded`: rank within (term, xxhash64(doc_id)%16)
+    * first — so a stopword's postings (billions of rows for one term
+    * at 100 TB) never land in ONE window partition — then rank the
+    * ≤16·8 per-term survivors globally. Exact: any global-top-8 row has
+    * <8 rows above it globally, hence <8 above it in its own shard.
+    * The df join keeps both sides term-keyed aggregates (no broadcast
+    * hint: vocabulary grows heaps-law with corpus size, same argument
+    * as [[topTerms]]). */
+  val invertedIndex: Q = Q(
+    "text_inverted_index",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tfd = docs(s, dir)
+        .select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
+        .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      val dfreq = tfd.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w1 = Window.partitionBy($"term", pmod(xxhash64($"doc_id"), lit(16)))
+        .orderBy($"tf".desc, $"doc_id")
+      val w2 = Window.partitionBy($"term").orderBy($"tf".desc, $"doc_id")
+      tfd
+        .withColumn("rn1", row_number().over(w1)).filter($"rn1" <= 8)
+        .withColumn("pos", row_number().over(w2)).filter($"pos" <= 8)
+        .join(dfreq.filter($"df" >= 4), "term")
+        .select($"term", $"df", $"pos", $"doc_id", $"tf")
+        .orderBy($"term", $"pos")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents
+      ),
+      tfd AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tfd GROUP BY term),
+      r AS (SELECT term, doc_id, tf,
+              ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS pos
+            FROM tfd)
+      SELECT r.term, df, pos, doc_id, tf
+      FROM r JOIN dfq USING (term)
+      WHERE pos <= 8 AND df >= 4
+      ORDER BY term, pos
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(tokenCount, quality, qualityClassifier, langId, fingerprintQ, topTerms,
       bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons,
-      unigramLogprob)
+      unigramLogprob, invertedIndex)
 }

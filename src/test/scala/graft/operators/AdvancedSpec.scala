@@ -31,4 +31,23 @@ class AdvancedSpec extends SparkSuite {
     assert(want.exists(_._4 > 1), "fixture should have overlapping 10-minute frames")
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
+
+  test("market basket pairs EQUAL a pure-Scala basket recompute (threshold + top-100 total order)") {
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    val sup = li.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val basket = rows.map(_._2).distinct.sorted
+      for (i <- basket.indices; j <- i + 1 until basket.length)
+        yield (basket(i), basket(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .collect { case ((p1, p2), s) if s >= 2 => (p1, p2, s) }
+    val want = sup.sortBy { case (p1, p2, s) => (-s, p1, p2) }.take(100)
+
+    val got = Advanced.marketBasket.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(want.exists(_._3 >= 2), "fixture should have a pair ordered together twice")
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+  }
 }

@@ -77,4 +77,33 @@ class CdcApplySpec extends SparkSuite {
         s"stream/batch drift: stream=${finalState.size} batch=${batch.size} keys")
     } finally q.stop()
   }
+
+  test("time travel EQUALS apply-state over the ts<=T prefix, strictly smaller than full state") {
+    implicit val s = spark
+    import s.implicits._
+    val evRows = graft.Tables.load(spark, sf0001, "events")
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) ts_us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val (mn, mx) = (evRows.map(_._4).min, evRows.map(_._4).max)
+    val cut = mn + ((mx - mn) * 3) / 5
+
+    // pure-Scala LWW over the prefix: last (ts, event_id) per user, drop deletes
+    val want = evRows.filter(_._4 <= cut)
+      .groupBy(_._2).flatMap { case (uid, rows) =>
+        val (id, _, typ, ts, v) = rows.maxBy(r => (r._4, r._1))
+        val op = typ match { case "signup" => "i"; case "error" => "d"; case _ => "u" }
+        if (op == "d") None else Some((uid, id, op, ts, v, cut))
+      }.toSet
+
+    val got = CdcApply.timeTravel.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+
+    // the pinned instant is in the log's interior: replay is a real prefix
+    val full = CdcApply.applyState.run(spark, sf0001).count()
+    assert(evRows.exists(_._4 > cut), "cut should exclude a suffix of the log")
+    assert(got.size <= full)
+  }
 }

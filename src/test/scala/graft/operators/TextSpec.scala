@@ -180,4 +180,33 @@ class TextSpec extends SparkSuite {
       assert(keep == (logit > 0))
     }
   }
+
+  test("inverted index: capped postings equal the pure-Scala global top-8 per term") {
+    val texts = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    // pure recompute: (term, doc) tf, df per term, global top-8 postings
+    val tfd = texts.flatMap { case (id, t) =>
+      t.split(' ').filter(_.nonEmpty).groupBy(identity)
+        .map { case (term, occ) => (term, id, occ.length.toLong) }
+    }
+    val want = tfd.groupBy(_._1).collect {
+      case (term, posts) if posts.length >= 4 =>
+        val top = posts.sortBy(p => (-p._3, p._2)).take(8)
+        term -> (posts.length.toLong,
+          top.zipWithIndex.map { case ((_, id, tf), i) => (i + 1, id, tf) }.toSeq)
+    }
+
+    val got = TextAnalysis.invertedIndex.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+      .map { case (term, rows) =>
+        term -> (rows.head._2, rows.sortBy(_._3).map(r => (r._3, r._4, r._5)).toSeq)
+      }
+    assert(want.exists(_._2._2.length == 8), "a term should hit the posting cap")
+    assert(got == want,
+      s"terms: got=${got.size} want=${want.size}; " +
+        s"first diff=${want.find(kv => got.get(kv._1) != Some(kv._2)).map(_._1)}")
+  }
 }
