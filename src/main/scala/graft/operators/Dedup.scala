@@ -1380,23 +1380,6 @@ object Dedup {
     incrementalOracle
   )
 
-  /** Incremental NEAR-dup: today's batch MinHash-banded against the
-    * historical corpus — the [[minhashLsh]] semantics with the
-    * [[incremental]] split. Candidates come from a band equi-join of
-    * the batch's bands against history's (no in-batch pairs: the join
-    * crosses the split by construction), then the exact integer-Jaccard
-    * verify runs only on candidate docs.
-    *
-    * Scale shape: production persists history's band table once
-    * (bucketed by (b, bh)), so a daily run sketches ONLY the batch —
-    * one kernel pass over new text — and equi-joins ~16·|batch| band
-    * rows against the stored index; history text is never re-read and
-    * never re-sketched. The fixture form derives both sides from the
-    * shared table so the driver can oracle it against the exact
-    * cross-split Jaccard pair set (same 16×4 banding ⇒ a true j ≥ 2/3
-    * pair misses with prob ≤ (1−(2/3)⁴)¹⁶ ≈ 3e-2 at the threshold and
-    * ~4e-9 at the planted j ≈ 0.9; on this fixture the sets match
-    * exactly, which the oracle hash-gates). */
   /** (doc_id, text) frame → its 16×4 MinHash band rows (doc_id, b, bh)
     * — one kernel pass, the [[minhashLsh]] banding. Works on batch AND
     * streaming frames (the kernel is a stateless mapPartitions +
@@ -1419,6 +1402,23 @@ object Dedup {
       .select($"doc_id", $"band.b".as("b"), $"band.bh".as("bh"))
   }
 
+  /** Incremental NEAR-dup: today's batch MinHash-banded against the
+    * historical corpus — the [[minhashLsh]] semantics with the
+    * [[incremental]] split. Candidates come from a band equi-join of
+    * the batch's bands against history's (no in-batch pairs: the join
+    * crosses the split by construction), then the exact integer-Jaccard
+    * verify runs only on candidate docs.
+    *
+    * Scale shape: production persists history's band table once
+    * (bucketed by (b, bh)), so a daily run sketches ONLY the batch —
+    * one kernel pass over new text — and equi-joins ~16·|batch| band
+    * rows against the stored index; history text is never re-read and
+    * never re-sketched. The fixture form derives both sides from the
+    * shared table so the driver can oracle it against the exact
+    * cross-split Jaccard pair set (same 16×4 banding ⇒ a true j ≥ 2/3
+    * pair misses with prob ≤ (1−(2/3)⁴)¹⁶ ≈ 3e-2 at the threshold and
+    * ~4e-9 at the planted j ≈ 0.9; on this fixture the sets match
+    * exactly, which the oracle hash-gates). */
   val incrementalMinhash: Q = Q(
     "dedup_incremental_minhash",
     (s, dir) => {

@@ -78,7 +78,7 @@ class CdcApplySpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("time travel EQUALS apply-state over the ts<=T prefix, strictly smaller than full state") {
+  test("time travel EQUALS apply-state over the ts<=T prefix, and the suffix changes state") {
     implicit val s = spark
     import s.implicits._
     val evRows = graft.Tables.load(spark, sf0001, "events")
@@ -101,9 +101,15 @@ class CdcApplySpec extends SparkSuite {
         r.getDouble(4), r.getLong(5))).toSet
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
 
-    // the pinned instant is in the log's interior: replay is a real prefix
-    val full = CdcApply.applyState.run(spark, sf0001).count()
+    // the pinned instant is in the log's interior (a real suffix is
+    // excluded), and replaying that suffix actually moves the state —
+    // as-of ≠ full (note neither ⊆ direction is an invariant: a
+    // post-cut delete SHRINKS full state below the as-of one)
+    val full = CdcApply.applyState.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
     assert(evRows.exists(_._4 > cut), "cut should exclude a suffix of the log")
-    assert(got.size <= full)
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) != full,
+      "fixture suffix should change at least one key's state")
   }
 }
