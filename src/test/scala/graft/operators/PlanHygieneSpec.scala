@@ -207,4 +207,30 @@ class PlanHygieneSpec extends SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"corpus must not hash-shuffle\n${p.take(600)}")
   }
+
+  test("cdc_time_travel: scalar cutoff broadcast (hinted); LWW rank pruned map-side") {
+    val p = plan("cdc_time_travel")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"as-of cutoff must reach the log as a broadcast scalar, not a shuffle\n${p.take(600)}")
+    assert(p.contains("WindowGroupLimit"), "LWW rank must prune below the key exchange")
+  }
+
+  test("market_basket_pairs: ONE fact scan (basket form, not self-join); top-k is TakeOrdered") {
+    val p = plan("market_basket_pairs")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"basket form scans lineitem once; found $scans scans")
+    assert(p.contains("TakeOrderedAndProject"), "thresholded top-100 fell back to a global sort")
+  }
+
+  test("text_inverted_index: both cap windows prune map-side (two-phase skew discipline)") {
+    val p = plan("text_inverted_index")
+    val n = "WindowGroupLimit".r.findAllIn(p).size
+    // two cap windows × (partial below exchange + final above) = 4 nodes
+    assert(n >= 4, s"expected >=4 WindowGroupLimit nodes, found $n\n${p.take(600)}")
+    // df join deliberately UNHINTED (heaps-law vocabulary): with auto
+    // broadcast disabled it must degrade to a keyed join, not a forced
+    // driver broadcast — both sides already term-keyed aggregates
+    assert(!p.contains("BroadcastExchange"),
+      s"df join must stay planner-chosen, no forced broadcast\n${p.take(600)}")
+  }
 }
