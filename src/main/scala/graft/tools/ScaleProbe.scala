@@ -97,6 +97,18 @@ object ScaleProbe {
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
 
+    // lineitem (basket columns only — ReadSchema pruning means the
+    // probe queries never touch the rest): ~4 lines/order, part space
+    // scaled WITH the corpus so pair supports stay sparse like TPC-H
+    val nLines = 600000L * mult
+    spark.range(nLines).select($"id").as[Long]
+      .mapPartitions(_.map { i =>
+        ((mix(i) >>> 8) % (nLines / 4), (mix(i + 23) >>> 8) % (2000L * mult))
+      })
+      .toDF("l_orderkey", "l_partkey")
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+
     // embeddings: 64-dim floats in [-1, 1]
     spark.range(nVecs).select($"id").as[Long]
       .mapPartitions(_.map { v =>
