@@ -1013,10 +1013,72 @@ object Pipeline {
     """)
   )
 
+  /** Snapshot diff — the dataset-versioning primitive behind a daily
+    * crawl refresh: which documents were ADDED, REMOVED, or CHANGED
+    * between corpus versions (unchanged docs are not a diff's business
+    * and are not emitted). The two versions are derived content-
+    * addressed from the shared fixture (first md5 hex of doc_id: 'f'
+    * absent from v1 → added; '0' absent from v2 → removed; '1'/'2'
+    * revised in v2 → changed), so both engines construct identical
+    * snapshots and the diff is fully oracled.
+    *
+    * Scale shape: each side reduces to (doc_id, md5(text)) AT THE SCAN
+    * — the 16-byte content hash crosses the wire, the text never does,
+    * so diffing two 100 TB snapshots shuffles ~2 × 24 B/doc. One
+    * doc_id-keyed full-outer join; with both snapshots stored bucketed
+    * by doc_id (the natural layout for versioned corpora, and what
+    * [[graft.GraftSession]] bucketed tables provide) even that
+    * exchange disappears. Status is a null-pattern projection on the
+    * join output. */
+  val snapshotDiff: Q = Q(
+    "corpus_snapshot_diff",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val h = substring(md5($"doc_id".cast("string")), 1, 1)
+      val v1 = d.filter(h =!= "f").select($"doc_id", md5($"text").as("h1"))
+      val v2 = d.filter(h =!= "0").select($"doc_id",
+        md5(when(h.isin("1", "2"), concat($"text", lit(" rev2")))
+          .otherwise($"text")).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"h1".isNull, "added")
+            .when($"h2".isNull, "removed")
+            .when($"h1" =!= $"h2", "changed")
+            .otherwise("unchanged").as("status"))
+        .filter($"status" =!= "unchanged")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT doc_id, md5(text) AS h1 FROM documents
+        WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'
+      ),
+      v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('1', '2')
+                        THEN text || ' rev2' ELSE text END) AS h2
+        FROM documents
+        WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+      )
+      SELECT doc_id,
+             CASE WHEN h1 IS NULL THEN 'added'
+                  WHEN h2 IS NULL THEN 'removed'
+                  WHEN h1 <> h2 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      WHERE CASE WHEN h1 IS NULL THEN 'added'
+                 WHEN h2 IS NULL THEN 'removed'
+                 WHEN h1 <> h2 THEN 'changed'
+                 ELSE 'unchanged' END <> 'unchanged'
+      ORDER BY doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified,
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
-      mixTemperature, ragRetrieve, corpusShuffle, retention)
+      mixTemperature, ragRetrieve, corpusShuffle, retention, snapshotDiff)
 }

@@ -401,4 +401,28 @@ class PipelineSpec extends SparkSuite {
         s"payload mismatch for doc ${r.getLong(2)}")
     }
   }
+
+  test("snapshot diff statuses equal the content-addressed construction, unchanged absent") {
+    def hexOf(id: Long): Char = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    }
+    val ids = graft.Tables.load(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id")).collect().map(_.getLong(0))
+    val want = ids.flatMap { id =>
+      hexOf(id) match {
+        case 'f' => Some(id -> "added")     // absent from v1
+        case '0' => Some(id -> "removed")   // absent from v2
+        case '1' | '2' => Some(id -> "changed")
+        case _ => None                      // unchanged: not a diff's business
+      }
+    }.toMap
+
+    val got = Pipeline.snapshotDiff.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set("added", "removed", "changed").subsetOf(got.values.toSet),
+      "fixture should exercise all three statuses")
+    assert(got == want,
+      s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+  }
 }
