@@ -1036,10 +1036,14 @@ object Pipeline {
       import s.implicits._
       val d = Tables.load(s, dir, "documents")
       val h = substring(md5($"doc_id".cast("string")), 1, 1)
-      val v1 = d.filter(h =!= "f").select($"doc_id", md5($"text").as("h1"))
+      // NULL text hashes to the sentinel (md5 output is 32 hex chars, so
+      // no collision): a NULL-text doc present in both versions must
+      // compare EQUAL, not pattern-match the absent-side null branches
+      val v1 = d.filter(h =!= "f")
+        .select($"doc_id", coalesce(md5($"text"), lit("NULL")).as("h1"))
       val v2 = d.filter(h =!= "0").select($"doc_id",
-        md5(when(h.isin("1", "2"), concat($"text", lit(" rev2")))
-          .otherwise($"text")).as("h2"))
+        coalesce(md5(when(h.isin("1", "2"), concat($"text", lit(" rev2")))
+          .otherwise($"text")), lit("NULL")).as("h2"))
       v1.join(v2, Seq("doc_id"), "full_outer")
         .select($"doc_id",
           when($"h1".isNull, "added")
@@ -1051,13 +1055,13 @@ object Pipeline {
     },
     Some("""
       WITH v1 AS (
-        SELECT doc_id, md5(text) AS h1 FROM documents
+        SELECT doc_id, COALESCE(md5(text), 'NULL') AS h1 FROM documents
         WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'
       ),
       v2 AS (
         SELECT doc_id,
-               md5(CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('1', '2')
-                        THEN text || ' rev2' ELSE text END) AS h2
+               COALESCE(md5(CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('1', '2')
+                             THEN text || ' rev2' ELSE text END), 'NULL') AS h2
         FROM documents
         WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
       )

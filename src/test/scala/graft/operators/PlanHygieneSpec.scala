@@ -233,4 +233,25 @@ class PlanHygieneSpec extends SparkSuite {
     assert(!p.contains("BroadcastExchange"),
       s"df join must stay planner-chosen, no forced broadcast\n${p.take(600)}")
   }
+
+  test("corpus_snapshot_diff: only (doc_id, 32-char hash) cross the exchanges, never text") {
+    // Exchange payload columns aren't in the plan STRING, so this pin
+    // inspects the tree (AQE off so the exchanges are collectible)
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.SparkEntry.queries("corpus_snapshot_diff")(spark, sf0001)
+        .queryExecution.executedPlan
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected shuffle exchanges in the diff plan")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"document text crossed an exchange: ${e.output.map(_.name)}")
+      }
+      assert(p.toString.contains("SortMergeJoin") && p.toString.contains("FullOuter"),
+        "diff must be one full-outer keyed join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
 }
