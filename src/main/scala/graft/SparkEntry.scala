@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 103 of
-  * 105, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 105 of
+  * 107, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -77,6 +77,9 @@ object SparkEntry {
     // round 6: point-in-time replay, basket co-occurrence mining,
     // capped-postings index build, snapshot versioning diff
     "cdc_time_travel", "market_basket_pairs", "text_inverted_index",
-    "corpus_snapshot_diff"
+    "corpus_snapshot_diff",
+    // round 6: asymmetric containment (prefix-vs-full-index join) and
+    // edit-distance verify (order-aware fuzzy-dedup cascade)
+    "dedup_containment", "dedup_editdist"
   )
 }

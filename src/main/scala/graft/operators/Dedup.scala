@@ -1466,9 +1466,139 @@ object Dedup {
     """)
   )
 
+  /** Asymmetric n-gram CONTAINMENT pairs: directed (contained →
+    * container) pairs with |S_a ∩ S_b| ≥ 0.8·|S_a| — the partial-dup
+    * relation symmetric Jaccard misses entirely (a short document
+    * quoted whole inside a long one has Jaccard ≈ |S_a|/|S_b| → 0 but
+    * containment 1.0). The reference's pipeline has no notion of this;
+    * it's a first-class training-data curation primitive (quote/
+    * boilerplate inclusion, article-in-digest).
+    *
+    * Scale shape: the same prefix-filter machinery as [[ngramJaccard]],
+    * adapted to the asymmetric threshold. Containment(a→b) ≥ τ bounds
+    * only a's side, so candidates are a's CMS-ranked prefix — its
+    * |S_a| − ⌈τ·|S_a|⌉ + 1 rarest shingles (lossless: if the prefix
+    * missed S_b, the intersection would be < ⌈τ·|S_a|⌉) — equi-joined
+    * against the FULL inverted index of the corpus (the container side
+    * has no constraint, so it cannot be prefix-reduced). Hub shingles
+    * still never explode the join: CMS never underestimates, so a hub
+    * posting list only meets the few prefix entries that genuinely
+    * rank it rare. No size-ratio filter applies (that bound is
+    * Jaccard-only — containment is exactly the regime where sizes
+    * diverge). Verification is exact and float-free:
+    * 5·inter ≥ 4·|S_a| ⟺ containment ≥ 0.8 in integer arithmetic.
+    * A ≥10-shingle floor keeps trivially-short documents from
+    * flooding the directed pair set. */
+  val containmentPairs: Q = Q(
+    "dedup_containment",
+    (s, dir) => {
+      import s.implicits._
+      val tau = 0.8
+      val minSh = 10
+      val sh = shingleSets(s, dir).filter(size($"sh") >= minSh)
+        .localCheckpoint() // prefix stage + index + both verify sides
+      val ranked = cmsPrefixRanked(s, sh, tau)
+      val index = sh.select($"doc_id".as("d_out"), explode($"sh").as("h"))
+      val cand = ranked.as("a")
+        .join(index.as("b"), $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.d_out")
+        .select($"a.doc_id".as("d_in"), $"b.d_out")
+        .distinct()
+      val s1 = sh.select($"doc_id".as("d_in"), $"sh".as("sh1"))
+      val s2 = sh.select($"doc_id".as("d_out"), $"sh".as("sh2"))
+      cand.join(s1, "d_in").join(s2, "d_out")
+        .withColumn("inter", size(array_intersect($"sh1", $"sh2")))
+        .withColumn("n1", size($"sh1"))
+        .filter($"inter" * 5 >= $"n1" * 4)
+        .select($"d_in".as("contained_id"), $"d_out".as("container_id"),
+          $"inter".cast("long").as("inter_size"),
+          $"n1".cast("long").as("n_contained"))
+        .orderBy($"contained_id", $"container_id")
+    },
+    Some(s"""
+      WITH $shingleSetSql,
+      shf AS (SELECT doc_id, shset FROM sh WHERE len(shset) >= 10),
+      ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM shf),
+      pairs AS (
+        SELECT a.doc_id d_in, b.doc_id d_out, COUNT(*) inter, ANY_VALUE(a.n) n1
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT d_in AS contained_id, d_out AS container_id,
+             CAST(inter AS BIGINT) AS inter_size,
+             CAST(n1 AS BIGINT) AS n_contained
+      FROM pairs
+      WHERE 5 * inter >= 4 * n1
+      ORDER BY contained_id, container_id
+    """)
+  )
+
+  /** Fuzzy dedup, edit-distance grade: the production cascade
+    * candidates-by-similarity-join → verify-by-edit-distance. Set
+    * similarity (Jaccard over shingles) is blind to token ORDER; edit
+    * distance is the stricter, order-aware confirmation — a shuffled
+    * bag of the same words passes the Jaccard gate but fails here.
+    * Output: the exact j ≥ 0.5 pair set further filtered to
+    * 5·levenshtein(a,b) ≤ max(len_a, len_b), i.e. char-level edit
+    * ratio ≤ 0.2 — both gates in exact integer arithmetic, so the
+    * DuckDB oracle (same two predicates verbatim) hash-matches.
+    *
+    * Scale shape: candidate generation is [[ngramJaccard]]'s CMS-
+    * prefix machinery (never all-pairs); the O(L²/8) bit-parallel-free
+    * Levenshtein DP runs ONLY on verified candidate pairs — a set
+    * already reduced by prefix + size-ratio + Jaccard — and the text
+    * payload for it is fetched by semi-joining the corpus down to
+    * candidate docs first (the [[minhashLsh]] fetch pattern), so full
+    * document text never rides through the pair join's shuffle. Pairs
+    * below the Jaccard gate are out of contract by design: at edit
+    * ratio ≤ 0.2 the surviving token multisets overlap far above the
+    * j = 0.5 candidate floor. */
+  val editDistance: Q = Q(
+    "dedup_editdist",
+    (s, dir) => {
+      import s.implicits._
+      val verified = ngramJaccard.run(s, dir)
+        .localCheckpoint() // pair frame referenced by fetch + final join
+      val candDocs = verified
+        .select(explode(array($"d1", $"d2")).as("doc_id")).distinct()
+      val txt = docs(s, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .select($"doc_id", $"text")
+        .localCheckpoint() // both sides of the text join
+      verified
+        .join(txt.select($"doc_id".as("d1"), $"text".as("t1")), "d1")
+        .join(txt.select($"doc_id".as("d2"), $"text".as("t2")), "d2")
+        .withColumn("edit_dist", levenshtein($"t1", $"t2"))
+        .withColumn("max_len", greatest(length($"t1"), length($"t2")))
+        .filter($"edit_dist" * 5 <= $"max_len")
+        .select($"d1", $"d2", $"edit_dist".cast("long").as("edit_dist"),
+          $"max_len".cast("long").as("max_len"))
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""
+      WITH $shingleSetSql,
+      ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
+      pairs AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) inter,
+               ANY_VALUE(a.n) n1, ANY_VALUE(b.n) n2
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      ok AS (SELECT d1, d2 FROM pairs WHERE 3 * inter >= n1 + n2)
+      SELECT k.d1, k.d2,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+             CAST(GREATEST(LENGTH(a.text), LENGTH(b.text)) AS BIGINT) AS max_len
+      FROM ok k
+      JOIN documents a ON a.doc_id = k.d1
+      JOIN documents b ON b.doc_id = k.d2
+      WHERE 5 * levenshtein(a.text, b.text)
+              <= GREATEST(LENGTH(a.text), LENGTH(b.text))
+      ORDER BY d1, d2
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
       clustersStar, contamination, survivors, embeddingLsh, substringDetect,
       substringClean, semantic, boilerplate, incremental, incrementalBloom,
-      incrementalMinhash)
+      incrementalMinhash, containmentPairs, editDistance)
 }

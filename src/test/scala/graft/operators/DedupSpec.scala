@@ -405,4 +405,78 @@ class DedupSpec extends SparkSuite {
     assert(bloomed == exact,
       s"missing=${(exact -- bloomed).take(3)} extra=${(bloomed -- exact).take(3)}")
   }
+
+  private def stringShingles(text: String): Set[String] = {
+    val toks = text.split(' ').filter(_.nonEmpty)
+    (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+  }
+
+  test("containment pairs EQUAL the directed-definition recompute; " +
+      "planted quote-inclusion is found where symmetric Jaccard is blind") {
+    // part 1: on the fixture, the prefix-filtered operator must equal a
+    // brute-force recompute of its definition (all directed pairs with
+    // inter >= 0.8*|S_a|, |S_a| >= 10) — losslessness of the CMS prefix
+    val sets = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> stringShingles(r.getString(1)))
+      .filter(_._2.size >= 10).toMap
+    val want = (for {
+      (a, sa) <- sets.iterator; (b, sb) <- sets.iterator
+      if a != b
+      inter = (sa & sb).size
+      if inter * 5 >= sa.size * 4
+    } yield (a, b, inter.toLong, sa.size.toLong)).toSet
+    val got = Dedup.containmentPairs.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "fixture should contain containment pairs")
+
+    // part 2: a short doc quoted verbatim inside a long one — directed
+    // containment finds (short -> long) and ONLY that direction, while
+    // the symmetric Jaccard gate never fires (j = 12/42 < 0.5)
+    import spark.implicits._
+    val words = (0 until 44).map(i => s"w$i")
+    val long = words.mkString(" ")                  // 42 shingles
+    val short = words.slice(10, 24).mkString(" ")   // 12 shingles, all in long
+    val other = (0 until 20).map(i => s"z$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-containment").toString
+    Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Dedup.containmentPairs.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted == Set((2L, 1L)),
+      s"want only short-in-long (2,1), got $planted")
+    val jaccard = Dedup.ngramJaccard.run(spark, dir).count()
+    assert(jaccard == 0, "symmetric Jaccard must NOT fire on pure inclusion")
+  }
+
+  private def lev(a: String, b: String): Int = {
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      val t = prev; prev = cur; cur = t
+    }
+    prev(b.length)
+  }
+
+  test("edit-distance dedup EQUALS a driver Levenshtein recompute over the exact pair set") {
+    val texts = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Dedup.ngramJaccard.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (d1, d2) =>
+        val (t1, t2) = (texts(d1), texts(d2))
+        (d1, d2, lev(t1, t2).toLong, math.max(t1.length, t2.length).toLong)
+      }
+      .filter { case (_, _, e, m) => e * 5 <= m }.toSet
+    val got = Dedup.editDistance.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "fixture should contain edit-verified near-dups")
+  }
 }
