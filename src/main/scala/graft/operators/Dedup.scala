@@ -234,9 +234,13 @@ object Dedup {
     * (doc_id, h, n) — each doc's |s|−⌈t·|s|⌉+1 rarest shingles under
     * the broadcast count-min ranking, localCheckpoint'd because every
     * caller self-joins it. */
-  private[graft] def cmsPrefixRanked(
-      s: SparkSession, sh: DataFrame, t: Double,
-      depth: Int = 4, width: Int = 65536): DataFrame = {
+  /** One bounded per-partition CMS pass + associative driver merge,
+    * broadcast back out — the shared sketch build behind every
+    * rarity-ordered stage, factored so [[cmsPrefixRanked]] and
+    * [[cmsPositioned]] can never drift onto different orders. */
+  private[graft] def cmsSketch(
+      s: SparkSession, sh: DataFrame,
+      depth: Int, width: Int): org.apache.spark.broadcast.Broadcast[CountMin] = {
     import s.implicits._
     val sketch = sh.select($"sh").as[Seq[Long]].rdd
       .mapPartitions { it =>
@@ -245,7 +249,14 @@ object Dedup {
         Iterator.single(c)
       }
       .fold(new CountMin(depth, width))(_.mergeInPlace(_))
-    val bc = s.sparkContext.broadcast(sketch)
+    s.sparkContext.broadcast(sketch)
+  }
+
+  private[graft] def cmsPrefixRanked(
+      s: SparkSession, sh: DataFrame, t: Double,
+      depth: Int = 4, width: Int = 65536): DataFrame = {
+    import s.implicits._
+    val bc = cmsSketch(s, sh, depth, width)
     sh.select($"doc_id", $"sh").as[(Long, Seq[Long])]
       .mapPartitions { it =>
         val c = bc.value
@@ -258,6 +269,29 @@ object Dedup {
         }
       }
       .toDF("doc_id", "h", "n")
+      .localCheckpoint()   // lineage barrier: callers self-join this frame
+  }
+
+  /** EVERY shingle of every doc with its 1-based rank position under
+    * the same (cms-estimate, hash) total order [[cmsPrefixRanked]]
+    * uses — the position-annotated inverted index the containment
+    * join's positional filter needs. Map-side only: sorting each doc's
+    * own array against the broadcast sketch; no shuffle. */
+  private[graft] def cmsPositioned(
+      s: SparkSession, sh: DataFrame,
+      depth: Int = 4, width: Int = 65536): DataFrame = {
+    import s.implicits._
+    val bc = cmsSketch(s, sh, depth, width)
+    sh.select($"doc_id", $"sh").as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.flatMap { case (doc, set) =>
+          val n = set.size
+          set.map(h => (c.estimate(h), h)).sorted.iterator.zipWithIndex
+            .map { case ((_, h), i) => (doc, h, i + 1, n) }
+        }
+      }
+      .toDF("doc_id", "h", "pos", "n")
       .localCheckpoint()   // lineage barrier: callers self-join this frame
   }
 
@@ -1474,18 +1508,32 @@ object Dedup {
     * it's a first-class training-data curation primitive (quote/
     * boilerplate inclusion, article-in-digest).
     *
-    * Scale shape: the same prefix-filter machinery as [[ngramJaccard]],
-    * adapted to the asymmetric threshold. Containment(a→b) ≥ τ bounds
-    * only a's side, so candidates are a's CMS-ranked prefix — its
-    * |S_a| − ⌈τ·|S_a|⌉ + 1 rarest shingles (lossless: if the prefix
-    * missed S_b, the intersection would be < ⌈τ·|S_a|⌉) — equi-joined
-    * against the FULL inverted index of the corpus (the container side
-    * has no constraint, so it cannot be prefix-reduced). Hub shingles
-    * still never explode the join: CMS never underestimates, so a hub
-    * posting list only meets the few prefix entries that genuinely
-    * rank it rare. No size-ratio filter applies (that bound is
-    * Jaccard-only — containment is exactly the regime where sizes
-    * diverge). Verification is exact and float-free:
+    * Scale shape: the prefix-filter machinery of [[ngramJaccard]]
+    * adapted to the asymmetric threshold, PLUS the adaptive k-slack
+    * count filter it needs to survive hub-heavy corpora (the
+    * "adaptive prefix" idea of the set-similarity-join literature).
+    * The minimal prefix — a's |S_a| − ⌈τ·|S_a|⌉ + 1 rarest shingles —
+    * guarantees only ONE shared element for a qualifying pair, and on
+    * a closed-vocabulary corpus a single shared "rare" shingle is
+    * nearly meaningless: measured at 5× on the hub-heavy probe
+    * corpus, one-shared-shingle candidates number 9.76M for 250 true
+    * pairs, and shipping shingle arrays to 9.76M pairs costs ~94 s.
+    * Enlarging the prefix by slack k (p′ = |S_a| − ⌈τ·|S_a|⌉ + k)
+    * strengthens the guarantee: at most |S_a| − p′ = ⌈τ·|S_a|⌉ − k
+    * intersection elements can rank beyond the prefix, so a
+    * qualifying pair must share ≥ k PREFIX shingles. The candidate
+    * stage therefore equi-joins a's enlarged prefix against the full
+    * inverted index ([[cmsPositioned]]; the container side has no
+    * prefix bound of its own, since τ constrains only |S_a|), counts
+    * matches per directed pair — a partial-aggregating groupBy on the
+    * narrow (d_in, d_out) stream, no arrays — and keeps pairs with
+    * ≥ k matches. Lossless for any k ≤ ⌈τ·|S_a|⌉ by the bound above;
+    * k = 3 cuts 5× probe candidates 9.76M → ~4k and total time
+    * ~100 s → seconds for +30% join volume. The only per-row join
+    * filter kept is 5·n2 ≥ 4·n1 (a container must be big enough to
+    * hold ⌈τ·n1⌉ elements at all). No size-ratio upper bound applies
+    * (that bound is Jaccard-only — containment is exactly the regime
+    * where sizes diverge). Verification is exact and float-free:
     * 5·inter ≥ 4·|S_a| ⟺ containment ≥ 0.8 in integer arithmetic.
     * A ≥10-shingle floor keeps trivially-short documents from
     * flooding the directed pair set. */
@@ -1495,14 +1543,21 @@ object Dedup {
       import s.implicits._
       val tau = 0.8
       val minSh = 10
+      val k = 3
       val sh = shingleSets(s, dir).filter(size($"sh") >= minSh)
-        .localCheckpoint() // prefix stage + index + both verify sides
-      val ranked = cmsPrefixRanked(s, sh, tau)
-      val index = sh.select($"doc_id".as("d_out"), explode($"sh").as("h"))
-      val cand = ranked.as("a")
-        .join(index.as("b"), $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.d_out")
-        .select($"a.doc_id".as("d_in"), $"b.d_out")
-        .distinct()
+        .localCheckpoint() // positioned index + both verify sides
+      val pos = cmsPositioned(s, sh)
+      // a's k-slack prefix: pos ≤ n − ⌈τ·n⌉ + k ⟺ 5·(n + k − pos) ≥ 4·n
+      val pre = pos.filter(($"n" + k - $"pos") * 5 >= $"n" * 4)
+      val cand = pre.as("a")
+        .join(pos.as("b"), $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id"
+          && $"b.n" * 5 >= $"a.n" * 4) // container big enough for ⌈τ·n1⌉
+        .groupBy($"a.doc_id".as("d_in"), $"b.doc_id".as("d_out"))
+        .agg(count(lit(1)).as("m"))
+        // ≥ k shared prefix shingles — lossless: ≤ ⌈τ·n1⌉ − k
+        // intersection elements can rank beyond the enlarged prefix
+        .filter($"m" >= k)
+        .select($"d_in", $"d_out")
       val s1 = sh.select($"doc_id".as("d_in"), $"sh".as("sh1"))
       val s2 = sh.select($"doc_id".as("d_out"), $"sh".as("sh2"))
       cand.join(s1, "d_in").join(s2, "d_out")
