@@ -778,6 +778,38 @@ object Dedup {
     clustersOracle
   )
 
+  /** Dedup SAVINGS report: the cluster-size histogram of the near-dup
+    * graph — for each component size, how many components exist and
+    * how many documents deduplication removes (size−1 per component).
+    * The "what did dedup buy" readout a curation run reports before
+    * committing a corpus version; pairs with the corpus-diff and
+    * survivor ops as the human-facing summary of the dedup family.
+    *
+    * Scale shape: [[clustersStar]]'s O(log d) labeling, then two tiny
+    * aggregations — per-cluster rollup on the label frame and a
+    * histogram whose key space is |distinct sizes|, vanishingly small
+    * at any corpus scale. */
+  val clusterStats: Q = Q(
+    "dedup_cluster_stats",
+    (s, dir) => {
+      import s.implicits._
+      clustersStar.run(s, dir)
+        .select($"canonical_id", $"cluster_size").distinct()
+        .groupBy($"cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("dup_docs", ($"cluster_size" - 1) * $"n_clusters")
+        .orderBy($"cluster_size")
+    },
+    clustersOracle.map(cc => s"""
+      SELECT cluster_size,
+             COUNT(*) AS n_clusters,
+             CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS dup_docs
+      FROM (SELECT DISTINCT canonical_id, cluster_size FROM ($cc))
+      GROUP BY cluster_size
+      ORDER BY cluster_size
+    """)
+  )
+
   /** Benchmark decontamination: flag every training document that
     * shares at least one 8-token shingle with the held-out benchmark
     * set — the standard n-gram-overlap contamination check a
@@ -1653,7 +1685,7 @@ object Dedup {
 
   def queries: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
-      clustersStar, contamination, survivors, embeddingLsh, substringDetect,
+      clustersStar, clusterStats, contamination, survivors, embeddingLsh, substringDetect,
       substringClean, semantic, boilerplate, incremental, incrementalBloom,
       incrementalMinhash, containmentPairs, editDistance)
 }

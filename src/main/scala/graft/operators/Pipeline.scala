@@ -869,6 +869,67 @@ object Pipeline {
     Some(thresholdSampleSql(temperatureThrSql))
   )
 
+  /** Rebalance the corpus to a TARGET language mix (the "data recipe"
+    * step of pretraining-corpus assembly): given integer target
+    * weights w_l, emit the largest corpus achievable by pure
+    * downsampling whose expected composition matches w — keep C·w_l
+    * documents of language l where C = min_l ⌊n_l/w_l⌋, so the
+    * binding stratum is kept (nearly) whole and every other language
+    * thins to proportion. Selection is the same content-addressed
+    * md5-prefix threshold as [[thresholdSample]], with the keep rate
+    * C·w_l/n_l rendered as an EXACT integer threshold
+    * (C·w_l·2³² div n_l in decimal(38,0)/HUGEINT — the
+    * [[stratifiedThrCol]] overflow rule), so both engines agree
+    * bit-for-bit at any corpus size. Languages absent from the recipe
+    * are dropped by the inner join — a recipe IS a whitelist
+    * (contrast [[mixSample]]'s left-join default, where the table is
+    * a per-source rate override).
+    *
+    * Scale shape: per-lang count agg (tiny, map-side partial) +
+    * broadcast threshold table + one shuffle-free filtered scan —
+    * identical to [[mixTemperature]]. */
+  val mixToTarget: Q = Q(
+    "mix_to_target",
+    (s, dir) => {
+      import s.implicits._
+      val target = Seq(("en", 10L), ("es", 30L), ("de", 30L),
+        ("fr", 20L), ("zh", 10L)).toDF("lang", "w")
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+        .join(broadcast(target), Seq("lang"))
+      val c = counts.agg(min(expr("n div w")).as("c"))
+      val thr = counts.crossJoin(broadcast(c))
+        .withColumn("thr_hex",
+          lpad(lower(hex(least(
+            expr("CAST(c AS DECIMAL(38,0)) * w * 4294967296 div n"),
+            lit(4294967295L)))), 8, "0"))
+        .select($"lang", $"thr_hex")
+      d.select($"doc_id", $"lang",
+          substring(md5($"doc_id".cast("string")), 1, 8).as("pfx"))
+        .join(broadcast(thr), Seq("lang"))
+        .filter($"pfx" < $"thr_hex")
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tgt(lang, w) AS (
+        VALUES ('en',10),('es',30),('de',30),('fr',20),('zh',10)
+      ),
+      c AS (SELECT d.lang, COUNT(*) AS n, ANY_VALUE(w) AS w
+            FROM documents d JOIN tgt USING (lang) GROUP BY d.lang),
+      t AS (SELECT lang,
+              lpad(lower(hex(LEAST(
+                CAST(CAST((SELECT MIN(n // w) FROM c) AS HUGEINT)
+                     * w * 4294967296 // n AS BIGINT),
+                4294967295))), 8, '0') AS thr_hex
+            FROM c)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN t ON d.lang = t.lang
+      WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr_hex
+      ORDER BY d.doc_id
+    """)
+  )
+
   /** COHORT RETENTION matrix: users grouped by the week of their first
     * event (the cohort), then for each later week the count of cohort
     * members still active — the activation/retention readout every
@@ -1084,5 +1145,6 @@ object Pipeline {
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
-      mixTemperature, ragRetrieve, corpusShuffle, retention, snapshotDiff)
+      mixTemperature, mixToTarget, ragRetrieve, corpusShuffle, retention,
+      snapshotDiff)
 }

@@ -479,4 +479,20 @@ class DedupSpec extends SparkSuite {
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     assert(got.nonEmpty, "fixture should contain edit-verified near-dups")
   }
+
+  test("cluster-stats histogram is the exact rollup of the star labeling") {
+    val labels = Dedup.clustersStar.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (canonical_id, cluster_size)
+    val want = labels.distinct.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap // size -> n_clusters
+    val got = Dedup.clusterStats.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toMap == want,
+      s"histogram drifted from labeling: got=${got.toSeq} want=$want")
+    got.foreach { case (size, nc, dups) =>
+      assert(dups == (size - 1) * nc, s"dup_docs wrong for size=$size")
+    }
+    // total docs across the histogram equals labeled rows
+    assert(got.map(t => t._1 * t._2).sum == labels.length.toLong)
+  }
 }

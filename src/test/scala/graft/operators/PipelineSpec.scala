@@ -425,4 +425,27 @@ class PipelineSpec extends SparkSuite {
     assert(got == want,
       s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
   }
+
+  test("mix_to_target keeps only recipe languages at ~C·w_l each, deterministically") {
+    import org.apache.spark.sql.functions.col
+    val recipe = Map("en" -> 10L, "es" -> 30L, "de" -> 30L, "fr" -> 20L, "zh" -> 10L)
+    val n = graft.Tables.load(spark, sf0001, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = recipe.collect { case (l, w) if n.contains(l) => n(l) / w }.min
+    val kept = Pipeline.mixToTarget.run(spark, sf0001).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(kept.keySet.subsetOf(recipe.keySet), s"non-recipe langs kept: $kept")
+    // expected kept count per lang is C·w_l; md5-threshold selection is
+    // binomial around it — allow 3 sigma plus integer-threshold slack
+    recipe.foreach { case (l, w) =>
+      val exp = (c * w).toDouble
+      val tol = 3.0 * math.sqrt(exp) + 2
+      val got = kept.getOrElse(l, 0L).toDouble
+      assert(math.abs(got - exp) <= tol, s"lang $l kept $got want ~$exp (±$tol)")
+    }
+    val again = Pipeline.mixToTarget.run(spark, sf0001).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(again == kept, "content-addressed selection must be deterministic")
+  }
 }
