@@ -81,8 +81,24 @@ class PlanHygieneSpec extends SparkSuite {
     assert(n >= 4, s"expected >=4 WindowGroupLimit nodes, found $n:\n${p.take(600)}")
   }
 
+  test("dedup_containment: candidates are count-filtered map-side before any array moves") {
+    val p = plan("dedup_containment")
+    // the k-prefix count filter must partial-aggregate (a regression to
+    // distinct-then-verify leaves a functions=[] HashAggregate and ships
+    // shingle arrays to the full collision cross-product — the measured
+    // 94s-vs-3.6s difference at 5x in SCALING.md)
+    assert(p.contains("partial_count"),
+      "candidate count filter lost its map-side partial aggregation")
+    // toString prints the tree top-down, so every verify-stage
+    // occurrence of array_intersect (Catalyst inlines it into both the
+    // filter predicate and the projection of that one stage) must sit
+    // ABOVE the candidate count aggregate — arrays never reach it
+    assert(p.lastIndexOf("array_intersect") < p.indexOf("partial_count"),
+      "set intersection leaked below the candidate count filter")
+  }
+
   test("threshold samplers: per-stratum threshold table broadcast, corpus never shuffles") {
-    for (name <- Seq("sample_stratified_threshold", "mix_temperature")) {
+    for (name <- Seq("sample_stratified_threshold", "mix_temperature", "mix_to_target")) {
       val p = plan(name)
       assert(p.contains("BroadcastHashJoin"), s"$name: threshold join must broadcast")
       // the corpus side reaches the broadcast join scan->filter only: no
