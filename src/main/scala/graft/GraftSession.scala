@@ -47,14 +47,20 @@ object Tables {
   val all: Seq[String] = tpch ++ extension
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS): surfaced as int64 nanos (see
-    // GraftSession nanosAsLong), truncated here to a µs TimestampType.
-    // Oracles compare at µs (epoch_us) for exact parity.
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    // Timestamp columns vary by generator vintage: events.ts has shipped
+    // both as TIMESTAMP(NANOS) (surfaced as int64 nanos via the
+    // nanosAsLong flag, truncated to µs here) and as TIMESTAMP(MICROS)
+    // isAdjustedToUTC=false (surfaced as TIMESTAMP_NTZ). Normalize every
+    // vintage to a µs TimestampType: with the session pinned to UTC the
+    // NTZ→LTZ cast is epoch-identical, and oracles compare at epoch_us.
+    val tsFixed =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    tsFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(tsFixed)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 }
