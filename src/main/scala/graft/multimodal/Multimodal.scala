@@ -243,6 +243,11 @@ object Multimodal {
         .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
         .mapPartitions(it => it.map { case (id, bytes) => resizeThumb(id, bytes) })
         .toDF()
+        // q20_array_agg convention: ship the raster as a comma-joined
+        // string — the driver's pandas compare cannot sort/hash raw
+        // ARRAY cells. Order is the fixed 16-element row-major raster,
+        // already deterministic, so stringify loses nothing.
+        .withColumn("thumb", expr("array_join(cast(thumb AS array<string>), ',')"))
         .orderBy($"doc_id")
     },
     Some("""
@@ -253,7 +258,7 @@ object Multimodal {
         FROM documents
       )
       SELECT doc_id, width, height,
-             list_transform(range(0, 16), k ->
+             array_to_string(list_transform(range(0, 16), k ->
                CAST(list_aggregate(
                       flatten(list_transform(
                         range((k // 4) * height // 4, ((k // 4) + 1) * height // 4),
@@ -263,7 +268,7 @@ object Multimodal {
                       'sum')
                     // ((((k // 4) + 1) * height // 4 - (k // 4) * height // 4)
                        * (((k % 4) + 1) * width // 4 - (k % 4) * width // 4))
-                 AS INT)) AS thumb
+                 AS INT)), ',') AS thumb
       FROM dims
       ORDER BY doc_id
     """)

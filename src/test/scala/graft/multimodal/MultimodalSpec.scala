@@ -44,7 +44,8 @@ class MultimodalSpec extends SparkSuite {
 
   test("resize: decoded 4x4 block-average equals the closed-form recomputation") {
     val out = Multimodal.resize.run(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Int](3)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3).split(',').toSeq.map(_.toInt)))
     assert(out.length == 500)
     out.take(25).foreach { case (id, w, h, thumb) =>
       assert(w == 8 + (id % 16).toInt && h == 8 + ((id * 7) % 16).toInt)

@@ -58,6 +58,19 @@ def main(sfdir, outdir):
             print(f"ORA-ERR  {name}: {e}")
             n_bad += 1
             continue
+        # the driver's compare sorts a pandas dataframe of the output —
+        # ARRAY/LIST/STRUCT cells make that crash (unhashable ndarray),
+        # which this mirror's str(v) canon would silently survive. Reject
+        # nested output columns up front (stringify them in the query —
+        # the q20 concat_ws / array_to_string convention).
+        nested = [(c, t) for c, t in
+                  list(zip(mine_cols, mine_type_list)) + list(zip(ref_cols, ref_type_list))
+                  if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))]
+        if nested:
+            print(f"NESTED   {name}: array/struct output columns would crash "
+                  f"the driver's pandas sort: {sorted(set(nested))}")
+            n_bad += 1
+            continue
         if sorted(mine_cols) != sorted(ref_cols):
             print(f"SCHEMA   {name}: spark={sorted(mine_cols)} duck={sorted(ref_cols)}")
             n_bad += 1
