@@ -13,9 +13,10 @@ import org.apache.spark.sql.SparkSession
   * 3-5x at random). `queries`/`value` report warm seconds, comparable
   * across rounds; the cold numbers ride along under "cold".
   *
-  * A query that throws is reported at a loud 9999.0 s and named in
-  * "failed" — a broken query must worsen the headline number, never
-  * improve it.
+  * A query that throws is reported at a loud 9999.0 s in the per-query
+  * maps and named in "failed"; the headline "value" sums PASSING
+  * queries only (sentinels would drown it), with "ok":false,
+  * "n_failed", and a nonzero exit code marking the broken run.
   *
   * After the batch queries, the STREAMING path is benched once (see
   * [[graft.streaming.StreamBench]]): the events corpus fanned out ×3
@@ -71,7 +72,12 @@ object Bench {
     val warmQs = fmt(results.map { case (k, _, w, ok) => k -> (if (ok) w else FailedSentinelSec) })
     val coldQs = fmt(results.map { case (k, c, _, ok) => k -> (if (ok) c else FailedSentinelSec) })
     val failed = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.map { case (_, _, w, ok) => if (ok) w else FailedSentinelSec }.sum
+    val nFailed = results.count(!_._4)
+    // headline total = passing queries ONLY. Summing the 9999 s failure
+    // sentinels made a broken round's total meaningless (r7: 120,076 s)
+    // and wrecked round-over-round comparison; failures are reported
+    // loudly instead via n_failed / failed / ok:false / exit code 1.
+    val total = results.collect { case (_, _, w, true) => w }.sum
 
     // streaming throughput: one metered drain of the CDC chain
     spark.catalog.clearCache()
@@ -98,24 +104,34 @@ object Bench {
     // JSON that grows with the catalog (BENCH_r05 "parsed": null). The stdout
     // line stays compact (~1 kB: totals + warm per-query + streaming rows/s)
     // so the machine-parse contract holds regardless of query count.
-    val detailPath = "BENCH_DETAIL.json"
-    val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$warmQs,"cold":$coldQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-
     def rps(json: String): String = {
       val m = """"rows_per_sec":([0-9.]+)""".r.findFirstMatchIn(json)
       m.map(_.group(1)).getOrElse("0.0")
     }
-    // hard bound on the stdout line: per-query warm numbers ride along
-    // while they fit, but once the catalog outgrows the tail-capture
-    // budget they live ONLY in the detail file — the contract is
-    // query-count-independent, not just currently-small
-    val warmInline = if (warmQs.length <= 4096) warmQs else "{}"
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$warmInline,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"detail":"$detailPath","sf":"$sfDir"}""")
+    val streamingFailed = streaming.contains("streaming_failed") ||
+      streamingConn.contains("streaming_failed")
+    val allOk = nFailed == 0 && !streamingFailed
+
+    val detailPath = "BENCH_DETAIL.json"
+    val detail =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$warmQs,"cold":$coldQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+
+    // Hard bound on the stdout line: the driver's tail capture keeps the
+    // LAST 2000 chars of output, and sbt appends ~100 chars of epilogue
+    // after our line — r5 and r7 both lost machine-parse ("parsed":null)
+    // because the per-query map pushed the line's HEAD past that budget.
+    // Inline the per-query numbers only while the whole line stays well
+    // under the budget; they always live in the detail file regardless.
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$qs,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"detail":"$detailPath","sf":"$sfDir"}"""
+    val full = line(warmQs)
+    println(if (full.length <= 1600) full else line("{}"))
     spark.stop()
+    // a broken bench must not exit 0: automation consuming only the rc
+    // treated r7's 12-failure run as green
+    if (!allOk) sys.exit(1)
   }
 }

@@ -46,16 +46,18 @@ object Tables {
   val extension: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extension
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalize(spark.read.parquet(s"$dir/$name.parquet"), name)
+
+  /** Timestamp columns vary by generator vintage: events.ts has shipped
+    * both as TIMESTAMP(NANOS) (surfaced as int64 nanos via the
+    * nanosAsLong flag, truncated to µs here) and as TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (surfaced as TIMESTAMP_NTZ). Normalize every
+    * vintage to a µs TimestampType: with the session pinned to UTC the
+    * NTZ→LTZ cast is epoch-identical, and oracles compare at epoch_us. */
+  def normalize(df: DataFrame, name: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Timestamp columns vary by generator vintage: events.ts has shipped
-    // both as TIMESTAMP(NANOS) (surfaced as int64 nanos via the
-    // nanosAsLong flag, truncated to µs here) and as TIMESTAMP(MICROS)
-    // isAdjustedToUTC=false (surfaced as TIMESTAMP_NTZ). Normalize every
-    // vintage to a µs TimestampType: with the session pinned to UTC the
-    // NTZ→LTZ cast is epoch-identical, and oracles compare at epoch_us.
     val tsFixed =
       if (name == "events" && df.schema("ts").dataType == LongType)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -63,4 +65,16 @@ object Tables {
     tsFixed.schema.fields.filter(_.dataType == TimestampNTZType)
       .foldLeft(tsFixed)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
+
+  /** Streaming twin of [[load]]: reads `streamDir` as a file stream
+    * with the table's PHYSICAL parquet schema (whatever vintage is on
+    * disk), then applies the same normalization — so streaming specs
+    * and pipelines see exactly the frame batch code sees. `schemaFrom`
+    * points at any parquet written with the same vintage (usually the
+    * testdata file the fixture was staged from). */
+  def loadStream(spark: SparkSession, streamDir: String, name: String,
+      schemaFrom: String): DataFrame =
+    normalize(
+      spark.readStream.schema(spark.read.parquet(schemaFrom).schema).parquet(streamDir),
+      name)
 }

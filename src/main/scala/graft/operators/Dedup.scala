@@ -709,8 +709,8 @@ object Dedup {
     *    onto local minima;
     *  - SMALL-STAR: every node u links its not-larger neighbors and
     *    itself to its minimum neighbor — partial stars flatten.
-    * Fixpoint (edge set unchanged — checked exactly via count +
-    * anti-join, no probabilistic checksum) is reached precisely when
+    * Fixpoint (edge set unchanged — checked exactly via one tagged-union
+    * aggregation, no probabilistic checksum) is reached precisely when
     * every edge runs root→member for its component's minimum. Per
     * round the edge frame is lineage-truncated (iterative
     * localCheckpoint rule) so plan size stays O(1) in rounds.
@@ -732,7 +732,6 @@ object Dedup {
     var done = edges.isEmpty
     while (!done && rounds < maxRounds) {
       val prev = edges
-      val prevCount = prev.count()
       val nbrs = edges.select($"a".as("u"), $"b".as("v"))
         .union(edges.select($"b".as("u"), $"a".as("v")))
       // m(u) over the CLOSED neighborhood: min neighbor, clamped by u
@@ -749,8 +748,14 @@ object Dedup {
         .union(joined.select($"m".as("a"), $"u".as("b")))
         .distinct().localCheckpoint()
       edges = small
-      done = edges.count() == prevCount &&
-        edges.join(prev, Seq("a", "b"), "left_anti").isEmpty
+      // exact fixpoint in ONE job (was count + count + anti-join):
+      // both sides are distinct sets, so the edge set is unchanged iff
+      // every (a,b) carries BOTH tags in the tagged union (sum == 3) —
+      // a single partial-aggregated shuffle over 2·|E| checkpointed rows
+      done = prev.select($"a", $"b", lit(1L).as("s"))
+        .unionAll(edges.select($"a", $"b", lit(2L).as("s")))
+        .groupBy($"a", $"b").agg(sum($"s").as("t"))
+        .filter($"t" =!= 3L).isEmpty
       rounds += 1
     }
     require(done,

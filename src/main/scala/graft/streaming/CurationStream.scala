@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.TextFns
+
+/** One row of the curation stream after the stateless projection +
+  * quality gate (mirror of `curation_e2e`'s `base` frame). */
+case class CurationDoc(doc_id: Long, source: String, lang: String,
+                       n_tokens: Long, fp: String, mh: String)
+
+/** Final curated-manifest row — same shape as `curation_e2e`'s output. */
+case class CurationOut(doc_id: Long, source: String, lang: String,
+                       n_tokens: Long, split: String)
+
+/** The composed STREAMING curation pass: quality gate → watermarked
+  * exact content dedup → per-source stateful cap → split assignment,
+  * all inside ONE streaming query — the ingest-side form of the batch
+  * flagship `curation_e2e` (`Pipeline.scala` `curationE2e`), chaining
+  * two stateful operators the way the CDC pipeline chains
+  * filter → quorum-dedup → apply.
+  *
+  * Stage semantics vs the batch operator:
+  *   - gate: identical (stateless, `n_tokens >= 20`).
+  *   - dedup: `dropDuplicatesWithinWatermark("fp")` — keeps the FIRST
+  *     arrival per content fingerprint; equals batch min-doc_id dedup
+  *     whenever arrival order is doc_id order (the spec's fixture).
+  *     State is bounded by the watermark delay, not corpus size — the
+  *     100 TB knob; the event-time column is synthesized
+  *     deterministically from doc_id so replays are stable.
+  *   - cap: `flatMapGroupsWithState` keyed by source, state = one Long
+  *     (rows admitted so far). Content-addressed (mh, doc_id) rank
+  *     WITHIN each micro-batch — the same rank key as the batch
+  *     operator — greedy across micro-batches. Caps enforce the same
+  *     per-source cardinality as batch (`min(cap, survivors)`); which
+  *     members survive depends on arrival batching, which is inherent
+  *     to any streaming cap (the batch pick needs the full corpus).
+  *   - split: identical (stateless, content-addressed md5 thresholds).
+  *
+  * Scale shape: the gate runs before both stateful stages so state
+  * only sees surviving rows; dedup state is watermark-bounded; cap
+  * state is ONE Long per source. Each stage is one keyed exchange —
+  * the same two shuffles the batch plan pays. */
+object CurationStream {
+  val QualityMinTokens = 20
+
+  def curate(src: DataFrame, cap: Int = 10, delay: String = "1 hour"): Dataset[CurationOut] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val gated = src
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        md5(col("doc_id").cast("string")).as("mh"),
+        // day-one offset: a synthetic clock must not START at the epoch
+        // origin — the initial watermark is also 0, and a row whose
+        // event time equals the watermark is dropped as late (observed:
+        // doc_id 0 silently vanishing from the dedup stage)
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L).as("ets"))
+      .filter(col("n_tokens") >= QualityMinTokens)
+      .withWatermark("ets", delay)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_tokens"), col("fp"), col("mh"))
+      .as[CurationDoc]
+    gated.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        capGroup(cap) _)
+  }
+
+  private def capGroup(cap: Int)(source: String, rows: Iterator[CurationDoc],
+      state: GroupState[Long]): Iterator[CurationOut] = {
+    val used = state.getOption.getOrElse(0L)
+    val room = math.max(cap - used, 0L).toInt
+    val picked = rows.toSeq.sortBy(d => (d.mh, d.doc_id)).take(room)
+    state.update(used + picked.length)
+    picked.iterator.map { d =>
+      val h2 = d.mh.substring(0, 2)
+      val split = if (h2 < "cd") "train" else if (h2 < "e6") "val" else "test"
+      CurationOut(d.doc_id, d.source, d.lang, d.n_tokens, split)
+    }
+  }
+}

@@ -39,21 +39,14 @@ class CdcApplySpec extends SparkSuite {
   test("streaming apply-state converges to the batch state on the real fixture") {
     implicit val s = spark
     import s.implicits._
-    // stage the parquet fixture as a stream directory (nanos ts → µs,
-    // same conversion Tables.load does for batch)
-    val schema = graft.Tables.load(spark, sf0001, "events").schema
+    // stage the parquet fixture as a stream directory, read with the
+    // same vintage-normalization batch code uses
     val dir = java.nio.file.Files.createTempDirectory("graft-applystream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       dir.resolve("events.parquet"))
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(schema.map {
-        case f if f.name == "ts" =>
-          f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      }))
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.Tables.loadStream(spark, dir.toString, "events",
+      s"$sf0001/events.parquet")
       .withWatermark("ts", "1 hour")   // tombstone reaping needs a watermark
 
     val q = CdcApply.applyStateStream(raw)

@@ -37,23 +37,14 @@ class StreamingWindowSpec extends SparkSuite {
 
   test("streaming over the real events parquet: windowed counts match batch") {
     import spark.implicits._
-    // TESTDATA events carries TIMESTAMP(NANOS) → surfaced as int64
-    // nanos under nanosAsLong; the stream converts exactly like
-    // Tables.load does for batch
-    val schema = graft.Tables.load(spark, sf0001, "events").schema
-    // FileStreamSource needs a directory: stage the fixture file
+    // FileStreamSource needs a directory: stage the fixture file, then
+    // read it with the same vintage-normalization batch code uses
     val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       dir.resolve("events.parquet"))
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(schema.map {
-        case f if f.name == "ts" =>
-          f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      }))
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.Tables.loadStream(spark, dir.toString, "events",
+      s"$sf0001/events.parquet")
     val agg = raw
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "6 hours"))
@@ -98,19 +89,12 @@ class StreamingWindowSpec extends SparkSuite {
 
   test("streaming session_window over the real fixture equals the batch q28 result") {
     import spark.implicits._
-    val schema = graft.Tables.load(spark, sf0001, "events").schema
     val dir = java.nio.file.Files.createTempDirectory("graft-sessstream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       dir.resolve("events.parquet"))
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(schema.map {
-        case f if f.name == "ts" =>
-          f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      }))
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.Tables.loadStream(spark, dir.toString, "events",
+      s"$sf0001/events.parquet")
     val agg = raw
       .withWatermark("ts", "1 hour")
       .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
