@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 107 of
-  * 109, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 108 of
+  * 110, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -82,6 +82,8 @@ object SparkEntry {
     // edit-distance verify (order-aware fuzzy-dedup cascade)
     "dedup_containment", "dedup_editdist",
     // round 6: target-mix rebalancing and the dedup savings report
-    "mix_to_target", "dedup_cluster_stats"
+    "mix_to_target", "dedup_cluster_stats",
+    // round 8: cross-snapshot near-dup diff (band index × version diff)
+    "dedup_snapshot_neardup"
   )
 }

@@ -1688,9 +1688,116 @@ object Dedup {
     """)
   )
 
+  /** Cross-snapshot NEAR-dup diff — the versioned-corpus refresh
+    * check: which docs that `corpus_snapshot_diff` reports as `added`
+    * or `changed` in snapshot v2 are near-dups (exact shingle Jaccard
+    * ≥ 2/3, MinHash-band candidates) of the PREVIOUS snapshot's
+    * corpus. A `changed` doc near-dupping its own v1 version is a
+    * trivial refresh (re-crawl/format churn — the dominant, expected
+    * signal); a fresh doc near-dupping a DIFFERENT v1 doc is
+    * cross-version content duplication that per-snapshot dedup alone
+    * never sees. Snapshots are the same v1/v2 derivation
+    * `corpus_snapshot_diff` uses (Pipeline.scala `snapshotDiff`):
+    * v1 = docs with md5-bucket ≠ 'f', v2 revises buckets {1,2}
+    * (" rev2" suffix) and drops bucket '0' — so `added` = bucket 'f',
+    * `changed` = buckets {1,2}, and BOTH sides' texts differ for
+    * changed docs (v1 original vs v2 revision).
+    *
+    * Scale shape: [[incrementalMinhash]]'s band-index pattern with the
+    * fresh side swapped from an arriving batch to the diff's
+    * added∪changed slice — production keeps v1's band table
+    * persisted/bucketed by (b, bh) from when v1 was CURRENT, so a
+    * snapshot refresh sketches only the ~3/16 fresh slice, equi-joins
+    * its band rows against the stored index, and exact-verifies only
+    * band-colliding pairs (shingle arrays fetched by semi-join, never
+    * riding the band shuffle). The banding is the [[minhashLsh]]
+    * 16×4 layout: miss prob ≤ 3e-2 at the j = 2/3 threshold, ~4e-9 at
+    * planted near-dup similarity; on this fixture band candidates
+    * cover the exact pair set and the DuckDB oracle (exact inverted-
+    * index Jaccard join between the two snapshot texts) hash-matches. */
+  val snapshotNeardup: Q = Q(
+    "dedup_snapshot_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val h = substring(md5($"doc_id".cast("string")), 1, 1)
+      val v1 = d.filter(h =!= "f").select($"doc_id", $"text")
+      val fresh = d.filter(h.isin("f", "1", "2"))
+        .select($"doc_id",
+          when(h.isin("1", "2"), concat($"text", lit(" rev2")))
+            .otherwise($"text").as("text"),
+          when(h === "f", lit("added")).otherwise(lit("changed")).as("status"))
+        .localCheckpoint()   // referenced by bands, verify, and status join
+      val pb = minhashBandRows(s, v1).select($"doc_id".as("prev_id"), $"b", $"bh")
+      val fb = minhashBandRows(s, fresh).select($"doc_id".as("new_id"), $"b", $"bh")
+      val cand = fb.join(pb, Seq("b", "bh"))
+        .select($"new_id", $"prev_id").distinct()
+        .localCheckpoint()   // referenced by both semi-joins + verify
+      val shPrev = v1
+        .join(cand.select($"prev_id".as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .select($"doc_id".as("prev_id"), TextFns.shingleSet($"text").as("sh1"))
+        .localCheckpoint()
+      val shNew = fresh
+        .join(cand.select($"new_id".as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .select($"doc_id".as("new_id"), $"status", TextFns.shingleSet($"text").as("sh2"))
+        .localCheckpoint()
+      cand.join(shPrev, "prev_id").join(shNew, "new_id")
+        .withColumn("inter", size(array_intersect($"sh1", $"sh2")))
+        .withColumn("n1", size($"sh1")).withColumn("n2", size($"sh2"))
+        .filter($"inter" * 3 >= $"n1" + $"n2")
+        .select($"new_id", $"prev_id", $"status",
+          $"inter".cast("long").as("inter_size"),
+          ($"n1" + $"n2" - $"inter").cast("long").as("union_size"))
+        .orderBy($"new_id", $"prev_id")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT doc_id, text FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'
+      ),
+      fresh AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('1', '2')
+                    THEN text || ' rev2' ELSE text END AS text,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+                    THEN 'added' ELSE 'changed' END AS status
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('f', '1', '2')
+      ),
+      sh1 AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS shset
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+              FROM v1)
+        WHERE len(toks) >= 3
+      ),
+      sh2 AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(toks)-2),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS shset
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+              FROM fresh)
+        WHERE len(toks) >= 3
+      ),
+      ex1 AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh1),
+      ex2 AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh2),
+      pairs AS (
+        SELECT f.doc_id new_id, p.doc_id prev_id, COUNT(*) inter,
+               ANY_VALUE(p.n) n1, ANY_VALUE(f.n) n2
+        FROM ex2 f JOIN ex1 p ON f.s = p.s
+        GROUP BY 1, 2
+      )
+      SELECT pr.new_id, pr.prev_id, fr.status,
+             CAST(inter AS BIGINT) AS inter_size,
+             CAST(n1 + n2 - inter AS BIGINT) AS union_size
+      FROM pairs pr JOIN fresh fr ON fr.doc_id = pr.new_id
+      WHERE 3 * inter >= n1 + n2
+      ORDER BY new_id, prev_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
       clustersStar, clusterStats, contamination, survivors, embeddingLsh, substringDetect,
       substringClean, semantic, boilerplate, incremental, incrementalBloom,
-      incrementalMinhash, containmentPairs, editDistance)
+      incrementalMinhash, containmentPairs, editDistance, snapshotNeardup)
 }

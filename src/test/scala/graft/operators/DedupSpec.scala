@@ -495,4 +495,35 @@ class DedupSpec extends SparkSuite {
     // total docs across the histogram equals labeled rows
     assert(got.map(t => t._1 * t._2).sum == labels.length.toLong)
   }
+
+  test("snapshot near-dup diff: every changed doc self-pairs; statuses and " +
+      "thresholds EQUAL the snapshot derivation") {
+    import spark.implicits._
+    def bucket(id: Long): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+    val got = Dedup.snapshotNeardup.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty, "fixture must contain cross-snapshot near-dups")
+    // statuses follow the corpus_snapshot_diff derivation exactly
+    got.foreach { case (newId, prevId, status, inter, uni) =>
+      val b = bucket(newId)
+      val want = if (b == 'f') "added" else "changed"
+      assert(b == 'f' || b == '1' || b == '2', s"doc $newId is not in the fresh slice")
+      assert(bucket(prevId) != 'f', s"prev $prevId is not in the v1 snapshot")
+      assert(status == want, s"doc $newId status $status != $want")
+      assert(3 * inter >= uni + inter, s"pair ($newId,$prevId) below the j>=2/3 gate")
+    }
+    // the headline refresh signal: a changed doc's v2 text (one
+    // appended token) must near-dup its own v1 version — for every
+    // changed doc long enough to shingle
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val changedLong = docs.collect { case (id, t)
+      if (bucket(id) == '1' || bucket(id) == '2') &&
+        t != null && t.split(" ").count(_.nonEmpty) >= 3 => id }.toSet
+    val selfPairs = got.collect { case (n, p, _, _, _) if n == p => n }.toSet
+    assert(changedLong.subsetOf(selfPairs),
+      s"changed docs missing their own-v1 refresh pair: ${(changedLong -- selfPairs).take(5)}")
+  }
 }
