@@ -1795,9 +1795,75 @@ object Dedup {
     """)
   )
 
+  /** LEAKAGE-SAFE train/val/test split: assignment is addressed by the
+    * near-dup CLUSTER's canonical id, not the document id — so two
+    * near-identical documents can never straddle train and test. A
+    * doc-hash split (`split_assign`) leaks evaluation data through
+    * every near-dup pair the corpus carries; this is the split a
+    * training pipeline must actually use after dedup analysis, and the
+    * reason the cluster labeling exists at all. Singletons (docs in no
+    * near-dup pair) canonicalize to themselves, so their assignment is
+    * IDENTICAL to the doc-hash split (pinned by spec) — cluster safety
+    * costs nothing on the non-duplicated mass of the corpus.
+    *
+    * Scale shape: [[connectedComponentsStar]]'s O(log d) labeling over
+    * the pair graph (labels exist only for docs IN pairs — a small
+    * fraction of the corpus), one left join of the corpus spine
+    * against that label frame on doc_id, then a stateless md5
+    * projection. No new shuffle class beyond what the labeling already
+    * pays; at 100 TB the label frame is materialized once per corpus
+    * version and every downstream split/mix/pack consumer reuses it. */
+  val splitLeakageSafe: Q = Q(
+    "split_leakage_safe",
+    (s, dir) => {
+      import s.implicits._
+      val (lab, _) = connectedComponentsStar(s,
+        minhashLsh.run(s, dir).select($"d1", $"d2"))
+      val labels = lab.select($"v".as("doc_id"), $"lab".as("cluster_lab"))
+      val h2 = substring(md5($"canonical_id".cast("string")), 1, 2)
+      docs(s, dir).select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("canonical_id", coalesce($"cluster_lab", $"doc_id"))
+        .withColumn("split",
+          when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test"))
+        .select($"doc_id", $"canonical_id", $"split")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleSetSql,
+      ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
+      prs AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) inter,
+               ANY_VALUE(a.n) n1, ANY_VALUE(b.n) n2
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      p AS (SELECT d1, d2 FROM prs WHERE 3 * inter >= n1 + n2),
+      verts AS (SELECT DISTINCT d1 AS v FROM p UNION SELECT DISTINCT d2 FROM p),
+      edges AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
+      walk(v, lab) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b, walk.lab FROM walk JOIN edges e ON walk.v = e.a
+      ),
+      cc AS (SELECT v, MIN(lab) AS lab FROM walk GROUP BY v),
+      spine AS (
+        SELECT d.doc_id, COALESCE(cc.lab, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN cc ON cc.v = d.doc_id
+      )
+      SELECT doc_id, canonical_id,
+             CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM spine
+      ORDER BY doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
       clustersStar, clusterStats, contamination, survivors, embeddingLsh, substringDetect,
       substringClean, semantic, boilerplate, incremental, incrementalBloom,
-      incrementalMinhash, containmentPairs, editDistance, snapshotNeardup)
+      incrementalMinhash, containmentPairs, editDistance, snapshotNeardup,
+      splitLeakageSafe)
 }

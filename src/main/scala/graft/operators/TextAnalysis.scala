@@ -728,8 +728,74 @@ object TextAnalysis {
     """)
   )
 
+  /** PII detect + redact over the document corpus — the privacy scrub
+    * every training-data pipeline runs before a corpus ships: find
+    * email addresses and phone-shaped tokens, count them per document,
+    * and emit the redacted text with typed placeholders. The corpus is
+    * synthetic words, so the PII is INJECTED deterministically first
+    * (the `corpus_snapshot_diff` fixture-derivation pattern): docs in
+    * md5 buckets {a,b} gain a doc_id-addressed email, buckets {b,c} a
+    * doc_id-addressed 555-prefixed number (bucket b gets both), the
+    * rest none — giving redact-hit, multi-hit, and no-op rows. The
+    * detector then runs with NO knowledge of the injection rule: plain
+    * email / 555-number regexes over the text, the same patterns on
+    * both engines (kept to the Java-regex ∩ RE2 common subset; DuckDB
+    * needs the explicit 'g' flag for replace-ALL to match Spark's
+    * default).
+    *
+    * Scale shape: stateless per-row projection — regex scan + replace
+    * fused into the scan stage, no shuffle at all until the final
+    * presentation sort (production writes unsorted). Redacted text is
+    * hash-verified whole, so the oracle pins byte-exact redaction, not
+    * just counts. */
+  val piiRedact: Q = Q(
+    "text_pii_redact",
+    (s, dir) => {
+      import s.implicits._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "555-[0-9]{4}"
+      val h = substring(md5($"doc_id".cast("string")), 1, 1)
+      val injected = docs(s, dir)
+        .withColumn("txt", concat(
+          coalesce($"text", lit("")),
+          when(h.isin("a", "b"),
+            concat(lit(" contact user"), $"doc_id", lit("@example.com")))
+            .otherwise(lit("")),
+          when(h.isin("b", "c"),
+            concat(lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+      injected
+        .select($"doc_id",
+          regexp_count($"txt", lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count($"txt", lit(phoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace($"txt", emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]").as("redacted"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH injected AS (
+        SELECT doc_id,
+               COALESCE(text, '')
+                 || CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('a', 'b')
+                         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+                 || CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('b', 'c')
+                         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END AS txt
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(txt, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+             regexp_replace(regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+      FROM injected
+      ORDER BY doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(tokenCount, quality, qualityClassifier, langId, fingerprintQ, topTerms,
       bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons,
-      unigramLogprob, invertedIndex)
+      unigramLogprob, invertedIndex, piiRedact)
 }

@@ -526,4 +526,35 @@ class DedupSpec extends SparkSuite {
     assert(changedLong.subsetOf(selfPairs),
       s"changed docs missing their own-v1 refresh pair: ${(changedLong -- selfPairs).take(5)}")
   }
+
+  test("leakage-safe split: clusters never straddle splits; singletons equal the doc-hash split") {
+    val rows = Dedup.splitLeakageSafe.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 500, "split must cover the whole corpus spine")
+    // one split per cluster — the leakage guarantee itself
+    rows.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $canon straddles splits: ${members.map(m => (m._1, m._3)).toSeq}")
+    }
+    // real clusters exist in the fixture, and at least one non-canonical
+    // member INHERITS its canonical's split (the case a doc-hash split
+    // gets wrong whenever the two hashes disagree)
+    val nonCanon = rows.filter { case (id, canon, _) => id != canon }
+    assert(nonCanon.nonEmpty, "fixture must contain non-singleton clusters")
+    def hashSplit(id: Long): String = {
+      val h2 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (h2 < "cd") "train" else if (h2 < "e6") "val" else "test"
+    }
+    assert(nonCanon.exists { case (id, _, split) => hashSplit(id) != split },
+      "fixture never exercises the inherit-over-own-hash case")
+    // singletons: identical to the doc-hash assignment (split_assign's
+    // formula) — cluster safety is free on the non-duplicated corpus
+    rows.filter { case (id, canon, _) => id == canon }.foreach { case (id, _, split) =>
+      assert(split == hashSplit(id), s"singleton $id drifted from doc-hash split")
+    }
+    // all three splits materialize
+    assert(rows.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
 }

@@ -209,4 +209,31 @@ class TextSpec extends SparkSuite {
       s"terms: got=${got.size} want=${want.size}; " +
         s"first diff=${want.find(kv => got.get(kv._1) != Some(kv._2)).map(_._1)}")
   }
+  test("pii redact: typed placeholders, exact per-bucket counts, nothing left to match") {
+    import spark.implicits._
+    def bucket(id: Long): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+    val got = TextAnalysis.piiRedact.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 500)
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val phoneRe = "555-[0-9]{4}".r
+    got.foreach { case (id, ne, np, red) =>
+      // counts follow the injection rule exactly (the corpus itself is
+      // PII-free synthetic words, so organic hits would be a data bug)
+      val (we, wp) = bucket(id) match {
+        case 'a' => (1L, 0L)
+        case 'b' => (1L, 1L)
+        case 'c' => (0L, 1L)
+        case _   => (0L, 0L)
+      }
+      assert((ne, np) == ((we, wp)), s"doc $id bucket ${bucket(id)} counts ($ne,$np)")
+      // redaction is complete: no residual matches, placeholders present iff counted
+      assert(emailRe.findFirstIn(red).isEmpty, s"doc $id leaked an email")
+      assert(phoneRe.findFirstIn(red).isEmpty, s"doc $id leaked a phone")
+      assert((ne > 0) == red.contains("[EMAIL]"), s"doc $id email placeholder mismatch")
+      assert((np > 0) == red.contains("[PHONE]"), s"doc $id phone placeholder mismatch")
+    }
+  }
 }
