@@ -270,4 +270,41 @@ class PlanHygieneSpec extends SparkSuite {
         "diff must be one full-outer keyed join")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
+
+  test("text_pii_redact: stateless projection — regex scan+replace fused, no join, no aggregate") {
+    val p = plan("text_pii_redact")
+    assert(!p.contains("Join"), "pii scrub must not join")
+    assert(!p.contains("HashAggregate"), "pii scrub must not aggregate")
+    // the only exchange is the presentation sort's range partitioning
+    assert(!p.contains("hashpartitioning"),
+      "pii scrub must not hash-shuffle the corpus")
+  }
+
+  test("split_leakage_safe: narrow columns only — text never crosses an exchange") {
+    val exec = graft.SparkEntry.queries("split_leakage_safe")(spark, sf0001)
+      .queryExecution.executedPlan
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"document text crossed an exchange: ${e.output.map(_.name)}")
+    }
+    assert(!exec.toString.contains("CartesianProduct"))
+  }
+
+  test("dedup_snapshot_neardup: equi-joins only, no cartesian, text stays out of exchanges") {
+    val exec = graft.SparkEntry.queries("dedup_snapshot_neardup")(spark, sf0001)
+      .queryExecution.executedPlan
+    val s = exec.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "band/verify joins degenerated to a product")
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"raw text crossed an exchange: ${e.output.map(_.name)}")
+    }
+  }
 }
