@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 110 of
-  * 112, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 112 of
+  * 114, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -84,7 +84,9 @@ object SparkEntry {
     // round 6: target-mix rebalancing and the dedup savings report
     "mix_to_target", "dedup_cluster_stats",
     // round 8: cross-snapshot near-dup diff (band index × version diff),
-    // leakage-safe cluster-addressed split, PII detect+redact scrub
-    "dedup_snapshot_neardup", "split_leakage_safe", "text_pii_redact"
+    // leakage-safe cluster-addressed split, PII detect+redact scrub,
+    // sqrt-weighted soft-dedup mix, event-log behavior sequences
+    "dedup_snapshot_neardup", "split_leakage_safe", "text_pii_redact",
+    "mix_dedup_weighted", "events_sequences"
   )
 }

@@ -1860,10 +1860,78 @@ object Dedup {
     """)
   )
 
+  /** SOFT-dedup training mix: the post-dedup manifest where each
+    * cluster survivor is replicated ⌈√n_merged⌉ times — the standard
+    * sub-linear duplication weighting (duplication count is a signal
+    * of importance, but linear weighting would undo the dedup; √ keeps
+    * the signal while bounding over-representation). Composes
+    * [[survivors]]'s anti-join/broadcast shape with [[Pipeline]]'s
+    * mix-explosion: one corpus scan → dup anti-join → broadcast size
+    * join → stateless explode. √ and ⌈·⌉ of small exact integers are
+    * correctly-rounded IEEE on both engines, so the oracle
+    * hash-matches exactly.
+    *
+    * Scale shape: identical to [[survivors]] (its per-cluster size
+    * frame is ≤ |clusters| rows — broadcast) plus a generator that
+    * multiplies rows at most √max-cluster-size-fold; no new shuffle.
+    * In production the label frame is read from the materialized
+    * corpus-version labeling, not recomputed. */
+  val mixDedupWeighted: Q = Q(
+    "mix_dedup_weighted",
+    (s, dir) => {
+      import s.implicits._
+      val (lab, _) = connectedComponentsStar(s,
+        minhashLsh.run(s, dir).select($"d1", $"d2"))
+      val labT = lab.localCheckpoint() // reused by dupes + sizes
+      val dupes = labT.filter($"v" =!= $"lab").select($"v".as("doc_id"))
+      val sizes = labT.groupBy($"lab").agg(count(lit(1)).as("n_merged"))
+        .withColumnRenamed("lab", "doc_id")
+      docs(s, dir).select($"doc_id", $"source")
+        .join(dupes, Seq("doc_id"), "left_anti")
+        .join(broadcast(sizes), Seq("doc_id"), "left")
+        .withColumn("n_merged", coalesce($"n_merged", lit(1L)))
+        .withColumn("n_copies", ceil(sqrt($"n_merged".cast("double"))).cast("long"))
+        .select($"doc_id", $"source", $"n_merged",
+          explode(sequence(lit(1L), $"n_copies")).as("copy_idx"))
+        .orderBy($"doc_id", $"copy_idx")
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleSetSql,
+      ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
+      prs AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) inter,
+               ANY_VALUE(a.n) n1, ANY_VALUE(b.n) n2
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      p AS (SELECT d1, d2 FROM prs WHERE 3 * inter >= n1 + n2),
+      verts AS (SELECT DISTINCT d1 AS v FROM p UNION SELECT DISTINCT d2 FROM p),
+      edges AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
+      walk(v, lab) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b, walk.lab FROM walk JOIN edges e ON walk.v = e.a
+      ),
+      cc AS (SELECT v, MIN(lab) AS lab FROM walk GROUP BY v),
+      sz AS (SELECT lab, COUNT(*) AS n_merged FROM cc GROUP BY lab),
+      surv AS (
+        SELECT d.doc_id, d.source, COALESCE(sz.n_merged, 1) AS n_merged
+        FROM documents d
+        LEFT JOIN cc dup ON d.doc_id = dup.v AND dup.v <> dup.lab
+        LEFT JOIN sz ON d.doc_id = sz.lab
+        WHERE dup.v IS NULL
+      )
+      SELECT doc_id, source, CAST(n_merged AS BIGINT) AS n_merged,
+             unnest(generate_series(1, CAST(CEIL(SQRT(n_merged)) AS BIGINT))) AS copy_idx
+      FROM surv
+      ORDER BY doc_id, copy_idx
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
       clustersStar, clusterStats, contamination, survivors, embeddingLsh, substringDetect,
       substringClean, semantic, boilerplate, incremental, incrementalBloom,
       incrementalMinhash, containmentPairs, editDistance, snapshotNeardup,
-      splitLeakageSafe)
+      splitLeakageSafe, mixDedupWeighted)
 }

@@ -1140,11 +1140,50 @@ object Pipeline {
     """)
   )
 
+  /** Event log → BEHAVIOR-SEQUENCE corpus: per user, the time-ordered
+    * event-type token string — how clickstream/action logs become a
+    * trainable sequence corpus (behavioral LM pretraining, next-action
+    * prediction). Ordering inside each user is total and deterministic:
+    * (epoch µs, event_id) — Spark gets it from `sort_array` over
+    * structs whose FIELD ORDER is the sort key (lexicographic struct
+    * comparison ≡ ORDER BY t, event_id; event_id is unique so the
+    * trailing type field never decides), DuckDB from an ordered
+    * `string_agg`, so the strings hash-match byte-exact.
+    *
+    * Scale shape: one user_id exchange (partial collect upstream), the
+    * per-user sort is O(k log k) in group size only. Skewed power
+    * users at corpus scale take the same two-phase cap discipline as
+    * [[sourceCapTwoPhase]] (bound k before the agg); the fixture's
+    * groups are small enough that the single-phase form IS the 100 TB
+    * plan per partition. */
+  val eventsSequences: Q = Q(
+    "events_sequences",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"user_id",
+          struct(unix_micros($"ts").as("t"), $"event_id", $"event_type").as("e"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(
+            transform(sort_array(collect_list($"e")), x => x.getField("event_type")),
+            " ").as("seq"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             string_agg(event_type, ' ' ORDER BY epoch_us(ts), event_id) AS seq
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified,
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature, mixToTarget, ragRetrieve, corpusShuffle, retention,
-      snapshotDiff)
+      snapshotDiff, eventsSequences)
 }

@@ -557,4 +557,25 @@ class DedupSpec extends SparkSuite {
     // all three splits materialize
     assert(rows.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
   }
+
+  test("dedup-weighted mix: survivors of dedup_survivors, ceil(sqrt(n_merged)) copies each") {
+    val want = Dedup.survivors.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> n_merged
+    val got = Dedup.mixDedupWeighted.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // (doc_id, n_merged, copy_idx)
+    val bySurvivor = got.groupBy(_._1)
+    assert(bySurvivor.keySet == want.keySet,
+      "weighted mix must cover exactly the survivor set")
+    bySurvivor.foreach { case (id, copies) =>
+      val n = want(id)
+      assert(copies.forall(_._2 == n), s"survivor $id n_merged drifted")
+      val expected = math.ceil(math.sqrt(n.toDouble)).toLong
+      assert(copies.map(_._3).sorted.toSeq == (1L to expected),
+        s"survivor $id has copies ${copies.map(_._3).sorted.toSeq}, want 1..$expected")
+    }
+    // the sub-linear regime is actually exercised: some cluster is big
+    // enough that sqrt-weighting emits FEWER copies than its size
+    assert(want.values.exists(n => math.ceil(math.sqrt(n.toDouble)).toLong < n),
+      "fixture has no cluster where sqrt-weighting bites")
+  }
 }

@@ -448,4 +448,24 @@ class PipelineSpec extends SparkSuite {
       .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
     assert(again == kept, "content-addressed selection must be deterministic")
   }
+
+  test("events_sequences: per-user token strings equal a pure-Scala ordered recompute") {
+    import spark.implicits._
+    val got = Pipeline.eventsSequences.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val events = graft.Tables.load(spark, sf0001, "events")
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = events.groupBy(_._1).map { case (uid, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map(_._4)
+      uid -> (es.length.toLong, ordered.mkString(" "))
+    }
+    assert(got.length == want.size)
+    got.foreach { case (uid, n, seq) =>
+      val (wn, wseq) = want(uid)
+      assert(n == wn, s"user $uid count $n != $wn")
+      assert(seq == wseq, s"user $uid sequence drifted")
+      assert(seq.split(" ").length.toLong == n, s"user $uid token count != n_events")
+    }
+  }
 }
