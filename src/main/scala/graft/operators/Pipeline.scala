@@ -1179,11 +1179,120 @@ object Pipeline {
     """)
   )
 
+  /** Behavior-LM TRANSITION STATS: the event-type Markov matrix over
+    * every user's time-ordered stream — (prev → next) counts and row-
+    * normalized probabilities, the summary statistics a next-action
+    * model (and [[eventsSequences]]'s corpus) is trained against, and
+    * the drift monitor a deployed one is checked against.
+    *
+    * Scale shape: one user_id exchange for the LAG window (same
+    * exchange [[retention]] and q28 ride), then a partial-aggregated
+    * count on the narrow (prev, next) pair stream — the pair key space
+    * is |event types|², vanishingly small, so the final agg and the
+    * row-normalizing window are effectively free. p is an exact-long
+    * division performed identically on both engines. */
+  val eventsMarkov: Q = Q(
+    "events_markov",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"), $"event_id")
+      val wPrev = Window.partitionBy($"prev_type")
+      Tables.load(s, dir, "events")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", $"n".cast("double") / sum($"n").over(wPrev).cast("double"))
+        .orderBy($"prev_type", $"event_type")
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type,
+               LAG(event_type, 1) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events
+      ),
+      pairs AS (
+        SELECT prev_type, event_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+      )
+      SELECT prev_type, event_type, n,
+             CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      FROM pairs
+      ORDER BY prev_type, event_type
+    """)
+  )
+
+  /** TOKEN-BUDGET corpus selection: per language, take documents in
+    * quality order until the language's token budget is exhausted —
+    * "build the best corpus that fits N tokens per language", the
+    * final sizing step of a curation run. Quality rank is float-free
+    * (scaled integer division of the distinct-token count by the token
+    * count — lexical diversity), so ordering is bit-identical across
+    * engines; the budget check is an INCLUSIVE running sum ≤ budget,
+    * the standard greedy prefix rule.
+    *
+    * Scale shape: the running sum is a window PARTITIONED BY lang —
+    * the skew dial. For a mono-lingual 100 TB corpus the same code
+    * takes the [[packSequencesSharded]] two-phase treatment (shard by
+    * content hash, per-shard prefix sums + broadcast shard offsets);
+    * the fixture's per-lang groups make the single-exchange form the
+    * right plan here. */
+  val tokenBudget: Q = Q(
+    "corpus_token_budget",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      val toks = TextFns.tokens($"text")
+      val base = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .filter($"n_tokens" > 0)
+        .withColumn("rank_key", expr("(n_distinct * 1000000L) div n_tokens"))
+      val w = Window.partitionBy($"lang")
+        .orderBy($"rank_key".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .filter($"cum_tokens" <= budget)
+        .select($"doc_id", $"lang", $"n_tokens", $"rank_key", $"cum_tokens")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_distinct
+        FROM documents
+      ),
+      ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               (n_distinct * 1000000) // n_tokens AS rank_key
+        FROM base WHERE n_tokens > 0
+      ),
+      cum AS (
+        SELECT doc_id, lang, n_tokens, rank_key,
+               SUM(n_tokens) OVER (PARTITION BY lang
+                                   ORDER BY rank_key DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM ranked
+      )
+      SELECT doc_id, lang, n_tokens, rank_key,
+             CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM cum WHERE cum_tokens <= 2000
+      ORDER BY doc_id
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified,
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature, mixToTarget, ragRetrieve, corpusShuffle, retention,
-      snapshotDiff, eventsSequences)
+      snapshotDiff, eventsSequences, eventsMarkov, tokenBudget)
 }

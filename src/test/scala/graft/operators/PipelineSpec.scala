@@ -468,4 +468,52 @@ class PipelineSpec extends SparkSuite {
       assert(seq.split(" ").length.toLong == n, s"user $uid token count != n_events")
     }
   }
+
+  test("events_markov: transition counts equal a pure-Scala recompute; rows normalize to 1") {
+    import spark.implicits._
+    val got = Pipeline.eventsMarkov.run(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val events = graft.Tables.load(spark, sf0001, "events")
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.zip(ordered.tail)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, _)) => assert(n == want(k), s"transition $k count") }
+    // each prev row is a probability distribution
+    got.groupBy(_._1._1).foreach { case (prev, rows) =>
+      val total = rows.values.map(_._1).sum.toDouble
+      rows.foreach { case ((_, nxt), (n, p)) =>
+        assert(p == n / total, s"$prev->$nxt p not the exact count ratio")
+      }
+      assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-9, s"$prev row not normalized")
+    }
+  }
+
+  test("corpus_token_budget: per-lang maximal quality-ranked prefix under the budget") {
+    import spark.implicits._
+    val Budget = 2000L
+    val got = Pipeline.tokenBudget.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val corpus = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"lang", graft.functions.TextFns.tokens($"text").as("toks"))
+      .collect().map { r =>
+        val toks = r.getSeq[String](2)
+        (r.getLong(0), r.getString(1), toks.length.toLong, toks.distinct.length.toLong)
+      }.filter(_._3 > 0)
+    corpus.groupBy(_._2).foreach { case (lang, ds) =>
+      val ranked = ds.map { case (id, _, nt, nd) => (id, nt, nd * 1000000L / nt) }
+        .sortBy { case (id, _, rk) => (-rk, id) }
+      val prefix = ranked.scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, nt, rk)) =>
+        (id, nt, rk, cum + nt)
+      }.drop(1).takeWhile(_._4 <= Budget)
+      val gotLang = got.filter(_._2 == lang).map(t => (t._1, t._3, t._4, t._5)).sortBy(_._1)
+      assert(gotLang.toSeq == prefix.map(t => (t._1, t._2, t._3, t._4)).sortBy(_._1).toSeq,
+        s"lang $lang selection drifted")
+      assert(prefix.nonEmpty && prefix.length < ranked.length,
+        s"lang $lang budget must keep some and drop some")
+    }
+  }
 }
