@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 114 of
-  * 116, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 115 of
+  * 117, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -89,6 +89,8 @@ object SparkEntry {
     "dedup_snapshot_neardup", "split_leakage_safe", "text_pii_redact",
     "mix_dedup_weighted", "events_sequences",
     // round 8: behavior-LM transition matrix, per-lang token-budget selection
-    "events_markov", "corpus_token_budget"
+    "events_markov", "corpus_token_budget",
+    // round 8: perceptual image hash (decode→resize→dHash, image-dedup input)
+    "multimodal_phash"
   )
 }

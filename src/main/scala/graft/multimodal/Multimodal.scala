@@ -274,5 +274,93 @@ object Multimodal {
     """)
   )
 
-  def queries: Seq[Q] = Seq(meta, features, frames, resize)
+  /** 24-bit dHash over the 4×4 block-average raster: 12 horizontal
+    * bits (block < right neighbor, row-major, MSB first) then 12
+    * vertical bits (block < below neighbor). Pure integer compares on
+    * the exact block means — deterministic, oracle-recomputable. */
+  private[multimodal] def phashOf(t: Seq[Int]): Long = {
+    var h = 0L
+    var k = 0
+    while (k < 12) {
+      val (j, i) = (k / 3, k % 3)
+      if (t(j * 4 + i) < t(j * 4 + i + 1)) h |= 1L << (23 - k)
+      k += 1
+    }
+    k = 0
+    while (k < 12) {
+      val (j, i) = (k / 4, k % 4)
+      if (t(j * 4 + i) < t((j + 1) * 4 + i)) h |= 1L << (11 - k)
+      k += 1
+    }
+    h
+  }
+
+  /** PERCEPTUAL image hash — the image-dedup primitive: decode the
+    * real PNG, block-average to the 4×4 raster ([[resizeThumb]]'s
+    * exact integer path), then a 24-bit difference hash (gradient
+    * signs, [[phashOf]]). Two re-encodes/resizes of the same image
+    * agree on gradient signs long after byte-level hashes diverge, so
+    * image near-dup at corpus scale is a HAMMING-ball join on this
+    * column — the [[graft.operators.Dedup]] simhash machinery
+    * (pigeonhole band buckets, XOR + bit_count verify) applies to it
+    * verbatim; this op materializes the hash column that index feeds
+    * on. One codec init per partition, same as decode/resize.
+    *
+    * Oracle: the generator is closed-form in doc_id, so DuckDB
+    * recomputes block means AND both bit planes independently and the
+    * decode→resize→hash path is verified end-to-end through real PNG
+    * bytes. */
+  val phash: Q = Q(
+    "multimodal_phash",
+    (s, dir) => {
+      import s.implicits._
+      withImageBlob(s, Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val r = resizeThumb(id, bytes)
+          (r.doc_id, r.width, r.height, phashOf(r.thumb))
+        })
+        .toDF("doc_id", "width", "height", "phash")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH dims AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 16 AS INT) AS width,
+               CAST(8 + (doc_id * 7) % 16 AS INT) AS height
+        FROM documents
+      ),
+      t AS (
+        SELECT doc_id, width, height,
+               list_transform(range(0, 16), k ->
+                 CAST(list_aggregate(
+                        flatten(list_transform(
+                          range((k // 4) * height // 4, ((k // 4) + 1) * height // 4),
+                          y -> list_transform(
+                            range((k % 4) * width // 4, ((k % 4) + 1) * width // 4),
+                            x -> (doc_id * 31 + x * 7 + y * 13) % 256))),
+                        'sum')
+                      // ((((k // 4) + 1) * height // 4 - (k // 4) * height // 4)
+                         * (((k % 4) + 1) * width // 4 - (k % 4) * width // 4))
+                   AS INT)) AS thumb
+        FROM dims
+      )
+      SELECT doc_id, width, height,
+             CAST(list_aggregate(list_transform(range(0, 12), k ->
+                    CASE WHEN thumb[CAST((k // 3) * 4 + (k % 3) AS INT) + 1]
+                            < thumb[CAST((k // 3) * 4 + (k % 3) AS INT) + 2]
+                         THEN CAST(1 AS BIGINT) << CAST(23 - k AS INT)
+                         ELSE CAST(0 AS BIGINT) END), 'sum')
+                + list_aggregate(list_transform(range(0, 12), k ->
+                    CASE WHEN thumb[CAST((k // 4) * 4 + (k % 4) AS INT) + 1]
+                            < thumb[CAST((k // 4) * 4 + (k % 4) AS INT) + 5]
+                         THEN CAST(1 AS BIGINT) << CAST(11 - k AS INT)
+                         ELSE CAST(0 AS BIGINT) END), 'sum')
+               AS BIGINT) AS phash
+      FROM t
+      ORDER BY doc_id
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(meta, features, frames, resize, phash)
 }

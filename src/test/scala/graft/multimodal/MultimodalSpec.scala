@@ -60,4 +60,33 @@ class MultimodalSpec extends SparkSuite {
       }
     }
   }
+
+  test("phash: decoded dHash equals the closed-form recomputation, with real variety") {
+    val out = Multimodal.phash.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.length == 500)
+    out.take(25).foreach { case (id, w, h, got) =>
+      val blocks = (0 until 16).map { k =>
+        val (j, i) = (k / 4, k % 4)
+        val (y0, y1) = (j * h / 4, (j + 1) * h / 4)
+        val (x0, x1) = (i * w / 4, (i + 1) * w / 4)
+        val vals = for (y <- y0 until y1; x <- x0 until x1)
+          yield ((id * 31 + x * 7 + y * 13) % 256)
+        (vals.sum / vals.length).toInt
+      }
+      var want = 0L
+      for (k <- 0 until 12) {
+        val (j, i) = (k / 3, k % 3)
+        if (blocks(j * 4 + i) < blocks(j * 4 + i + 1)) want |= 1L << (23 - k)
+      }
+      for (k <- 0 until 12) {
+        val (j, i) = (k / 4, k % 4)
+        if (blocks(j * 4 + i) < blocks((j + 1) * 4 + i)) want |= 1L << (11 - k)
+      }
+      assert(got == want, s"doc $id phash $got != $want")
+      assert(got >= 0L && got < (1L << 24), s"doc $id phash out of 24-bit range")
+    }
+    // gradient-sign hashes must actually discriminate across the corpus
+    assert(out.map(_._4).distinct.length > 50, "phash collapsed — no discriminative power")
+  }
 }
