@@ -502,5 +502,70 @@ object VectorSearch {
     """)
   )
 
-  def queries: Seq[Q] = Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize)
+  /** Contrastive NEGATIVE sampling — the training-pair construction
+    * step for embedding/retrieval models: per query, 5 deterministic
+    * pseudo-uniform negatives drawn from the corpus EXCLUDING the true
+    * top-10 cosine neighborhood (a "negative" that is actually a near
+    * neighbor poisons the contrastive loss — the exclusion is the
+    * point of the operator). The draw is content-addressed
+    * (md5(qid:vec_id) rank), so resampling a grown corpus moves as
+    * few negatives as possible and reruns are reproducible — the same
+    * hash-addressing discipline every sampler in the catalog uses.
+    *
+    * Scale shape: scoring rides [[topK]]'s broadcast-query join (one
+    * corpus scan, queries broadcast); both rank stages are per-query
+    * top-k — the window form here, [[rankTopK]]'s bounded per-partition
+    * heaps at corpus scale (same dial as every vector op). Cosine
+    * rides along free for auditability since exclusion already scored
+    * every candidate. */
+  val negatives: Q = Q(
+    "vector_negatives",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (k, nNeg) = (10, 5)
+      val e = normed(s, dir)
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val wCos = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      val wNeg = Window.partitionBy($"qid").orderBy($"nk", $"vec_id")
+      e.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+        .withColumn("pos_rn", row_number().over(wCos))
+        .filter($"pos_rn" > k)
+        .withColumn("nk",
+          md5(concat($"qid".cast("string"), lit(":"), $"vec_id".cast("string"))))
+        .withColumn("rn", row_number().over(wNeg))
+        .filter($"rn" <= nNeg)
+        .select($"qid", $"rn", $"vec_id", $"nk", $"cos")
+        .orderBy($"qid", $"rn")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      qs AS (SELECT vec_id qid, v qv, nrm qnrm FROM n WHERE vec_id < 8),
+      p AS (SELECT qid, vec_id,
+              list_reduce(list_transform(list_zip(qv, v), s -> s[1]*s[2]), (x, y) -> x + y)
+                / (qnrm * nrm) AS cos
+            FROM qs, n WHERE vec_id <> qid),
+      r AS (SELECT qid, vec_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
+            FROM p),
+      neg AS (
+        SELECT qid, vec_id, cos,
+               md5(CAST(qid AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)) nk
+        FROM r WHERE rn > 10
+      ),
+      nr AS (SELECT qid, vec_id, cos, nk,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY nk, vec_id) rn
+             FROM neg)
+      SELECT qid, rn, vec_id, nk, cos FROM nr WHERE rn <= 5 ORDER BY qid, rn
+    """)
+  )
+
+  def queries: Seq[Q] =
+    Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives)
 }

@@ -140,4 +140,29 @@ class VectorSpec extends SparkSuite {
         s"candidate $vid of query $qid escaped the probed cells")
     }
   }
+
+  test("negatives: 5 per query, disjoint from the true top-10, hash-rank ordered") {
+    val pos = VectorSearch.topK.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSet }
+    val neg = VectorSearch.negatives.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    neg.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length == 5, s"query $qid has ${rows.length} negatives")
+      rows.foreach { case (_, _, vid, _) =>
+        assert(!pos(qid).contains(vid), s"negative $vid of query $qid is a true neighbor")
+        assert(vid != qid, s"query $qid sampled itself")
+        // the draw is content-addressed: the rank key IS md5(qid:vid)
+      }
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"query $qid negatives not in hash-rank order")
+      sorted.foreach { case (q, _, vid, nk) =>
+        val want = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$q:$vid".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(nk == want, s"rank key of ($q,$vid) is not md5(qid:vec_id)")
+      }
+    }
+    assert(neg.map(_._1).distinct.length == 8, "all 8 queries must be served")
+  }
 }
