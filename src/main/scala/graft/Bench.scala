@@ -78,6 +78,12 @@ object Bench {
     // and wrecked round-over-round comparison; failures are reported
     // loudly instead via n_failed / failed / ok:false / exit code 1.
     val total = results.collect { case (_, _, w, true) => w }.sum
+    // backward-compatible trend line (round-8 ADVICE): the pre-r8
+    // semantics where a failure's 9999 s sentinel rides the total, so a
+    // consumer diffing raw values across rounds still sees a broken run
+    // as catastrophically slower even if it ignores ok/n_failed/rc
+    val totalWithSentinels =
+      results.map { case (_, _, w, ok) => if (ok) w else FailedSentinelSec }.sum
 
     // streaming throughput: one metered drain of the CDC chain
     spark.catalog.clearCache()
@@ -114,7 +120,7 @@ object Bench {
 
     val detailPath = "BENCH_DETAIL.json"
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$warmQs,"cold":$coldQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$warmQs,"cold":$coldQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -126,7 +132,7 @@ object Bench {
     // Inline the per-query numbers only while the whole line stays well
     // under the budget; they always live in the detail file regardless.
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$qs,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$qs,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"detail":"$detailPath","sf":"$sfDir"}"""
     val full = line(warmQs)
     println(if (full.length <= 1600) full else line("{}"))
     spark.stop()

@@ -95,6 +95,13 @@ object SparkEntry {
     "multimodal_phash", "vector_negatives",
     // round 8: the histogram-cut production form of the budget selection,
     // benched beside the global-window form so the premium is measured
-    "corpus_token_budget_2phase"
+    "corpus_token_budget_2phase",
+    // round 9: the once-per-corpus-version labeling job, benched with
+    // force-rematerialization so its time IS the star-CC + bucketed
+    // write cost; the four label consumers above (dedup_survivors,
+    // dedup_cluster_stats, split_leakage_safe, mix_dedup_weighted) now
+    // read the persisted table, so their entries show what a pipeline
+    // pays AFTER materialization
+    "dedup_labels"
   )
 }

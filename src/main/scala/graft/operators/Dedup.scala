@@ -783,6 +783,87 @@ object Dedup {
     clustersOracle
   )
 
+  /** Materialized corpus-version LABEL TABLE — the production form the
+    * label consumers' scaladocs promise: star-CC labels computed ONCE
+    * per corpus version and persisted as a doc_id-bucketed,
+    * doc_id-sorted managed table, so every downstream consumer
+    * (split/mix/survivors/stats) equi-joins it on doc_id with ZERO
+    * exchange contributed by the label side — the BandIndexSpec
+    * discipline applied to labels (pinned by LabelStoreSpec).
+    *
+    * Memoized per (application, corpus dir): the first consumer in a
+    * session pays the O(log d) labeling + one 8-bucket write of a
+    * frame that only holds docs IN near-dup pairs (a small fraction of
+    * the corpus); every later consumer is a bucketed scan. `force`
+    * re-materializes (the [[labelsQ]] catalog entry uses it so its
+    * bench time is always the honest labeling cost, never a cache
+    * hit). Synchronized: suites sharing the JVM session must not race
+    * the overwrite. */
+  private val labelTableLock = new Object
+  private val labelTables =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  private[graft] def labelTable(s: SparkSession, dir: String,
+      force: Boolean = false): String = labelTableLock.synchronized {
+    import s.implicits._
+    val key = (s.sparkContext.applicationId, dir)
+    val name = "graft_dedup_labels_" + Integer.toHexString(dir.hashCode)
+    if (force || !labelTables.contains(key)) {
+      // a previous JVM's warehouse files survive while its in-memory
+      // catalog doesn't — clear both so the CTAS below never trips the
+      // non-empty-location check
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(wh, name))
+      val (lab, _) = connectedComponentsStar(
+        s, minhashLsh.run(s, dir).select($"d1", $"d2"))
+      lab.select($"v".as("doc_id"), $"lab".as("canonical_id"))
+        .write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable(name)
+      labelTables(key) = name
+    }
+    labelTables(key)
+  }
+
+  /** The label table as a catalog entry: (re)materializes
+    * [[labelTable]] and returns it — the once-per-corpus-version
+    * labeling job a production pipeline schedules, hash-gated against
+    * the same recursive-CTE ground truth as both CC algorithms. Bench
+    * runs this with force=true, so its time IS the labeling cost and
+    * the four consumers' times are what a real pipeline pays after
+    * materialization. */
+  val labelsQ: Q = Q(
+    "dedup_labels",
+    (s, dir) => {
+      import s.implicits._
+      s.table(labelTable(s, dir, force = true)).orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleSetSql,
+      ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
+      prs AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) inter,
+               ANY_VALUE(a.n) n1, ANY_VALUE(b.n) n2
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      p AS (SELECT d1, d2 FROM prs WHERE 3 * inter >= n1 + n2),
+      verts AS (SELECT DISTINCT d1 AS v FROM p UNION SELECT DISTINCT d2 FROM p),
+      edges AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
+      walk(v, lab) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b, walk.lab FROM walk JOIN edges e ON walk.v = e.a
+      ),
+      cc AS (SELECT v, MIN(lab) AS lab FROM walk GROUP BY v)
+      SELECT v AS doc_id, lab AS canonical_id FROM cc ORDER BY doc_id
+    """)
+  )
+
   /** Dedup SAVINGS report: the cluster-size histogram of the near-dup
     * graph — for each component size, how many components exist and
     * how many documents deduplication removes (size−1 per component).
@@ -790,16 +871,16 @@ object Dedup {
     * committing a corpus version; pairs with the corpus-diff and
     * survivor ops as the human-facing summary of the dedup family.
     *
-    * Scale shape: [[clustersStar]]'s O(log d) labeling, then two tiny
-    * aggregations — per-cluster rollup on the label frame and a
-    * histogram whose key space is |distinct sizes|, vanishingly small
-    * at any corpus scale. */
+    * Scale shape: reads the materialized [[labelTable]] (no labeling
+    * recomputed), then two tiny aggregations — per-cluster rollup on
+    * the label frame and a histogram whose key space is |distinct
+    * sizes|, vanishingly small at any corpus scale. */
   val clusterStats: Q = Q(
     "dedup_cluster_stats",
     (s, dir) => {
       import s.implicits._
-      clustersStar.run(s, dir)
-        .select($"canonical_id", $"cluster_size").distinct()
+      s.table(labelTable(s, dir))
+        .groupBy($"canonical_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy($"cluster_size")
         .agg(count(lit(1)).as("n_clusters"))
         .withColumn("dup_docs", ($"cluster_size" - 1) * $"n_clusters")
@@ -902,23 +983,22 @@ object Dedup {
     * `n_merged` (how many docs the survivor absorbed, 1 for
     * singletons) for mixture re-weighting. [[clusters]]/[[clustersStar]]
     * LABEL the components; this emits the deduplicated corpus a
-    * training run consumes. Uses the O(log d) star contraction (the
-    * 100 TB path); survivors come from a LEFT ANTI join on the
-    * duplicate ids (shuffle keyed on doc_id — AQE converts it to
-    * broadcast whenever the dup set is small, but it stays correct
-    * when near-dup rates are high and the dup set is corpus-sized)
-    * plus a broadcast of the per-canonical sizes (one row per CLUSTER,
-    * always small relative to the corpus). */
+    * training run consumes. Reads the materialized [[labelTable]]
+    * (star-CC computed once per corpus version, never here); survivors
+    * come from a LEFT ANTI join on the duplicate ids (shuffle keyed on
+    * doc_id — AQE converts it to broadcast whenever the dup set is
+    * small, but it stays correct when near-dup rates are high and the
+    * dup set is corpus-sized) plus a broadcast of the per-canonical
+    * sizes (one row per CLUSTER, always small relative to the
+    * corpus). */
   val survivors: Q = Q(
     "dedup_survivors",
     (s, dir) => {
       import s.implicits._
-      val pairs = minhashLsh.run(s, dir).select($"d1", $"d2")
-      val (lab, _) = connectedComponentsStar(s, pairs)
-      val labT = lab.localCheckpoint() // labels are reused 2×; star's frame is iterative
-      val dupes = labT.filter($"v" =!= $"lab").select($"v".as("doc_id"))
-      val sizes = labT.groupBy($"lab").agg(count(lit(1)).as("n_merged"))
-        .withColumnRenamed("lab", "doc_id")
+      val labT = s.table(labelTable(s, dir))
+      val dupes = labT.filter($"doc_id" =!= $"canonical_id").select($"doc_id")
+      val sizes = labT.groupBy($"canonical_id").agg(count(lit(1)).as("n_merged"))
+        .withColumnRenamed("canonical_id", "doc_id")
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"lang", $"source")
         .join(dupes, Seq("doc_id"), "left_anti")
@@ -1806,20 +1886,19 @@ object Dedup {
     * IDENTICAL to the doc-hash split (pinned by spec) — cluster safety
     * costs nothing on the non-duplicated mass of the corpus.
     *
-    * Scale shape: [[connectedComponentsStar]]'s O(log d) labeling over
-    * the pair graph (labels exist only for docs IN pairs — a small
-    * fraction of the corpus), one left join of the corpus spine
-    * against that label frame on doc_id, then a stateless md5
-    * projection. No new shuffle class beyond what the labeling already
-    * pays; at 100 TB the label frame is materialized once per corpus
-    * version and every downstream split/mix/pack consumer reuses it. */
+    * Scale shape: ONE left join of the corpus spine against the
+    * materialized [[labelTable]] on doc_id (labels exist only for docs
+    * IN pairs — a small fraction of the corpus), then a stateless md5
+    * projection. The label side is a doc_id-bucketed scan contributing
+    * ZERO exchanges (LabelStoreSpec pins it); the labeling itself is
+    * paid once per corpus version by the `dedup_labels` job, not
+    * here. */
   val splitLeakageSafe: Q = Q(
     "split_leakage_safe",
     (s, dir) => {
       import s.implicits._
-      val (lab, _) = connectedComponentsStar(s,
-        minhashLsh.run(s, dir).select($"d1", $"d2"))
-      val labels = lab.select($"v".as("doc_id"), $"lab".as("cluster_lab"))
+      val labels = s.table(labelTable(s, dir))
+        .select($"doc_id", $"canonical_id".as("cluster_lab"))
       val h2 = substring(md5($"canonical_id".cast("string")), 1, 2)
       docs(s, dir).select($"doc_id")
         .join(labels, Seq("doc_id"), "left")
@@ -1874,18 +1953,16 @@ object Dedup {
     * Scale shape: identical to [[survivors]] (its per-cluster size
     * frame is ≤ |clusters| rows — broadcast) plus a generator that
     * multiplies rows at most √max-cluster-size-fold; no new shuffle.
-    * In production the label frame is read from the materialized
-    * corpus-version labeling, not recomputed. */
+    * The label frame is read from the materialized corpus-version
+    * [[labelTable]], never recomputed here. */
   val mixDedupWeighted: Q = Q(
     "mix_dedup_weighted",
     (s, dir) => {
       import s.implicits._
-      val (lab, _) = connectedComponentsStar(s,
-        minhashLsh.run(s, dir).select($"d1", $"d2"))
-      val labT = lab.localCheckpoint() // reused by dupes + sizes
-      val dupes = labT.filter($"v" =!= $"lab").select($"v".as("doc_id"))
-      val sizes = labT.groupBy($"lab").agg(count(lit(1)).as("n_merged"))
-        .withColumnRenamed("lab", "doc_id")
+      val labT = s.table(labelTable(s, dir))
+      val dupes = labT.filter($"doc_id" =!= $"canonical_id").select($"doc_id")
+      val sizes = labT.groupBy($"canonical_id").agg(count(lit(1)).as("n_merged"))
+        .withColumnRenamed("canonical_id", "doc_id")
       docs(s, dir).select($"doc_id", $"source")
         .join(dupes, Seq("doc_id"), "left_anti")
         .join(broadcast(sizes), Seq("doc_id"), "left")
@@ -1930,7 +2007,7 @@ object Dedup {
 
   def queries: Seq[Q] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
-      clustersStar, clusterStats, contamination, survivors, embeddingLsh, substringDetect,
+      clustersStar, labelsQ, clusterStats, contamination, survivors, embeddingLsh, substringDetect,
       substringClean, semantic, boilerplate, incremental, incrementalBloom,
       incrementalMinhash, containmentPairs, editDistance, snapshotNeardup,
       splitLeakageSafe, mixDedupWeighted)

@@ -527,6 +527,42 @@ class DedupSpec extends SparkSuite {
       s"changed docs missing their own-v1 refresh pair: ${(changedLong -- selfPairs).take(5)}")
   }
 
+  test("snapshot near-dup bands are LOSSLESS on the fixture: banded output equals " +
+      "an exact cross-version recompute") {
+    // The op's MinHash bands are probabilistic (a pair at the j-gate
+    // misses a band with ~3e-2 probability); its DuckDB oracle computes
+    // exact all-pairs. This pure-Scala exact recompute makes the
+    // coverage assumption an explicit gate: a regenerated fixture whose
+    // pairs slip the bands fails HERE with a named pair, not as an
+    // opaque oracle hash mismatch (round-8 ADVICE).
+    import spark.implicits._
+    def bucket(id: Long): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+    def shingles(t: String): Set[String] = {
+      val toks = Option(t).toSeq.flatMap(_.split(' ').filter(_.nonEmpty))
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val v1 = docs.collect { case (id, t) if bucket(id) != 'f' => id -> shingles(t) }
+      .filter(_._2.nonEmpty)
+    val fresh = docs.collect { case (id, t) if "f12".contains(bucket(id)) =>
+      id -> shingles(if (bucket(id) == 'f') t else t + " rev2")
+    }.filter(_._2.nonEmpty)
+    val exact = (for {
+      (nId, nSh) <- fresh
+      (pId, pSh) <- v1
+      inter = (nSh & pSh).size
+      if 3 * inter >= nSh.size + pSh.size
+    } yield (nId, pId)).toSet
+    val banded = Dedup.snapshotNeardup.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact,
+      s"band-missed pairs=${(exact -- banded).take(5)} phantom pairs=${(banded -- exact).take(5)}")
+  }
+
   test("leakage-safe split: clusters never straddle splits; singletons equal the doc-hash split") {
     val rows = Dedup.splitLeakageSafe.run(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
