@@ -62,6 +62,21 @@ object OplogPipeline {
     df.select(to_json(struct(df.columns.map(col): _*)).as("data"))
       .select(concat(lit("{\"data\":"), col("data"), lit("}")).as("line"))
 
+  /** O12 per-batch index write, IDEMPOTENT under batch replay: each
+    * micro-batch lands in its own partition-style `batch=<id>`
+    * directory written with OVERWRITE. `foreachBatch` is at-least-once
+    * — a crash between sink write and checkpoint commit replays the
+    * batch with the SAME batchId — so the replay replaces its own
+    * (possibly partial) output instead of appending duplicate lines
+    * (exactly-once index lines; the reference's per-record ES flush at
+    * `ElasticsearchEmbeddedNodeSink.java:60-63` stays at-least-once).
+    * Readers list the tree as a partitioned text/json table; `batch`
+    * rides along as partition metadata. Pinned by
+    * CheckpointResumeSpec's kill-between-write-and-commit case. */
+  def writeIndexBatch(df: DataFrame, indexDir: String, batchId: Long): Unit =
+    indexProjection(df)
+      .write.mode("overwrite").text(s"$indexDir/oplog/batch=$batchId")
+
   /** full pipeline: filter → watermark → quorum dedup → dual sink.
     * Returns the started query (caller owns lifecycle). */
   def run(
@@ -89,8 +104,7 @@ object OplogPipeline {
         val df = batch.toDF().persist()        // one read, two sinks
         try {
           if (echoToConsole) df.show(5, truncate = false)   // O11 print sink
-          indexProjection(df)                               // O12 index sink
-            .write.mode("append").text(s"$indexDir/oplog")
+          writeIndexBatch(df, indexDir, batchId)            // O12 index sink
         } finally { df.unpersist(); () }
       }
       .start()

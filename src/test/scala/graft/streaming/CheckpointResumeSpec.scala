@@ -40,4 +40,51 @@ class CheckpointResumeSpec extends SparkSuite {
       .select($"data.h").as[Long].collect().sorted.toSeq
     assert(hs == Seq(1L, 2L), s"got $hs")
   }
+
+  test("index sink is idempotent when the query dies between sink write and commit") {
+    // foreachBatch is at-least-once: a crash AFTER the index write but
+    // BEFORE the checkpoint commit replays the whole batch with the
+    // same batchId on restart. The per-batch overwrite directory
+    // (OplogPipeline.writeIndexBatch) must make that replay replace its
+    // own output — one logical op, exactly one index line.
+    import org.apache.spark.sql.Dataset
+    import graft.model.OplogEntry
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val root = Files.createTempDirectory("graft-replay").toFile.getAbsolutePath
+    val src = s"$root/oplog"
+    new java.io.File(src).mkdirs()
+    Files.write(Paths.get(s"$src/b0.json"), Seq(
+      line(1, "r1", 1), line(1, "r2", 2), line(1, "r3", 3)
+    ).mkString("\n").getBytes("UTF-8"))
+
+    def start(failAfterWrite: Boolean) = {
+      val deduped = QuorumDedup(
+        OplogPipeline.staticFilter(OplogPipeline.source(spark, src))
+          .withWatermark("ts", "10 seconds").as[OplogEntry], 3)
+      deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: Dataset[OplogEntry], id: Long) =>
+          OplogPipeline.writeIndexBatch(b.toDF(), s"$root/index", id)
+          if (failAfterWrite)
+            throw new RuntimeException("injected crash between sink write and commit")
+        }
+        .start()
+    }
+
+    val q1 = start(failAfterWrite = true)
+    val failure = intercept[Exception] { q1.processAllAvailable() }
+    assert(failure.getMessage.contains("injected crash"), s"unexpected: $failure")
+    q1.stop()
+    // the sink write happened before the crash: the line is on disk but
+    // the batch is NOT committed
+    assert(spark.read.json(s"$root/index/oplog").count() == 1)
+
+    val q2 = start(failAfterWrite = false)
+    try q2.processAllAvailable() finally q2.stop()
+    val lines = spark.read.json(s"$root/index/oplog")
+      .select($"data.h").as[Long].collect().toSeq
+    assert(lines == Seq(1L),
+      s"replayed batch must overwrite, not append: got $lines")
+  }
 }

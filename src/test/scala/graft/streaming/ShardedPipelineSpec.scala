@@ -34,7 +34,11 @@ class ShardedPipelineSpec extends SparkSuite {
     try queries.foreach(_.processAllAvailable()) finally queries.foreach(_.stop())
 
     import spark.implicits._
-    val emitted = spark.read.json(s"$root/index/*/oplog")
+    // one read per shard index (each is its own per-batch-partitioned
+    // store — a multi-root glob would make Spark try to infer ONE
+    // partition scheme across unrelated roots)
+    val emitted = topology.map(sh => spark.read.json(s"$root/index/${sh.shard}/oplog"))
+      .reduce(_ unionByName _)
       .select($"data.h").as[Long].collect().sorted.toSeq
     assert(emitted == Seq(10L, 20L), s"got $emitted")
   }
