@@ -102,6 +102,9 @@ object SparkEntry {
     // dedup_cluster_stats, split_leakage_safe, mix_dedup_weighted) now
     // read the persisted table, so their entries show what a pipeline
     // pays AFTER materialization
-    "dedup_labels"
+    "dedup_labels",
+    // round 9: image near-dup end to end (decode → 24-bit dHash →
+    // hamming-band candidates → star-CC clusters)
+    "dedup_image_phash"
   )
 }

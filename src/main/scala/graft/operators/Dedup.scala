@@ -541,6 +541,128 @@ object Dedup {
     """)
   )
 
+  /** IMAGE near-dup, end to end: perceptual-hash the image corpus
+    * (real PNG decode → 4×4 block-average → 24-bit dHash,
+    * [[graft.multimodal.Multimodal.phash]]), find hamming ≤ 2 pairs
+    * with the [[simhash]] chunk-band machinery (3×8-bit chunks;
+    * pigeonhole: hamming ≤ 2 ⇒ some chunk equal — LOSSLESS at this
+    * radius), then label near-dup clusters with the O(log d) star
+    * contraction and emit (canonical_id, doc_id, cluster_size) — the
+    * image twin of [[clustersStar]].
+    *
+    * The load-bearing scale move is HASH CONTRACTION: docs connect iff
+    * their hashes are equal or within hamming 2, so the doc-level
+    * component structure factors through the DISTINCT-hash graph. One
+    * groupBy(phash) collapses every exact-duplicate group to a vertex
+    * carrying (min doc_id, doc count); banding, verification and CC
+    * then run over ≤ 2²⁴ hash vertices REGARDLESS of corpus size — at
+    * 100 TB the iterative part of the job is bounded by the hash
+    * space, not the image count, and members re-attach with one
+    * equi-join on phash (AQE broadcasts the label frame when small; a
+    * 64-bit production hash falls back to a shuffle join, same plan
+    * shape). Production dials: 64-bit dHash (8×8 raster) with
+    * 4×16-bit chunks — same code shape; 24 bits here keeps the hash
+    * DuckDB-recomputable so decode→hash→band→CC is oracle-gated END TO
+    * END (the generator's closed-form pixels make every bit
+    * deterministic).
+    *
+    * MultimodalSpec proves planted-recall directly: byte-identical
+    * images (the generator repeats every 256 doc_ids) always share a
+    * cluster, and the clustering equals the transitive closure of the
+    * doc-level hamming ≤ 2 pair graph. */
+  val imagePhash: Q = Q(
+    "dedup_image_phash",
+    (s, dir) => {
+      import s.implicits._
+      val sig = graft.multimodal.Multimodal.phash.run(s, dir)
+        .select($"doc_id", $"phash")
+        .persist()   // decode once: read again by the member re-attach
+      // hash contraction: one vertex per distinct hash
+      val hstats = sig.groupBy($"phash")
+        .agg(min($"doc_id").as("dmin"), count(lit(1)).as("ndocs"))
+        .localCheckpoint()   // read by banding + label join; truncates decode lineage
+      val chunks = hstats.select($"phash",
+        explode(expr(
+          "transform(sequence(0, 2), c -> named_struct('c', c, 'cv', shiftright(phash, c*8) & 255))"))
+          .as("ch"))
+        .select($"phash", $"ch.c".as("c"), $"ch.cv".as("cv"))
+      val hpairs = chunks.as("x")
+        .join(chunks.as("y"),
+          $"x.c" === $"y.c" && $"x.cv" === $"y.cv" && $"x.phash" < $"y.phash")
+        .select($"x.phash".as("d1"), $"y.phash".as("d2"))
+        .distinct()
+        .filter(expr("bit_count(d1 ^ d2) <= 2"))
+      val (hlab, _) = connectedComponentsStar(s, hpairs)
+      // hash → component; hashes in no cross-hash pair component to themselves
+      val labeled = hstats
+        .join(hlab.withColumnRenamed("v", "phash"), Seq("phash"), "left")
+        .withColumn("hcomp", coalesce($"lab", $"phash"))
+      // per-component doc stats; singleton DOCS (unique hash, no
+      // neighbor) are not near-dups and drop out here
+      val comp = labeled.groupBy($"hcomp")
+        .agg(min($"dmin").as("canonical_id"), sum($"ndocs").as("cluster_size"))
+        .filter($"cluster_size" > 1)
+      sig.join(labeled.select($"phash", $"hcomp"), "phash")
+        .join(comp, "hcomp")
+        .select($"canonical_id", $"doc_id", $"cluster_size")
+        .orderBy($"canonical_id", $"doc_id")
+    },
+    Some("""
+      WITH RECURSIVE dims AS (
+        SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+               CAST(8 + (doc_id * 7) % 16 AS INT) AS height
+        FROM documents
+      ),
+      t AS (
+        SELECT doc_id, width, height,
+               list_transform(range(0, 16), k ->
+                 CAST(list_aggregate(
+                        flatten(list_transform(
+                          range((k // 4) * height // 4, ((k // 4) + 1) * height // 4),
+                          y -> list_transform(
+                            range((k % 4) * width // 4, ((k % 4) + 1) * width // 4),
+                            x -> (doc_id * 31 + x * 7 + y * 13) % 256))),
+                        'sum')
+                      // ((((k // 4) + 1) * height // 4 - (k // 4) * height // 4)
+                         * (((k % 4) + 1) * width // 4 - (k % 4) * width // 4))
+                   AS INT)) AS thumb
+        FROM dims
+      ),
+      sig AS (
+        SELECT doc_id,
+               CAST(list_aggregate(list_transform(range(0, 12), k ->
+                      CASE WHEN thumb[CAST((k // 3) * 4 + (k % 3) AS INT) + 1]
+                              < thumb[CAST((k // 3) * 4 + (k % 3) AS INT) + 2]
+                           THEN CAST(1 AS BIGINT) << CAST(23 - k AS INT)
+                           ELSE CAST(0 AS BIGINT) END), 'sum')
+                  + list_aggregate(list_transform(range(0, 12), k ->
+                      CASE WHEN thumb[CAST((k // 4) * 4 + (k % 4) AS INT) + 1]
+                              < thumb[CAST((k // 4) * 4 + (k % 4) AS INT) + 5]
+                           THEN CAST(1 AS BIGINT) << CAST(11 - k AS INT)
+                           ELSE CAST(0 AS BIGINT) END), 'sum')
+                 AS BIGINT) AS phash
+        FROM t
+      ),
+      p AS (
+        SELECT a.doc_id d1, b.doc_id d2
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+      ),
+      verts AS (SELECT DISTINCT d1 AS v FROM p UNION SELECT DISTINCT d2 FROM p),
+      edges AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
+      walk(v, lab) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b, walk.lab FROM walk JOIN edges e ON walk.v = e.a
+      ),
+      cc AS (SELECT v, MIN(lab) AS lab FROM walk GROUP BY v),
+      sz AS (SELECT lab, COUNT(*) AS cluster_size FROM cc GROUP BY lab)
+      SELECT cc.lab AS canonical_id, cc.v AS doc_id, sz.cluster_size
+      FROM cc JOIN sz USING (lab)
+      ORDER BY canonical_id, doc_id
+    """)
+  )
+
   /** Maximum corpus size the exact all-pairs baseline will accept —
     * beyond this the O(n²) pair space is a scale-killer by construction
     * and the operator refuses to run rather than silently planning a
@@ -2010,5 +2132,5 @@ object Dedup {
       clustersStar, labelsQ, clusterStats, contamination, survivors, embeddingLsh, substringDetect,
       substringClean, semantic, boilerplate, incremental, incrementalBloom,
       incrementalMinhash, containmentPairs, editDistance, snapshotNeardup,
-      splitLeakageSafe, mixDedupWeighted)
+      splitLeakageSafe, mixDedupWeighted, imagePhash)
 }

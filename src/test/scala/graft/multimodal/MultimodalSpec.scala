@@ -89,4 +89,47 @@ class MultimodalSpec extends SparkSuite {
     // gradient-sign hashes must actually discriminate across the corpus
     assert(out.map(_._4).distinct.length > 50, "phash collapsed — no discriminative power")
   }
+
+  test("image near-dup clusters: planted exact copies always co-cluster; " +
+      "clustering IS the transitive closure of hamming<=2 pairs") {
+    val clusters = graft.operators.Dedup.imagePhash.run(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap // doc_id -> canonical
+    // planted near-copy recall: the generator's pixel formula repeats
+    // every 256 doc_ids (pixels mod 256, dims mod 16), so (i, i+256)
+    // are byte-identical images — hamming 0, MUST share a cluster
+    val planted = (0L until 244L).map(i => (i, i + 256L))
+    planted.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b),
+        s"exact-copy pair ($a,$b) missing from the clustering")
+      assert(clusters(a) == clusters(b),
+        s"exact copies $a and $b landed in different clusters")
+    }
+    // the clustering equals the transitive closure of the hamming<=2
+    // pair graph recomputed from the phash column on the driver
+    val sig = Multimodal.phash.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val pairs = for {
+      (a, ha) <- sig; (b, hb) <- sig
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (a, b)
+    // union-find over the exact pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val wantMembers = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(clusters.keySet == wantMembers.toSet,
+      "clustering must cover exactly the docs that appear in a hamming<=2 pair")
+    wantMembers.groupBy(find).values.foreach { members =>
+      assert(members.map(clusters).distinct.length == 1,
+        s"component ${members.take(5)} split across clusters")
+      assert(clusters(members.head) == members.min,
+        s"canonical of ${members.take(5)} is not the component min")
+    }
+  }
 }
