@@ -17,17 +17,35 @@ import graft.streaming.{OplogPipeline, QuorumDedup}
   * restart+drain time (the recovery-dominated number), and the
   * emitted-count correctness check.
   *
-  * Usage: runMain graft.tools.StateResumeProbe [keys] [partitions]
+  * Usage: runMain graft.tools.StateResumeProbe [keys] [partitions] [hdfs|rocksdb]
+  *
+  * The third arg picks the state-store provider: `hdfs` (default,
+  * JVM-heap maps + full-snapshot checkpoints) or `rocksdb` (off-heap
+  * native store + CHANGELOG checkpointing — commits ship only the
+  * batch's delta, snapshots happen in background maintenance). The
+  * crossover is measured in SCALING.md: HDFSBacked wins while a
+  * store's keys fit comfortably in executor heap (≤ ~100k keys/
+  * partition); RocksDB wins once per-partition state outgrows that —
+  * the 100 TB dial is provider choice per state volume, set via
+  * `spark.sql.streaming.stateStore.providerClass` (see
+  * [[graft.GraftSession]]).
   */
 object StateResumeProbe {
 
   def main(args: Array[String]): Unit = {
     val keys = if (args.nonEmpty) args(0).toLong else 100000L
     val parts = if (args.length > 1) args(1).toInt else 4
-    val spark = graft.GraftSession.builderDefaults(
+    val provider = if (args.length > 2) args(2) else "hdfs"
+    val b0 = graft.GraftSession.builderDefaults(
       SparkSession.builder().master("local[32]").appName("graft-resumeprobe"), 32)
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val spark = (if (provider == "rocksdb")
+      b0.config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+    else b0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -72,7 +90,7 @@ object StateResumeProbe {
         .start()
       q.awaitTermination()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[resumeprobe] $label keys=$keys parts=$parts emitted=${emitted.get()} elapsed=$dt%.1f s")
+      println(f"[resumeprobe] $label keys=$keys parts=$parts provider=$provider emitted=${emitted.get()} elapsed=$dt%.1f s")
       (emitted.get(), dt)
     }
 
