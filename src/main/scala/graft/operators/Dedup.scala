@@ -838,18 +838,38 @@ object Dedup {
     * localCheckpoint rule) so plan size stays O(1) in rounds.
     *
     * Returns (labels (v, lab), rounds). Non-convergence within
-    * maxRounds fails loudly, mirroring [[clusters]]. */
+    * maxRounds fails loudly, mirroring [[clusters]].
+    *
+    * Lineage-truncation dial: by default each round's frame is
+    * `localCheckpoint()` — executor-memory-pinned and NOT fault
+    * tolerant (an executor loss mid-job kills the query, the round-8
+    * verdict's caveat). Passing `reliableCheckpointDir` (or setting
+    * session conf `graft.dedup.cc.checkpointDir`) switches every
+    * barrier to reliable `checkpoint()` into that directory: each
+    * round's edge frame is written to storage, so a 100 TB labeling
+    * job survives executor churn and re-plans from files instead of
+    * recomputing rounds. Measured premium at 20× fixture scale:
+    * 1.7× warm wall clock (5.9 s → 10.0 s, SCALING.md round-9) — the
+    * per-round write price, worth paying exactly when rounds are
+    * expensive enough that re-running them on executor loss costs
+    * more than persisting them. */
   private[operators] def connectedComponentsStar(
       s: SparkSession,
       pairs: org.apache.spark.sql.DataFrame,
-      maxRounds: Int = 30): (org.apache.spark.sql.DataFrame, Int) = {
+      maxRounds: Int = 30,
+      reliableCheckpointDir: Option[String] = None): (org.apache.spark.sql.DataFrame, Int) = {
     import s.implicits._
+    val ckptDir = reliableCheckpointDir
+      .orElse(s.conf.getOption("graft.dedup.cc.checkpointDir"))
+    ckptDir.foreach(s.sparkContext.setCheckpointDir)
+    def barrier(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val p0 = pairs.toDF("x", "y")
-    val verts = p0.select(explode(array($"x", $"y")).as("v"))
-      .distinct().localCheckpoint()
-    var edges = p0.filter($"x" =!= $"y")
+    val verts = barrier(p0.select(explode(array($"x", $"y")).as("v"))
+      .distinct())
+    var edges = barrier(p0.filter($"x" =!= $"y")
       .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
-      .distinct().localCheckpoint()
+      .distinct())
     var rounds = 0
     var done = edges.isEmpty
     while (!done && rounds < maxRounds) {
@@ -860,15 +880,15 @@ object Dedup {
       val mins = nbrs.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"u", $"mn").as("m"))
       // large-star: (v, m(u)) for v > u; m ≤ u < v keeps (a,b) canonical
-      val large = nbrs.join(mins, "u").filter($"v" > $"u")
+      val large = barrier(nbrs.join(mins, "u").filter($"v" > $"u")
         .select($"m".as("a"), $"v".as("b"))
-        .filter($"a" =!= $"b").distinct().localCheckpoint()
+        .filter($"a" =!= $"b").distinct())
       // small-star over larger→smaller directed edges: u = b side
       val dir = large.select($"b".as("u"), $"a".as("v"))
       val joined = dir.join(dir.groupBy($"u").agg(min($"v").as("m")), "u")
-      val small = joined.select($"m".as("a"), $"v".as("b")).filter($"a" =!= $"b")
+      val small = barrier(joined.select($"m".as("a"), $"v".as("b")).filter($"a" =!= $"b")
         .union(joined.select($"m".as("a"), $"u".as("b")))
-        .distinct().localCheckpoint()
+        .distinct())
       edges = small
       // exact fixpoint in ONE job (was count + count + anti-join):
       // both sides are distinct sets, so the edge set is unchanged iff

@@ -129,6 +129,10 @@ object ScaleProbe {
       SparkSession.builder().master("local[32]").appName("graft-scaleprobe"), 32)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in reliable-checkpoint dial for the iterative CC ops, so the
+    // fault-tolerant-lineage premium is measurable: GRAFT_CC_CHECKPOINT_DIR=<dir>
+    sys.env.get("GRAFT_CC_CHECKPOINT_DIR")
+      .foreach(d => spark.conf.set("graft.dedup.cc.checkpointDir", d))
 
     val t0 = System.nanoTime()
     generate(spark, mult, dir)

@@ -131,6 +131,29 @@ class DedupSpec extends SparkSuite {
     assert(empty.collect().isEmpty && r0 == 0)
   }
 
+  test("star CC with the reliable-checkpoint dial produces identical labels") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLsh.run(spark, sf0001).select($"d1", $"d2")
+      .localCheckpoint() // same input frame to both runs
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccreliable").toString
+    try {
+      val (defaultLab, _) = Dedup.connectedComponentsStar(spark, pairs)
+      val (reliableLab, _) =
+        Dedup.connectedComponentsStar(spark, pairs, reliableCheckpointDir = Some(dir))
+      val want = defaultLab.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = reliableLab.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      assert(got.nonEmpty)
+      // the dial actually engaged: reliable checkpoint files exist
+      assert(new java.io.File(dir).listFiles.nonEmpty, "no reliable checkpoint written")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("contamination equals an exact 8-gram-overlap recomputation vs the benchmark split") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
