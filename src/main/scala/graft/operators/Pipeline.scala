@@ -1311,35 +1311,59 @@ object Pipeline {
     * (rank_key desc, doc_id), so groups above the cut are prefix-whole,
     * groups below never fit, and the boundary group's residual prefix
     * in doc_id order is exactly the global selection's tail. */
+  /** The quality-ranked corpus spine both budget forms select from:
+    * (doc_id, lang, n_tokens, rank_key) with the float-free scaled-
+    * integer lexical-diversity rank. Stateless projection — also the
+    * per-arrival projection of the STREAMING admission form
+    * ([[graft.streaming.TokenBudgetStream]]). */
+  private[graft] def budgetBase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextFns.tokens($"text")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .filter($"n_tokens" > 0)
+      .withColumn("rank_key", expr("(n_distinct * 1000000L) div n_tokens"))
+      .drop("n_distinct")
+  }
+
+  /** Phase 1+2 of the histogram-cut selection, shared by the batch
+    * 2-phase form and the streaming admission's broadcast static side:
+    * the bounded per-(lang, rank_key) token histogram with exclusive
+    * prefix totals (`before`), and the one-row-per-lang cut table —
+    * the highest rank_key whose exclusive prefix still leaves budget,
+    * with the residual budget available inside that boundary group. */
+  private[graft] def budgetHistCuts(base: DataFrame, budget: Long): (DataFrame, DataFrame) = {
+    val s = base.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wHist = Window.partitionBy($"lang").orderBy($"rank_key".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = base.groupBy($"lang", $"rank_key")
+      .agg(sum($"n_tokens").as("group_tokens"))
+      .withColumn("before", coalesce(sum($"group_tokens").over(wHist), lit(0L)))
+    // cut row per lang: the highest rank_key whose exclusive prefix
+    // still leaves budget (groups fully above it fit wholesale iff
+    // before+group ≤ budget; the cut group gets the residual)
+    val cuts = hist.filter($"before" < budget)
+      .groupBy($"lang").agg(min($"rank_key").as("cut_key"))
+      .join(hist.select($"lang", $"rank_key".as("cut_key"), $"before"),
+        Seq("lang", "cut_key"))
+      .withColumn("residual", lit(budget) - $"before")
+      .select($"lang", $"cut_key", $"residual")
+    (hist, cuts)
+  }
+
   val tokenBudget2Phase: Q = Q(
     "corpus_token_budget_2phase",
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val budget = 2000L
-      val toks = TextFns.tokens($"text")
-      val base = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"lang",
-          size(toks).cast("long").as("n_tokens"),
-          size(array_distinct(toks)).cast("long").as("n_distinct"))
-        .filter($"n_tokens" > 0)
-        .withColumn("rank_key", expr("(n_distinct * 1000000L) div n_tokens"))
+      val base = budgetBase(s, dir)
         .localCheckpoint()   // scanned by the histogram AND the final filter
-      // 1. bounded histogram; 2. prefix totals on the tiny frame
-      val wHist = Window.partitionBy($"lang").orderBy($"rank_key".desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val hist = base.groupBy($"lang", $"rank_key")
-        .agg(sum($"n_tokens").as("group_tokens"))
-        .withColumn("before", coalesce(sum($"group_tokens").over(wHist), lit(0L)))
-      // cut row per lang: the highest rank_key whose exclusive prefix
-      // still leaves budget (groups fully above it fit wholesale iff
-      // before+group ≤ budget; the cut group gets the residual)
-      val cuts = hist.filter($"before" < budget)
-        .groupBy($"lang").agg(min($"rank_key").as("cut_key"))
-        .join(hist.select($"lang", $"rank_key".as("cut_key"), $"before"),
-          Seq("lang", "cut_key"))
-        .withColumn("residual", lit(budget) - $"before")
-        .select($"lang", $"cut_key", $"residual")
+      val (hist, cuts) = budgetHistCuts(base, budget)
       // 3. wholesale keep above the cut; residual prefix inside it
       val wCut = Window.partitionBy($"lang", $"rank_key")
         .orderBy($"doc_id")

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.TextFns
+
+/** One arriving document after the stateless rank projection and the
+  * broadcast cut/histogram joins, ready for stateful admission.
+  * `limit` is the inclusive in-group token budget: unbounded for
+  * groups wholly above the cut, the boundary group's residual at the
+  * cut. */
+case class BudgetRow(doc_id: Long, lang: String, n_tokens: Long,
+                     rank_key: Long, before: Long, limit: Long)
+
+/** Admitted-manifest row — same shape as `corpus_token_budget`'s
+  * batch output. */
+case class BudgetAdmit(doc_id: Long, lang: String, n_tokens: Long,
+                       rank_key: Long, cum_tokens: Long)
+
+/** STREAMING token-budget admission — the ingest-side form of
+  * `corpus_token_budget_2phase` (Pipeline.scala `tokenBudget2Phase`),
+  * completing the streaming-curation composition with the final
+  * corpus-sizing gate: documents are admitted or rejected AS THEY
+  * ARRIVE against a per-(lang, rank_key) histogram computed once, in
+  * batch, from the previous corpus snapshot and broadcast as the
+  * static side.
+  *
+  * Stage semantics vs the batch operator:
+  *   - rank projection: identical (stateless; the same scaled-integer
+  *     lexical-diversity `rank_key` — `Pipeline.budgetBase`).
+  *   - below-cut rejection: stateless — a broadcast join against the
+  *     one-row-per-lang cut table filters groups that can never fit,
+  *     so stateful admission only ever sees above-cut and boundary
+  *     rows (the same pruning phase 3 of the batch form applies).
+  *   - admission: `flatMapGroupsWithState` keyed by (lang, rank_key),
+  *     state = ONE Long (inclusive in-group token cumsum, counting
+  *     admitted AND rejected arrivals — the batch rule is a prefix
+  *     cumsum over ALL group rows, not a best-fit knapsack, and
+  *     matching it exactly requires advancing past oversize rows).
+  *     A row is admitted iff its inclusive cumsum stays within the
+  *     group limit; `cum_tokens` = histogram exclusive prefix + the
+  *     in-group cumsum, so emitted positions are bit-identical to the
+  *     batch output. Arrivals are ranked by doc_id WITHIN each
+  *     micro-batch (the same in-group order as batch); across
+  *     micro-batches admission is greedy, equal to batch whenever
+  *     arrival order respects doc_id order per group (the spec's
+  *     fixture), which is inherent to any streaming budget gate — the
+  *     batch pick needs the whole corpus.
+  *
+  * Scale shape: the histogram/cut static side is ≤10⁶ rows per lang
+  * regardless of corpus size (bounded scaled-integer key space) —
+  * always broadcastable; the only shuffle on the arriving stream is
+  * the one keyed exchange into the stateful operator, and state is a
+  * single Long per (lang, rank_key) group actually seen, bounded by
+  * the histogram key space, not the stream length. Saturated groups
+  * (cumsum past limit) could be evicted with a processing-time
+  * timeout at production scale; admission then degrades to the
+  * stateless below-cut rejection for them. */
+object TokenBudgetStream {
+
+  /** `src`: a streaming (or batch) `documents`-shaped frame.
+    * `hist` / `cuts`: the static side from
+    * `Pipeline.budgetHistCuts(Pipeline.budgetBase(...), budget)`,
+    * computed in batch from the corpus snapshot. */
+  def admit(src: DataFrame, hist: DataFrame, cuts: DataFrame): Dataset[BudgetAdmit] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val toks = TextFns.tokens(col("text"))
+    val ranked = src
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("rank_key", expr("(n_distinct * 1000000L) div n_tokens"))
+    val gated = ranked
+      .join(broadcast(cuts), Seq("lang"))
+      .filter(col("rank_key") >= col("cut_key"))
+      .join(broadcast(hist.select(col("lang"), col("rank_key"), col("before"))),
+        Seq("lang", "rank_key"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("rank_key"),
+        col("before"),
+        when(col("rank_key") > col("cut_key"), lit(Long.MaxValue))
+          .otherwise(col("residual")).as("limit"))
+      .as[BudgetRow]
+    gated.groupByKey(r => (r.lang, r.rank_key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        admitGroup _)
+  }
+
+  private def admitGroup(key: (String, Long), rows: Iterator[BudgetRow],
+      state: GroupState[Long]): Iterator[BudgetAdmit] = {
+    var cum = state.getOption.getOrElse(0L)
+    val out = Seq.newBuilder[BudgetAdmit]
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      cum += r.n_tokens
+      if (cum <= r.limit)
+        out += BudgetAdmit(r.doc_id, r.lang, r.n_tokens, r.rank_key, r.before + cum)
+    }
+    state.update(cum)
+    out.result().iterator
+  }
+}
