@@ -105,6 +105,10 @@ object SparkEntry {
     "dedup_labels",
     // round 9: image near-dup end to end (decode → 24-bit dHash →
     // hamming-band candidates → star-CC clusters)
-    "dedup_image_phash"
+    "dedup_image_phash",
+    // round 9: normalization-aware exact dedup, source-interleaved
+    // training order, per-doc TF-IDF keywords, embedding-space OOD gate
+    "dedup_normalized", "corpus_interleave", "text_keyword_extract",
+    "vector_ood_filter"
   )
 }

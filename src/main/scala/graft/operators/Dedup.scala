@@ -2147,8 +2147,72 @@ object Dedup {
     """)
   )
 
+  /** NORMALIZATION-aware exact dedup: the casing/punctuation/whitespace
+    * canonicalization every web-scale exact-dedup pass applies before
+    * hashing (CCNet/C4-style) — raw `md5(text)` treats "Foo bar" and
+    * "foo  bar !!" as distinct documents and silently halves the dedup
+    * rate on crawl data. The fixture corpus carries no such variants
+    * (500 byte-unique texts), so the crawl view is DERIVED content-
+    * addressed, both engines identically: the corpus unioned with a
+    * RE-CRAWL of the md5-bucket {a, b} slice whose pages came back with
+    * formatting noise (bucket 'a' → upper-cased + "!!" suffix; 'b' →
+    * leading/doubled whitespace + trailing " ."). The normalizer
+    * (lower → strip non-[a-z0-9 ] → collapse runs of spaces → trim)
+    * provably inverts the noise — every re-crawl groups with its
+    * original (n_copies = 2, canonical = the original doc_id) while
+    * raw hashing on the same view finds zero duplicates (pinned by
+    * spec).
+    *
+    * Scale shape: identical to [[exact]] — normalization is a
+    * stateless codegen'd projection at the scan, then ONE hash
+    * aggregation on the 16-byte canonical digest; nothing else crosses
+    * the wire. */
+  val normalized: Q = Q(
+    "dedup_normalized",
+    (s, dir) => {
+      import s.implicits._
+      val bk = substring(md5($"doc_id".cast("string")), 1, 1)
+      val recrawl = docs(s, dir).filter(bk.isin("a", "b"))
+        .select(($"doc_id" + 100000L).as("doc_id"),
+          when(bk === "a", concat(upper($"text"), lit("!!")))
+            .otherwise(concat(lit("  "), regexp_replace($"text", lit(" "), lit("  ")), lit(" .")))
+            .as("text"))
+      val crawl = docs(s, dir).select($"doc_id", $"text").unionAll(recrawl)
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), lit("[^a-z0-9 ]"), lit("")),
+        lit(" +"), lit(" ")))
+      crawl
+        .groupBy(md5(norm).as("norm_md5"))
+        .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select($"canonical_id", $"n_copies", $"norm_md5")
+        .orderBy($"canonical_id")
+    },
+    Some("""
+      WITH crawl AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               CASE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 WHEN 'a' THEN upper(text) || '!!'
+                 ELSE '  ' || regexp_replace(text, ' ', '  ', 'g') || ' .' END
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('a', 'b')
+      ),
+      norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS ntext
+        FROM crawl
+      )
+      SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies, md5(ntext) AS norm_md5
+      FROM norm
+      GROUP BY md5(ntext)
+      ORDER BY canonical_id
+    """)
+  )
+
   def queries: Seq[Q] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
+    Seq(exact, normalized, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
       clustersStar, labelsQ, clusterStats, contamination, survivors, embeddingLsh, substringDetect,
       substringClean, semantic, boilerplate, incremental, incrementalBloom,
       incrementalMinhash, containmentPairs, editDistance, snapshotNeardup,

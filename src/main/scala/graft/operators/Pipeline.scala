@@ -1389,11 +1389,70 @@ object Pipeline {
     tokenBudget.oracle
   )
 
+  /** SOURCE-INTERLEAVED training order: the deterministic "don't feed
+    * the model an hour of one crawl then an hour of the next" ordering
+    * — documents of the S sources are round-robined so any contiguous
+    * window of the training stream carries every live source. Each
+    * doc gets a content-addressed in-source rank r (the
+    * [[corpusShuffle]] md5 order), the source gets a stable index
+    * s ∈ [0, S), and the interleave key is pos = r·S + s — globally
+    * monotone round-robin WITHOUT a global sort: positions of
+    * exhausted sources simply leave gaps, which a training loader
+    * reading in pos order never notices.
+    *
+    * Scale shape: one source-partitioned window for r (the only
+    * exchange; source skew bounded by the per-source rank being a
+    * running count, not a sort of the corpus), a ≤S-row aggregate for
+    * the source index joined back via broadcast, and a stateless
+    * key projection. The tiny global window ranks S source names, not
+    * corpus rows. */
+  val corpusInterleave: Q = Q(
+    "corpus_interleave",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source",
+          md5(concat(lit("interleave:"), $"doc_id".cast("string"))).as("skey"))
+      val srcIdx = d.select($"source").distinct()
+        .withColumn("s_idx",
+          row_number().over(Window.orderBy($"source")).cast("long") - 1L)
+      val nSrc = srcIdx.count()
+      val w = Window.partitionBy($"source").orderBy($"skey", $"doc_id")
+      d.withColumn("r", row_number().over(w).cast("long") - 1L)
+        .join(broadcast(srcIdx), "source")
+        .select($"doc_id", $"source", $"r",
+          ($"r" * nSrc + $"s_idx").as("pos"))
+        .orderBy($"pos")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               md5('interleave:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+      ),
+      si AS (
+        SELECT source,
+               CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) - 1 AS s_idx
+        FROM (SELECT DISTINCT source FROM d)
+      ),
+      n AS (SELECT COUNT(*) AS n_src FROM si),
+      r AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS BIGINT) - 1 AS r
+        FROM d
+      )
+      SELECT r.doc_id, r.source, r.r, r.r * n.n_src + si.s_idx AS pos
+      FROM r JOIN si USING (source) CROSS JOIN n
+      ORDER BY pos
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified,
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
-      mixTemperature, mixToTarget, ragRetrieve, corpusShuffle, retention,
+      mixTemperature, mixToTarget, ragRetrieve, corpusShuffle, corpusInterleave, retention,
       snapshotDiff, eventsSequences, eventsMarkov, tokenBudget, tokenBudget2Phase)
 }

@@ -794,8 +794,74 @@ object TextAnalysis {
     """)
   )
 
+  /** Per-document KEYWORD extraction: each doc's top-3 TF-IDF terms —
+    * the document-level feature [[topTerms]]'s corpus-level report
+    * doesn't give you (tagging/routing/clustering features, dataset
+    * cards, retrieval summaries). idf = ln((N+1)/(df+1)) is
+    * micro-rounded ONCE PER TERM (the [[bm25]] / [[unigramLogprob]]
+    * ln-parity discipline), then the doc-level score is exact integer
+    * arithmetic tf·idf_micro — order-independent, fully oracled.
+    *
+    * Scale shape: tf agg (one term-keyed exchange with map-side
+    * combine), df from the same exploded stream (distinct + agg — the
+    * term df table is vocabulary-sized and BROADCAST back), and the
+    * top-3-per-doc window partitioned by doc_id — the no-skew key (a
+    * doc's term count is its length, and WindowGroupLimit prunes to
+    * ≤3 rows per doc map-side before the exchange). */
+  val keywordExtract: Q = Q(
+    "text_keyword_extract",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val dfreq = toks.distinct().groupBy($"term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select($"term",
+          round(log(($"n_docs" + 1.0) / ($"df" + 1.0)) * 1e6).cast("long").as("idf_micro"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score_micro".desc, $"term")
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("score_micro", $"tf" * $"idf_micro")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"doc_id", $"rn", $"term", $"tf", $"score_micro")
+        .orderBy($"doc_id", $"rn")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        FROM documents
+      ),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      idf AS (
+        SELECT term,
+               CAST(ROUND(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) * 1e6) AS BIGINT) AS idf_micro
+        FROM (SELECT term, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term), nd
+      ),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      sc AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro
+        FROM tf JOIN idf USING (term)
+      ),
+      r AS (
+        SELECT doc_id, term, tf, score_micro,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score_micro DESC, term) AS INT) AS rn
+        FROM sc
+      )
+      SELECT doc_id, rn, term, CAST(tf AS BIGINT) AS tf, score_micro
+      FROM r WHERE rn <= 3
+      ORDER BY doc_id, rn
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(tokenCount, quality, qualityClassifier, langId, fingerprintQ, topTerms,
       bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons,
-      unigramLogprob, invertedIndex, piiRedact)
+      unigramLogprob, invertedIndex, piiRedact, keywordExtract)
 }

@@ -566,6 +566,77 @@ object VectorSearch {
     """)
   )
 
+  /** Embedding-space OOD/quality gate: every vector scored by cosine
+    * to its OWN label's centroid, with the below-threshold tail
+    * flagged — the "drop the junk that doesn't look like its class"
+    * filter (mislabeled rows, encoder failures, garbage inputs) a
+    * training pipeline runs between embedding and indexing. Emits ALL
+    * rows with the flag rather than silently dropping, so the caller
+    * audits what a gate WOULD cut — the `quality_filter_reasons`
+    * convention in embedding space.
+    *
+    * Parity: centroid means and the fold-ordered dot products differ
+    * between engines only in float summation order; the score is
+    * micro-rounded ONCE per row (the [[labelCentroids]] norm_micro
+    * discipline — a flip needs the true value within ~1e-9 of a micro
+    * boundary) and the flag compares the SAME micro integer on both
+    * sides, so it can never straddle.
+    *
+    * Scale shape: centroids are a partial-aggregated
+    * one-buffer-per-(partition,label) shuffle ([[VectorMeanAggregator]]
+    * — kilobytes at any corpus size), BROADCAST back onto the corpus
+    * scan; scoring is one codegen'd pass, no second exchange. */
+  val oodFilter: Q = Q(
+    "vector_ood_filter",
+    (s, dir) => {
+      import s.implicits._
+      val thresholdMicro = 100000L   // cos < 0.1 → not of its class
+      val cents = Tables.load(s, dir, "embeddings")
+        .select($"label", $"embedding")
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.VectorMeanAggregator(64).toColumn.name("centroid"))
+        .toDF("label", "centroid")
+        .withColumn("cnorm", sqrt(dot_product($"centroid", $"centroid")))
+      val e = withNorms(Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"label", $"embedding"))
+      e.join(broadcast(cents), "label")
+        .withColumn("cos_micro",
+          round(dot_product($"v", $"centroid") / ($"nrm" * $"cnorm") * 1e6).cast("long"))
+        .select($"vec_id", $"label", $"cos_micro",
+          ($"cos_micro" < thresholdMicro).as("is_ood"))
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT label, d AS dim, AVG(CAST(v AS DOUBLE)) AS m
+        FROM (SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS d
+              FROM embeddings)
+        GROUP BY label, d
+      ),
+      cn AS (SELECT label, sqrt(SUM(m * m)) AS cnorm FROM c GROUP BY label),
+      ex AS (
+        SELECT vec_id, label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings
+      ),
+      sc AS (
+        SELECT ex.vec_id, ex.label,
+               SUM(CAST(ex.v AS DOUBLE) * c.m) AS dp,
+               SUM(CAST(ex.v AS DOUBLE) * CAST(ex.v AS DOUBLE)) AS en2
+        FROM ex JOIN c ON ex.label = c.label AND ex.d = c.dim
+        GROUP BY ex.vec_id, ex.label
+      )
+      SELECT sc.vec_id, sc.label,
+             CAST(ROUND(dp / (sqrt(en2) * cn.cnorm) * 1e6) AS BIGINT) AS cos_micro,
+             CAST(ROUND(dp / (sqrt(en2) * cn.cnorm) * 1e6) AS BIGINT) < 100000 AS is_ood
+      FROM sc JOIN cn ON sc.label = cn.label
+      ORDER BY sc.vec_id
+    """)
+  )
+
   def queries: Seq[Q] =
-    Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives)
+    Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter)
 }

@@ -637,4 +637,39 @@ class DedupSpec extends SparkSuite {
     assert(want.values.exists(n => math.ceil(math.sqrt(n.toDouble)).toLong < n),
       "fixture has no cluster where sqrt-weighting bites")
   }
+  test("normalized dedup inverts the noisy re-crawl: every re-crawl groups with its " +
+      "original while raw hashing finds nothing") {
+    import spark.implicits._
+    val clean = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def noise(id: Long, t: String) = md5(id.toString).head match {
+      case 'a' => t.toUpperCase + "!!"
+      case _   => "  " + t.replace(" ", "  ") + " ."
+    }
+    def norm(t: String) = t.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+      .replaceAll(" +", " ").trim
+    val recrawled = clean.filter { case (id, _) => "ab".contains(md5(id.toString).head) }
+    assert(recrawled.nonEmpty, "fixture: the a/b slice must be non-empty")
+    val crawl = clean ++ recrawled.map { case (id, t) => (id + 100000L, noise(id, t)) }
+    // the operator's groups equal a pure-Scala recompute over the crawl view
+    val want = crawl.groupBy { case (_, t) => md5(norm(t)) }
+      .map { case (h, ms) => (ms.map(_._1).min, ms.size.toLong, h) }.toSet
+    val got = Dedup.normalized.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+    // exactly the re-crawled originals carry n_copies = 2 with the
+    // ORIGINAL doc_id canonical; everything else stays a singleton
+    val dups = got.filter(_._2 > 1L)
+    assert(dups.map(_._1) == recrawled.map(_._1).toSet,
+      "normalization must recover each re-crawl to its original, nothing else")
+    assert(dups.forall(_._2 == 2L))
+    // raw hashing on the SAME view finds zero duplicates — the
+    // operator's reason to exist
+    assert(crawl.groupBy { case (_, t) => md5(t) }.size == crawl.length,
+      "fixture drift: raw hashing already groups the re-crawl")
+  }
+
 }

@@ -548,4 +548,36 @@ class PipelineSpec extends SparkSuite {
       assert(total <= 2000L, s"lang $lang exceeded the budget: $total")
     }
   }
+  test("corpus_interleave: round-robin key arithmetic exact; any pos-prefix is source-balanced") {
+    import spark.implicits._
+    val got = Pipeline.corpusInterleave.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sources = docs.map(_._2).distinct.sorted
+    val sIdx = sources.zipWithIndex.toMap
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, ms) =>
+      ms.sortBy { case (id, _) => (md5("interleave:" + id), id) }
+        .zipWithIndex.map { case ((id, _), r) =>
+          (id, src, r.toLong, r.toLong * sources.length + sIdx(src)) }
+    }.toSet
+    assert(got.toSet == want)
+    // positions are unique and the output is pos-ordered
+    assert(got.map(_._4).distinct.length == got.length)
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    // any prefix of k full rounds holds exactly min(k, n_s) docs of each source
+    val perSource = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    for (k <- Seq(1L, 7L, 50L)) {
+      val prefix = got.filter(_._4 < k * sources.length)
+      sources.foreach { src =>
+        val n = prefix.count(_._2 == src).toLong
+        assert(n == math.min(k, perSource(src).toLong),
+          s"prefix of $k rounds holds $n docs of $src")
+      }
+    }
+  }
+
 }

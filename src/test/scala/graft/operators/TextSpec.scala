@@ -236,4 +236,28 @@ class TextSpec extends SparkSuite {
       assert((np > 0) == red.contains("[PHONE]"), s"doc $id phone placeholder mismatch")
     }
   }
+  test("keyword extract: per-doc top-3 equals an exact integer tf-idf recompute") {
+    import spark.implicits._
+    val got = TextAnalysis.keywordExtract.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(' ').filter(_.nonEmpty).map(term => (id, term)) }
+    val df = tf.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+    val idfMicro = df.map { case (term, d) =>
+      term -> math.round(math.log((n + 1.0) / (d + 1.0)) * 1e6) }
+    val want = tf.groupBy(identity).map { case ((id, term), xs) =>
+      (id, term, xs.length.toLong, xs.length * idfMicro(term)) }
+      .groupBy(_._1).flatMap { case (id, terms) =>
+        terms.toSeq.sortBy(t => (-t._4, t._2)).take(3).zipWithIndex
+          .map { case ((_, term, tfv, sc), i) => (id, i + 1, term, tfv, sc) }
+      }.toSet
+    assert(got.toSet == want)
+    assert(got.groupBy(_._1).forall(_._2.length == 3),
+      "every fixture doc is long enough for 3 keywords")
+  }
+
 }

@@ -165,4 +165,31 @@ class VectorSpec extends SparkSuite {
     }
     assert(neg.map(_._1).distinct.length == 8, "all 8 queries must be served")
   }
+  test("ood filter: total coverage, micro-cosine matches a driver recompute, flag consistent") {
+    import spark.implicits._
+    val got = VectorSearch.oodFilter.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val embs = graft.Tables.load(spark, sf0001, "embeddings").collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getInt(r.fieldIndex("label")),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    assert(got.map(_._1).toSet == embs.map(_._1).toSet, "every vector must be scored")
+    val cents = embs.groupBy(_._2).view.mapValues { ms =>
+      val dim = ms.head._3.length
+      val acc = new Array[Double](dim)
+      ms.foreach(m => (0 until dim).foreach(i => acc(i) += m._3(i)))
+      acc.map(_ / ms.length)
+    }.toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val byId = embs.map(e => e._1 -> e).toMap
+    got.foreach { case (vid, lab, cosMicro, ood) =>
+      val (_, trueLab, v) = byId(vid)
+      assert(lab == trueLab)
+      val c = cents(lab)
+      val want = math.round(dot(v, c) / (math.sqrt(dot(v, v)) * math.sqrt(dot(c, c))) * 1e6)
+      assert(math.abs(cosMicro - want) <= 1, s"vec $vid cos_micro $cosMicro vs $want")
+      assert(ood == (cosMicro < 100000L), s"vec $vid flag inconsistent")
+    }
+  }
+
 }
