@@ -293,46 +293,77 @@ object Pipeline {
     * stream; the filter is then per-row. Nothing shuffles with event
     * count, and the stream is scanned once per pass (stats pass +
     * filter pass), same as the unguarded form. */
+  /** an events frame → (event_id, event_type, value, c) with exact
+    * cents — the projection both the stats pass and the flag pass (and
+    * the STREAMING flag form) share. Works on batch and streaming
+    * frames (stateless). */
+  private[graft] def outlierCents(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.select($"event_id", $"event_type", $"value",
+      round($"value" * 100).cast("long").as("c"))
+  }
+
+  /** the guarded per-type stats side: {n, Σc, Σc²} per event type as a
+    * broadcastable local relation. The collect IS the decimal(38,0)
+    * overflow fence — every type's 4·cmax²·n³ bound is checked before
+    * any row is flagged. In a streaming deployment this is the static
+    * side, recomputed per stats snapshot. */
+  private[graft] def outlierStatsFrame(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    // sums in decimal(38,0): a long Σc² overflows past ~9e6 events/type
+    // at $10k values — the "exact 128-bit" contract must hold end-to-end
+    val statRows = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("n"), sum($"c".cast(dec)).as("sm"),
+      sum($"c".cast(dec) * $"c".cast(dec)).as("ss"),
+      max(abs($"c")).as("cmax")).collect()
+    statRows.foreach { r =>
+      val (t, n, cmax) = (r.getString(0), r.getLong(1), r.getLong(4))
+      require(outlierBoundOk(n, cmax),
+        s"events_outliers: type '$t' (n=$n, max|cents|=$cmax) exceeds the " +
+          "decimal(38,0) bound 4*cmax^2*n^3 < 1e38; pre-aggregate or use doubles")
+    }
+    s.createDataFrame(
+      java.util.Arrays.asList(statRows.map(r => org.apache.spark.sql.Row(
+        r.get(0), r.get(1), r.get(2), r.get(3))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sm",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)),
+        org.apache.spark.sql.types.StructField("ss",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))))
+  }
+
+  /** the stateless flag pass: cents frame × broadcast stats → rows
+    * beyond 2 sample σ of their type mean, in exact 128-bit integer
+    * arithmetic. `ev` may be a STREAMING frame — the join is
+    * stream-static, the filter per-row, so this is the production
+    * anomaly monitor shape (EventOutlierStreamSpec proves stream ≡
+    * batch). */
+  private[graft] def outlierFlag(ev: DataFrame, st: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val dev = ($"c".cast(dec) * $"n".cast(dec)) - $"sm".cast(dec)
+    val lhs = dev * dev * ($"n" - 1).cast(dec)
+    val rhs = lit(4).cast(dec) * $"n".cast(dec) *
+      ($"n".cast(dec) * $"ss".cast(dec) - $"sm".cast(dec) * $"sm".cast(dec))
+    ev.join(broadcast(st), "event_type")
+      .filter(lhs > rhs)
+      .select($"event_id", $"event_type", $"value")
+  }
+
   val eventOutliers: Q = Q(
     "events_outliers",
     (s, dir) => {
       import s.implicits._
-      val dec = "decimal(38,0)"
-      val ev = Tables.load(s, dir, "events")
-        .select($"event_id", $"event_type", $"value",
-          round($"value" * 100).cast("long").as("c"))
-      // sums in decimal(38,0): a long Σc² overflows past ~9e6 events/type
-      // at $10k values — the "exact 128-bit" contract must hold end-to-end
-      val statRows = ev.groupBy($"event_type").agg(
-        count(lit(1)).as("n"), sum($"c".cast(dec)).as("sm"),
-        sum($"c".cast(dec) * $"c".cast(dec)).as("ss"),
-        max(abs($"c")).as("cmax")).collect()
-      statRows.foreach { r =>
-        val (t, n, cmax) = (r.getString(0), r.getLong(1), r.getLong(4))
-        require(outlierBoundOk(n, cmax),
-          s"events_outliers: type '$t' (n=$n, max|cents|=$cmax) exceeds the " +
-            "decimal(38,0) bound 4*cmax^2*n^3 < 1e38; pre-aggregate or use doubles")
-      }
-      val st = s.createDataFrame(
-        java.util.Arrays.asList(statRows.map(r => org.apache.spark.sql.Row(
-          r.get(0), r.get(1), r.get(2), r.get(3))): _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sm",
-            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)),
-          org.apache.spark.sql.types.StructField("ss",
-            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))))
-      val dev = ($"c".cast(dec) * $"n".cast(dec)) - $"sm".cast(dec)
-      val lhs = dev * dev * ($"n" - 1).cast(dec)
-      val rhs = lit(4).cast(dec) * $"n".cast(dec) *
-        ($"n".cast(dec) * $"ss".cast(dec) - $"sm".cast(dec) * $"sm".cast(dec))
-      ev.join(broadcast(st), "event_type")
-        .filter(lhs > rhs)
-        .select($"event_id", $"event_type", $"value")
-        .orderBy($"event_id")
+      val ev = outlierCents(Tables.load(s, dir, "events"))
+      val st = outlierStatsFrame(s, ev)
+      outlierFlag(ev, st).orderBy($"event_id")
     },
     Some("""
       WITH ev AS (

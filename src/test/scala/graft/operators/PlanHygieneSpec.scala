@@ -307,4 +307,41 @@ class PlanHygieneSpec extends SparkSuite {
         s"raw text crossed an exchange: ${e.output.map(_.name)}")
     }
   }
+  test("dedup_normalized: one hash aggregation on the digest; raw text never shuffles") {
+    val p = plan("dedup_normalized")
+    assert(p.contains("HashAggregate"), "normalization must feed a hash aggregation")
+    val df = graft.SparkEntry.queries("dedup_normalized")(spark, sf0001)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"raw text crossed an exchange: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("corpus_interleave: source index broadcast onto the ranked corpus") {
+    val p = plan("corpus_interleave")
+    assert(p.contains("BroadcastHashJoin"), "source-index join must broadcast")
+    assert(p.contains("Window"), "per-source rank must be a window, not a global sort")
+  }
+
+  test("keyword extract: idf table broadcast, per-doc top-3 pruned map-side") {
+    val p = plan("text_keyword_extract")
+    assert(p.contains("BroadcastHashJoin"), "idf join must broadcast the vocab table")
+    assert(p.contains("WindowGroupLimit"), "doc top-3 must prune below the exchange")
+  }
+
+  test("ood filter: centroids broadcast; the embedding corpus joins without shuffling") {
+    val p = plan("vector_ood_filter")
+    assert(p.contains("BroadcastHashJoin"), "centroid join must broadcast")
+    val df = graft.SparkEntry.queries("vector_ood_filter")(spark, sf0001)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // centroid partial-agg exchange (tiny, label-keyed) + the output
+    // range sort: the corpus-sized scoring path itself must not add one
+    assert(shuffles.size <= 2, s"unexpected exchanges: ${shuffles.size}")
+  }
+
 }
