@@ -109,6 +109,8 @@ object SparkEntry {
     // round 9: normalization-aware exact dedup, source-interleaved
     // training order, per-doc TF-IDF keywords, embedding-space OOD gate
     "dedup_normalized", "corpus_interleave", "text_keyword_extract",
-    "vector_ood_filter"
+    "vector_ood_filter",
+    // round 9: vocabulary-coverage curve, annealed epoch mixture schedule
+    "text_vocab_coverage", "mix_epochs"
   )
 }

@@ -1420,6 +1420,70 @@ object Pipeline {
     tokenBudget.oracle
   )
 
+  /** ANNEALED MIXTURE SCHEDULE: a per-EPOCH training-mix manifest that
+    * interpolates linearly from a balanced mix (epoch 0: every source
+    * downsampled to the smallest source's size, rate nmin/n_s — equal
+    * exposure while the model is fresh) to the natural distribution
+    * (final epoch: rate 1) — the data-schedule counterpart of
+    * [[mixTemperature]]'s static α-rule. Epoch e of E keeps source s
+    * at rate (nmin·(E−1−e) + n_s·e) / (n_s·(E−1)), selection
+    * content-addressed per epoch (md5("e:doc_id") prefix), the rate
+    * rendered as an EXACT integer 2³² threshold in decimal(38,0)/
+    * HUGEINT (the [[mixToTarget]] overflow rule) so both engines agree
+    * bit-for-bit at any corpus size.
+    *
+    * Scale shape: per-source count agg (tiny) × E epochs → broadcast
+    * threshold table; the corpus scan joins it on source and filters
+    * per-row — no corpus shuffle, the E-fold row expansion exists only
+    * in the filtered output stream. */
+  val mixEpochs: Q = Q(
+    "mix_epochs",
+    (s, dir) => {
+      import s.implicits._
+      val epochs = 3
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.groupBy($"source").agg(count(lit(1)).as("n"))
+      val nmin = counts.agg(min($"n").as("nmin"))
+      val thr = counts.crossJoin(broadcast(nmin))
+        .select($"source", $"n", $"nmin",
+          explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+        .withColumn("thr_hex",
+          lpad(lower(hex(least(
+            expr(s"(CAST(nmin AS DECIMAL(38,0)) * (${epochs - 1} - epoch)" +
+              s" + CAST(n AS DECIMAL(38,0)) * epoch) * 4294967296" +
+              s" div (n * ${epochs - 1})"),
+            lit(4294967295L)))), 8, "0"))
+        .select($"epoch", $"source", $"thr_hex")
+      d.select($"doc_id", $"source")
+        .join(broadcast(thr), Seq("source"))
+        .withColumn("pfx",
+          substring(md5(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string"))), 1, 8))
+        .filter($"pfx" < $"thr_hex")
+        .select($"epoch".cast("long").as("epoch"), $"doc_id", $"source")
+        .orderBy($"epoch", $"doc_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+      ),
+      nm AS (SELECT MIN(n) AS nmin FROM c),
+      t AS (
+        SELECT e.e AS epoch, c.source,
+               lpad(lower(hex(LEAST(
+                 CAST((CAST(nmin AS HUGEINT) * (2 - e.e)
+                       + CAST(n AS HUGEINT) * e.e) * 4294967296
+                      // (CAST(n AS HUGEINT) * 2) AS BIGINT),
+                 4294967295))), 8, '0') AS thr_hex
+        FROM c, nm, (SELECT unnest(range(3)) AS e) e
+      )
+      SELECT CAST(t.epoch AS BIGINT) AS epoch, d.doc_id, d.source
+      FROM documents d JOIN t ON d.source = t.source
+      WHERE substring(md5(CAST(t.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+            < t.thr_hex
+      ORDER BY epoch, d.doc_id
+    """)
+  )
+
   /** SOURCE-INTERLEAVED training order: the deterministic "don't feed
     * the model an hour of one crawl then an hour of the next" ordering
     * — documents of the S sources are round-robined so any contiguous
@@ -1484,6 +1548,6 @@ object Pipeline {
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
-      mixTemperature, mixToTarget, ragRetrieve, corpusShuffle, corpusInterleave, retention,
+      mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, retention,
       snapshotDiff, eventsSequences, eventsMarkov, tokenBudget, tokenBudget2Phase)
 }

@@ -860,8 +860,64 @@ object TextAnalysis {
     """)
   )
 
+  /** VOCABULARY COVERAGE curve: what fraction of the corpus's token
+    * mass the top-k most frequent terms cover, at k ∈ {10, 100, 1000} —
+    * the tokenizer-sizing / OOV-budget diagnostic (how big must the
+    * vocab be before coverage plateaus). Entirely integer arithmetic
+    * (cumulative counts + ppm integer division), so the oracle is
+    * exact.
+    *
+    * Scale shape: one term-keyed exchange with map-side combine builds
+    * the frequency table; the rank window then runs over the VOCAB
+    * frame, not the corpus — bounded by distinct terms, which is the
+    * quantity this diagnostic exists to measure (production truncates
+    * to top-max(k) via TakeOrdered first, making the windowed frame
+    * O(k)). */
+  val vocabCoverage: Q = Q(
+    "text_vocab_coverage",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir)
+        .select(explode(TextFns.tokens($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy($"cnt".desc, $"term")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = tf.agg(sum($"cnt").as("total"), count(lit(1)).as("vocab"))
+      tf.withColumn("rk", row_number().over(Window.orderBy($"cnt".desc, $"term")))
+        .withColumn("cum", sum($"cnt").over(w))
+        .filter($"rk".isin(10, 100, 1000))
+        .crossJoin(broadcast(tot))
+        .select($"rk".cast("long").as("k"), $"cum".as("covered_tokens"),
+          $"total".as("total_tokens"), $"vocab".as("vocab_size"),
+          expr("(cum * 1000000L) div total").cast("long").as("coverage_ppm"))
+        .orderBy($"k")
+    },
+    Some("""
+      WITH t AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        FROM documents
+      ),
+      tf AS (SELECT term, COUNT(*) cnt FROM t GROUP BY 1),
+      tot AS (SELECT SUM(cnt) total, COUNT(*) vocab FROM tf),
+      r AS (
+        SELECT term, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, term) rk,
+               SUM(cnt) OVER (ORDER BY cnt DESC, term
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+        FROM tf
+      )
+      SELECT CAST(rk AS BIGINT) AS k, CAST(cum AS BIGINT) AS covered_tokens,
+             CAST(total AS BIGINT) AS total_tokens, CAST(vocab AS BIGINT) AS vocab_size,
+             CAST(cum * 1000000 // total AS BIGINT) AS coverage_ppm
+      FROM r, tot
+      WHERE rk IN (10, 100, 1000)
+      ORDER BY k
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(tokenCount, quality, qualityClassifier, langId, fingerprintQ, topTerms,
       bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons,
-      unigramLogprob, invertedIndex, piiRedact, keywordExtract)
+      unigramLogprob, invertedIndex, piiRedact, keywordExtract, vocabCoverage)
 }

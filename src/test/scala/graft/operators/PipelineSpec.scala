@@ -580,4 +580,42 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("mix_epochs: exact threshold recompute; epoch 0 balanced, final epoch ~everything") {
+    import spark.implicits._
+    val got = Pipeline.mixEpochs.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nmin = n.values.min
+    def thrHex(src: String, e: Int): String = {
+      val t = (BigInt(nmin) * (2 - e) + BigInt(n(src)) * e) * BigInt(4294967296L) /
+        (BigInt(n(src)) * 2)
+      f"${t.min(BigInt(4294967295L)).toLong}%08x"
+    }
+    val want = (for {
+      e <- 0 until 3
+      (id, src) <- docs
+      if md5(s"$e:$id").substring(0, 8) < thrHex(src, e)
+    } yield (e.toLong, id, src)).toSet
+    assert(got == want)
+    // epoch 0 is balanced: every source contributes ~nmin (binomial noise)
+    val e0 = got.filter(_._1 == 0L).toSeq.groupBy(_._3).view.mapValues(_.size.toLong)
+    e0.foreach { case (src, k) =>
+      assert(math.abs(k - nmin) <= 4 * math.sqrt(nmin.toDouble),
+        s"epoch 0 of $src kept $k, want ~$nmin")
+    }
+    // final epoch keeps everything except the 2^-32 ffffffff edge
+    val e2 = got.count(_._1 == 2L)
+    assert(e2 == docs.length, s"final epoch kept $e2 of ${docs.length}")
+    // the anneal is strict: each source's kept count is non-decreasing in epoch
+    n.keys.foreach { src =>
+      val per = (0 until 3).map(e => got.count(t => t._1 == e && t._3 == src))
+      assert(per == per.sorted, s"$src anneal not monotone: $per")
+    }
+  }
+
 }

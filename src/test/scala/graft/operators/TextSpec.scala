@@ -260,4 +260,22 @@ class TextSpec extends SparkSuite {
       "every fixture doc is long enough for 3 keywords")
   }
 
+  test("vocab coverage: exact integer curve at each k, monotone, vocab-consistent") {
+    import spark.implicits._
+    val got = TextAnalysis.vocabCoverage.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val toks = graft.Tables.load(spark, sf0001, "documents")
+      .select($"text").collect().flatMap(_.getString(0).split(' ').filter(_.nonEmpty))
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ranked = tf.toSeq.sortBy { case (t, c) => (-c, t) }
+    val total = toks.length.toLong
+    val want = Seq(10, 100, 1000).filter(_ <= ranked.length).map { k =>
+      val cum = ranked.take(k).map(_._2).sum
+      (k.toLong, cum, total, ranked.length.toLong, cum * 1000000L / total)
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.nonEmpty && got.map(_._2).toSeq == got.map(_._2).sorted.toSeq,
+      "coverage must be monotone in k")
+  }
+
 }
