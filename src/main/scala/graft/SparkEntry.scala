@@ -111,6 +111,9 @@ object SparkEntry {
     "dedup_normalized", "corpus_interleave", "text_keyword_extract",
     "vector_ood_filter",
     // round 9: vocabulary-coverage curve, annealed epoch mixture schedule
-    "text_vocab_coverage", "mix_epochs"
+    "text_vocab_coverage", "mix_epochs",
+    // round 9: incremental label refresh — re-label only the components
+    // the snapshot diff touches, carry every other label over verbatim
+    "dedup_labels_incremental"
   )
 }

@@ -72,6 +72,26 @@ class BandCoverageSpec extends SparkSuite {
     }
   }
 
+  test("band candidates cover the exact pair set of the REVISED v2 snapshot " +
+      "(dedup_labels_incremental's full-relabel oracle)") {
+    dirs.foreach { dir =>
+      val d = Tables.load(spark, dir, "documents")
+      val bk = substring(md5($"doc_id".cast("string")), 1, 1)
+      val v2 = d.filter(!bk.isin("0", "f", "1", "2")).select($"doc_id", $"text")
+        .unionAll(d.filter(bk.isin("f", "1", "2"))
+          .select($"doc_id",
+            when(bk.isin("1", "2"), concat($"text", lit(" rev2")))
+              .otherwise($"text").as("text")))
+      val exact = exactSelfPairs(v2)
+      assert(exact.nonEmpty, s"$dir: v2 snapshot should contain near-dups")
+      val missed = exact -- bandSelfCandidates(v2)
+      assert(missed.isEmpty,
+        s"$dir: v2 qualifying pairs missed by the banding: $missed — " +
+          "dedup_labels_incremental will hash-mismatch its exact oracle " +
+          "(band miss, not a code bug).")
+    }
+  }
+
   test("cross-snapshot band candidates cover the exact v1-vs-fresh pair set " +
       "(dedup_snapshot_neardup)") {
     dirs.foreach { dir =>

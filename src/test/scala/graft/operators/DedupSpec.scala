@@ -672,4 +672,42 @@ class DedupSpec extends SparkSuite {
       "fixture drift: raw hashing already groups the re-crawl")
   }
 
+  test("incremental label refresh equals a full v2 relabeling, and the affected " +
+      "slice is a strict minority") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val bk = substring(md5($"doc_id".cast("string")), 1, 1)
+    val fresh = d.filter(bk.isin("f", "1", "2"))
+      .select($"doc_id",
+        when(bk.isin("1", "2"), concat($"text", lit(" rev2")))
+          .otherwise($"text").as("text"))
+    val v2 = d.filter(!bk.isin("0", "f", "1", "2"))
+      .select($"doc_id", $"text").unionAll(fresh).localCheckpoint()
+    // ground truth: band-pair + star-CC the WHOLE v2 snapshot
+    val (lab, _) = Dedup.connectedComponentsStar(
+      spark, Dedup.neardupPairs(spark, v2).select($"d1", $"d2"))
+    val labMap = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = v2.select($"doc_id").collect().map(_.getLong(0))
+      .map(id => id -> labMap.getOrElse(id, id)).toMap
+    val got = Dedup.labelsIncremental.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet).take(5)} / ${(want.toSet diff got.toSet).take(5)}")
+    // the refresh must have something to carry over AND something to redo
+    val dirtyOrNew = v2.filter(bk.isin("f", "1", "2")).count()
+    assert(dirtyOrNew > 0 && dirtyOrNew < got.size / 2,
+      s"fixture: fresh slice $dirtyOrNew of ${got.size} can't demonstrate carry-over")
+    // labels that survived from v1 must be bit-identical to the v1 table
+    val v1 = d.filter(bk =!= "f").select($"doc_id", $"text")
+    val (lab1, _) = Dedup.connectedComponentsStar(
+      spark, Dedup.neardupPairs(spark, v1).select($"d1", $"d2"))
+    val lab1Map = lab1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v1Ids = v1.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val carried = got.count { case (id, l) =>
+      v1Ids.contains(id) && lab1Map.getOrElse(id, id) == l }
+    assert(carried > got.size / 2,
+      s"only $carried of ${got.size} labels carried over on a ~3/16 diff")
+  }
+
 }
