@@ -344,4 +344,15 @@ class PlanHygieneSpec extends SparkSuite {
     assert(shuffles.size <= 2, s"unexpected exchanges: ${shuffles.size}")
   }
 
+  test("mix_epochs: epoch-threshold table broadcast; the corpus never shuffles") {
+    val p = plan("mix_epochs")
+    assert(p.contains("BroadcastHashJoin"), "threshold join must broadcast")
+    val df = graft.SparkEntry.queries("mix_epochs")(spark, sf0001)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // per-source count partial agg (tiny) + the output range sort only
+    assert(shuffles.size <= 2, s"unexpected exchanges: ${shuffles.size}")
+  }
+
 }
