@@ -114,6 +114,9 @@ object SparkEntry {
     "text_vocab_coverage", "mix_epochs",
     // round 9: incremental label refresh — re-label only the components
     // the snapshot diff touches, carry every other label over verbatim
-    "dedup_labels_incremental"
+    "dedup_labels_incremental",
+    // round 9: corpus-drift monitor (unigram JSD between snapshot
+    // versions) and RFM behavioral segmentation
+    "text_jsd_drift", "events_rfm"
   )
 }

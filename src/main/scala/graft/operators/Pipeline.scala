@@ -1484,6 +1484,75 @@ object Pipeline {
     """)
   )
 
+  /** RFM SEGMENTATION over the event log: per-user Recency (days since
+    * last event, against the corpus clock), Frequency (event count)
+    * and Monetary (exact cent sum), each cut into terciles, plus the
+    * 27-cell "rfm" segment string — the classic behavioral cohort
+    * model (and the labeling a behavior-LM pipeline conditions on).
+    * All three metrics are exact integers; the tercile cut is NTILE(3)
+    * over a DETERMINISTIC total order (metric, user_id), which both
+    * engines implement per the SQL spec, so the oracle is exact with
+    * no float anywhere.
+    *
+    * Scale shape: one user_id-keyed aggregation (map-side combined)
+    * reduces the log to a row per user; the NTILE windows then rank
+    * the per-user frame, not the event log — for a corpus whose USER
+    * count also breaks the single-partition window, the cut values
+    * take the [[tokenPercentilesBinned]] two-phase histogram treatment
+    * (recency and frequency are small-integer keys by nature). */
+  val eventsRfm: Q = Q(
+    "events_rfm",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"ts", round($"value" * 100).cast("long").as("c"))
+      val ref = ev.agg(max($"ts").as("ref"))
+      val perUser = ev.groupBy($"user_id").agg(
+        max($"ts").as("last_ts"), count(lit(1)).as("frequency"),
+        sum($"c").as("monetary_cents"))
+        .crossJoin(broadcast(ref))
+        .select($"user_id",
+          expr("(unix_micros(ref) - unix_micros(last_ts)) div 86400000000L")
+            .as("recency_days"),
+          $"frequency", $"monetary_cents")
+      perUser
+        .withColumn("r_bin", ntile(3).over(Window.orderBy($"recency_days", $"user_id")))
+        .withColumn("f_bin", ntile(3).over(Window.orderBy($"frequency".desc, $"user_id")))
+        .withColumn("m_bin", ntile(3).over(Window.orderBy($"monetary_cents".desc, $"user_id")))
+        .select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
+          $"r_bin", $"f_bin", $"m_bin",
+          concat($"r_bin", $"f_bin", $"m_bin").as("segment"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) c
+        FROM events
+      ),
+      ref AS (SELECT MAX(ts) AS ref FROM ev),
+      u AS (
+        SELECT user_id,
+               (epoch_us(ref) - epoch_us(MAX(ts))) // 86400000000 AS recency_days,
+               COUNT(*) AS frequency, SUM(c) AS monetary_cents
+        FROM ev, ref
+        GROUP BY user_id, ref
+      )
+      SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency,
+             CAST(monetary_cents AS BIGINT) AS monetary_cents,
+             CAST(NTILE(3) OVER (ORDER BY recency_days, user_id) AS INT) AS r_bin,
+             CAST(NTILE(3) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_bin,
+             CAST(NTILE(3) OVER (ORDER BY monetary_cents DESC, user_id) AS INT) AS m_bin,
+             CAST(NTILE(3) OVER (ORDER BY recency_days, user_id) AS VARCHAR)
+               || CAST(NTILE(3) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR)
+               || CAST(NTILE(3) OVER (ORDER BY monetary_cents DESC, user_id) AS VARCHAR)
+               AS segment
+      FROM u
+      ORDER BY user_id
+    """)
+  )
+
   /** SOURCE-INTERLEAVED training order: the deterministic "don't feed
     * the model an hour of one crawl then an hour of the next" ordering
     * — documents of the S sources are round-robined so any contiguous
@@ -1548,6 +1617,6 @@ object Pipeline {
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
-      mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, retention,
+      mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, retention, eventsRfm,
       snapshotDiff, eventsSequences, eventsMarkov, tokenBudget, tokenBudget2Phase)
 }

@@ -916,8 +916,108 @@ object TextAnalysis {
     """)
   )
 
+  /** CORPUS DRIFT between snapshot versions: per-term Jensen-Shannon
+    * divergence contributions of the v1→v2 unigram distributions (the
+    * [[graft.operators.Pipeline]] snapshot-diff derivation) — the
+    * "did this refresh change what the corpus is made of" monitor a
+    * versioned training pipeline runs before promoting a snapshot;
+    * the top drifted terms name WHAT moved, the total says how much.
+    *
+    * Parity: each term's closed-form JSD contribution
+    * ½p·ln(2p/(p+q)) + ½q·ln(2q/(p+q)) is evaluated with an
+    * IDENTICAL expression shape on both engines and nano-rounded ONCE
+    * per term (the [[bm25]] discipline, at 1e9 for headroom); the
+    * total is then an exact integer sum — order-independent.
+    *
+    * Scale shape: two term-frequency aggs (map-side combined, the
+    * diff's derivation reads each snapshot once), one full-outer join
+    * on the term key (vocabulary-sized, NOT corpus-sized), and a
+    * TakeOrdered top-20 — nothing corpus-scale crosses the wire after
+    * the tf aggs. */
+  val jsdDrift: Q = Q(
+    "text_jsd_drift",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val bk = substring(md5($"doc_id".cast("string")), 1, 1)
+      def tf(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(TextFns.tokens($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("c"))
+      val v1tf = tf(d.filter(bk =!= "f").select($"text"))
+      val v2tf = tf(d.filter(bk =!= "0")
+        .select(when(bk.isin("1", "2"), concat($"text", lit(" rev2")))
+          .otherwise($"text").as("text")))
+      val joined = v1tf.withColumnRenamed("c", "c1")
+        .join(v2tf.withColumnRenamed("c", "c2"), Seq("term"), "full_outer")
+        .select($"term", coalesce($"c1", lit(0L)).as("c1"),
+          coalesce($"c2", lit(0L)).as("c2"))
+        .localCheckpoint()   // scanned by the totals AND the scoring pass
+      val tot = joined.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+      val scored = joined.crossJoin(broadcast(tot))
+        .withColumn("p", $"c1".cast("double") / $"n1".cast("double"))
+        .withColumn("q", $"c2".cast("double") / $"n2".cast("double"))
+        .withColumn("contrib_nano", round((
+          when($"c1" > 0, $"p" * log(lit(2.0) * $"p" / ($"p" + $"q")) * 0.5).otherwise(0.0) +
+          when($"c2" > 0, $"q" * log(lit(2.0) * $"q" / ($"p" + $"q")) * 0.5).otherwise(0.0)
+        ) * 1e9).cast("long"))
+        .localCheckpoint()   // scanned by the total AND the top-k
+      val jsd = scored.agg(sum($"contrib_nano").as("jsd_total_nano"))
+      scored.orderBy($"contrib_nano".desc, $"term").limit(20)
+        .crossJoin(broadcast(jsd))
+        .select($"term", $"c1", $"c2", $"contrib_nano", $"jsd_total_nano")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bk
+        FROM documents
+      ),
+      t1 AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        FROM d WHERE bk <> 'f'
+      ),
+      t2 AS (
+        SELECT unnest(list_filter(string_split(
+                 CASE WHEN bk IN ('1', '2') THEN text || ' rev2' ELSE text END,
+                 ' '), x -> x <> '')) term
+        FROM d WHERE bk <> '0'
+      ),
+      f1 AS (SELECT term, COUNT(*) c1 FROM t1 GROUP BY 1),
+      f2 AS (SELECT term, COUNT(*) c2 FROM t2 GROUP BY 1),
+      j AS (
+        SELECT COALESCE(f1.term, f2.term) term,
+               COALESCE(c1, 0) c1, COALESCE(c2, 0) c2
+        FROM f1 FULL OUTER JOIN f2 ON f1.term = f2.term
+      ),
+      tot AS (SELECT SUM(c1) n1, SUM(c2) n2 FROM j),
+      sc AS (
+        SELECT term, c1, c2,
+               CAST(ROUND((
+                 CASE WHEN c1 > 0
+                   THEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        * ln(2.0 * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                             / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                                + (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))) * 0.5
+                   ELSE 0.0 END +
+                 CASE WHEN c2 > 0
+                   THEN (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                        * ln(2.0 * (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                             / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                                + (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))) * 0.5
+                   ELSE 0.0 END
+               ) * 1e9) AS BIGINT) AS contrib_nano
+        FROM j, tot
+      ),
+      total AS (SELECT SUM(contrib_nano) jsd_total_nano FROM sc)
+      SELECT term, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+             contrib_nano, CAST(jsd_total_nano AS BIGINT) AS jsd_total_nano
+      FROM (SELECT * FROM sc ORDER BY contrib_nano DESC, term LIMIT 20), total
+      ORDER BY contrib_nano DESC, term
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(tokenCount, quality, qualityClassifier, langId, fingerprintQ, topTerms,
       bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons,
-      unigramLogprob, invertedIndex, piiRedact, keywordExtract, vocabCoverage)
+      unigramLogprob, invertedIndex, piiRedact, keywordExtract, vocabCoverage,
+      jsdDrift)
 }

@@ -618,4 +618,32 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("events_rfm: exact metric recompute; terciles balanced and order-consistent") {
+    import spark.implicits._
+    val got = Pipeline.eventsRfm.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "cast(round(value*100) as long) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = ev.map(_._2).max
+    val want = ev.groupBy(_._1).map { case (u, g) =>
+      u -> ((ref - g.map(_._2).max) / 86400000000L, g.length.toLong, g.map(_._3).sum)
+    }
+    got.foreach { case (u, rd, f, m, rb, fb, mb, seg) =>
+      assert(want(u) == ((rd, f, m)), s"user $u metrics ${(rd, f, m)} != ${want(u)}")
+      assert(seg == s"$rb$fb$mb")
+      assert(Seq(rb, fb, mb).forall(b => b >= 1 && b <= 3))
+    }
+    // terciles are balanced within 1 (NTILE contract) on every axis
+    Seq(got.map(_._5), got.map(_._6), got.map(_._7)).foreach { bins =>
+      val sizes = bins.groupBy(identity).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced terciles: $sizes")
+    }
+    // bin order follows metric order: a strictly more recent user never
+    // lands in a worse recency bin
+    val byR = got.sortBy(t => (t._2, t._1)).map(_._5)
+    assert(byR.toSeq == byR.sorted.toSeq, "r_bin not monotone in recency order")
+  }
+
 }

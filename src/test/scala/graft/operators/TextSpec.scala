@@ -278,4 +278,19 @@ class TextSpec extends SparkSuite {
       "coverage must be monotone in k")
   }
 
+  test("jsd drift: total is the sum of per-term contributions; revision terms dominate") {
+    val rows = TextAnalysis.jsdDrift.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 20)
+    val total = rows.head._5
+    assert(rows.forall(_._5 == total), "every row must carry the same total")
+    assert(total > 0, "a 3/16 revision must register positive drift")
+    // the planted revision token is the single largest driver: 'rev2'
+    // exists only in v2, so its one-sided KL term dominates
+    assert(rows.head._1 == "rev2", s"top drifted term was ${rows.head._1}")
+    assert(rows.head._2 == 0L && rows.head._3 > 0L)
+    // contributions are emitted in rank order and each is <= the top
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.reverse.toSeq)
+  }
+
 }
