@@ -24,6 +24,14 @@ import graft.operators.Q
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // routes through a created-then-deleted temp file, which serializes
+  // 32 decode threads behind filesystem latency (measured: same-code
+  // image-dedup runs varied 8-24 s run to run). Memory-backed streams
+  // take the filesystem out of the decode hot path entirely. Loaded
+  // with the object, so executors referencing any kernel get it too.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** typed per-row media features (what the decoder emits). */
   final case class MediaFeatures(
       doc_id: Long, width: Int, height: Int, channels: Int, mean_byte: Double)

@@ -47,11 +47,18 @@ object CCPropertySpec extends Properties("StarCC") {
       }
       val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
       val want = verts.map(v => v -> find(v)).toMap
-      val (lab, rounds) = Dedup.connectedComponentsStar(
+      // default dial: these graphs take the driver union-find fast path
+      val (labFast, roundsFast) = Dedup.connectedComponentsStar(
         spark, edges.toDF("x", "y"))
-      val got = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val ok = got == want
-      if (!ok) println(s"[ccprop] edges=$edges\n  got=$got\n  want=$want")
+      val gotFast = labFast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // threshold 0: force the DISTRIBUTED contraction on the same graph
+      spark.conf.set("graft.dedup.cc.localEdgeThreshold", "0")
+      val (labDist, rounds) =
+        try Dedup.connectedComponentsStar(spark, edges.toDF("x", "y"))
+        finally spark.conf.unset("graft.dedup.cc.localEdgeThreshold")
+      val gotDist = labDist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ok = gotFast == want && gotDist == want && roundsFast == 0
+      if (!ok) println(s"[ccprop] edges=$edges\n  fast=$gotFast\n  dist=$gotDist\n  want=$want")
       // rounds must stay in the contraction class, not the diameter class
       ok && rounds <= 25
     }

@@ -112,7 +112,12 @@ class DedupSpec extends SparkSuite {
     // star contraction must fold it in ~2·log2(1024) ≈ 20.
     val n = 1024L
     val chain = (0L until n).map(i => (i, i + 1)).toDF("x", "y")
-    val (lab, rounds) = Dedup.connectedComponentsStar(spark, chain)
+    // the DISTRIBUTED contraction is what this test pins — disable the
+    // small-graph driver fast path for its duration
+    spark.conf.set("graft.dedup.cc.localEdgeThreshold", "0")
+    val (lab, rounds) =
+      try Dedup.connectedComponentsStar(spark, chain)
+      finally spark.conf.unset("graft.dedup.cc.localEdgeThreshold")
     assert(rounds <= 20, s"took $rounds rounds — not contracting")
     val got = lab.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == n + 1)
@@ -137,9 +142,11 @@ class DedupSpec extends SparkSuite {
       .localCheckpoint() // same input frame to both runs
     val dir = java.nio.file.Files.createTempDirectory("graft-ccreliable").toString
     try {
+      spark.conf.set("graft.dedup.cc.localEdgeThreshold", "0")
       val (defaultLab, _) = Dedup.connectedComponentsStar(spark, pairs)
       val (reliableLab, _) =
-        Dedup.connectedComponentsStar(spark, pairs, reliableCheckpointDir = Some(dir))
+        try Dedup.connectedComponentsStar(spark, pairs, reliableCheckpointDir = Some(dir))
+        finally spark.conf.unset("graft.dedup.cc.localEdgeThreshold")
       val want = defaultLab.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val got = reliableLab.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
