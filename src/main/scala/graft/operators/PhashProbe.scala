@@ -1,5 +1,14 @@
 package graft.operators
 import org.apache.spark.sql.{SparkSession, functions => F}
+
+/** Stage-by-stage profiler for the image near-dup pipeline — the probe
+  * that located the round-9 fixed-overhead findings: decode cost was
+  * ImageIO's disk-backed stream cache (temp file per image), and CC
+  * cost was per-round scheduler overhead on a 127-vertex contracted
+  * hash graph (~1.5 s/round), which motivated the size-guarded driver
+  * union-find fast path. Kept as a runnable tool: re-run after any
+  * change to the decode kernel or `connectedComponentsStar` to see
+  * where the wall-clock actually goes. */
 object PhashProbe {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"
