@@ -2135,12 +2135,19 @@ object Dedup {
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select($"doc_id", $"text")
         .localCheckpoint() // both sides of the text join
+      // BANDED verify: the keep rule 5·d ≤ max_len means any distance
+      // past ⌊max_len/5⌋ is discarded anyway, so the DP only needs the
+      // ±k diagonal band — levenshtein's threshold form computes
+      // O(n·k) instead of O(n²) and returns −1 past the band, which is
+      // exactly the filter. Output is bit-identical to the full-DP
+      // form (the oracle keeps the unbanded formulation).
       verified
         .join(txt.select($"doc_id".as("d1"), $"text".as("t1")), "d1")
         .join(txt.select($"doc_id".as("d2"), $"text".as("t2")), "d2")
-        .withColumn("edit_dist", levenshtein($"t1", $"t2"))
         .withColumn("max_len", greatest(length($"t1"), length($"t2")))
-        .filter($"edit_dist" * 5 <= $"max_len")
+        .withColumn("edit_dist",
+          expr("levenshtein(t1, t2, cast(max_len div 5 as int))"))
+        .filter($"edit_dist" >= 0)
         .select($"d1", $"d2", $"edit_dist".cast("long").as("edit_dist"),
           $"max_len".cast("long").as("max_len"))
         .orderBy($"d1", $"d2")
