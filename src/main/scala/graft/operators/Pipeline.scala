@@ -1271,28 +1271,51 @@ object Pipeline {
     * content hash, per-shard prefix sums + broadcast shard offsets);
     * the fixture's per-lang groups make the single-exchange form the
     * right plan here. */
+  /** the single-window (reference) form of the greedy budget selection
+    * over a prepared (doc_id, lang, n_tokens, rank_key) frame — split
+    * out so BudgetPropertySpec can drive BOTH selection plans over
+    * arbitrary generated corpora, not just the fixture. */
+  private[graft] def budgetSelectGlobal(base: DataFrame, budget: Long): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang")
+      .orderBy($"rank_key".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= budget)
+      .select($"doc_id", $"lang", $"n_tokens", $"rank_key", $"cum_tokens")
+      .orderBy($"doc_id")
+  }
+
+  /** phase 3 of the histogram-cut form over a prepared frame (phases
+    * 1–2 are [[budgetHistCuts]]). */
+  private[graft] def budgetSelect2Phase(base: DataFrame, budget: Long): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (hist, cuts) = budgetHistCuts(base, budget)
+    val wCut = Window.partitionBy($"lang", $"rank_key")
+      .orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = base.join(broadcast(cuts), Seq("lang"))
+    val above = joined.filter($"rank_key" > $"cut_key")
+      .withColumn("cum_in_group", sum($"n_tokens").over(wCut))
+    val boundary = joined.filter($"rank_key" === $"cut_key")
+      .withColumn("cum_in_group", sum($"n_tokens").over(wCut))
+      .filter($"cum_in_group" <= $"residual")
+    val histKeyed = hist.select($"lang", $"rank_key", $"before")
+    above.unionByName(boundary)
+      .join(broadcast(histKeyed), Seq("lang", "rank_key"))
+      .select($"doc_id", $"lang", $"n_tokens", $"rank_key",
+        ($"before" + $"cum_in_group").as("cum_tokens"))
+      .orderBy($"doc_id")
+  }
+
   val tokenBudget: Q = Q(
     "corpus_token_budget",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val budget = 2000L
-      val toks = TextFns.tokens($"text")
-      val base = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"lang",
-          size(toks).cast("long").as("n_tokens"),
-          size(array_distinct(toks)).cast("long").as("n_distinct"))
-        .filter($"n_tokens" > 0)
-        .withColumn("rank_key", expr("(n_distinct * 1000000L) div n_tokens"))
-      val w = Window.partitionBy($"lang")
-        .orderBy($"rank_key".desc, $"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base
-        .withColumn("cum_tokens", sum($"n_tokens").over(w))
-        .filter($"cum_tokens" <= budget)
-        .select($"doc_id", $"lang", $"n_tokens", $"rank_key", $"cum_tokens")
-        .orderBy($"doc_id")
-    },
+    (s, dir) => budgetSelectGlobal(budgetBase(s, dir), 2000L),
     Some("""
       WITH base AS (
         SELECT doc_id, lang,
@@ -1388,33 +1411,9 @@ object Pipeline {
 
   val tokenBudget2Phase: Q = Q(
     "corpus_token_budget_2phase",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val budget = 2000L
-      val base = budgetBase(s, dir)
-        .localCheckpoint()   // scanned by the histogram AND the final filter
-      val (hist, cuts) = budgetHistCuts(base, budget)
-      // 3. wholesale keep above the cut; residual prefix inside it
-      val wCut = Window.partitionBy($"lang", $"rank_key")
-        .orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val joined = base.join(broadcast(cuts), Seq("lang"))
-      val above = joined.filter($"rank_key" > $"cut_key")
-        .withColumn("cum_in_group", sum($"n_tokens").over(wCut))
-      val boundary = joined.filter($"rank_key" === $"cut_key")
-        .withColumn("cum_in_group", sum($"n_tokens").over(wCut))
-        .filter($"cum_in_group" <= $"residual")
-      // reconstruct the GLOBAL inclusive cumsum for output parity with
-      // the single-window form: exclusive prefix of higher groups
-      // (histogram 'before' of THIS group) + in-group inclusive cumsum
-      val histKeyed = hist.select($"lang", $"rank_key", $"before")
-      above.unionByName(boundary)
-        .join(broadcast(histKeyed), Seq("lang", "rank_key"))
-        .select($"doc_id", $"lang", $"n_tokens", $"rank_key",
-          ($"before" + $"cum_in_group").as("cum_tokens"))
-        .orderBy($"doc_id")
-    },
+    (s, dir) =>
+      // base localCheckpoint: scanned by the histogram AND the final filter
+      budgetSelect2Phase(budgetBase(s, dir).localCheckpoint(), 2000L),
     // SAME oracle as the single-window form — the two plans must agree
     // bit-for-bit on the selected set AND the cumulative positions
     tokenBudget.oracle
