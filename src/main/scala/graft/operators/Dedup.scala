@@ -1171,17 +1171,26 @@ object Dedup {
       val dirty = d.filter(bk.isin("0", "1", "2")).select($"doc_id")
         .localCheckpoint()
       // 1. fresh pairs vs the whole v2. The fresh slice is the ONLY
-      // text sketched: v2's band index = v1's persisted bands minus
-      // dirty docs (an unchanged doc's bands are version-invariant)
-      // plus the fresh bands.
+      // text sketched — and fresh×v2 factors as fresh×unchanged ∪
+      // fresh×fresh, so the persisted (b,bh)-bucketed band table is
+      // joined DIRECTLY (its bucketing intact — only the fresh side
+      // routes into the bucket layout, the BandIndexSpec discipline;
+      // unioning fresh bands into the index first would discard the
+      // bucketing and shuffle the index every refresh). An unchanged
+      // doc's bands are version-invariant, so the index needs only the
+      // broadcast anti-join against the dirty list.
       val fb = minhashBandRows(s, fresh).select($"doc_id".as("fid"), $"b", $"bh")
-        .localCheckpoint()   // joined below AND unioned into the index
-      val vb = s.table(bandsT)
-        .join(dirty, Seq("doc_id"), "left_anti")
+        .localCheckpoint()   // both factors below
+      val hb = s.table(bandsT)
+        .join(broadcast(dirty), Seq("doc_id"), "left_anti")
         .select($"doc_id".as("vid"), $"b", $"bh")
-        .unionAll(fb.select($"fid".as("vid"), $"b", $"bh"))
-      val cand = fb.join(vb, Seq("b", "bh")).filter($"fid" =!= $"vid")
+      val candOld = fb.join(hb, Seq("b", "bh"))
         .select(least($"fid", $"vid").as("d1"), greatest($"fid", $"vid").as("d2"))
+      val candFresh = fb.as("x")
+        .join(fb.select($"fid".as("fid2"), $"b", $"bh").as("y"), Seq("b", "bh"))
+        .filter($"fid" < $"fid2")
+        .select($"fid".as("d1"), $"fid2".as("d2"))
+      val cand = candOld.unionAll(candFresh)
         .distinct()
         .localCheckpoint()
       val candDocs = cand.select(explode(array($"d1", $"d2")).as("doc_id")).distinct()

@@ -717,4 +717,54 @@ class DedupSpec extends SparkSuite {
       s"only $carried of ${got.size} labels carried over on a ~3/16 diff")
   }
 
+  test("incremental refresh: the persisted band index is never shuffled") {
+    // the BandIndexSpec discipline inside dedup_labels_incremental:
+    // fresh x v2 factors as fresh x index + fresh x fresh, so the
+    // (b,bh)-bucketed v1 band table joins with its bucketing intact —
+    // only the fresh side routes into the bucket layout. A refactor
+    // that unions fresh bands into the index first (shuffling the
+    // whole index every refresh) fails here.
+    // the operator's own stage plans are hidden behind localCheckpoint
+    // barriers (lineage truncation), so compose the SAME candidate
+    // stage from the same pieces and probe its plan directly — the
+    // BandIndexSpec method.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (_, _, bandsT) = Dedup.v1LabelArtifacts(spark, sf0001)
+    val bk = substring(md5($"doc_id".cast("string")), 1, 1)
+    val d = graft.Tables.load(spark, sf0001, "documents")
+    val fresh = d.filter(bk.isin("f", "1", "2"))
+      .select($"doc_id",
+        when(bk.isin("1", "2"), concat($"text", lit(" rev2")))
+          .otherwise($"text").as("text"))
+    val dirty = d.filter(bk.isin("0", "1", "2")).select($"doc_id")
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // at fixture scale the planner rightly BROADCASTS the fresh side
+    // (zero shuffle anywhere); the claim under test is the 100 TB
+    // regime where the fresh slice exceeds broadcast — disable it so
+    // the join must exploit the index's bucket layout instead
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fb = Dedup.minhashBandRows(spark, fresh)
+        .select($"doc_id".as("fid"), $"b", $"bh")
+      val hb = spark.table(bandsT)
+        .join(broadcast(dirty), Seq("doc_id"), "left_anti")
+        .select($"doc_id".as("vid"), $"b", $"bh")
+      val stage = fb.join(hb, Seq("b", "bh"))
+        .select(least($"fid", $"vid").as("d1"), greatest($"fid", $"vid").as("d2"))
+      val plan = stage.queryExecution.executedPlan
+      val shuffledBandScan = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.child.toString.contains("graft_v1_bands") => e
+      }
+      assert(shuffledBandScan.isEmpty,
+        s"the persisted band index crossed an exchange:\n${shuffledBandScan.headOption}")
+      val planStr = plan.toString
+      assert(planStr.contains("graft_v1_bands"),
+        "stage should read the persisted band table")
+      assert(planStr.contains("SelectedBucketsCount") || planStr.contains("Bucketed: true"),
+        s"band side must be a bucketed scan:\n${planStr.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+  }
+
 }
