@@ -119,6 +119,9 @@ object SparkEntry {
     // versions) and RFM behavioral segmentation
     "text_jsd_drift", "events_rfm",
     // round 9: the audio modality — PCM byte-decode kernel + features
-    "multimodal_audio_features"
+    "multimodal_audio_features",
+    // round 9: the dedup-centric curation flagship — survivors →
+    // token budget → interleaved training order in one plan
+    "corpus_curate_order"
   )
 }

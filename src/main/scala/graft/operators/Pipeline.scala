@@ -1483,6 +1483,126 @@ object Pipeline {
     """)
   )
 
+  /** The dedup-centric curation FLAGSHIP: near-dup survivors → per-lang
+    * token-budget selection → source-interleaved training order, as ONE
+    * plan — the "from raw crawl to the order the trainer reads" spine
+    * that [[curationE2e]]'s gate/cap/split composition doesn't cover.
+    * Stage 1 reads the materialized corpus-version label table (the
+    * labeling is paid once per version, never here); stage 2 is the
+    * [[tokenBudget]] greedy rule over SURVIVORS; stage 3 is
+    * [[corpusInterleave]]'s round-robin key over the SELECTED set.
+    * Every stage is integer/content-addressed, so the three-stage
+    * composition is oracled end to end.
+    *
+    * Scale shape: the label side is a bucketed scan (LabelStoreSpec's
+    * discipline), the budget window takes the per-lang (or, for
+    * mono-lingual corpora, [[tokenBudget2Phase]]'s histogram) form, and
+    * the interleave adds one source-keyed rank exchange — the same
+    * three exchanges the stages pay standalone; composing them adds
+    * NO new shuffle. */
+  val curateOrder: Q = Q(
+    "corpus_curate_order",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L
+      val labT = s.table(Dedup.labelTable(s, dir))
+      val dupes = labT.filter($"doc_id" =!= $"canonical_id").select($"doc_id")
+      val toks = TextFns.tokens($"text")
+      val base = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source",
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .join(dupes, Seq("doc_id"), "left_anti")
+        .filter($"n_tokens" > 0)
+        .withColumn("rank_key", expr("(n_distinct * 1000000L) div n_tokens"))
+      val wB = Window.partitionBy($"lang")
+        .orderBy($"rank_key".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val selected = base
+        .withColumn("cum_tokens", sum($"n_tokens").over(wB))
+        .filter($"cum_tokens" <= budget)
+        .select($"doc_id", $"lang", $"source", $"n_tokens",
+          md5(concat(lit("order:"), $"doc_id".cast("string"))).as("skey"))
+        .localCheckpoint()   // scanned by the source index AND the rank
+      val srcIdx = selected.select($"source").distinct()
+        .withColumn("s_idx",
+          row_number().over(Window.orderBy($"source")).cast("long") - 1L)
+      val nSrc = srcIdx.count()
+      val wI = Window.partitionBy($"source").orderBy($"skey", $"doc_id")
+      selected.withColumn("r", row_number().over(wI).cast("long") - 1L)
+        .join(broadcast(srcIdx), "source")
+        .select($"doc_id", $"lang", $"source", $"n_tokens",
+          ($"r" * nSrc + $"s_idx").as("pos"))
+        .orderBy($"pos")
+    },
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(toks)-2),
+                             i -> array_to_string(toks[i+1:i+3], ' '))) AS shset
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+              FROM documents)
+        WHERE len(toks) >= 3
+      ),
+      ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
+      prs AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) inter,
+               ANY_VALUE(a.n) n1, ANY_VALUE(b.n) n2
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      p AS (SELECT d1, d2 FROM prs WHERE 3 * inter >= n1 + n2),
+      verts AS (SELECT DISTINCT d1 AS v FROM p UNION SELECT DISTINCT d2 FROM p),
+      edges AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
+      walk(v, lab) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b, walk.lab FROM walk JOIN edges e ON walk.v = e.a
+      ),
+      cc AS (SELECT v, MIN(lab) AS lab FROM walk GROUP BY v),
+      dup AS (SELECT v AS doc_id FROM cc WHERE v <> lab),
+      base AS (
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(list_filter(string_split(d.text, ' '), x -> x <> ''))) AS BIGINT) AS n_distinct
+        FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+        WHERE dup.doc_id IS NULL
+      ),
+      ranked AS (
+        SELECT doc_id, lang, source, n_tokens,
+               (n_distinct * 1000000) // n_tokens AS rank_key
+        FROM base WHERE n_tokens > 0
+      ),
+      sel AS (
+        SELECT doc_id, lang, source, n_tokens,
+               md5('order:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM (
+          SELECT doc_id, lang, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang
+                                     ORDER BY rank_key DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM ranked
+        ) WHERE cum <= 2000
+      ),
+      si AS (
+        SELECT source,
+               CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) - 1 AS s_idx
+        FROM (SELECT DISTINCT source FROM sel)
+      ),
+      nsrc AS (SELECT COUNT(*) AS n_src FROM si),
+      r AS (
+        SELECT doc_id, lang, source, n_tokens,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS BIGINT) - 1 AS r
+        FROM sel
+      )
+      SELECT r.doc_id, r.lang, r.source, r.n_tokens,
+             r.r * nsrc.n_src + si.s_idx AS pos
+      FROM r JOIN si USING (source) CROSS JOIN nsrc
+      ORDER BY pos
+    """)
+  )
+
   /** RFM SEGMENTATION over the event log: per-user Recency (days since
     * last event, against the corpus clock), Frequency (event count)
     * and Monetary (exact cent sum), each cut into terciles, plus the
@@ -1616,6 +1736,6 @@ object Pipeline {
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
-      mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, retention, eventsRfm,
+      mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, curateOrder, retention, eventsRfm,
       snapshotDiff, eventsSequences, eventsMarkov, tokenBudget, tokenBudget2Phase)
 }

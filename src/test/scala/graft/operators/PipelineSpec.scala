@@ -646,4 +646,41 @@ class PipelineSpec extends SparkSuite {
     assert(byR.toSeq == byR.sorted.toSeq, "r_bin not monotone in recency order")
   }
 
+  test("corpus_curate_order: exact stagewise recompute (survivors -> budget -> order)") {
+    import spark.implicits._
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val survivors = graft.operators.Dedup.survivors.run(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"lang", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .filter(d => survivors.contains(d._1))
+    // budget stage: per-lang greedy prefix under 2000 tokens
+    val ranked = docs.map { case (id, lang, src, text) =>
+      val toks = text.split(' ').filter(_.nonEmpty)
+      (id, lang, src, toks.length.toLong, toks.distinct.length.toLong)
+    }.filter(_._4 > 0)
+    val selected = ranked.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val ordered = g.sortBy(d => (-(d._5 * 1000000L / d._4), d._1))
+      ordered.scanLeft(0L)(_ + _._4).zip(ordered)
+        .filter { case (prev, d) => prev + d._4 <= 2000L }
+        .map(_._2)
+    }
+    // interleave stage over the selected set
+    val sources = selected.map(_._3).distinct.sorted
+    val sIdx = sources.zipWithIndex.toMap
+    val want = selected.groupBy(_._3).toSeq.flatMap { case (src, g) =>
+      g.sortBy(d => (md5("order:" + d._1), d._1)).zipWithIndex.map { case (d, r) =>
+        (d._1, d._2, src, d._4, r.toLong * sources.length + sIdx(src)) }
+    }.toSet
+    val got = Pipeline.curateOrder.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty && got.size < docs.length,
+      "the budget must select a strict subset of survivors")
+  }
+
 }
