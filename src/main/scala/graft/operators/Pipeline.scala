@@ -1435,32 +1435,38 @@ object Pipeline {
     * threshold table; the corpus scan joins it on source and filters
     * per-row — no corpus shuffle, the E-fold row expansion exists only
     * in the filtered output stream. */
+  /** the annealed selection over a prepared (doc_id, source) frame —
+    * split out so MixEpochsPropertySpec drives it over arbitrary
+    * corpora and epoch counts. */
+  private[graft] def mixEpochsSelect(d: DataFrame, epochs: Int): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val counts = d.groupBy($"source").agg(count(lit(1)).as("n"))
+    val nmin = counts.agg(min($"n").as("nmin"))
+    val thr = counts.crossJoin(broadcast(nmin))
+      .select($"source", $"n", $"nmin",
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("thr_hex",
+        lpad(lower(hex(least(
+          expr(s"(CAST(nmin AS DECIMAL(38,0)) * (${epochs - 1} - epoch)" +
+            s" + CAST(n AS DECIMAL(38,0)) * epoch) * 4294967296" +
+            s" div (n * ${epochs - 1})"),
+          lit(4294967295L)))), 8, "0"))
+      .select($"epoch", $"source", $"thr_hex")
+    d.select($"doc_id", $"source")
+      .join(broadcast(thr), Seq("source"))
+      .withColumn("pfx",
+        substring(md5(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string"))), 1, 8))
+      .filter($"pfx" < $"thr_hex")
+      .select($"epoch".cast("long").as("epoch"), $"doc_id", $"source")
+      .orderBy($"epoch", $"doc_id")
+  }
+
   val mixEpochs: Q = Q(
     "mix_epochs",
-    (s, dir) => {
-      import s.implicits._
-      val epochs = 3
-      val d = Tables.load(s, dir, "documents")
-      val counts = d.groupBy($"source").agg(count(lit(1)).as("n"))
-      val nmin = counts.agg(min($"n").as("nmin"))
-      val thr = counts.crossJoin(broadcast(nmin))
-        .select($"source", $"n", $"nmin",
-          explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
-        .withColumn("thr_hex",
-          lpad(lower(hex(least(
-            expr(s"(CAST(nmin AS DECIMAL(38,0)) * (${epochs - 1} - epoch)" +
-              s" + CAST(n AS DECIMAL(38,0)) * epoch) * 4294967296" +
-              s" div (n * ${epochs - 1})"),
-            lit(4294967295L)))), 8, "0"))
-        .select($"epoch", $"source", $"thr_hex")
-      d.select($"doc_id", $"source")
-        .join(broadcast(thr), Seq("source"))
-        .withColumn("pfx",
-          substring(md5(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string"))), 1, 8))
-        .filter($"pfx" < $"thr_hex")
-        .select($"epoch".cast("long").as("epoch"), $"doc_id", $"source")
-        .orderBy($"epoch", $"doc_id")
-    },
+    (s, dir) => mixEpochsSelect(
+      Tables.load(s, dir, "documents").select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source")), 3),
     Some("""
       WITH c AS (
         SELECT source, COUNT(*) AS n FROM documents GROUP BY source
@@ -1689,25 +1695,29 @@ object Pipeline {
     * the source index joined back via broadcast, and a stateless
     * key projection. The tiny global window ranks S source names, not
     * corpus rows. */
+  /** the interleave over a prepared (doc_id, source) frame — split out
+    * so InterleavePropertySpec drives it over arbitrary corpora. */
+  private[graft] def interleaveOrder(d0: DataFrame): DataFrame = {
+    val s = d0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = d0.select($"doc_id", $"source",
+      md5(concat(lit("interleave:"), $"doc_id".cast("string"))).as("skey"))
+    val srcIdx = d.select($"source").distinct()
+      .withColumn("s_idx",
+        row_number().over(Window.orderBy($"source")).cast("long") - 1L)
+    val nSrc = srcIdx.count()
+    val w = Window.partitionBy($"source").orderBy($"skey", $"doc_id")
+    d.withColumn("r", row_number().over(w).cast("long") - 1L)
+      .join(broadcast(srcIdx), "source")
+      .select($"doc_id", $"source", $"r",
+        ($"r" * nSrc + $"s_idx").as("pos"))
+      .orderBy($"pos")
+  }
+
   val corpusInterleave: Q = Q(
     "corpus_interleave",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val d = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"source",
-          md5(concat(lit("interleave:"), $"doc_id".cast("string"))).as("skey"))
-      val srcIdx = d.select($"source").distinct()
-        .withColumn("s_idx",
-          row_number().over(Window.orderBy($"source")).cast("long") - 1L)
-      val nSrc = srcIdx.count()
-      val w = Window.partitionBy($"source").orderBy($"skey", $"doc_id")
-      d.withColumn("r", row_number().over(w).cast("long") - 1L)
-        .join(broadcast(srcIdx), "source")
-        .select($"doc_id", $"source", $"r",
-          ($"r" * nSrc + $"s_idx").as("pos"))
-        .orderBy($"pos")
-    },
+    (s, dir) => interleaveOrder(Tables.load(s, dir, "documents")),
     Some("""
       WITH d AS (
         SELECT doc_id, source,
