@@ -1609,6 +1609,71 @@ object Pipeline {
     """)
   )
 
+  /** Z-ORDER LAYOUT KEY: the write-time data-clustering kernel behind
+    * "OPTIMIZE ... ZORDER BY (lang, size)". Interleaving the bits of
+    * two bounded dimensions — the ranked language index and a 16-way
+    * n_chars bucket — yields a Morton key whose sort order keeps rows
+    * close in BOTH dimensions at once, so a file written in zkey order
+    * carries tight min/max ranges for either column and a scan
+    * filtering on `lang = 'de'` OR on a size band prunes most files
+    * from the listing alone. Emits per doc the two dimension codes,
+    * the interleaved zkey, and the 16-way file assignment
+    * (`zkey >> 4`) a compaction job would write.
+    *
+    * Scale shape: the only exchanges are a ≤|langs|-row distinct
+    * aggregate (broadcast back onto the corpus) and the presentation
+    * sort; the interleave itself is a stateless integer projection,
+    * codegen'd from the same closed-form bit arithmetic the oracle
+    * runs. At 100 TB the catalog's ORDER BY becomes
+    * `repartitionByRange(zkey).sortWithinPartitions(zkey)` feeding the
+    * writer — the key, not the sort, is the operator. */
+  val corpusZorder: Q = {
+    def zexpr(shl: (String, Int) => String): String =
+      (0 until 4).map { i =>
+        s"${shl(s"x >> $i", 2 * i + 1)} + ${shl(s"y >> $i", 2 * i)}"
+      }.mkString(" + ")
+    val sparkZ = zexpr((e, n) => s"shiftleft(($e) & 1, $n)")
+    val duckZ  = zexpr((e, n) => s"((($e) & 1) << $n)")
+    Q(
+      "corpus_zorder",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars",
+            least(expr("n_chars div 64"), lit(15L)).as("y"))
+        val langIdx = d.select($"lang").distinct()
+          .withColumn("x",
+            least(row_number().over(Window.orderBy($"lang")).cast("long") - 1L, lit(15L)))
+        d.join(broadcast(langIdx), "lang")
+          .withColumn("zkey", expr(sparkZ))
+          .select($"doc_id", $"lang", $"n_chars", $"x", $"y", $"zkey",
+            expr("zkey div 16").as("file_id"))
+          .orderBy($"zkey", $"doc_id")
+      },
+      Some(s"""
+        WITH li AS (
+          SELECT lang,
+                 LEAST(CAST(ROW_NUMBER() OVER (ORDER BY lang) AS BIGINT) - 1, 15) AS x
+          FROM (SELECT DISTINCT lang FROM documents)
+        ),
+        d AS (
+          SELECT doc_id, lang, n_chars, LEAST(n_chars // 64, 15) AS y
+          FROM documents
+        ),
+        z AS (
+          SELECT d.doc_id, d.lang, d.n_chars, li.x, d.y,
+                 CAST($duckZ AS BIGINT) AS zkey
+          FROM d JOIN li USING (lang)
+        )
+        SELECT doc_id, lang, n_chars, x, CAST(y AS BIGINT) AS y, zkey,
+               zkey // 16 AS file_id
+        FROM z
+        ORDER BY zkey, doc_id
+      """)
+    )
+  }
+
   /** RFM SEGMENTATION over the event log: per-user Recency (days since
     * last event, against the corpus clock), Frequency (event count)
     * and Monetary (exact cent sum), each cut into terciles, plus the
@@ -1675,6 +1740,66 @@ object Pipeline {
                AS segment
       FROM u
       ORDER BY user_id
+    """)
+  )
+
+  /** K-ANONYMITY GATE over the event log: the privacy/compliance check a
+    * training-data pipeline runs before behavioral data may ship — any
+    * quasi-identifier combination (event type × epoch day × $50 value
+    * bucket) seen for fewer than k=5 DISTINCT users re-identifies its
+    * members and must be suppressed (Sweeney's k-anonymity, applied at
+    * the group level). Emits every QI group with its user and event
+    * counts plus the suppression verdict; the suppressed rows are
+    * exactly what a release job anti-joins away.
+    *
+    * All keys are exact integers: the day is TZ-free epoch-day
+    * arithmetic (`unix_micros div 86.4e9`, the [[retention]]
+    * discipline) and the value bucket is cents `div` 5000 (values are
+    * non-negative, so truncating and flooring division agree).
+    *
+    * Scale shape: deliberately TWO keyed hash aggregations —
+    * (QI, user_id) then QI — instead of one `count_distinct`, which
+    * Catalyst would plan as an Expand that doubles the shuffled rows.
+    * Both aggs partial-combine map-side; the second runs over at most
+    * one row per (QI, user) pair, and the QI key space itself is
+    * bounded by types × days × buckets, so the output is small no
+    * matter the corpus. No window anywhere. */
+  val eventsKAnonymity: Q = Q(
+    "events_k_anonymity",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events").select(
+        $"event_type",
+        expr("unix_micros(ts) div 86400000000L").as("day"),
+        expr("cast(round(value * 100) as long) div 5000L").as("value_bucket"),
+        $"user_id")
+      ev.groupBy($"event_type", $"day", $"value_bucket", $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"event_type", $"day", $"value_bucket")
+        .agg(count(lit(1)).as("n_users"), sum($"n").as("n_events"))
+        .select($"event_type", $"day", $"value_bucket", $"n_users", $"n_events",
+          ($"n_users" < 5).as("suppressed"))
+        .orderBy($"event_type", $"day", $"value_bucket")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(ROUND(value * 100) AS BIGINT) // 5000 AS value_bucket,
+               user_id
+        FROM events
+      ),
+      per_user AS (
+        SELECT event_type, day, value_bucket, user_id, COUNT(*) AS n
+        FROM ev GROUP BY 1, 2, 3, 4
+      )
+      SELECT event_type, CAST(day AS BIGINT) AS day,
+             CAST(value_bucket AS BIGINT) AS value_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             COUNT(*) < 5 AS suppressed
+      FROM per_user GROUP BY 1, 2, 3
+      ORDER BY event_type, day, value_bucket
     """)
   )
 
@@ -1747,5 +1872,6 @@ object Pipeline {
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, curateOrder, retention, eventsRfm,
+      eventsKAnonymity, corpusZorder,
       snapshotDiff, eventsSequences, eventsMarkov, tokenBudget, tokenBudget2Phase)
 }

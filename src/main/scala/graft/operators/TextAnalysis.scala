@@ -1015,9 +1015,63 @@ object TextAnalysis {
     """)
   )
 
+  /** BPE VOCABULARY INDUCTION, first merge round: the tokenizer-training
+    * kernel. Every lowercase word is a character sequence; the pair
+    * table counts each ADJACENT CHARACTER PAIR weighted by word
+    * frequency, and the top of that table (count desc, pair asc for a
+    * total order) is exactly the first entry class of a byte-pair-
+    * encoding merge list. Later rounds re-run the same pair count over
+    * the re-segmented vocab, so this one round IS the iterated kernel.
+    *
+    * Scale shape: the pair count deliberately runs over the WORD-
+    * FREQUENCY TABLE, not the corpus — the real BPE trick. One shuffle
+    * collapses the corpus to vocabulary-sized (word, n) rows (map-side
+    * combined), the pair explosion then touches |vocab| × avg_len rows
+    * regardless of corpus size, and the second agg's key space is
+    * ≤ alphabet² — tiny. Top-20 is orderBy+limit, which Catalyst plans
+    * as TakeOrderedAndProject (per-partition heaps, no global sort);
+    * the rank window runs over the 20 collected survivors only. */
+  val bpeMerges: Q = Q(
+    "text_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val vocab = docs(s, dir)
+        .select(explode(TextFns.tokens(lower($"text"))).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+      vocab
+        .where(length($"w") >= 2)
+        .select($"n", explode(transform(sequence(lit(1), length($"w") - 1),
+          i => $"w".substr(i, lit(2)))).as("pair"))
+        .groupBy($"pair").agg(sum($"n").as("n_pairs"))
+        .orderBy($"n_pairs".desc, $"pair").limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"n_pairs".desc, $"pair")))
+        .select($"rank", $"pair", $"n_pairs")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS w
+        FROM documents
+      ),
+      vocab AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+      pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+        FROM (SELECT w, n, unnest(range(1, length(w))) AS i
+              FROM vocab WHERE length(w) >= 2)
+      ),
+      agg AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs FROM pairs GROUP BY pair),
+      top AS (SELECT pair, n_pairs FROM agg ORDER BY n_pairs DESC, pair LIMIT 20)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair) AS INT) AS rank,
+             pair, n_pairs
+      FROM top
+      ORDER BY rank
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(tokenCount, quality, qualityClassifier, langId, fingerprintQ, topTerms,
       bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons,
       unigramLogprob, invertedIndex, piiRedact, keywordExtract, vocabCoverage,
-      jsdDrift)
+      jsdDrift, bpeMerges)
 }

@@ -12,10 +12,17 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
   *    skew, one-doc sources).
   *
   *  - `Pipeline.mixEpochsSelect`: the annealed schedule — exact BigInt
-  *    threshold recompute, per-source monotone keep counts across
-  *    epochs, final epoch total (modulo the documented 2⁻³² ffffffff
-  *    edge), epoch 0 ≈ nmin per source — for ANY corpus and epoch
-  *    count E ∈ {2, 3, 4}.
+  *    threshold recompute, per-source monotone THRESHOLDS across
+  *    epochs (the realized keep counts are independent per-epoch
+  *    draws, so only their expectation is monotone — asserting the
+  *    counts themselves was round 9's one flaky property), final epoch
+  *    total (modulo the documented 2⁻³² ffffffff edge) — for ANY
+  *    corpus and epoch count E ∈ {2, 3, 4}.
+  *
+  * Both properties run with shrinking DISABLED: ScalaCheck's default
+  * shrinker does not respect generator bounds, so a genuine failure
+  * would otherwise be re-reported as a nonsense counterexample (e.g.
+  * epochs shrunk to 0, whose threshold divides by E−1 = −1's zero).
   */
 object OrderPropertySpec extends Properties("Round9Order") {
 
@@ -39,7 +46,7 @@ object OrderPropertySpec extends Properties("Round9Order") {
   }
 
   property("interleaveOrder: round-robin key arithmetic and prefix balance on any corpus") =
-    Prop.forAll(corpusGen) { docs =>
+    Prop.forAllNoShrink(corpusGen) { docs =>
       import spark.implicits._
       val got = Pipeline.interleaveOrder(docs.toDF("doc_id", "source")).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -66,7 +73,7 @@ object OrderPropertySpec extends Properties("Round9Order") {
   } yield (corpus, epochs)
 
   property("mixEpochsSelect: exact thresholds, monotone anneal, total final epoch") =
-    Prop.forAll(epochGen) { case (docs, epochs) =>
+    Prop.forAllNoShrink(epochGen) { case (docs, epochs) =>
       import spark.implicits._
       val got = Pipeline.mixEpochsSelect(docs.toDF("doc_id", "source"), epochs)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
@@ -82,8 +89,11 @@ object OrderPropertySpec extends Properties("Round9Order") {
         (id, src) <- docs
         if md5(s"$e:$id").substring(0, 8) < thrHex(src, e)
       } yield (e.toLong, id, src)).toSet
+      // the anneal is monotone in the THRESHOLD (the kept set is an
+      // independent content-addressed draw per epoch, so realized
+      // counts fluctuate around a monotone expectation — not a bug)
       val monotone = n.keys.forall { src =>
-        val per = (0 until epochs).map(e => got.count(t => t._1 == e && t._3 == src))
+        val per = (0 until epochs).map(e => thrHex(src, e))
         per == per.sorted
       }
       val finalTotal = got.count(_._1 == (epochs - 1).toLong) == docs.length

@@ -683,4 +683,53 @@ class PipelineSpec extends SparkSuite {
       "the budget must select a strict subset of survivors")
   }
 
+  test("events_k_anonymity: exact QI-group recompute; suppression iff users < k; totals conserve") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select($"event_type", expr("unix_micros(ts)").as("t"), $"value", $"user_id")
+      .collect()
+      .map { r =>
+        ((r.getString(0), r.getLong(1) / 86400000000L,
+          math.round(r.getDouble(2) * 100) / 5000L), r.getLong(3))
+      }
+    val want = ev.groupBy(_._1).map { case (qi, rows) =>
+      val users = rows.map(_._2).distinct.length.toLong
+      (qi._1, qi._2, qi._3, users, rows.length.toLong, users < 5)
+    }.toSet
+    val got = Pipeline.eventsKAnonymity.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.toSet == want, "QI groups must equal the exact recompute")
+    assert(got.forall(r => r._6 == (r._4 < 5)), "suppressed iff n_users < k")
+    assert(got.map(_._5).sum == ev.length.toLong,
+      "every event lands in exactly one QI group")
+    assert(got.exists(_._6) && got.exists(!_._6),
+      "fixture must exercise both verdicts or the gate proves nothing")
+  }
+
+  test("corpus_zorder: interleave arithmetic exact; lang predicates prune files") {
+    import spark.implicits._
+    val rows = Pipeline.corpusZorder.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val langs = rows.map(_._2).distinct.sorted
+    val xOf = langs.zipWithIndex.map { case (l, i) => l -> math.min(i.toLong, 15L) }.toMap
+    def morton(x: Long, y: Long): Long =
+      (0 until 4).map(i => (((x >> i) & 1) << (2 * i + 1)) + (((y >> i) & 1) << (2 * i))).sum
+    rows.foreach { case (id, lang, nChars, x, y, zkey, fileId) =>
+      assert(x == xOf(lang), s"doc $id lang index")
+      assert(y == math.min(nChars / 64, 15L), s"doc $id size bucket")
+      assert(zkey == morton(x, y), s"doc $id zkey")
+      assert(fileId == zkey / 16, s"doc $id file assignment")
+    }
+    // the layout claim: a single-lang scan touches a strict subset of
+    // the 16-way file set (file-level min/max on zkey prunes the rest)
+    val allFiles = rows.map(_._7).distinct.toSet
+    if (langs.length > 1) langs.foreach { l =>
+      val mine = rows.filter(_._2 == l).map(_._7).distinct.toSet
+      assert(mine.subsetOf(allFiles) && mine.size < allFiles.size,
+        s"lang $l must not touch every z-file")
+    }
+  }
+
 }

@@ -293,4 +293,25 @@ class TextSpec extends SparkSuite {
     assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.reverse.toSeq)
   }
 
+  test("bpe merges: top-20 pair table equals an exact vocabulary-weighted recompute") {
+    import org.apache.spark.sql.functions.{col, lower}
+    val texts = graft.Tables.load(spark, sf0001, "documents")
+      .select(lower(col("text"))).collect().map(_.getString(0))
+    val vocab = texts.flatMap(_.split(' ').filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCounts = vocab.toSeq.filter(_._1.length >= 2).flatMap { case (w, n) =>
+      (0 until w.length - 1).map(i => w.substring(i, i + 2) -> n)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1, p, n) }
+    val got = TextAnalysis.bpeMerges.run(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, "merge table must equal the exact recompute in rank order")
+    // the vocabulary trick must hold: pair mass is word-frequency
+    // weighted, so the top pair count is >= the count of any single word
+    // containing it (multiplicity within a word counts once per position)
+    assert(got.head._3 >= vocab.values.max / 2,
+      "top pair implausibly small against the vocabulary")
+  }
+
 }
