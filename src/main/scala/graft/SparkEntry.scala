@@ -122,6 +122,10 @@ object SparkEntry {
     "multimodal_audio_features",
     // round 9: the dedup-centric curation flagship — survivors →
     // token budget → interleaved training order in one plan
-    "corpus_curate_order"
+    "corpus_curate_order",
+    // round 9 (late): privacy gate, z-order layout key, BPE merge
+    // table, and PQ/ADC vector serving
+    "events_k_anonymity", "corpus_zorder", "text_bpe_merges",
+    "vector_pq_adc"
   )
 }

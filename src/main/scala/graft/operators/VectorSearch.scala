@@ -637,6 +637,129 @@ object VectorSearch {
     """)
   )
 
+  /** PRODUCT QUANTIZATION with asymmetric-distance serving (IVF-PQ's
+    * memory half, Jégou et al.'s PQ): the 64-dim embedding splits into
+    * M=8 contiguous 8-dim subspaces, each with its own 16-entry
+    * codebook, and every vector is stored as 8 four-bit codes — 4
+    * bytes against 256 bytes of float32, the 64× compression that
+    * lets a 10⁹-vector index live in executor memory at all. The
+    * codebooks are CONTENT-ADDRESSED ([[annIvfFlat]]'s random-sample
+    * init: subvector m of the 16 lowest-vec_id corpus vectors), which
+    * makes encode and serve deterministic and fully SQL-expressible —
+    * so unlike trained-KMeans PQ this variant carries a complete
+    * DuckDB oracle.
+    *
+    * Serving is true ADC: each query precomputes a 128-entry lookup
+    * table (subspace × code → q_m·c_{m,code}, MICRO-rounded once so
+    * the cross-subspace total is an exact INTEGER sum — no float
+    * accumulation-order hazard), and scoring a database vector reads
+    * its 8 codes and adds 8 table entries. The corpus' float
+    * embeddings are never touched at serve time.
+    *
+    * Scale shape: encode is one broadcast-codebook pass — the
+    * (vector × subspace × code) distance stream partial-aggregates to
+    * an argmin row per (vector, subspace) before the only exchange,
+    * then regroups to a codes ARRAY per vector. Serve is a stateless
+    * projection of the codes table against the broadcast LUTs (8
+    * queries × 1 KB) — zero joins, zero shuffles over the corpus —
+    * followed by the per-query top-k ([[rankTopK]]'s bounded
+    * per-partition heaps at corpus scale; the window form here for
+    * oracle parity). Approximation quality is the codebook's, not the
+    * machinery's: the spec audits recall against [[topK]]'s exact
+    * ranking. */
+  val pqAdc: Q = Q(
+    "vector_pq_adc",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = normed(s, dir)
+      val ms = explode(sequence(lit(0), lit(7))).as("m")
+      val cbsub = e.filter($"vec_id" < 16)
+        .select($"vec_id".cast("int").as("code"), $"v".as("cv"))
+        .select($"code", ms, $"cv")
+        .withColumn("csv", expr("slice(cv, m * 8 + 1, 8)"))
+        .select($"m", $"code", $"csv")
+      // --- encode: argmin_{code} ||v_m - c_{m,code}||², one exchange
+      val enc = e.select($"vec_id", ms, $"v")
+        .withColumn("sv", expr("slice(v, m * 8 + 1, 8)"))
+        .join(broadcast(cbsub), Seq("m"))
+        .withColumn("d2",
+          expr("aggregate(zip_with(sv, csv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"))
+        .groupBy($"vec_id", $"m").agg(min(struct($"d2", $"code")).as("b"))
+        .select($"vec_id", $"m", $"b.code".as("code"))
+      val codes = enc
+        .groupBy($"vec_id")
+        .agg(array_sort(collect_list(struct($"m", $"code"))).as("mc"))
+        .select($"vec_id", expr("transform(mc, s -> s.code)").as("codes"))
+      // --- per-query 128-entry micro-int LUTs, broadcast
+      val qlut = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), ms, $"v".as("qv"))
+        .withColumn("qsv", expr("slice(qv, m * 8 + 1, 8)"))
+        .join(cbsub, Seq("m"))
+        .withColumn("c_micro",
+          expr("cast(round(1e6 * aggregate(zip_with(qsv, csv, (x, y) -> x * y), 0D, (a, x) -> a + x)) as bigint)"))
+        .groupBy($"qid")
+        .agg(array_sort(collect_list(struct($"m", $"code", $"c_micro"))).as("t"))
+        .select($"qid", expr("transform(t, s -> s.c_micro)").as("lut"))
+      // --- ADC serve: codes + LUT only, integer adds
+      val w = Window.partitionBy($"qid").orderBy($"ip_micro".desc, $"vec_id")
+      codes.crossJoin(broadcast(qlut))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("ip_micro",
+          expr("aggregate(transform(codes, (c, m) -> element_at(lut, m * 16 + c + 1)), 0L, (a, x) -> a + x)"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"qid", $"rn", $"vec_id", $"ip_micro")
+        .orderBy($"qid", $"rn")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      cbsub AS (
+        SELECT m, CAST(vec_id AS INT) AS code, v[m * 8 + 1 : m * 8 + 8] AS csv
+        FROM e, range(8) t(m) WHERE vec_id < 16
+      ),
+      sub AS (
+        SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS sv
+        FROM e, range(8) t(m)
+      ),
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(list_zip(s.sv, c.csv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b), c.code) rn
+          FROM sub s JOIN cbsub c USING (m))
+        WHERE rn = 1
+      ),
+      qsub AS (
+        SELECT vec_id AS qid, m, v[m * 8 + 1 : m * 8 + 8] AS qsv
+        FROM e, range(8) t(m) WHERE vec_id < 8
+      ),
+      contrib AS (
+        SELECT q.qid, x.vec_id,
+               CAST(ROUND(1e6 * list_reduce(list_transform(list_zip(q.qsv, c.csv),
+                 p -> p[1] * p[2]), (a, b) -> a + b)) AS BIGINT) AS c_micro
+        FROM enc x
+        JOIN cbsub c ON c.m = x.m AND c.code = x.code
+        JOIN qsub q ON q.m = x.m
+        WHERE x.vec_id <> q.qid
+      ),
+      scored AS (
+        SELECT qid, vec_id, CAST(SUM(c_micro) AS BIGINT) AS ip_micro
+        FROM contrib GROUP BY 1, 2
+      ),
+      r AS (
+        SELECT qid, vec_id, ip_micro,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip_micro DESC, vec_id) rn
+        FROM scored
+      )
+      SELECT qid, CAST(rn AS INT) AS rn, vec_id, ip_micro
+      FROM r WHERE rn <= 10 ORDER BY qid, rn
+    """)
+  )
+
   def queries: Seq[Q] =
-    Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter)
+    Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
+      pqAdc)
 }

@@ -192,4 +192,49 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("pq adc: scores equal an exact driver PQ recompute; nontrivial recall vs exact top-10") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val byId = emb.toMap
+    def sub(v: Array[Double], m: Int) = v.slice(m * 8, m * 8 + 8)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    val cb = (0 until 16).map(j => (0 until 8).map(m => sub(byId(j.toLong), m)))
+    val codeOf = emb.map { case (id, v) =>
+      id -> (0 until 8).map(m =>
+        (0 until 16).minBy(j => (d2(sub(v, m), cb(j)(m)), j))).toArray
+    }.toMap
+    def ipMicro(qid: Long, vid: Long): Long =
+      (0 until 8).map { m =>
+        math.round(1e6 * dot(sub(byId(qid), m), cb(codeOf(vid)(m))(m)))
+      }.sum
+    val got = VectorSearch.pqAdc.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 80, "8 queries x top-10")
+    got.foreach { case (qid, _, vid, ip) =>
+      assert(ip == ipMicro(qid, vid), s"q$qid -> $vid ADC score")
+    }
+    // ranking is exactly the top-10 of the driver scores
+    (0L until 8L).foreach { qid =>
+      val want = emb.map(_._1).filter(_ != qid)
+        .map(v => (v, ipMicro(qid, v)))
+        .sortBy { case (v, ip) => (-ip, v) }.take(10).map(_._1).toSeq
+      val mine = got.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(mine == want, s"q$qid PQ ranking")
+    }
+    // PQ is an approximation of the exact cosine ranking, but a sane
+    // codebook must land well above chance: exact top-10 overlap >= 3/10
+    // averaged over the 8 queries (chance is 10/|corpus| ~ 0.1 hits)
+    val exact = VectorSearch.topK.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = (0L until 8L).map(q =>
+      got.filter(_._1 == q).map(_._3).count(exact(q).contains)).sum
+    assert(hits >= 24, s"PQ recall@10 too low: $hits/80 exact hits")
+  }
+
 }
