@@ -1069,9 +1069,97 @@ object TextAnalysis {
     """)
   )
 
+  /** LANGID EVALUATION MATRIX: the labeled `lang` column scored against
+    * [[langId]]'s n-gram-heuristic prediction as a full confusion
+    * matrix — per (labeled, predicted) cell the count, the label's
+    * row total, the exact integer fraction (×10⁶, floor), and the
+    * diagonal flag. This is the "how wrong is my cheap classifier,
+    * and in which direction" diagnostic a curation pipeline consults
+    * before trusting a language gate to route 100 TB.
+    *
+    * Built BY COMPOSITION on the langid projection (same expression
+    * tree, same oracle SQL inlined as a CTE), so the two can never
+    * drift. Scale shape: the stateless per-row classifier feeds two
+    * tiny aggregations (≤ langs² cells), the row-total joined back by
+    * broadcast; integer arithmetic end to end. */
+  val langidConfusion: Q = Q(
+    "text_langid_confusion",
+    (s, dir) => {
+      import s.implicits._
+      val base = langId.run(s, dir).select($"labeled_lang", $"predicted")
+      val tot = base.groupBy($"labeled_lang").agg(count(lit(1)).as("n_label"))
+      base.groupBy($"labeled_lang", $"predicted").agg(count(lit(1)).as("n"))
+        .join(broadcast(tot), "labeled_lang")
+        .select($"labeled_lang", $"predicted", $"n", $"n_label",
+          expr("(n * 1000000) div n_label").as("frac_micro"),
+          ($"labeled_lang" === $"predicted").as("correct"))
+        .orderBy($"labeled_lang", $"predicted")
+    },
+    langId.oracle.map(inner => s"""
+      WITH base AS ($inner),
+      tot AS (SELECT labeled_lang, COUNT(*) AS n_label FROM base GROUP BY 1),
+      cell AS (SELECT labeled_lang, predicted, COUNT(*) AS n FROM base GROUP BY 1, 2)
+      SELECT c.labeled_lang, c.predicted,
+             CAST(c.n AS BIGINT) AS n, CAST(t.n_label AS BIGINT) AS n_label,
+             CAST((c.n * 1000000) // t.n_label AS BIGINT) AS frac_micro,
+             c.labeled_lang = c.predicted AS correct
+      FROM cell c JOIN tot t USING (labeled_lang)
+      ORDER BY labeled_lang, predicted
+    """)
+  )
+
+  /** TABLE STATISTICS PROFILE — the ANALYZE/COMPUTE STATISTICS pass a
+    * cost-based optimizer (and any data-quality monitor) runs before
+    * planning against a 100 TB table: per column the row count, null
+    * count, exact NDV, and min/max rendered as strings (the contents
+    * of a catalog stats entry). Exact NDV keeps the op fully oracled;
+    * the production path swaps in one-pass HLL sketches (the
+    * [[Advanced]] `hll_distinct` machinery — one sketch row per
+    * column per partition, no distinct shuffle) once exactness stops
+    * mattering, which for planner stats is immediately.
+    *
+    * Scale shape: ONE scan — the five exact distinct aggregates share
+    * it through Catalyst's Expand (×6 row streams, each map-side
+    * partial-aggregated on its own key before the single exchange);
+    * min/max/counts ride the same pass. The wide 1-row aggregate then
+    * unpivots via `stack` into the 5-row catalog frame — driver-side
+    * volume, nothing more. */
+  val statsProfile: Q = {
+    val profiled = Seq("doc_id", "lang", "n_chars", "source", "text")
+    Q(
+      "corpus_stats_profile",
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++ profiled.flatMap { c =>
+          Seq((count(lit(1)) - count(col(c))).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"ndv_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c"))
+        }
+        val wide = d.agg(aggs.head, aggs.tail: _*)
+        val stacked = "stack(5, " +
+          profiled.map(c => s"'$c', nn_$c, ndv_$c, min_$c, max_$c").mkString(", ") +
+          ") as (column_name, n_nulls, ndv, min_repr, max_repr)"
+        wide.select(expr(stacked), $"n_rows")
+          .select($"column_name", $"n_rows", $"n_nulls", $"ndv",
+            $"min_repr", $"max_repr")
+          .orderBy($"column_name")
+      },
+      Some(profiled.map { c =>
+        s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+               CAST(MIN($c) AS VARCHAR) AS min_repr,
+               CAST(MAX($c) AS VARCHAR) AS max_repr
+           FROM documents"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
+    )
+  }
+
   def queries: Seq[Q] =
     Seq(tokenCount, quality, qualityClassifier, langId, fingerprintQ, topTerms,
       bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons,
       unigramLogprob, invertedIndex, piiRedact, keywordExtract, vocabCoverage,
-      jsdDrift, bpeMerges)
+      jsdDrift, bpeMerges, langidConfusion, statsProfile)
 }

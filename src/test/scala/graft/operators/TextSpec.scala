@@ -314,4 +314,55 @@ class TextSpec extends SparkSuite {
       "top pair implausibly small against the vocabulary")
   }
 
+  test("langid confusion: cells recompute from the langid frame; totals conserve; diagonal dominates") {
+    val preds = TextAnalysis.langId.run(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(7)))
+    val want = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowTot = preds.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = TextAnalysis.langidConfusion.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.map(c => (c._1, c._2) -> c._3).toMap == want,
+      "confusion cells must equal the recompute")
+    got.foreach { case (l, p, n, nl, frac, corr) =>
+      assert(nl == rowTot(l), s"row total for $l")
+      assert(frac == n * 1000000L / nl, s"fraction for ($l,$p)")
+      assert(corr == (l == p))
+    }
+    assert(got.map(_._3).sum == preds.length.toLong, "cells must cover the corpus")
+    // the heuristic is cheap and WEAK (that's what the matrix is for:
+    // it measures 35% on this fixture) — but it must beat uniform
+    // chance over the label set, and the matrix must actually expose
+    // off-diagonal confusion mass for the diagnostic to mean anything
+    val labels = rowTot.keySet
+    val diag = got.filter(_._6).map(_._3).sum
+    assert(diag * labels.size > preds.length,
+      s"classifier no better than uniform chance: $diag/${preds.length} over ${labels.size} labels")
+    assert(got.exists(c => !c._6 && c._3 > 0), "no confusion mass to diagnose")
+  }
+
+  test("stats profile: ANALYZE row per column equals an exact driver recompute") {
+    val rows = graft.Tables.load(spark, sf0001, "documents").collect()
+    def profile[T](name: String, vs: Seq[Any]): (String, Long, Long, Long, String, String) = {
+      val nn = vs.count(_ == null).toLong
+      val present = vs.filter(_ != null)
+      val (mn, mx) = present.head match {
+        case _: Long => (present.map(_.asInstanceOf[Long]).min.toString,
+          present.map(_.asInstanceOf[Long]).max.toString)
+        case _ => (present.map(_.asInstanceOf[String]).min, present.map(_.asInstanceOf[String]).max)
+      }
+      (name, rows.length.toLong, nn, present.distinct.length.toLong, mn, mx)
+    }
+    val want = Set(
+      profile("doc_id", rows.map(_.getAs[Any]("doc_id")).toSeq),
+      profile("lang", rows.map(_.getAs[Any]("lang")).toSeq),
+      profile("n_chars", rows.map(_.getAs[Any]("n_chars")).toSeq),
+      profile("source", rows.map(_.getAs[Any]("source")).toSeq),
+      profile("text", rows.map(_.getAs[Any]("text")).toSeq))
+    val got = TextAnalysis.statsProfile.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSet
+    assert(got == want, "stats rows must equal the exact recompute")
+  }
+
 }
