@@ -1803,6 +1803,57 @@ object Pipeline {
     """)
   )
 
+  /** HEAVY HITTERS over the event log: per event type, the users whose
+    * event count is at least 1.5× THE UNIFORM SHARE of that type — the
+    * frequent-items query behind abuse detection, per-entity rate
+    * caps, and "which users dominate this behavior" audits. The
+    * threshold is relative (count·n_users ≥ 1.5·n_type) rather than a
+    * fixed φ because an absolute share is meaningless across corpus
+    * sizes: the max per-user share here is ~10% at 15 users and ~1.2%
+    * at 150 — any constant φ degenerates to all-or-nothing as the
+    * corpus grows. All-integer comparison (2·n·n_users ≥ 3·n_type),
+    * exact floor-divided per-mille ratio emitted for audit.
+    *
+    * Scale shape: the classic two-level exact plan — (type, user) agg
+    * (map-side combined), per-type totals reduced to ≤|types| rows and
+    * broadcast back; no window, no distinct-Expand. When per-key
+    * cardinality outgrows the exact agg, the sketch path is
+    * Misra-Gries/count-min per partition merged at the driver (the
+    * [[graft.operators.Dedup]] CMS machinery) — the exact form here is
+    * the oracle-able contract the sketch must approximate. */
+  val eventsHeavyHitters: Q = Q(
+    "events_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val perUser = Tables.load(s, dir, "events")
+        .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+      val tot = perUser.groupBy($"event_type")
+        .agg(sum($"n").as("n_type"), count(lit(1)).as("n_users"))
+      perUser.join(broadcast(tot), "event_type")
+        .filter($"n" * $"n_users" * 2 >= $"n_type" * 3)
+        .select($"event_type", $"user_id", $"n", $"n_type", $"n_users",
+          expr("(n * n_users * 1000) div n_type").as("over_uniform_milli"))
+        .orderBy($"event_type", $"user_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ),
+      t AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type,
+               COUNT(*) AS n_users
+        FROM c GROUP BY 1
+      )
+      SELECT c.event_type, c.user_id, CAST(c.n AS BIGINT) AS n,
+             t.n_type, CAST(t.n_users AS BIGINT) AS n_users,
+             CAST((c.n * t.n_users * 1000) // t.n_type AS BIGINT) AS over_uniform_milli
+      FROM c JOIN t USING (event_type)
+      WHERE c.n * t.n_users * 2 >= t.n_type * 3
+      ORDER BY c.event_type, c.user_id
+    """)
+  )
+
   /** SOURCE-INTERLEAVED training order: the deterministic "don't feed
     * the model an hour of one crawl then an hour of the next" ordering
     * — documents of the S sources are round-robined so any contiguous
@@ -1872,6 +1923,6 @@ object Pipeline {
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, curateOrder, retention, eventsRfm,
-      eventsKAnonymity, corpusZorder,
+      eventsKAnonymity, corpusZorder, eventsHeavyHitters,
       snapshotDiff, eventsSequences, eventsMarkov, tokenBudget, tokenBudget2Phase)
 }

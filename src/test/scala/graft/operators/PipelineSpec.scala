@@ -707,6 +707,30 @@ class PipelineSpec extends SparkSuite {
       "fixture must exercise both verdicts or the gate proves nothing")
   }
 
+  test("events_heavy_hitters: exact recompute of the relative-threshold frequent items") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select($"event_type", $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perUser = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byType = ev.groupBy(_._1)
+    val want = perUser.flatMap { case ((t, u), n) =>
+      val nType = byType(t).length.toLong
+      val nUsers = byType(t).map(_._2).distinct.length.toLong
+      if (n * nUsers * 2 >= nType * 3)
+        Some((t, u, n, nType, nUsers, n * nUsers * 1000 / nType))
+      else None
+    }.toSet
+    val got = Pipeline.eventsHeavyHitters.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, "heavy-hitter rows must equal the exact recompute")
+    assert(got.nonEmpty, "fixture must surface at least one heavy hitter")
+    assert(got.forall(_._6 >= 1500L), "every emitted row clears 1.5x uniform")
+    // and some user somewhere must NOT be a hitter, or the gate is vacuous
+    assert(got.size < perUser.size)
+  }
+
   test("corpus_zorder: interleave arithmetic exact; lang predicates prune files") {
     import spark.implicits._
     val rows = Pipeline.corpusZorder.run(spark, sf0001).collect()
