@@ -355,4 +355,40 @@ class PlanHygieneSpec extends SparkSuite {
     assert(shuffles.size <= 2, s"unexpected exchanges: ${shuffles.size}")
   }
 
+  test("events_k_anonymity: two plain hash aggs — no distinct Expand in the plan") {
+    val p = plan("events_k_anonymity")
+    assert(!p.contains("Expand"), "count_distinct Expand crept back in")
+    val n = "HashAggregate".r.findAllIn(p).size
+    assert(n >= 4, s"expected two partial+final agg pairs, saw $n HashAggregate nodes")
+  }
+
+  test("corpus_zorder: lang index broadcast; interleave is a stateless projection") {
+    val p = plan("corpus_zorder")
+    assert(p.contains("BroadcastHashJoin"), "lang-index join must broadcast")
+  }
+
+  test("events_heavy_hitters: per-type totals broadcast back onto the per-user agg") {
+    val p = plan("events_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), "totals join must broadcast")
+    assert(!p.contains("Expand"), "the exact plan must not pay a distinct Expand")
+  }
+
+  test("vector_pq_adc: serve side is codes x broadcast LUT — no join over embeddings") {
+    val p = plan("vector_pq_adc")
+    // the only join touching the corpus codes at serve time is the
+    // broadcast nested-loop against the 8-row LUT frame
+    assert(p.contains("BroadcastNestedLoopJoin"), "LUT side must broadcast")
+    // scoring must be integer LUT adds, not float dot products: the
+    // serve projection carries no zip_with over embedding vectors
+    val serve = p.substring(0, p.indexOf("BroadcastNestedLoopJoin"))
+    assert(!serve.contains("zip_with"), "float vectors leaked into the serve path")
+  }
+
+  test("corpus_stats_profile: one scan feeds all five distinct aggregates via Expand") {
+    val p = plan("corpus_stats_profile")
+    assert(p.contains("Expand"), "multi-distinct should share one scan through Expand")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"profile must read the table once, saw $scans scans")
+  }
+
 }
