@@ -126,6 +126,10 @@ object SparkEntry {
     // round 9 (late): privacy gate, z-order layout key, BPE merge
     // table, and PQ/ADC vector serving
     "events_k_anonymity", "corpus_zorder", "text_bpe_merges",
-    "vector_pq_adc"
+    "vector_pq_adc",
+    // round 9 (late): frequent items, langid eval, ANALYZE stats, and
+    // the composed production ANN index
+    "events_heavy_hitters", "text_langid_confusion", "corpus_stats_profile",
+    "vector_ann_ivfpq"
   )
 }

@@ -667,46 +667,65 @@ object VectorSearch {
     * oracle parity). Approximation quality is the codebook's, not the
     * machinery's: the spec audits recall against [[topK]]'s exact
     * ranking. */
+  private def pqMs = explode(sequence(lit(0), lit(7))).as("m")
+
+  /** (m, code, csv): subvector m of the 16 lowest-vec_id corpus vectors
+    * — the content-addressed per-subspace codebook. */
+  private[operators] def pqCodebookSub(e: DataFrame): DataFrame = {
+    val s = e.sparkSession; import s.implicits._
+    e.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("code"), $"v".as("cv"))
+      .select($"code", pqMs, $"cv")
+      .withColumn("csv", expr("slice(cv, m * 8 + 1, 8)"))
+      .select($"m", $"code", $"csv")
+  }
+
+  /** (vec_id, codes[8]): argmin_{code} ||v_m − c_{m,code}||² per
+    * subspace — one broadcast-codebook pass, one exchange, regrouped
+    * into the m-ordered codes array the ADC serve path reads. */
+  private[operators] def pqEncode(e: DataFrame, cbsub: DataFrame): DataFrame = {
+    val s = e.sparkSession; import s.implicits._
+    e.select($"vec_id", pqMs, $"v")
+      .withColumn("sv", expr("slice(v, m * 8 + 1, 8)"))
+      .join(broadcast(cbsub), Seq("m"))
+      .withColumn("d2",
+        expr("aggregate(zip_with(sv, csv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"))
+      .groupBy($"vec_id", $"m").agg(min(struct($"d2", $"code")).as("b"))
+      .groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"m", $"b.code".as("code")))).as("mc"))
+      .select($"vec_id", expr("transform(mc, s -> s.code)").as("codes"))
+  }
+
+  /** (qid, lut[128]): per-query ADC table — micro-rounded q_m·c_{m,j}
+    * for every (subspace, code), indexed m·16+code. */
+  private[operators] def pqQueryLuts(e: DataFrame, cbsub: DataFrame): DataFrame = {
+    val s = e.sparkSession; import s.implicits._
+    e.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), pqMs, $"v".as("qv"))
+      .withColumn("qsv", expr("slice(qv, m * 8 + 1, 8)"))
+      .join(cbsub, Seq("m"))
+      .withColumn("c_micro",
+        expr("cast(round(1e6 * aggregate(zip_with(qsv, csv, (x, y) -> x * y), 0D, (a, x) -> a + x)) as bigint)"))
+      .groupBy($"qid")
+      .agg(array_sort(collect_list(struct($"m", $"code", $"c_micro"))).as("t"))
+      .select($"qid", expr("transform(t, s -> s.c_micro)").as("lut"))
+  }
+
+  /** integer ADC score: 8 LUT reads + 8 adds, no float anywhere. */
+  private def adcScore = expr(
+    "aggregate(transform(codes, (c, m) -> element_at(lut, m * 16 + c + 1)), 0L, (a, x) -> a + x)")
+
   val pqAdc: Q = Q(
     "vector_pq_adc",
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val e = normed(s, dir)
-      val ms = explode(sequence(lit(0), lit(7))).as("m")
-      val cbsub = e.filter($"vec_id" < 16)
-        .select($"vec_id".cast("int").as("code"), $"v".as("cv"))
-        .select($"code", ms, $"cv")
-        .withColumn("csv", expr("slice(cv, m * 8 + 1, 8)"))
-        .select($"m", $"code", $"csv")
-      // --- encode: argmin_{code} ||v_m - c_{m,code}||², one exchange
-      val enc = e.select($"vec_id", ms, $"v")
-        .withColumn("sv", expr("slice(v, m * 8 + 1, 8)"))
-        .join(broadcast(cbsub), Seq("m"))
-        .withColumn("d2",
-          expr("aggregate(zip_with(sv, csv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"))
-        .groupBy($"vec_id", $"m").agg(min(struct($"d2", $"code")).as("b"))
-        .select($"vec_id", $"m", $"b.code".as("code"))
-      val codes = enc
-        .groupBy($"vec_id")
-        .agg(array_sort(collect_list(struct($"m", $"code"))).as("mc"))
-        .select($"vec_id", expr("transform(mc, s -> s.code)").as("codes"))
-      // --- per-query 128-entry micro-int LUTs, broadcast
-      val qlut = e.filter($"vec_id" < 8)
-        .select($"vec_id".as("qid"), ms, $"v".as("qv"))
-        .withColumn("qsv", expr("slice(qv, m * 8 + 1, 8)"))
-        .join(cbsub, Seq("m"))
-        .withColumn("c_micro",
-          expr("cast(round(1e6 * aggregate(zip_with(qsv, csv, (x, y) -> x * y), 0D, (a, x) -> a + x)) as bigint)"))
-        .groupBy($"qid")
-        .agg(array_sort(collect_list(struct($"m", $"code", $"c_micro"))).as("t"))
-        .select($"qid", expr("transform(t, s -> s.c_micro)").as("lut"))
-      // --- ADC serve: codes + LUT only, integer adds
+      val cbsub = pqCodebookSub(e)
       val w = Window.partitionBy($"qid").orderBy($"ip_micro".desc, $"vec_id")
-      codes.crossJoin(broadcast(qlut))
+      pqEncode(e, cbsub).crossJoin(broadcast(pqQueryLuts(e, cbsub)))
         .filter($"vec_id" =!= $"qid")
-        .withColumn("ip_micro",
-          expr("aggregate(transform(codes, (c, m) -> element_at(lut, m * 16 + c + 1)), 0L, (a, x) -> a + x)"))
+        .withColumn("ip_micro", adcScore)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 10)
         .select($"qid", $"rn", $"vec_id", $"ip_micro")
@@ -759,7 +778,114 @@ object VectorSearch {
     """)
   )
 
+  /** IVF-PQ — the production ANN index (Faiss's default at billion
+    * scale), composed from the catalog's two oracled halves: the
+    * [[annIvfFlat]] coarse quantizer cuts the candidate set to the
+    * nprobe=2 probed cells (~nprobe/C of the corpus), and [[pqAdc]]'s
+    * integer ADC scores those candidates from their 4-byte codes —
+    * float embeddings are read at INDEX BUILD (assign + encode) and
+    * for the 8 query LUTs, never on the serve path.
+    *
+    * Scale shape: build = two broadcast-codebook passes (coarse assign,
+    * PQ encode), each partial-aggregated to one row per vector before
+    * its exchange. Serve = probes broadcast onto the (cell-keyed)
+    * codes table, ADC adds, per-query top-k — at 10⁹ vectors the
+    * candidate stream is nprobe·N/C rows of 8 codes each, and the
+    * whole serving working set (codes + LUTs) is ~4 GB where the flat
+    * index needed 256. Recall is the product of the two
+    * approximations; the spec audits it against [[topK]] exactly as
+    * the halves' specs do. */
+  val annIvfPq: Q = Q(
+    "vector_ann_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (assigned, cents) = ivfFlatAssign(s, dir)
+      val cbsub = pqCodebookSub(assigned)
+      val codes = pqEncode(assigned, cbsub)
+        .join(assigned.select($"vec_id", $"cell"), "vec_id")
+      val q = assigned.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val probes = probeCells(s, q, cents, 2).select($"qid", $"cell")
+      val w = Window.partitionBy($"qid").orderBy($"ip_micro".desc, $"vec_id")
+      codes.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"qid")
+        .join(broadcast(pqQueryLuts(assigned, cbsub)), Seq("qid"))
+        .withColumn("ip_micro", adcScore)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"qid", $"rn", $"vec_id", $"ip_micro")
+        .orderBy($"qid", $"rn")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e WHERE vec_id < 16),
+      sc AS (SELECT e.vec_id, cell,
+               ${sqlDot("cvec", "cvec")} - 2.0 * ${sqlDot("v", "cvec")} AS score
+             FROM e, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                   FROM sc) WHERE rn = 1),
+      qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+      qsc AS (SELECT qid, cell,
+                ${sqlDot("cvec", "cvec")} - 2.0 * ${sqlDot("qv", "cvec")} AS score
+              FROM qs, cents),
+      probes AS (SELECT qid, cell FROM (
+                   SELECT qid, cell,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score, cell) pr
+                   FROM qsc) WHERE pr <= 2),
+      cbsub AS (
+        SELECT m, CAST(vec_id AS INT) AS code, v[m * 8 + 1 : m * 8 + 8] AS csv
+        FROM e, range(8) t(m) WHERE vec_id < 16
+      ),
+      sub AS (
+        SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS sv
+        FROM e, range(8) t(m)
+      ),
+      enc AS (
+        SELECT vec_id, m, code FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(list_zip(s.sv, c.csv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b), c.code) rn
+          FROM sub s JOIN cbsub c USING (m))
+        WHERE rn = 1
+      ),
+      qsub AS (
+        SELECT vec_id AS qid, m, v[m * 8 + 1 : m * 8 + 8] AS qsv
+        FROM e, range(8) t(m) WHERE vec_id < 8
+      ),
+      cand AS (
+        SELECT p.qid, a.vec_id
+        FROM probes p JOIN assign a USING (cell)
+        WHERE a.vec_id <> p.qid
+      ),
+      contrib AS (
+        SELECT q.qid, x.vec_id,
+               CAST(ROUND(1e6 * list_reduce(list_transform(list_zip(q.qsv, c.csv),
+                 p -> p[1] * p[2]), (a, b) -> a + b)) AS BIGINT) AS c_micro
+        FROM enc x
+        JOIN cbsub c ON c.m = x.m AND c.code = x.code
+        JOIN qsub q ON q.m = x.m
+      ),
+      scored AS (
+        SELECT c.qid, c.vec_id, CAST(SUM(c_micro) AS BIGINT) AS ip_micro
+        FROM contrib c JOIN cand USING (qid, vec_id)
+        GROUP BY 1, 2
+      ),
+      r AS (
+        SELECT qid, vec_id, ip_micro,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip_micro DESC, vec_id) rn
+        FROM scored
+      )
+      SELECT qid, CAST(rn AS INT) AS rn, vec_id, ip_micro
+      FROM r WHERE rn <= 10 ORDER BY qid, rn
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
-      pqAdc)
+      pqAdc, annIvfPq)
 }

@@ -384,6 +384,12 @@ class PlanHygieneSpec extends SparkSuite {
     assert(!serve.contains("zip_with"), "float vectors leaked into the serve path")
   }
 
+  test("vector_ann_ivfpq: probes and LUTs broadcast onto the codes table; no cartesian") {
+    val p = plan("vector_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), "probe/LUT joins must broadcast")
+    assert(!p.contains("CartesianProduct"), "serve path grew a cartesian product")
+  }
+
   test("corpus_stats_profile: one scan feeds all five distinct aggregates via Expand") {
     val p = plan("corpus_stats_profile")
     assert(p.contains("Expand"), "multi-distinct should share one scan through Expand")

@@ -237,4 +237,64 @@ class VectorSpec extends SparkSuite {
     assert(hits >= 24, s"PQ recall@10 too low: $hits/80 exact hits")
   }
 
+  test("ivfpq: candidates confined to probed cells; ADC scores exact; recall above chance") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val byId = emb.toMap
+    def sub(v: Array[Double], m: Int) = v.slice(m * 8, m * 8 + 8)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    // coarse assignment: argmin c·c − 2v·c over the 16 lowest-id vectors
+    val cellOf = emb.map { case (id, v) =>
+      id -> (0 until 16).minBy { j =>
+        val c = byId(j.toLong); (dot(c, c) - 2.0 * dot(v, c), j)
+      }
+    }.toMap
+    def probesOf(qid: Long): Set[Int] = {
+      val qv = byId(qid)
+      (0 until 16).sortBy { j =>
+        val c = byId(j.toLong); (dot(c, c) - 2.0 * dot(qv, c), j)
+      }.take(2).toSet
+    }
+    val cb = (0 until 16).map(j => (0 until 8).map(m => sub(byId(j.toLong), m)))
+    val codeOf = emb.map { case (id, v) =>
+      id -> (0 until 8).map(m =>
+        (0 until 16).minBy(j => (d2(sub(v, m), cb(j)(m)), j))).toArray
+    }.toMap
+    def ipMicro(qid: Long, vid: Long): Long =
+      (0 until 8).map { m =>
+        math.round(1e6 * dot(sub(byId(qid), m), cb(codeOf(vid)(m))(m)))
+      }.sum
+    val got = VectorSearch.annIvfPq.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (qid, _, vid, ip) =>
+      assert(probesOf(qid).contains(cellOf(vid)),
+        s"q$qid served $vid from an unprobed cell")
+      assert(ip == ipMicro(qid, vid), s"q$qid -> $vid ADC score")
+    }
+    // ranking equals the driver top-10 over the probed-cell candidates
+    (0L until 8L).foreach { qid =>
+      val cand = emb.map(_._1).filter(v => v != qid && probesOf(qid).contains(cellOf(v)))
+      val want = cand.map(v => (v, ipMicro(qid, v)))
+        .sortBy { case (v, ip) => (-ip, v) }.take(10).map(_._1).toSeq
+      val mine = got.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(mine == want, s"q$qid IVF-PQ ranking")
+    }
+    val exact = VectorSearch.topK.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = (0L until 8L).map(q =>
+      got.filter(_._1 == q).map(_._3).count(exact(q).contains)).sum
+    val served = got.length
+    info(s"IVF-PQ recall@10 = $hits/$served exact hits")
+    // the composed approximation still has to beat random candidates:
+    // chance is ~10/|corpus| per slot (<2 hits over 80)
+    assert(hits >= 8, s"IVF-PQ recall collapsed: $hits/$served")
+  }
+
 }
