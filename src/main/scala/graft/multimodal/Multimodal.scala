@@ -464,5 +464,124 @@ object Multimodal {
     """)
   )
 
-  def queries: Seq[Q] = Seq(meta, features, frames, resize, phash, audioFeatures)
+  /** FIXTURE side: the clip VIEW for audio dedup — every document's PCM
+    * twice, clip 2·id as recorded and clip 2·id+1 re-encoded at half
+    * volume (each sample floor(v/2) — an arithmetic right-shift at the
+    * sample level, the cheapest honest stand-in for "same audio,
+    * different mastering"). */
+  private[multimodal] def pcmVariant(docId: Long, halved: Boolean): Array[Byte] = {
+    val base = pcmFor(docId)
+    if (!halved) base
+    else {
+      val out = new Array[Byte](base.length)
+      var i = 0
+      while (i < base.length / 2) {
+        val v = ((base(2 * i) & 0xff) | (base(2 * i + 1) << 8)).toShort.toInt
+        val h = v >> 1
+        out(2 * i) = (h & 0xff).toByte
+        out(2 * i + 1) = ((h >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  final case class AudioFp(
+      clip_id: Long, doc_id: Long, signs: String, n_samples: Long, energy: Long)
+
+  /** AUDIO FINGERPRINT DEDUP: volume-invariant content identity over
+    * the audio modality — the [[graft.operators.Dedup]] family's
+    * missing third modality beside text hashes and the image dHash.
+    * The fingerprint is the SIGN SEQUENCE of the decoded samples
+    * (md5'd): amplitude scaling by any positive factor — including the
+    * re-encode's floor(v/2), since v<0 ⇔ floor(v/2)<0 — preserves
+    * every sign, so a clip and its re-mastered copy fingerprint
+    * identically while their RMS differ (the emitted min/max rms audit
+    * shows exactly that). Real codec features (chromaprint-style) swap
+    * in behind the same kernel; the sign sequence is the deterministic
+    * stand-in that keeps the operator fully oracle-able.
+    *
+    * Scale shape: decode + fingerprint is one stateless byte pass per
+    * clip inside `mapPartitions` (codec state per task, the
+    * [[audioFeatures]] kernel discipline); the ONLY exchange is the
+    * hash aggregation on the 16-byte fingerprint — [[graft.operators.Dedup]]
+    * `dedup_exact`'s shape applied to a derived modality column. No
+    * pairwise anything: identical-content groups form in one shuffle
+    * at any corpus size. */
+  val audioFpDedup: Q = Q(
+    "dedup_audio_fp",
+    (s, dir) => {
+      import s.implicits._
+      val fps = Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+        .mapPartitions(_.flatMap(id => Iterator((2 * id, id, false), (2 * id + 1, id, true))))
+        .mapPartitions(_.map { case (cid, id, halved) =>
+          val bytes = pcmVariant(id, halved)
+          val n = bytes.length / 2
+          val sb = new java.lang.StringBuilder(n)
+          var energy = 0L
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            energy += v.toLong * v.toLong
+            sb.append(if (v < 0) '1' else '0')
+            i += 1
+          }
+          AudioFp(cid, id, sb.toString, n.toLong, energy)
+        })
+        .toDF()
+      fps
+        .withColumn("fp", md5($"signs"))
+        .withColumn("rms_micro",
+          round(sqrt($"energy".cast("double") / $"n_samples".cast("double")) * 1e6)
+            .cast("long"))
+        .groupBy($"fp")
+        .agg(count(lit(1)).as("n_clips"),
+          min($"clip_id").as("canon_clip"),
+          array_sort(collect_list($"clip_id")).as("cl"),
+          min($"rms_micro").as("rms_micro_min"),
+          max($"rms_micro").as("rms_micro_max"))
+        .select($"fp", $"n_clips", $"canon_clip",
+          expr("array_join(transform(cl, x -> cast(x as string)), ',')").as("clip_ids"),
+          $"rms_micro_min", $"rms_micro_max")
+        .orderBy($"canon_clip")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, 256 + doc_id % 512 AS n FROM documents
+      ),
+      c AS (
+        SELECT doc_id, 2 * doc_id + g AS clip_id, g, n
+        FROM d, range(2) t(g)
+      ),
+      s AS (
+        SELECT clip_id, i,
+               CASE WHEN g = 1
+                    THEN CAST(floor((((doc_id * 2654435761 + i * 40503) % 65536) - 32768) / 2.0) AS BIGINT)
+                    ELSE ((doc_id * 2654435761 + i * 40503) % 65536) - 32768
+               END AS v
+        FROM (SELECT clip_id, doc_id, g, unnest(range(n)) AS i FROM c)
+      ),
+      f AS (
+        SELECT clip_id,
+               md5(string_agg(CASE WHEN v < 0 THEN '1' ELSE '0' END, '' ORDER BY i)) AS fp,
+               COUNT(*) AS n_samples, SUM(v * v) AS energy
+        FROM s GROUP BY clip_id
+      ),
+      r AS (
+        SELECT clip_id, fp,
+               CAST(ROUND(sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE)) * 1e6) AS BIGINT) AS rms
+        FROM f
+      )
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_clips,
+             MIN(clip_id) AS canon_clip,
+             string_agg(CAST(clip_id AS VARCHAR), ',' ORDER BY clip_id) AS clip_ids,
+             MIN(rms) AS rms_micro_min, MAX(rms) AS rms_micro_max
+      FROM r GROUP BY fp
+      ORDER BY canon_clip
+    """)
+  )
+
+  def queries: Seq[Q] =
+    Seq(meta, features, frames, resize, phash, audioFeatures, audioFpDedup)
 }

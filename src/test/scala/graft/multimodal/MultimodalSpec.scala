@@ -149,4 +149,31 @@ class MultimodalSpec extends SparkSuite {
     assert(bytes.length == (256 + 7 % 512) * 2)
   }
 
+  test("audio fingerprint dedup: every group pairs a clip with its half-volume re-encode") {
+    val rows = Multimodal.audioFpDedup.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    val nDocs = graft.Tables.load(spark, sf0001, "documents").count()
+    assert(rows.length.toLong == nDocs, "one group per source document")
+    rows.foreach { case (_, nClips, canon, clipIds, rmsMin, rmsMax) =>
+      assert(nClips == 2L, s"group $canon size")
+      assert(canon % 2 == 0, s"canonical clip must be the original, got $canon")
+      assert(clipIds == s"$canon,${canon + 1}", s"group $canon must pair id with id+1")
+      // volume invariance is the claim: fingerprints matched while the
+      // re-encode's RMS is strictly lower (half volume ⇒ ~half rms)
+      assert(rmsMin < rmsMax, s"group $canon: volumes should differ")
+      assert(rmsMin * 2 <= rmsMax + 1000000L, s"group $canon: rms ratio implausible")
+    }
+    // driver recompute of one fingerprint pair: same signs, halved samples
+    def signs(b: Array[Byte]): String =
+      (0 until b.length / 2).map { i =>
+        val v = ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort.toInt
+        if (v < 0) '1' else '0'
+      }.mkString
+    val (orig, half) = (Multimodal.pcmVariant(3L, halved = false),
+      Multimodal.pcmVariant(3L, halved = true))
+    assert(signs(orig) == signs(half), "floor-halving must preserve every sign")
+    assert(!orig.sameElements(half), "the re-encode must actually change the bytes")
+  }
+
 }
