@@ -130,6 +130,6 @@ object SparkEntry {
     // round 9 (late): frequent items, langid eval, ANALYZE stats, and
     // the composed production ANN index
     "events_heavy_hitters", "text_langid_confusion", "corpus_stats_profile",
-    "vector_ann_ivfpq"
+    "vector_ann_ivfpq", "dedup_audio_fp"
   )
 }
