@@ -327,8 +327,76 @@ object CdcBatch {
     """)
   )
 
+  /** SCHEMA DISCOVERY over DYNAMIC documents — the data-model property
+    * that defines the reference (SURVEY §1.1: an unbounded stream of
+    * schemaless BSON documents). A CDC consumer cannot declare the
+    * payload schema up front; it must DISCOVER the key population, per
+    * collection, including drift as producers add fields. This op
+    * profiles exactly that: per (event_type, top-level key) the
+    * document count, the type's total, and the exact presence fraction
+    * (×10⁶, floor) — the report that drives schema-evolution alerts
+    * and reader-schema unioning.
+    *
+    * The payload frame is a content-addressed heterogeneity view over
+    * the (homogeneous) fixture `props`: by event_id mod 3 a document
+    * keeps `{"k"}`, gains a `"tag"` field, or gains a nested `"meta"`
+    * object — both engines derive the SAME augmented JSON by string
+    * surgery, so discovery is fully oracled without a new fixture.
+    *
+    * Scale shape: one stateless pass builds and key-explodes the
+    * payloads (`json_object_keys`, codegen'd — a few rows per doc);
+    * the profile agg's key space is ≤ types × live keys, totals reduce
+    * to ≤|types| rows broadcast back. Schema drift at 100 TB is a
+    * partial-agg-combined counting problem, never a scan of declared
+    * schemas. */
+  val payloadSchema: Q = Q(
+    "cdc_payload_schema",
+    (s, dir) => {
+      import s.implicits._
+      val withP = ev(s, dir)
+        .select($"event_id", $"event_type", $"user_id", $"props")
+        .withColumn("p",
+          when($"event_id" % 3 === 1,
+            concat(expr("substring(props, 1, length(props) - 1)"),
+              lit(", \"tag\": \"t"), pmod($"user_id", lit(4)).cast("string"), lit("\"}")))
+            .when($"event_id" % 3 === 2,
+              concat(expr("substring(props, 1, length(props) - 1)"),
+                lit(", \"meta\": {\"src\": \"cdc\"}}")))
+            .otherwise($"props"))
+      val tot = withP.groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+      withP.select($"event_type", explode(expr("json_object_keys(p)")).as("key"))
+        .groupBy($"event_type", $"key").agg(count(lit(1)).as("n"))
+        .join(broadcast(tot), "event_type")
+        .select($"event_type", $"key", $"n", $"n_events",
+          expr("(n * 1000000) div n_events").as("presence_micro"))
+        .orderBy($"event_type", $"key")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_type,
+               CASE
+                 WHEN event_id % 3 = 1 THEN substring(props, 1, length(props) - 1)
+                   || ', "tag": "t' || CAST(user_id % 4 AS VARCHAR) || '"}'
+                 WHEN event_id % 3 = 2 THEN substring(props, 1, length(props) - 1)
+                   || ', "meta": {"src": "cdc"}}'
+                 ELSE props
+               END AS p
+        FROM events
+      ),
+      k AS (SELECT event_type, unnest(json_keys(p)) AS key FROM p),
+      t AS (SELECT event_type, COUNT(*) AS n_events FROM p GROUP BY 1)
+      SELECT k.event_type, k.key, CAST(COUNT(*) AS BIGINT) AS n,
+             t.n_events, CAST((COUNT(*) * 1000000) // t.n_events AS BIGINT) AS presence_micro
+      FROM k JOIN (SELECT event_type, CAST(n_events AS BIGINT) AS n_events FROM t) t
+        USING (event_type)
+      GROUP BY k.event_type, k.key, t.n_events
+      ORDER BY event_type, key
+    """)
+  )
+
   def queries: Seq[Q] = Seq(
     filterPushdown, resumeRange, sortLimit, quorumBatch, offsets,
-    unionFanIn, esProjection, pseudonymize, scd2, payloadRedact
+    unionFanIn, esProjection, pseudonymize, scd2, payloadRedact,
+    payloadSchema
   )
 }

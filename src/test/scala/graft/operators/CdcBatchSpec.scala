@@ -42,4 +42,33 @@ class CdcBatchSpec extends SparkSuite {
       assert(red == runRe.replaceAllIn(in(id), "#"), s"event $id: redaction drifted")
     }
   }
+
+  test("payload schema: discovered key population matches the mod-3 heterogeneity exactly") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = ev.flatMap { case (id, t) =>
+      val keys = (id % 3) match {
+        case 1 => Seq("k", "tag")
+        case 2 => Seq("k", "meta")
+        case _ => Seq("k")
+      }
+      keys.map(k => (t, k))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = CdcBatch.payloadSchema.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want,
+      "key population must equal the mod-3 construction")
+    got.foreach { case (t, k, n, nt, pm) =>
+      assert(nt == totals(t), s"($t,$k) total")
+      assert(pm == n * 1000000L / nt, s"($t,$k) presence fraction")
+      if (k == "k") assert(n == nt, "the base key must be universal")
+      else assert(n < nt, s"augmented key $k must be partial")
+    }
+    // every type discovers all three key shapes — schema drift is visible
+    assert(got.map(_._1).distinct.forall(t =>
+      Set("k", "tag", "meta").subsetOf(got.filter(_._1 == t).map(_._2).toSet)))
+  }
 }
