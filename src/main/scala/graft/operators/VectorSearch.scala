@@ -274,7 +274,7 @@ object VectorSearch {
     * broadcast centroid table (cell, cvec): distance ranked by
     * c·c − 2q·c (q·q is constant per query). Shared by both IVF
     * variants so the serving path cannot silently diverge. */
-  private def probeCells(s: SparkSession, queries: DataFrame,
+  private[operators] def probeCells(s: SparkSession, queries: DataFrame,
       cents: DataFrame, nprobe: Int): DataFrame = {
     import s.implicits._
     val probeW = Window.partitionBy($"qid").orderBy($"score", $"cell")
@@ -681,19 +681,49 @@ object VectorSearch {
   }
 
   /** (vec_id, codes[8]): argmin_{code} ||v_m − c_{m,code}||² per
-    * subspace — one broadcast-codebook pass, one exchange, regrouped
-    * into the m-ordered codes array the ADC serve path reads. */
+    * subspace. The 16×8 codebook is tiny and content-addressed, so it
+    * is COLLECTED ONCE and task-broadcast into a single tight
+    * `mapPartitions` pass — exactly what any PQ encoder does. The
+    * first cut expressed the argmin relationally (explode ×(8·16) →
+    * broadcast join → min(struct)); Catalyst plans a struct-min as
+    * SortAggregate with the interpreted zip_with distance inlined into
+    * the sort producer, which a thread dump showed running effectively
+    * single-threaded — 14–28 s per run at 80k vectors where this
+    * kernel takes well under a second, shuffle-free, with exact-double
+    * parity (left-fold Σ(x−y)², ties to the lower code) unchanged. */
   private[operators] def pqEncode(e: DataFrame, cbsub: DataFrame): DataFrame = {
     val s = e.sparkSession; import s.implicits._
-    e.select($"vec_id", pqMs, $"v")
-      .withColumn("sv", expr("slice(v, m * 8 + 1, 8)"))
-      .join(broadcast(cbsub), Seq("m"))
-      .withColumn("d2",
-        expr("aggregate(zip_with(sv, csv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"))
-      .groupBy($"vec_id", $"m").agg(min(struct($"d2", $"code")).as("b"))
-      .groupBy($"vec_id")
-      .agg(array_sort(collect_list(struct($"m", $"b.code".as("code")))).as("mc"))
-      .select($"vec_id", expr("transform(mc, s -> s.code)").as("codes"))
+    // [code][m][8] — 128 rows, the "collect broadcast stats" pattern
+    val cb: Array[Array[Array[Double]]] =
+      cbsub.select($"m", $"code", $"csv").as[(Int, Int, Seq[Double])].collect()
+        .groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._1).map(_._3.toArray).toArray).toArray
+    val bc = s.sparkContext.broadcast(cb)
+    e.select($"vec_id", $"v").as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cb = bc.value
+        it.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          val codes = new Array[Int](8)
+          var m = 0
+          while (m < 8) {
+            var best = 0
+            var bestD = Double.MaxValue
+            var j = 0
+            while (j < cb.length) {
+              val c = cb(j)(m)
+              var d = 0.0
+              var i = 0
+              while (i < 8) { val x = v(m * 8 + i) - c(i); d += x * x; i += 1 }
+              if (d < bestD) { bestD = d; best = j }
+              j += 1
+            }
+            codes(m) = best
+            m += 1
+          }
+          (id, codes.toSeq)
+        }
+      }.toDF("vec_id", "codes")
   }
 
   /** (qid, lut[128]): per-query ADC table — micro-rounded q_m·c_{m,j}
@@ -800,7 +830,11 @@ object VectorSearch {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val (assigned, cents) = ivfFlatAssign(s, dir)
+      // barrier: the coarse assignment feeds FOUR consumers below
+      // (codebook, encode, queries, probes) — without it each re-runs
+      // the 16-centroid argmin over the corpus
+      val (assigned0, cents) = ivfFlatAssign(s, dir)
+      val assigned = assigned0.localCheckpoint()
       val cbsub = pqCodebookSub(assigned)
       val codes = pqEncode(assigned, cbsub)
         .join(assigned.select($"vec_id", $"cell"), "vec_id")

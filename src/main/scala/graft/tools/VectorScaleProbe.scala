@@ -109,12 +109,16 @@ object VectorScaleProbe {
       val (exact, tExact) = timed(topSets(spark, VectorSearch.topK, dir))
       val (lsh, tLsh) = timed(topSets(spark, VectorSearch.annLsh, dir))
       val (ivf, tIvf) = timed(topSets(spark, VectorSearch.annIvfFlat, dir))
+      val (pq, tPq) = timed(topSets(spark, VectorSearch.pqAdc, dir))
+      val (ivfpq, tIvfPq) = timed(topSets(spark, VectorSearch.annIvfPq, dir))
       val (candLsh, _) = timed(VectorSearch.lshCandidates(spark, dir).count())
       val (candIvf, _) = timed(VectorSearch.ivfFlatCandidates(spark, dir).count())
       val denom = 8.0 * n
       println(f"[vectorprobe] mult=$mult n=$n exact_s=$tExact%.2f " +
         f"lsh_s=$tLsh%.2f lsh_recall=${recall(lsh, exact)}%.3f lsh_cand_frac=${candLsh / denom}%.4f " +
-        f"ivfflat_s=$tIvf%.2f ivfflat_recall=${recall(ivf, exact)}%.3f ivfflat_cand_frac=${candIvf / denom}%.4f")
+        f"ivfflat_s=$tIvf%.2f ivfflat_recall=${recall(ivf, exact)}%.3f ivfflat_cand_frac=${candIvf / denom}%.4f " +
+        f"pq_s=$tPq%.2f pq_recall=${recall(pq, exact)}%.3f " +
+        f"ivfpq_s=$tIvfPq%.2f ivfpq_recall=${recall(ivfpq, exact)}%.3f")
     }
     spark.stop()
   }
