@@ -349,20 +349,27 @@ object CdcBatch {
     * to ≤|types| rows broadcast back. Schema drift at 100 TB is a
     * partial-agg-combined counting problem, never a scan of declared
     * schemas. */
+  /** the content-addressed payload-heterogeneity view (FIXTURES.md §C):
+    * by event_id mod 3 the props JSON keeps `{"k"}`, gains a `"tag"`,
+    * or gains a nested `"meta"`. Works on batch AND streaming frames —
+    * [[graft.streaming.SchemaDriftStream]] rides the same column. */
+  private[graft] def withHeterogeneousPayload(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("p",
+      when(col("event_id") % 3 === 1,
+        concat(expr("substring(props, 1, length(props) - 1)"),
+          lit(", \"tag\": \"t"), pmod(col("user_id"), lit(4)).cast("string"), lit("\"}")))
+        .when(col("event_id") % 3 === 2,
+          concat(expr("substring(props, 1, length(props) - 1)"),
+            lit(", \"meta\": {\"src\": \"cdc\"}}")))
+        .otherwise(col("props")))
+
   val payloadSchema: Q = Q(
     "cdc_payload_schema",
     (s, dir) => {
       import s.implicits._
-      val withP = ev(s, dir)
-        .select($"event_id", $"event_type", $"user_id", $"props")
-        .withColumn("p",
-          when($"event_id" % 3 === 1,
-            concat(expr("substring(props, 1, length(props) - 1)"),
-              lit(", \"tag\": \"t"), pmod($"user_id", lit(4)).cast("string"), lit("\"}")))
-            .when($"event_id" % 3 === 2,
-              concat(expr("substring(props, 1, length(props) - 1)"),
-                lit(", \"meta\": {\"src\": \"cdc\"}}")))
-            .otherwise($"props"))
+      val withP = withHeterogeneousPayload(
+        ev(s, dir).select($"event_id", $"event_type", $"user_id", $"props"))
       val tot = withP.groupBy($"event_type").agg(count(lit(1)).as("n_events"))
       withP.select($"event_type", explode(expr("json_object_keys(p)")).as("key"))
         .groupBy($"event_type", $"key").agg(count(lit(1)).as("n"))
