@@ -1854,6 +1854,66 @@ object Pipeline {
     """)
   )
 
+  /** ROBUST (median/MAD) outlier gate over the event log — the
+    * heavy-tail-safe complement to [[eventOutliers]]' z-test: mean and
+    * σ are themselves dragged by the outliers they're meant to catch,
+    * while the median and the median-absolute-deviation are 50%-
+    * breakdown robust. Flags events whose |cents − median| exceeds
+    * 3·1.4826·MAD (the normal-consistency constant), per event type.
+    *
+    * Parity: cents are exact integers; both engines compute the exact
+    * interpolated median (sorted lower + 0.5·gap — halves of integers
+    * are exact doubles), the same absolute deviations, the same second
+    * median, and one identical IEEE product for the threshold — no
+    * rounding needed anywhere.
+    *
+    * Scale shape: the catalog form uses the exact `percentile`
+    * aggregate (per-group value buffer — fine while a type's traffic
+    * fits an executor); at 100 TB the cents domain is bounded (≤5M
+    * distinct values), so both medians take the
+    * [[tokenPercentilesBinned]] two-phase histogram treatment — a
+    * (type, cents) count table and a cumulative walk, exact at any
+    * volume. The flagging pass itself is a broadcast join + stateless
+    * filter either way. */
+  val eventsOutliersMad: Q = Q(
+    "events_outliers_mad",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("cents"))
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs($"cents" - $"med"))
+      val mad = dev.groupBy($"event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .select($"event_id", $"event_type", $"cents", $"med", $"mad",
+          ($"dev" > $"mad" * lit(3 * 1.4826)).as("is_outlier"))
+        .filter($"is_outlier")
+        .select($"event_id", $"event_type", $"cents", $"med", $"mad")
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+      ),
+      m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM ev GROUP BY 1),
+      d AS (
+        SELECT ev.event_id, ev.event_type, ev.cents, m.med,
+               abs(ev.cents - m.med) AS dev
+        FROM ev JOIN m USING (event_type)
+      ),
+      md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+      SELECT d.event_id, d.event_type, d.cents, d.med, md.mad
+      FROM d JOIN md USING (event_type)
+      WHERE d.dev > md.mad * (3 * 1.4826)
+      ORDER BY d.event_id
+    """)
+  )
+
   /** SOURCE-INTERLEAVED training order: the deterministic "don't feed
     * the model an hour of one crawl then an hour of the next" ordering
     * — documents of the S sources are round-robined so any contiguous
@@ -1923,6 +1983,6 @@ object Pipeline {
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, curateOrder, retention, eventsRfm,
-      eventsKAnonymity, corpusZorder, eventsHeavyHitters,
+      eventsKAnonymity, corpusZorder, eventsHeavyHitters, eventsOutliersMad,
       snapshotDiff, eventsSequences, eventsMarkov, tokenBudget, tokenBudget2Phase)
 }

@@ -731,6 +731,36 @@ class PipelineSpec extends SparkSuite {
     assert(got.size < perUser.size)
   }
 
+  test("events_outliers_mad: exact median/MAD recompute; robust gate differs from the z-test") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1), math.round(r.getDouble(2) * 100)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else s(n / 2 - 1) + 0.5 * (s(n / 2) - s(n / 2 - 1))
+    }
+    val byType = ev.groupBy(_._2)
+    val want = byType.flatMap { case (t, rows) =>
+      val med = medianOf(rows.map(_._3.toDouble).toSeq)
+      val devs = rows.map(r => math.abs(r._3 - med))
+      val mad = medianOf(devs.toSeq)
+      rows.filter(r => math.abs(r._3 - med) > mad * (3 * 1.4826))
+        .map(r => (r._1, t, r._3, med, mad)).toSeq
+    }.toSet
+    val got = Pipeline.eventsOutliersMad.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(got == want, "MAD gate must equal the exact recompute")
+    assert(got.nonEmpty, "fixture must surface robust outliers")
+    // the robust gate must actually behave differently from the z-test
+    // (means/sigmas are dragged by the tail; medians are not)
+    val z = Pipeline.eventOutliers.run(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.map(_._1) != z, "MAD and z-test gates coincide — nothing robust here")
+  }
+
   test("corpus_zorder: interleave arithmetic exact; lang predicates prune files") {
     import spark.implicits._
     val rows = Pipeline.corpusZorder.run(spark, sf0001).collect()
