@@ -634,7 +634,61 @@ object Advanced {
     """)
   )
 
+  /** RUNNING DISTINCT COUNT over a window — the "unique users so far"
+    * curve per event type, a frame Spark's window aggregates cannot
+    * express directly (no `count_distinct` OVER). The standard exact
+    * rewrite: flag each (type, user)'s FIRST event with a keyed
+    * row_number, then a running SUM of flags over the event-time order
+    * — two windows, both keyed, both map-side prunable, no distinct
+    * state anywhere. The oracle runs the SAME construction, so the
+    * technique itself is what's gated.
+    *
+    * Scale shape: window one partitions by (type, user) — high
+    * cardinality, small partitions; window two partitions by type with
+    * a deterministic (ts, event_id) order. At 100 TB the per-type
+    * running sum is the [[graft.operators.Relational]] two-phase
+    * running-window discipline (per-day partial sums + broadcast
+    * day-prefix offsets) if a single type's history outgrows one
+    * partition. */
+  val runningDistinct: Q = Q(
+    "q31_running_distinct",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id",
+          unix_micros($"ts").as("t"))
+      val wFirst = Window.partitionBy($"event_type", $"user_id")
+        .orderBy($"t", $"event_id")
+      val wRun = Window.partitionBy($"event_type").orderBy($"t", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("first_flag",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("distinct_users", sum($"first_flag").over(wRun))
+        .select($"event_id", $"event_type", $"distinct_users")
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, event_type, user_id, epoch_us(ts) AS t FROM events
+      ),
+      f AS (
+        SELECT event_id, event_type, t,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                            ORDER BY t, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_flag
+        FROM ev
+      )
+      SELECT event_id, event_type,
+             CAST(SUM(first_flag) OVER (PARTITION BY event_type ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_users
+      FROM f
+      ORDER BY event_id
+    """)
+  )
+
   def queries: Seq[Q] = Seq(jsonPayload, timeWindow, arrayAgg, sessionize, asOf, groupingSets, pivot,
     approxDistinct, hllDistinct, intervalJoin, slidingWindow, sessionWindow, unpivot, rangeFrame,
-    marketBasket)
+    marketBasket, runningDistinct)
 }

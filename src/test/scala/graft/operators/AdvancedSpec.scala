@@ -50,4 +50,27 @@ class AdvancedSpec extends SparkSuite {
     assert(want.exists(_._3 >= 2), "fixture should have a pair ordered together twice")
     assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
   }
+
+  test("running distinct: monotone per type, ends at the exact distinct user count") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        expr("unix_micros(ts)").as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val got = Advanced.runningDistinct.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == ev.length)
+    val byId = got.map(r => r._1 -> r._3).toMap
+    ev.groupBy(_._2).foreach { case (t, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._1))
+      // exact recompute: distinct users among the first k events
+      var seen = Set.empty[Long]
+      ordered.foreach { r =>
+        seen += r._3
+        assert(byId(r._1) == seen.size.toLong, s"type $t event ${r._1}")
+      }
+      assert(byId(ordered.last._1) == rows.map(_._3).distinct.length.toLong,
+        s"type $t final count")
+    }
+  }
 }
