@@ -130,6 +130,10 @@ object SparkEntry {
     // round 9 (late): frequent items, langid eval, ANALYZE stats, and
     // the composed production ANN index
     "events_heavy_hitters", "text_langid_confusion", "corpus_stats_profile",
-    "vector_ann_ivfpq", "dedup_audio_fp"
+    "vector_ann_ivfpq", "dedup_audio_fp",
+    // round 9 (late): data-quality gates (fused FK audit, one-scan
+    // constraint audit), last-touch attribution, mutual kNN graph
+    "dq_referential", "dq_constraints", "events_attribution",
+    "vector_knn_graph"
   )
 }

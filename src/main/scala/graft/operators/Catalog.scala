@@ -19,5 +19,5 @@ object Catalog {
     Relational.queries ++ Advanced.queries ++ CdcBatch.queries ++
       CdcApply.queries ++ Dedup.queries ++
       VectorSearch.queries ++ Pipeline.queries ++ TextAnalysis.queries ++
-      graft.multimodal.Multimodal.queries
+      Quality.queries ++ graft.multimodal.Multimodal.queries
 }

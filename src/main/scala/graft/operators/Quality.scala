@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Data-quality gates a production warehouse runs before anything else
+  * trusts the tables: referential-integrity audits, column-constraint
+  * audits, and event-stream attribution. The reference engine ships no
+  * validation at all (it trusts the oplog wholesale —
+  * reference: src/main/java/org/flinkmon/source/MongoDBOplogSource.java:86
+  * drains whatever arrives); at 100 TB a corrupt partition upstream
+  * silently poisons every downstream join, so these checks are
+  * first-class operators with the same oracle discipline as the query
+  * families they guard.
+  */
+object Quality {
+
+  /** Referential-integrity audit across the warehouse's FK spine:
+    * lineitem→{orders,part,supplier} and orders→customer, reported as
+    * one row per constraint with checked/violation counts.
+    *
+    * Scale design: the three lineitem FK checks are FUSED into a single
+    * pass — one scan of the fact table, part/supplier joined as
+    * broadcast left joins (dimension-sized sides), orders as one
+    * shuffle left join on the orderkey — then a single conditional
+    * aggregate counts the null-matches per FK. A naive four-anti-join
+    * formulation scans lineitem three times and shuffles each time; the
+    * fused form pays ONE lineitem scan + ONE big shuffle regardless of
+    * how many dimension FKs ride along. orders→customer is its own
+    * (much smaller) pass with a broadcast dimension. */
+  val dqReferential: Q = Q(
+    "dq_referential",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+      val ord = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val part = Tables.load(s, dir, "part").select($"p_partkey")
+      val supp = Tables.load(s, dir, "supplier").select($"s_suppkey")
+      val cust = Tables.load(s, dir, "customer").select($"c_custkey")
+      val liRow = li
+        .join(broadcast(part), $"l_partkey" === $"p_partkey", "left")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey", "left")
+        .join(ord.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left")
+        .agg(
+          count(lit(1)).as("li_checked"),
+          sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("v_ord"),
+          sum(when($"p_partkey".isNull, 1L).otherwise(0L)).as("v_part"),
+          sum(when($"s_suppkey".isNull, 1L).otherwise(0L)).as("v_supp"))
+      val ordRow = ord
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey", "left")
+        .agg(count(lit(1)).as("ord_checked"),
+          sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("v_cust"))
+      liRow.crossJoin(ordRow)
+        .select(expr(
+          """stack(4,
+             'lineitem_fk_orders',   li_checked,  v_ord,
+             'lineitem_fk_part',     li_checked,  v_part,
+             'lineitem_fk_supplier', li_checked,  v_supp,
+             'orders_fk_customer',   ord_checked, v_cust)
+             AS (check_name, checked, violations)"""))
+        .withColumn("ok", $"violations" === 0L)
+        .orderBy($"check_name")
+    },
+    Some("""
+      WITH li AS (
+        SELECT COUNT(*) li_checked,
+               SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) v_ord,
+               SUM(CASE WHEN p.p_partkey  IS NULL THEN 1 ELSE 0 END) v_part,
+               SUM(CASE WHEN s.s_suppkey  IS NULL THEN 1 ELSE 0 END) v_supp
+        FROM lineitem l
+        LEFT JOIN part p     ON l.l_partkey  = p.p_partkey
+        LEFT JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      ),
+      o AS (
+        SELECT COUNT(*) ord_checked,
+               SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) v_cust
+        FROM orders ord LEFT JOIN customer c ON ord.o_custkey = c.c_custkey
+      ),
+      u AS (
+        SELECT 'lineitem_fk_orders' check_name, li_checked checked, v_ord violations FROM li
+        UNION ALL
+        SELECT 'lineitem_fk_part', li_checked, v_part FROM li
+        UNION ALL
+        SELECT 'lineitem_fk_supplier', li_checked, v_supp FROM li
+        UNION ALL
+        SELECT 'orders_fk_customer', ord_checked, v_cust FROM o
+      )
+      SELECT check_name, CAST(checked AS BIGINT) checked,
+             CAST(violations AS BIGINT) violations, violations = 0 AS ok
+      FROM u ORDER BY check_name
+    """)
+  )
+
+  /** Column-constraint audit on the fact table: NOT NULL, range, enum,
+    * and key-uniqueness expectations, one row per constraint. The
+    * fixture's (l_orderkey, l_linenumber) pair genuinely collides, so
+    * the uniqueness row fires with a real violation count — the audit
+    * demonstrably distinguishes passing from failing constraints.
+    *
+    * Scale design: every row-local constraint is ONE conditional
+    * aggregate over ONE scan (a 100 TB audit adds columns, not passes);
+    * uniqueness is the only keyed check and deliberately runs as a
+    * two-level aggregate — groupBy(key).count then sum(n-1) — so the
+    * plan carries a partial-agg map-side combine and no Expand, the
+    * same no-Expand discipline as events_k_anonymity. Violations for
+    * uniqueness = surplus rows beyond one per key. */
+  val dqConstraints: Q = Q(
+    "dq_constraints",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      def bad(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      val rowLocal = li.agg(
+        count(lit(1)).as("checked"),
+        bad($"l_orderkey".isNull || $"l_linenumber".isNull).as("v_key_null"),
+        bad(!($"l_quantity" > 0.0)).as("v_qty_range"),
+        bad(!($"l_discount" >= 0.0 && $"l_discount" <= 0.1)).as("v_disc_range"),
+        bad(!($"l_tax" >= 0.0)).as("v_tax_range"),
+        bad(!$"l_returnflag".isin("A", "N", "R")).as("v_rflag_enum"),
+        bad(!$"l_linestatus".isin("O", "F")).as("v_lstatus_enum"))
+      val uniq = li.groupBy($"l_orderkey", $"l_linenumber")
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum($"n" - 1L), lit(0L)).as("v_uniq"))
+      rowLocal.crossJoin(uniq)
+        .select(expr(
+          """stack(7,
+             'key_not_null',        checked, v_key_null,
+             'key_unique',          checked, v_uniq,
+             'quantity_positive',   checked, v_qty_range,
+             'discount_in_0_0.1',   checked, v_disc_range,
+             'tax_non_negative',    checked, v_tax_range,
+             'returnflag_in_ANR',   checked, v_rflag_enum,
+             'linestatus_in_OF',    checked, v_lstatus_enum)
+             AS (check_name, checked, violations)"""))
+        .withColumn("ok", $"violations" === 0L)
+        .orderBy($"check_name")
+    },
+    Some("""
+      WITH r AS (
+        SELECT COUNT(*) checked,
+          SUM(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END) v_key_null,
+          SUM(CASE WHEN NOT (l_quantity > 0.0) THEN 1 ELSE 0 END) v_qty_range,
+          SUM(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.1) THEN 1 ELSE 0 END) v_disc_range,
+          SUM(CASE WHEN NOT (l_tax >= 0.0) THEN 1 ELSE 0 END) v_tax_range,
+          SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) v_rflag_enum,
+          SUM(CASE WHEN l_linestatus NOT IN ('O','F') THEN 1 ELSE 0 END) v_lstatus_enum
+        FROM lineitem
+      ),
+      uq AS (
+        SELECT COALESCE(SUM(n - 1), 0) v_uniq
+        FROM (SELECT COUNT(*) n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+      ),
+      u AS (
+        SELECT 'key_not_null' check_name, checked, v_key_null violations FROM r
+        UNION ALL SELECT 'key_unique', checked, v_uniq FROM r, uq
+        UNION ALL SELECT 'quantity_positive', checked, v_qty_range FROM r
+        UNION ALL SELECT 'discount_in_0_0.1', checked, v_disc_range FROM r
+        UNION ALL SELECT 'tax_non_negative', checked, v_tax_range FROM r
+        UNION ALL SELECT 'returnflag_in_ANR', checked, v_rflag_enum FROM r
+        UNION ALL SELECT 'linestatus_in_OF', checked, v_lstatus_enum FROM r
+      )
+      SELECT check_name, CAST(checked AS BIGINT) checked,
+             CAST(violations AS BIGINT) violations, violations = 0 AS ok
+      FROM u ORDER BY check_name
+    """)
+  )
+
+  /** Last-touch attribution: every purchase is credited to the user's
+    * most recent view/click within the preceding 7 days, else to
+    * 'direct' — the conversion-accounting query behind every marketing
+    * events pipeline.
+    *
+    * Scale design: NO join at all. Touches and conversions ride one
+    * user_id-partitioned window (the only exchange); the carried state
+    * is last(touch_ts)/last(touch_type) with ignoreNulls over rows
+    * UNBOUNDED PRECEDING..CURRENT — a streaming-friendly O(1)-per-row
+    * frame, never a per-purchase lookback scan. Ties at equal ts order
+    * deterministically by event_id. Money is exact integer cents
+    * (round(value*100)) end to end — no float summation drift. */
+  val eventsAttribution: Q = Q(
+    "events_attribution",
+    (s, dir) => {
+      import s.implicits._
+      val sevenDaysUs = 7L * 86400L * 1000000L
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("c"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isTouch = $"event_type".isin("view", "click")
+      val t = ev
+        .withColumn("t_ts", last(when(isTouch, $"ts"), ignoreNulls = true).over(w))
+        .withColumn("t_type", last(when(isTouch, $"event_type"), ignoreNulls = true).over(w))
+      t.filter($"event_type" === "purchase")
+        .withColumn("channel",
+          when($"t_ts".isNotNull &&
+            (unix_micros($"ts") - unix_micros($"t_ts") <= sevenDaysUs), $"t_type")
+            .otherwise(lit("direct")))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_purchases"), sum($"c").as("value_cents"))
+        .orderBy($"channel")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) c
+        FROM events
+      ),
+      t AS (
+        SELECT *,
+          last_value(CASE WHEN event_type IN ('view','click') THEN ts END IGNORE NULLS)
+            OVER w AS t_ts,
+          last_value(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS)
+            OVER w AS t_type
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      )
+      SELECT CASE WHEN t_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(t_ts) <= 604800000000
+                  THEN t_type ELSE 'direct' END AS channel,
+             CAST(COUNT(*) AS BIGINT) n_purchases,
+             CAST(SUM(c) AS BIGINT) value_cents
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(dqReferential, dqConstraints, eventsAttribution)
+}

@@ -919,7 +919,68 @@ object VectorSearch {
     """)
   )
 
+  /** Mutual k-NN graph (k=3) within IVF cells — the edge set that
+    * graph-based dedup/clustering (SemDeDup-style, HNSW construction,
+    * label propagation over near-neighbors) consumes. An edge survives
+    * only if each endpoint ranks the other in ITS OWN top-3, which
+    * prunes the asymmetric hub edges that make raw kNN graphs noisy.
+    *
+    * Scale design: candidate pairs come from the same within-cell
+    * self-join as [[dedup_semantic]] — n²/C per cell, never all-pairs
+    * corpus-wide; per-vector top-3 is a cell-partition-local window
+    * (the window key `a` is a strict refinement of the join key `cell`,
+    * so no second exchange); the mutuality filter is a self-semi-join
+    * on the already-tiny top-k edge set. cos(a,b) is elementwise-
+    * commutative in IEEE float, so both directions of an edge carry
+    * bit-identical weights and the semi-join needs no tolerance. */
+  val knnGraph: Q = Q(
+    "vector_knn_graph",
+    (s, dir) => {
+      import s.implicits._
+      val (assigned, _) = ivfFlatAssign(s, dir)
+      val l = assigned.select($"cell", $"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
+      val r = assigned.select($"cell", $"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
+      val pairs = l.join(r, "cell").filter($"a" =!= $"b")
+        .select($"a", $"b", (dot_product($"va", $"vb") / ($"na" * $"nb")).as("cos"))
+      val w = Window.partitionBy($"a").orderBy($"cos".desc, $"b")
+      val top = pairs.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"a", $"b", $"cos")
+      top.join(top.select($"b".as("a"), $"a".as("b")), Seq("a", "b"), "left_semi")
+        .filter($"a" < $"b")
+        .orderBy($"a", $"b")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM n WHERE vec_id < 16),
+      sc AS (SELECT n.vec_id, cell,
+               list_reduce(list_transform(list_zip(cvec, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 - 2.0 * list_reduce(list_transform(list_zip(v, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 AS score
+             FROM n, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                   FROM sc) WHERE rn = 1),
+      av AS (SELECT a.vec_id, a.cell, n.v, n.nrm FROM assign a JOIN n USING (vec_id)),
+      p AS (SELECT x.vec_id a, y.vec_id b,
+              list_reduce(list_transform(list_zip(x.v, y.v), s -> s[1]*s[2]), (q, r) -> q + r)
+                / (x.nrm * y.nrm) AS cos
+            FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+      t AS (SELECT a, b, cos FROM (
+              SELECT a, b, cos, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) rn
+              FROM p) WHERE rn <= 3)
+      SELECT t.a, t.b, t.cos
+      FROM t JOIN t t2 ON t.a = t2.b AND t.b = t2.a
+      WHERE t.a < t.b
+      ORDER BY t.a, t.b
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
-      pqAdc, annIvfPq)
+      pqAdc, annIvfPq, knnGraph)
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class QualitySpec extends SparkSuite {
+
+  test("dq_referential: every FK row audited, fixture spine is clean") {
+    val rows = Quality.dqReferential.run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val nLi = graft.Tables.load(spark, sf0001, "lineitem").count()
+    val nOrd = graft.Tables.load(spark, sf0001, "orders").count()
+    assert(rows.keySet == Set(
+      "lineitem_fk_orders", "lineitem_fk_part", "lineitem_fk_supplier",
+      "orders_fk_customer"))
+    Seq("lineitem_fk_orders", "lineitem_fk_part", "lineitem_fk_supplier").foreach { c =>
+      assert(rows(c)._1 == nLi, s"$c checked count")
+    }
+    assert(rows("orders_fk_customer")._1 == nOrd)
+    // the generator emits a closed FK spine — every check passes, and a
+    // passing check MUST report ok with zero violations
+    rows.foreach { case (c, (_, v, ok)) =>
+      assert(v == 0L && ok, s"$c expected clean, got $v violations")
+    }
+  }
+
+  test("dq_constraints: row-local checks clean, key_unique fires exactly") {
+    val rows = Quality.dqConstraints.run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+    val nLi = li.count()
+    assert(rows.size == 7)
+    assert(rows.values.forall(_._1 == nLi), "all constraints audit every row")
+    Seq("key_not_null", "quantity_positive", "discount_in_0_0.1",
+      "tax_non_negative", "returnflag_in_ANR", "linestatus_in_OF").foreach { c =>
+      assert(rows(c)._2 == 0L && rows(c)._3, s"$c expected clean")
+    }
+    // surplus rows beyond one per (orderkey, linenumber), recomputed on
+    // the driver — the fixture's linenumber range genuinely collides,
+    // so this constraint must FIRE (a vacuously-green audit proves
+    // nothing about the failing path)
+    val surplus = {
+      import org.apache.spark.sql.functions._
+      li.groupBy("l_orderkey", "l_linenumber").count()
+        .agg(sum(col("count") - 1L)).head().getLong(0)
+    }
+    assert(surplus > 0L, "fixture should contain key collisions")
+    assert(rows("key_unique")._2 == surplus && !rows("key_unique")._3)
+  }
+
+  test("events_attribution matches a driver-side replay") {
+    val got = Quality.eventsAttribution.run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), math.round(r.getDouble(4) * 100)))
+    val sevenDaysUs = 7L * 86400L * 1000000L
+    val attributed = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      var lastTouch: Option[(Long, String)] = None
+      ordered.flatMap { case (_, ts, _, et, cents) =>
+        val out =
+          if (et == "purchase") {
+            val ch = lastTouch match {
+              case Some((tts, tt)) if ts - tts <= sevenDaysUs => tt
+              case _ => "direct"
+            }
+            Seq((ch, cents))
+          } else Seq.empty
+        if (et == "view" || et == "click") lastTouch = Some((ts, et))
+        out
+      }
+    }
+    val expect = attributed.groupBy(_._1).map { case (ch, xs) =>
+      ch -> ((xs.size.toLong, xs.map(_._2).sum))
+    }
+    assert(got == expect)
+    // the fixture must exercise BOTH the attributed and the direct path
+    assert(got.contains("direct") && (got.contains("view") || got.contains("click")))
+  }
+}

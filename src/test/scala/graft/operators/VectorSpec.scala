@@ -297,4 +297,28 @@ class VectorSpec extends SparkSuite {
     assert(hits >= 8, s"IVF-PQ recall collapsed: $hits/$served")
   }
 
+  test("vector_knn_graph equals a driver-side mutual top-3 within cells") {
+    val got = VectorSearch.knnGraph.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b) => a < b }, "canonical edge orientation")
+    // replay: same cell assignment, exact per-vector top-3 by cosine,
+    // mutual filter — computed independently on the driver
+    val assigned = VectorSearch.ivfFlatAssign(spark, sf0001)._1
+      .select("vec_id", "v", "nrm", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2), r.getInt(3)))
+    val byCell = assigned.groupBy(_._4)
+    val top3 = assigned.flatMap { case (a, va, na, cell) =>
+      byCell(cell).filter(_._1 != a)
+        .map { case (b, vb, nb, _) =>
+          val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+          (b, dot / (na * nb))
+        }
+        .sortBy { case (b, cos) => (-cos, b) }.take(3)
+        .map { case (b, _) => (a, b) }
+    }.toSet
+    val mutual = top3.filter { case (a, b) => a < b && top3.contains((b, a)) }
+    assert(got == mutual, s"edge set mismatch: got ${got.size}, want ${mutual.size}")
+  }
+
 }
