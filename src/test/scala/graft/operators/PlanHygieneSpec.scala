@@ -397,4 +397,36 @@ class PlanHygieneSpec extends SparkSuite {
     assert(scans == 1, s"profile must read the table once, saw $scans scans")
   }
 
+  test("dq_referential: one lineitem scan, dimension FKs broadcast") {
+    val p = plan("dq_referential")
+    // the fused form reads the fact table ONCE for all three FK checks
+    val liScans = "Scan parquet".r.findAllIn(p).size
+    assert(liScans == 6, s"expected 6 scans (li, part, supp, ord x2, cust), saw $liScans")
+    // part + supplier + customer ride broadcast left joins
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"dimension FK joins must broadcast, saw $bhj")
+  }
+
+  test("dq_constraints: row-local audit is one scan; uniqueness carries no Expand") {
+    val p = plan("dq_constraints")
+    assert(!p.contains("Expand"), "uniqueness must be the two-level agg, not a distinct Expand")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"one scan for row-local + one for uniqueness, saw $scans")
+  }
+
+  test("events_attribution: join-free — one window exchange, no join operator") {
+    val p = plan("events_attribution")
+    assert(!p.contains("Join"), "attribution must not plan a join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    // one user_id exchange for the window + one for the channel agg
+    assert(exchanges <= 2, s"attribution grew extra shuffles: $exchanges")
+  }
+
+  test("vector_knn_graph: top-3 window reuses the cell partitioning side-by-side") {
+    val p = plan("vector_knn_graph")
+    assert(!p.contains("CartesianProduct"), "pair generation must stay within cells")
+    // mutuality is a semi-join over the tiny top-k edge set
+    assert(p.contains("LeftSemi"), "mutual filter should plan as a semi join")
+  }
+
 }
