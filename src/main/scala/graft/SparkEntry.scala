@@ -134,6 +134,12 @@ object SparkEntry {
     // round 9 (late): data-quality gates (fused FK audit, one-scan
     // constraint audit), last-touch attribution, mutual kNN graph
     "dq_referential", "dq_constraints", "events_attribution",
-    "vector_knn_graph"
+    "vector_knn_graph",
+    // round 9 (late): cross-modal duplicate consolidation — its cost is
+    // ~additive over the text (minhash) and image (phash) pipelines it
+    // unions, plus one star-CC over the merged edge set
+    "dedup_crossmodal",
+    // round 9 (late): exact-integer PageRank over the mutual kNN graph
+    "vector_pagerank"
   )
 }

@@ -541,6 +541,47 @@ object Dedup {
     """)
   )
 
+  /** DuckDB recomputation of [[graft.multimodal.Multimodal.phash]]'s
+    * 24-bit dHash from the generator's closed-form pixels (dims, 4×4
+    * block means, gradient signs) — ends in `sig(doc_id, phash)`.
+    * Shared by [[imagePhash]] and [[crossModal]]. */
+  private val phashSigSql =
+    """dims AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+      |         CAST(8 + (doc_id * 7) % 16 AS INT) AS height
+      |  FROM documents
+      |),
+      |t AS (
+      |  SELECT doc_id, width, height,
+      |         list_transform(range(0, 16), k ->
+      |           CAST(list_aggregate(
+      |                  flatten(list_transform(
+      |                    range((k // 4) * height // 4, ((k // 4) + 1) * height // 4),
+      |                    y -> list_transform(
+      |                      range((k % 4) * width // 4, ((k % 4) + 1) * width // 4),
+      |                      x -> (doc_id * 31 + x * 7 + y * 13) % 256))),
+      |                  'sum')
+      |                // ((((k // 4) + 1) * height // 4 - (k // 4) * height // 4)
+      |                   * (((k % 4) + 1) * width // 4 - (k % 4) * width // 4))
+      |             AS INT)) AS thumb
+      |  FROM dims
+      |),
+      |sig AS (
+      |  SELECT doc_id,
+      |         CAST(list_aggregate(list_transform(range(0, 12), k ->
+      |                CASE WHEN thumb[CAST((k // 3) * 4 + (k % 3) AS INT) + 1]
+      |                        < thumb[CAST((k // 3) * 4 + (k % 3) AS INT) + 2]
+      |                     THEN CAST(1 AS BIGINT) << CAST(23 - k AS INT)
+      |                     ELSE CAST(0 AS BIGINT) END), 'sum')
+      |            + list_aggregate(list_transform(range(0, 12), k ->
+      |                CASE WHEN thumb[CAST((k // 4) * 4 + (k % 4) AS INT) + 1]
+      |                        < thumb[CAST((k // 4) * 4 + (k % 4) AS INT) + 5]
+      |                     THEN CAST(1 AS BIGINT) << CAST(11 - k AS INT)
+      |                     ELSE CAST(0 AS BIGINT) END), 'sum')
+      |           AS BIGINT) AS phash
+      |  FROM t
+      |)""".stripMargin
+
   /** IMAGE near-dup, end to end: perceptual-hash the image corpus
     * (real PNG decode → 4×4 block-average → 24-bit dHash,
     * [[graft.multimodal.Multimodal.phash]]), find hamming ≤ 2 pairs
@@ -607,47 +648,103 @@ object Dedup {
         .select($"canonical_id", $"doc_id", $"cluster_size")
         .orderBy($"canonical_id", $"doc_id")
     },
-    Some("""
-      WITH RECURSIVE dims AS (
-        SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
-               CAST(8 + (doc_id * 7) % 16 AS INT) AS height
-        FROM documents
-      ),
-      t AS (
-        SELECT doc_id, width, height,
-               list_transform(range(0, 16), k ->
-                 CAST(list_aggregate(
-                        flatten(list_transform(
-                          range((k // 4) * height // 4, ((k // 4) + 1) * height // 4),
-                          y -> list_transform(
-                            range((k % 4) * width // 4, ((k % 4) + 1) * width // 4),
-                            x -> (doc_id * 31 + x * 7 + y * 13) % 256))),
-                        'sum')
-                      // ((((k // 4) + 1) * height // 4 - (k // 4) * height // 4)
-                         * (((k % 4) + 1) * width // 4 - (k % 4) * width // 4))
-                   AS INT)) AS thumb
-        FROM dims
-      ),
-      sig AS (
-        SELECT doc_id,
-               CAST(list_aggregate(list_transform(range(0, 12), k ->
-                      CASE WHEN thumb[CAST((k // 3) * 4 + (k % 3) AS INT) + 1]
-                              < thumb[CAST((k // 3) * 4 + (k % 3) AS INT) + 2]
-                           THEN CAST(1 AS BIGINT) << CAST(23 - k AS INT)
-                           ELSE CAST(0 AS BIGINT) END), 'sum')
-                  + list_aggregate(list_transform(range(0, 12), k ->
-                      CASE WHEN thumb[CAST((k // 4) * 4 + (k % 4) AS INT) + 1]
-                              < thumb[CAST((k // 4) * 4 + (k % 4) AS INT) + 5]
-                           THEN CAST(1 AS BIGINT) << CAST(11 - k AS INT)
-                           ELSE CAST(0 AS BIGINT) END), 'sum')
-                 AS BIGINT) AS phash
-        FROM t
-      ),
+    Some(s"""
+      WITH RECURSIVE $phashSigSql,
       p AS (
         SELECT a.doc_id d1, b.doc_id d2
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.phash, b.phash)) <= 2
       ),
+      verts AS (SELECT DISTINCT d1 AS v FROM p UNION SELECT DISTINCT d2 FROM p),
+      edges AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
+      walk(v, lab) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b, walk.lab FROM walk JOIN edges e ON walk.v = e.a
+      ),
+      cc AS (SELECT v, MIN(lab) AS lab FROM walk GROUP BY v),
+      sz AS (SELECT lab, COUNT(*) AS cluster_size FROM cc GROUP BY lab)
+      SELECT cc.lab AS canonical_id, cc.v AS doc_id, sz.cluster_size
+      FROM cc JOIN sz USING (lab)
+      ORDER BY canonical_id, doc_id
+    """)
+  )
+
+  /** CROSS-MODAL duplicate consolidation: one clustering over the
+    * UNION of the text near-dup graph ([[minhashLsh]]'s verified exact
+    * pair set) and the image near-dup graph ([[imagePhash]]'s hamming
+    * ≤ 2 dHash pairs) — a multimodal corpus's real duplicate relation,
+    * where the same article re-hosted with a recompressed image and
+    * the same image under a paraphrased caption both collapse into one
+    * cluster. Emits (canonical_id, doc_id, cluster_size) like the
+    * per-modality clusterings; docs duplicated in NEITHER modality
+    * drop out.
+    *
+    * Scale design: each modality contributes edges through ITS OWN
+    * scale machinery — banded MinHash candidates for text, hash
+    * contraction for images. The image side's edge list is LINEAR in
+    * docs (one star edge doc→min-doc per phash group, plus inter-hash
+    * edges over the ≤ 2²⁴ distinct-hash space) rather than the
+    * quadratic within-group pair set, so union + star-CC runs over
+    * O(docs + text pairs) edges. The doc-level components are
+    * unchanged by the contraction: equal-hash docs are hamming-0
+    * neighbors, and any cross-group hamming ≤ 2 doc pair is spanned
+    * through the two group representatives. */
+  val crossModal: Q = Q(
+    "dedup_crossmodal",
+    (s, dir) => {
+      import s.implicits._
+      val tpairs = minhashLsh.run(s, dir).select($"d1", $"d2")
+      val sig = graft.multimodal.Multimodal.phash.run(s, dir)
+        .select($"doc_id", $"phash")
+        .persist()   // decode once: read by the star edges AND the group min
+      val hstats = sig.groupBy($"phash").agg(min($"doc_id").as("dmin"))
+        .localCheckpoint()   // truncates decode lineage; read twice below
+      val chunks = hstats.select($"phash",
+        explode(expr(
+          "transform(sequence(0, 2), c -> named_struct('c', c, 'cv', shiftright(phash, c*8) & 255))"))
+          .as("ch"))
+        .select($"phash", $"ch.c".as("c"), $"ch.cv".as("cv"))
+      val hpairs = chunks.as("x")
+        .join(chunks.as("y"),
+          $"x.c" === $"y.c" && $"x.cv" === $"y.cv" && $"x.phash" < $"y.phash")
+        .select($"x.phash".as("p1"), $"y.phash".as("p2"))
+        .distinct()
+        .filter(expr("bit_count(p1 ^ p2) <= 2"))
+      val interHash = hpairs
+        .join(hstats.select($"phash".as("p1"), $"dmin".as("m1")), "p1")
+        .join(hstats.select($"phash".as("p2"), $"dmin".as("m2")), "p2")
+        .select($"m1".as("d1"), $"m2".as("d2"))
+      val sameHash = sig.join(hstats, "phash")
+        .filter($"doc_id" =!= $"dmin")
+        .select($"dmin".as("d1"), $"doc_id".as("d2"))
+      // CC barriers its input twice (verts + edges); truncate the
+      // expensive two-modality edge plan ONCE here so signatures,
+      // banding and decode don't replay per barrier
+      val allEdges = tpairs.union(interHash).union(sameHash).localCheckpoint()
+      val (lab, _) = connectedComponentsStar(s, allEdges)
+      val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("cluster_size"))
+      lab.join(broadcast(sizes), "lab")
+        .select($"lab".as("canonical_id"), $"v".as("doc_id"), $"cluster_size")
+        .orderBy($"canonical_id", $"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $shingleSetSql,
+      ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
+      prs AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) inter,
+               ANY_VALUE(a.n) n1, ANY_VALUE(b.n) n2
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      tp AS (SELECT d1, d2 FROM prs WHERE 3 * inter >= n1 + n2),
+      $phashSigSql,
+      ip AS (
+        SELECT a.doc_id d1, b.doc_id d2
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+      ),
+      p AS (SELECT d1, d2 FROM tp UNION SELECT d1, d2 FROM ip),
       verts AS (SELECT DISTINCT d1 AS v FROM p UNION SELECT DISTINCT d2 FROM p),
       edges AS (SELECT d1 a, d2 b FROM p UNION ALL SELECT d2, d1 FROM p),
       walk(v, lab) AS (
@@ -2489,5 +2586,5 @@ object Dedup {
       clustersStar, labelsQ, clusterStats, contamination, survivors, embeddingLsh, substringDetect,
       substringClean, semantic, boilerplate, incremental, incrementalBloom,
       incrementalMinhash, containmentPairs, editDistance, snapshotNeardup,
-      splitLeakageSafe, mixDedupWeighted, imagePhash, labelsIncremental)
+      splitLeakageSafe, mixDedupWeighted, imagePhash, crossModal, labelsIncremental)
 }

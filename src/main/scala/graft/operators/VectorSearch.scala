@@ -933,24 +933,28 @@ object VectorSearch {
     * on the already-tiny top-k edge set. cos(a,b) is elementwise-
     * commutative in IEEE float, so both directions of an edge carry
     * bit-identical weights and the semi-join needs no tolerance. */
-  val knnGraph: Q = Q(
-    "vector_knn_graph",
-    (s, dir) => {
-      import s.implicits._
-      val (assigned, _) = ivfFlatAssign(s, dir)
-      val l = assigned.select($"cell", $"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
-      val r = assigned.select($"cell", $"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
-      val pairs = l.join(r, "cell").filter($"a" =!= $"b")
-        .select($"a", $"b", (dot_product($"va", $"vb") / ($"na" * $"nb")).as("cos"))
-      val w = Window.partitionBy($"a").orderBy($"cos".desc, $"b")
-      val top = pairs.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
-        .select($"a", $"b", $"cos")
-      top.join(top.select($"b".as("a"), $"a".as("b")), Seq("a", "b"), "left_semi")
-        .filter($"a" < $"b")
-        .orderBy($"a", $"b")
-    },
-    Some("""
-      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+  /** The canonical (a<b) mutual top-3 edge set with cosine weights —
+    * shared by [[knnGraph]] (reported directly) and [[pageRank]] (the
+    * iterative consumer). See [[knnGraph]]'s scaladoc for the scale
+    * shape. */
+  private[operators] def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (assigned, _) = ivfFlatAssign(s, dir)
+    val l = assigned.select($"cell", $"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
+    val r = assigned.select($"cell", $"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
+    val pairs = l.join(r, "cell").filter($"a" =!= $"b")
+      .select($"a", $"b", (dot_product($"va", $"vb") / ($"na" * $"nb")).as("cos"))
+    val w = Window.partitionBy($"a").orderBy($"cos".desc, $"b")
+    val top = pairs.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"a", $"b", $"cos")
+    top.join(top.select($"b".as("a"), $"a".as("b")), Seq("a", "b"), "left_semi")
+      .filter($"a" < $"b")
+  }
+
+  /** DuckDB recomputation of [[mutualKnnEdges]]: IVF cell assignment,
+    * within-cell cosine pairs, per-vector top-3, mutual filter — ends
+    * in `m(a, b, cos)` with a < b. */
+  private val mutualKnnSql = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
                  FROM embeddings),
       n AS (SELECT vec_id, v,
               sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
@@ -972,15 +976,80 @@ object VectorSearch {
             FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
       t AS (SELECT a, b, cos FROM (
               SELECT a, b, cos, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) rn
-              FROM p) WHERE rn <= 3)
-      SELECT t.a, t.b, t.cos
-      FROM t JOIN t t2 ON t.a = t2.b AND t.b = t2.a
-      WHERE t.a < t.b
-      ORDER BY t.a, t.b
+              FROM p) WHERE rn <= 3),
+      m AS (SELECT t.a, t.b, t.cos
+            FROM t JOIN t t2 ON t.a = t2.b AND t.b = t2.a
+            WHERE t.a < t.b)"""
+
+  val knnGraph: Q = Q(
+    "vector_knn_graph",
+    (s, dir) => {
+      import s.implicits._
+      mutualKnnEdges(s, dir).orderBy($"a", $"b")
+    },
+    Some(s"""
+      WITH $mutualKnnSql
+      SELECT a, b, cos FROM m ORDER BY a, b
     """)
+  )
+
+  /** PageRank over the mutual kNN graph — centrality-based coreset /
+    * representative selection: a vector central to its neighborhood
+    * graph stands in for its region of embedding space (the selection
+    * rule behind graph-based data pruning). Fixed 10 iterations of the
+    * 0.85-damped walk in EXACT INTEGER MICRO-UNITS: each round is
+    * rank' = 150000 + (85 · Σ (rank DIV deg)) DIV 100 — no float
+    * accumulation, so the result is independent of Spark's aggregation
+    * order AND bit-identical across engines (a float PageRank would
+    * hash-differ run to run at high parallelism).
+    *
+    * Scale design: the per-round job is one equi-join of the
+    * (vertex, rank) frame (16 B/vertex) onto the degree-annotated edge
+    * list + one partial-aggregated integer sum — integer addition is
+    * associative, so map-side combine applies where a float walk would
+    * need ordered reduction. The edge list is materialized ONCE
+    * (degrees attached), each round's rank frame is lineage-truncated
+    * (the iterative localCheckpoint rule), and the mutual graph has no
+    * dangling vertices by construction (every vertex in an edge has
+    * deg ≥ 1 and symmetric in-edges). */
+  val pageRank: Q = Q(
+    "vector_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val m = mutualKnnEdges(s, dir).select($"a", $"b")
+      val und = m.union(m.select($"b".as("a"), $"a".as("b")))
+      val deg = und.groupBy($"a").agg(count(lit(1)).as("deg"))
+      val edges = und.join(deg, "a").localCheckpoint()
+      var rank = deg.select($"a".as("v"), lit(1000000L).as("rank"))
+      (1 to 10).foreach { _ =>
+        rank = edges.join(rank, edges("a") === rank("v"))
+          .select($"b", expr("rank div deg").as("c"))
+          .groupBy($"b").agg(sum($"c").as("in"))
+          .select($"b".as("v"), expr("150000L + (85 * `in`) div 100").as("rank"))
+          .localCheckpoint()
+      }
+      rank.select($"v".as("vec_id"), $"rank".as("rank_micro"))
+        .orderBy($"vec_id")
+    },
+    Some {
+      val iters = (1 to 10).map { k =>
+        s"""r$k AS (SELECT ed.b v,
+           |          CAST(150000 + (85 * SUM(r${k - 1}.rank // ed.deg)) // 100 AS BIGINT) rank
+           |        FROM ed JOIN r${k - 1} ON ed.a = r${k - 1}.v GROUP BY ed.b)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH $mutualKnnSql,
+      und AS (SELECT a, b FROM m UNION ALL SELECT b, a FROM m),
+      d AS (SELECT a, COUNT(*) deg FROM und GROUP BY a),
+      ed AS (SELECT u.a, u.b, d.deg FROM und u JOIN d USING (a)),
+      r0 AS (SELECT a v, CAST(1000000 AS BIGINT) rank FROM d),
+      $iters
+      SELECT v AS vec_id, rank AS rank_micro FROM r10 ORDER BY vec_id
+    """
+    }
   )
 
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
-      pqAdc, annIvfPq, knnGraph)
+      pqAdc, annIvfPq, knnGraph, pageRank)
 }

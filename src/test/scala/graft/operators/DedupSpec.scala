@@ -767,4 +767,44 @@ class DedupSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
   }
 
+  test("dedup_crossmodal equals a driver union-find over the per-modality clusterings") {
+    def clustersOf(q: Q): Map[Long, Long] =
+      q.run(spark, sf0001).collect()
+        .map(r => r.getLong(1) -> r.getLong(0)).toMap   // doc -> canonical
+    val text = clustersOf(Dedup.clustersStar)
+    val image = clustersOf(Dedup.imagePhash)
+    val got = Dedup.crossModal.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // union-find over (canonical -> doc) edges from BOTH modalities
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def unite(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (text.toSeq ++ image.toSeq).foreach { case (doc, canon) => unite(doc, canon) }
+    val expect = parent.keys.toSeq.map(v => v -> find(v))
+      .groupBy(_._2).flatMap { case (_, members) =>
+        val docs = members.map(_._1)
+        val canon = docs.min
+        docs.map(d => (canon, d, docs.size.toLong))
+      }.toSet
+    assert(got.toSet == expect,
+      s"crossmodal ${got.length} rows != union closure ${expect.size}")
+
+    // the union is load-bearing: some cluster must MERGE relations the
+    // single modalities kept apart (two text clusters via an image
+    // edge, or an image-only doc joining a text cluster)
+    val merged = got.groupBy(_._1).values.exists { rows =>
+      val docs = rows.map(_._2)
+      docs.flatMap(text.get).distinct.size > 1 ||
+        (docs.exists(text.contains) && docs.exists(d => !text.contains(d)))
+    }
+    assert(merged, "no crossmodal cluster bridges the two modalities")
+  }
+
 }

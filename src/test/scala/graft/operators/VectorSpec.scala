@@ -321,4 +321,23 @@ class VectorSpec extends SparkSuite {
     assert(got == mutual, s"edge set mismatch: got ${got.size}, want ${mutual.size}")
   }
 
+  test("vector_pagerank equals an exact integer driver replay over the mutual graph") {
+    val got = VectorSearch.pageRank.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = VectorSearch.knnGraph.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = m ++ m.map { case (a, b) => (b, a) }
+    val deg = und.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = deg.keys.map(_ -> 1000000L).toMap
+    (1 to 10).foreach { _ =>
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      und.foreach { case (a, b) => in(b) += rank(a) / deg(a) }
+      rank = in.map { case (v, s) => v -> (150000L + (85L * s) / 100L) }.toMap
+    }
+    assert(got == rank, s"rank table mismatch: ${got.size} vs ${rank.size}")
+    // damping floor holds and the walk actually discriminates
+    assert(got.values.forall(_ >= 150000L))
+    assert(got.values.toSet.size > 1, "all ranks equal — the walk did nothing")
+  }
+
 }
