@@ -338,6 +338,15 @@ class VectorSpec extends SparkSuite {
     // damping floor holds and the walk actually discriminates
     assert(got.values.forall(_ >= 150000L))
     assert(got.values.toSet.size > 1, "all ranks equal — the walk did nothing")
+    // both hybrid paths agree bit-for-bit: force the DISTRIBUTED rounds
+    // (threshold 0) and compare to the driver fast path
+    val key = "graft.vector.pagerank.localEdgeThreshold"
+    spark.conf.set(key, "0")
+    try {
+      val dist = VectorSearch.pageRank.run(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == got, "distributed rounds diverged from the driver walk")
+    } finally spark.conf.unset(key)
   }
 
 }
