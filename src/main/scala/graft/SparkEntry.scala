@@ -140,6 +140,7 @@ object SparkEntry {
     // unions, plus one star-CC over the merged edge set
     "dedup_crossmodal",
     // round 9 (late): exact-integer PageRank over the mutual kNN graph
-    "vector_pagerank"
+    // and the per-cell coreset selection it feeds
+    "vector_pagerank", "vector_coreset"
   )
 }

@@ -1071,7 +1071,55 @@ object VectorSearch {
     }
   )
 
+  /** Coreset manifest: the 2 most CENTRAL vectors per IVF cell by
+    * [[pageRank]] centrality — graph-based data pruning's selection
+    * rule (keep the representatives that summarize each region of
+    * embedding space, drop the redundant mass around them). Vectors
+    * with no mutual-kNN edge never rank and never represent.
+    *
+    * Scale design: the rank table is 16 B/vertex and the per-cell
+    * top-2 is a cell-partitioned window with map-side WindowGroupLimit
+    * pruning — after the (already-bounded) PageRank job this stage
+    * adds ONE small exchange on cell. */
+  val coreset: Q = Q(
+    "vector_coreset",
+    (s, dir) => {
+      import s.implicits._
+      val ranks = pageRank.run(s, dir)
+      val cells = ivfFlatAssign(s, dir)._1.select($"vec_id", $"cell")
+      val w = Window.partitionBy($"cell").orderBy($"rank_micro".desc, $"vec_id")
+      ranks.join(cells, "vec_id")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2)
+        .select($"cell", $"rn", $"vec_id", $"rank_micro")
+        .orderBy($"cell", $"rn")
+    },
+    Some {
+      val iters = (1 to 10).map { k =>
+        s"""r$k AS (SELECT ed.b v,
+           |          CAST(150000 + (85 * SUM(r${k - 1}.rank // ed.deg)) // 100 AS BIGINT) rank
+           |        FROM ed JOIN r${k - 1} ON ed.a = r${k - 1}.v GROUP BY ed.b)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH $mutualKnnSql,
+      und AS (SELECT a, b FROM m UNION ALL SELECT b, a FROM m),
+      d AS (SELECT a, COUNT(*) deg FROM und GROUP BY a),
+      ed AS (SELECT u.a, u.b, d.deg FROM und u JOIN d USING (a)),
+      r0 AS (SELECT a v, CAST(1000000 AS BIGINT) rank FROM d),
+      $iters,
+      ranked AS (
+        SELECT assign.cell, r10.v vec_id, r10.rank rank_micro,
+               ROW_NUMBER() OVER (PARTITION BY assign.cell
+                                  ORDER BY r10.rank DESC, r10.v) rn
+        FROM r10 JOIN assign ON assign.vec_id = r10.v
+      )
+      SELECT cell, CAST(rn AS INT) rn, vec_id, rank_micro
+      FROM ranked WHERE rn <= 2 ORDER BY cell, rn
+    """
+    }
+  )
+
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
-      pqAdc, annIvfPq, knnGraph, pageRank)
+      pqAdc, annIvfPq, knnGraph, pageRank, coreset)
 }

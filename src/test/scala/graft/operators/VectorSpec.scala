@@ -349,4 +349,22 @@ class VectorSpec extends SparkSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("vector_coreset picks the top-2 centralities per cell exactly") {
+    val rank = VectorSearch.pageRank.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cells = VectorSearch.ivfFlatAssign(spark, sf0001)._1
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = rank.toSeq.groupBy { case (v, _) => cells(v) }
+      .flatMap { case (cell, members) =>
+        members.sortBy { case (v, rk) => (-rk, v) }.take(2).zipWithIndex
+          .map { case ((v, rk), i) => (cell, i + 1, v, rk) }
+      }.toSet
+    val got = VectorSearch.coreset.run(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, s"coreset mismatch: ${got.size} vs ${expect.size}")
+    // representatives exist for every cell that has any ranked vector
+    assert(got.map(_._1) == rank.keys.map(cells).toSet)
+  }
+
 }
