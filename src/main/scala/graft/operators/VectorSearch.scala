@@ -312,7 +312,7 @@ object VectorSearch {
     * broadcast codebook scan folded by a partial-aggregated
     * min-struct. Returns (vec_id, v, nrm, cell) plus the centroid
     * frame. */
-  private[operators] def ivfFlatAssign(
+  private[graft] def ivfFlatAssign(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val e = normed(s, dir)
