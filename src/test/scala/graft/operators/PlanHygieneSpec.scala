@@ -429,4 +429,17 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("LeftSemi"), "mutual filter should plan as a semi join")
   }
 
+  test("vector_coreset: per-cell top-2 gets map-side WindowGroupLimit pruning") {
+    val p = plan("vector_coreset")
+    assert(p.contains("WindowGroupLimit"),
+      "the rn <= 2 filter should prune map-side, not post-window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_crossmodal: no cartesian product anywhere in the merged-edge plan") {
+    val p = plan("dedup_crossmodal")
+    assert(!p.contains("CartesianProduct"),
+      "both modality edge generators must stay banded/cell-keyed")
+  }
+
 }
