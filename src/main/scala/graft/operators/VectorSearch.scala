@@ -1012,46 +1012,55 @@ object VectorSearch {
     * (the iterative localCheckpoint rule), and the mutual graph has no
     * dangling vertices by construction (every vertex in an edge has
     * deg ≥ 1 and symmetric in-edges). */
+  /** The exact-integer damped walk over an UNDIRECTED edge frame
+    * `(a, b)` (both directions present), factored so property tests
+    * and scale probes can drive arbitrary graphs through both hybrid
+    * paths. SIZE-GUARDED HYBRID (the connectedComponentsStar
+    * discipline): every distributed round costs ~4 fixed jobs of
+    * scheduler + shuffle overhead regardless of graph size — 10 rounds
+    * over a fixture-scale graph paid ~4.5 s to walk a structure that
+    * fits in a cache line. Under the threshold the SAME integer walk
+    * runs on the driver (bit-identical by exact arithmetic); larger
+    * graphs take the distributed rounds exactly as before. Returns
+    * (vec_id, rank_micro), unordered. */
+  private[graft] def pageRankWalk(s: SparkSession,
+      undirected: DataFrame, iters: Int = 10): DataFrame = {
+    import s.implicits._
+    val und = undirected.toDF("a", "b").localCheckpoint()
+    val threshold = s.conf.getOption("graft.vector.pagerank.localEdgeThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    if (und.count() <= threshold) {
+      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val deg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      var rank = deg.keys.map(_ -> 1000000L).toMap
+      (1 to iters).foreach { _ =>
+        val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        es.foreach { case (a, b) => in(b) += rank(a) / deg(a) }
+        rank = in.map { case (v, sum) => v -> (150000L + (85L * sum) / 100L) }.toMap
+      }
+      s.createDataset(rank.toSeq).toDF("vec_id", "rank_micro")
+    } else {
+      val deg = und.groupBy($"a").agg(count(lit(1)).as("deg"))
+      val edges = und.join(deg, "a").localCheckpoint()
+      var rank = deg.select($"a".as("v"), lit(1000000L).as("rank"))
+      (1 to iters).foreach { _ =>
+        rank = edges.join(rank, edges("a") === rank("v"))
+          .select($"b", expr("rank div deg").as("c"))
+          .groupBy($"b").agg(sum($"c").as("in"))
+          .select($"b".as("v"), expr("150000L + (85 * `in`) div 100").as("rank"))
+          .localCheckpoint()
+      }
+      rank.select($"v".as("vec_id"), $"rank".as("rank_micro"))
+    }
+  }
+
   val pageRank: Q = Q(
     "vector_pagerank",
     (s, dir) => {
       import s.implicits._
       val m = mutualKnnEdges(s, dir).select($"a", $"b")
-      val und = m.union(m.select($"b".as("a"), $"a".as("b"))).localCheckpoint()
-      // SIZE-GUARDED HYBRID (the connectedComponentsStar discipline):
-      // every distributed round costs ~4 fixed jobs of scheduler +
-      // shuffle overhead regardless of graph size — 10 rounds over a
-      // fixture-scale graph paid ~4.5 s to walk a structure that fits
-      // in a cache line. Under the threshold the SAME integer walk
-      // runs on the driver (bit-identical by exact arithmetic); larger
-      // graphs take the distributed rounds exactly as before.
-      val threshold = s.conf.getOption("graft.vector.pagerank.localEdgeThreshold")
-        .map(_.toLong).getOrElse(100000L)
-      if (und.count() <= threshold) {
-        val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val deg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
-        var rank = deg.keys.map(_ -> 1000000L).toMap
-        (1 to 10).foreach { _ =>
-          val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
-          es.foreach { case (a, b) => in(b) += rank(a) / deg(a) }
-          rank = in.map { case (v, sum) => v -> (150000L + (85L * sum) / 100L) }.toMap
-        }
-        s.createDataset(rank.toSeq).toDF("vec_id", "rank_micro")
-          .orderBy($"vec_id")
-      } else {
-        val deg = und.groupBy($"a").agg(count(lit(1)).as("deg"))
-        val edges = und.join(deg, "a").localCheckpoint()
-        var rank = deg.select($"a".as("v"), lit(1000000L).as("rank"))
-        (1 to 10).foreach { _ =>
-          rank = edges.join(rank, edges("a") === rank("v"))
-            .select($"b", expr("rank div deg").as("c"))
-            .groupBy($"b").agg(sum($"c").as("in"))
-            .select($"b".as("v"), expr("150000L + (85 * `in`) div 100").as("rank"))
-            .localCheckpoint()
-        }
-        rank.select($"v".as("vec_id"), $"rank".as("rank_micro"))
-          .orderBy($"vec_id")
-      }
+      pageRankWalk(s, m.union(m.select($"b".as("a"), $"a".as("b"))))
+        .orderBy($"vec_id")
     },
     Some {
       val iters = (1 to 10).map { k =>
