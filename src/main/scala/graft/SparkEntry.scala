@@ -141,6 +141,8 @@ object SparkEntry {
     "dedup_crossmodal",
     // round 9 (late): exact-integer PageRank over the mutual kNN graph
     // and the per-cell coreset selection it feeds
-    "vector_pagerank", "vector_coreset"
+    "vector_pagerank", "vector_coreset",
+    // round 9 (late): ANN quality evaluation as a catalog operator
+    "vector_recall_eval"
   )
 }

@@ -1128,7 +1128,58 @@ object VectorSearch {
     }
   )
 
+  /** ANN QUALITY EVALUATION as a first-class operator: recall@10 of
+    * each approximate path (IVF-flat, multiprobe LSH) against the
+    * exact brute-force answer, per method — "measure, don't guess" as
+    * a catalog query a pipeline can schedule after every index
+    * rebuild. Recall is reported in exact integer micro-units
+    * ((10⁶·hits) DIV served), so the row is hash-stable.
+    *
+    * Scale design: the approx→exact comparison is a semi-join on
+    * (qid, vec_id) over TOP-K-SIZED frames (k rows per query per
+    * method — never corpus-sized); the expensive inputs are the
+    * searches themselves, each already bounded by its own path's
+    * economics. At production scale the exact side comes from a held-
+    * out query sample, which is exactly the fixture's shape (8 probe
+    * queries). */
+  val recallEval: Q = Q(
+    "vector_recall_eval",
+    (s, dir) => {
+      import s.implicits._
+      val exact = topK.run(s, dir).select($"qid", $"vec_id").localCheckpoint()
+      Seq("ivf_flat" -> annIvfFlat, "lsh" -> annLsh).map { case (name, q) =>
+        val approx = q.run(s, dir).select($"qid", $"vec_id").localCheckpoint()
+        val served = approx.agg(count(lit(1)).as("served"))
+        val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        hits.crossJoin(served).select(lit(name).as("ann_method"), $"hits", $"served",
+          expr("(1000000 * hits) div served").as("recall_micro"))
+      }.reduce(_ union _).orderBy($"ann_method")
+    },
+    Some {
+      val exactSql = topK.oracle.get
+      val ivfSql = annIvfFlat.oracle.get
+      val lshSql = annLshOracleSql
+      s"""
+      WITH exact AS ($exactSql),
+      ivf AS ($ivfSql),
+      lshr AS ($lshSql),
+      h AS (
+        SELECT 'ivf_flat' ann_method, COUNT(*) hits,
+               (SELECT COUNT(*) FROM ivf) served
+        FROM ivf JOIN exact USING (qid, vec_id)
+        UNION ALL
+        SELECT 'lsh', COUNT(*), (SELECT COUNT(*) FROM lshr)
+        FROM lshr JOIN exact USING (qid, vec_id)
+      )
+      SELECT ann_method, CAST(hits AS BIGINT) hits, CAST(served AS BIGINT) served,
+             CAST((1000000 * hits) // served AS BIGINT) recall_micro
+      FROM h ORDER BY ann_method
+    """
+    }
+  )
+
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
-      pqAdc, annIvfPq, knnGraph, pageRank, coreset)
+      pqAdc, annIvfPq, knnGraph, pageRank, coreset, recallEval)
 }

@@ -367,4 +367,22 @@ class VectorSpec extends SparkSuite {
     assert(got.map(_._1) == rank.keys.map(cells).toSet)
   }
 
+  test("vector_recall_eval reports the exact hit counts of each ANN path") {
+    def hitsOf(q: Q): (Long, Long) = {
+      val exact = VectorSearch.topK.run(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val approx = q.run(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      (approx.count(exact.contains).toLong, approx.length.toLong)
+    }
+    val got = VectorSearch.recallEval.run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (ivfHits, ivfServed) = hitsOf(VectorSearch.annIvfFlat)
+    val (lshHits, lshServed) = hitsOf(VectorSearch.annLsh)
+    assert(got("ivf_flat") == ((ivfHits, ivfServed, 1000000L * ivfHits / ivfServed)))
+    assert(got("lsh") == ((lshHits, lshServed, 1000000L * lshHits / lshServed)))
+    // the eval must discriminate: the two paths' recalls differ on the fixture
+    assert(got("ivf_flat")._3 != got("lsh")._3)
+  }
+
 }
