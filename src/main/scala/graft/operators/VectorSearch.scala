@@ -1147,7 +1147,8 @@ object VectorSearch {
     (s, dir) => {
       import s.implicits._
       val exact = topK.run(s, dir).select($"qid", $"vec_id").localCheckpoint()
-      Seq("ivf_flat" -> annIvfFlat, "lsh" -> annLsh).map { case (name, q) =>
+      Seq("ivf_flat" -> annIvfFlat, "ivfpq" -> annIvfPq,
+          "lsh" -> annLsh, "pq_adc" -> pqAdc).map { case (name, q) =>
         val approx = q.run(s, dir).select($"qid", $"vec_id").localCheckpoint()
         val served = approx.agg(count(lit(1)).as("served"))
         val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
@@ -1157,20 +1158,22 @@ object VectorSearch {
       }.reduce(_ union _).orderBy($"ann_method")
     },
     Some {
-      val exactSql = topK.oracle.get
-      val ivfSql = annIvfFlat.oracle.get
-      val lshSql = annLshOracleSql
+      val methods = Seq(
+        "ivf_flat" -> annIvfFlat.oracle.get,
+        "ivfpq" -> annIvfPq.oracle.get,
+        "lsh" -> annLshOracleSql,
+        "pq_adc" -> pqAdc.oracle.get)
+      val ctes = methods.map { case (n, sql) => s"m_$n AS ($sql)" }.mkString(",\n      ")
+      val branches = methods.map { case (n, _) =>
+        s"""SELECT '$n' ann_method, COUNT(*) hits,
+           |               (SELECT COUNT(*) FROM m_$n) served
+           |        FROM m_$n JOIN exact USING (qid, vec_id)""".stripMargin
+      }.mkString("\n        UNION ALL\n        ")
       s"""
-      WITH exact AS ($exactSql),
-      ivf AS ($ivfSql),
-      lshr AS ($lshSql),
+      WITH exact AS (${topK.oracle.get}),
+      $ctes,
       h AS (
-        SELECT 'ivf_flat' ann_method, COUNT(*) hits,
-               (SELECT COUNT(*) FROM ivf) served
-        FROM ivf JOIN exact USING (qid, vec_id)
-        UNION ALL
-        SELECT 'lsh', COUNT(*), (SELECT COUNT(*) FROM lshr)
-        FROM lshr JOIN exact USING (qid, vec_id)
+        $branches
       )
       SELECT ann_method, CAST(hits AS BIGINT) hits, CAST(served AS BIGINT) served,
              CAST((1000000 * hits) // served AS BIGINT) recall_micro

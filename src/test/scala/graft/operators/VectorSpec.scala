@@ -377,12 +377,15 @@ class VectorSpec extends SparkSuite {
     }
     val got = VectorSearch.recallEval.run(spark, sf0001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    val (ivfHits, ivfServed) = hitsOf(VectorSearch.annIvfFlat)
-    val (lshHits, lshServed) = hitsOf(VectorSearch.annLsh)
-    assert(got("ivf_flat") == ((ivfHits, ivfServed, 1000000L * ivfHits / ivfServed)))
-    assert(got("lsh") == ((lshHits, lshServed, 1000000L * lshHits / lshServed)))
-    // the eval must discriminate: the two paths' recalls differ on the fixture
-    assert(got("ivf_flat")._3 != got("lsh")._3)
+    assert(got.keySet == Set("ivf_flat", "ivfpq", "lsh", "pq_adc"))
+    Seq("ivf_flat" -> VectorSearch.annIvfFlat, "ivfpq" -> VectorSearch.annIvfPq,
+      "lsh" -> VectorSearch.annLsh, "pq_adc" -> VectorSearch.pqAdc)
+      .foreach { case (name, q) =>
+        val (hits, served) = hitsOf(q)
+        assert(got(name) == ((hits, served, 1000000L * hits / served)), name)
+      }
+    // the eval must discriminate: the paths' recalls differ on the fixture
+    assert(got.values.map(_._3).toSet.size > 1)
   }
 
 }
