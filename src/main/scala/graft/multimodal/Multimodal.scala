@@ -318,17 +318,26 @@ object Multimodal {
     * recomputes block means AND both bit planes independently and the
     * decode→resize→hash path is verified end-to-end through real PNG
     * bytes. */
+  /** decode → 4×4 block means → 24-bit dHash over any frame carrying a
+    * doc_id (images attach deterministically); works on BATCH and
+    * STREAMING frames alike (stateless mapPartitions kernel, codec
+    * init once per partition). Returns (doc_id, width, height, phash). */
+  def phashFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    withImageBlob(spark, df)
+      .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val r = resizeThumb(id, bytes)
+        (r.doc_id, r.width, r.height, phashOf(r.thumb))
+      })
+      .toDF("doc_id", "width", "height", "phash")
+  }
+
   val phash: Q = Q(
     "multimodal_phash",
     (s, dir) => {
       import s.implicits._
-      withImageBlob(s, Tables.load(s, dir, "documents"))
-        .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) =>
-          val r = resizeThumb(id, bytes)
-          (r.doc_id, r.width, r.height, phashOf(r.thumb))
-        })
-        .toDF("doc_id", "width", "height", "phash")
+      phashFrame(s, Tables.load(s, dir, "documents"))
         .orderBy($"doc_id")
     },
     Some("""

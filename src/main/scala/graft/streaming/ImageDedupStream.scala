@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One ingest-time image near-dup flag: the arriving doc matched an
+  * existing corpus canonical within hamming ≤ 2. */
+case class ImageMatch(doc_id: Long, matched_canonical: Long, hamming: Int)
+
+/** STREAMING image near-dup detection: arriving documents are
+  * phash-ed (real decode, the `multimodal_phash` kernel) and banded
+  * against a STATIC chunk index of the corpus's distinct hashes — "is
+  * this image a duplicate of something we already have?" answered
+  * within the ingest micro-batch, the image twin of the incremental
+  * text dedup family (`dedup_incremental_minhash`'s persisted-index
+  * discipline).
+  *
+  * Shape: the static side is the HASH-CONTRACTED index (one row per
+  * distinct corpus phash × 3 pigeonhole chunks, carrying the group's
+  * canonical min doc_id) — bounded by the 2²⁴ hash space, not the
+  * corpus. Arrivals explode into the same 3 chunks statelessly, the
+  * candidate join is a chunk equi-join (pigeonhole: hamming ≤ 2 over
+  * 3×8-bit chunks ⇒ some chunk equal — lossless at this radius), the
+  * exact hamming verify runs on candidates only, and per-arrival
+  * match dedup (a doc can candidate through multiple chunks) folds
+  * the per-key iterator in `flatMapGroupsWithState` with no retained
+  * state. Self-matches (the arriving doc IS the group canonical)
+  * are excluded. */
+object ImageDedupStream {
+
+  /** The static band index: (c, cv, phash, dmin) per distinct corpus
+    * phash × chunk. Built once at stream construction. */
+  def bandIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = graft.multimodal.Multimodal.phashFrame(
+      s, graft.Tables.load(s, dir, "documents"))
+      .select($"doc_id", $"phash")
+    sig.groupBy($"phash").agg(min($"doc_id").as("dmin"))
+      .select($"phash", $"dmin",
+        explode(expr(
+          "transform(sequence(0, 2), c -> named_struct('c', c, 'cv', shiftright(phash, c*8) & 255))"))
+          .as("ch"))
+      .select($"ch.c".as("c"), $"ch.cv".as("cv"), $"phash", $"dmin")
+      .localCheckpoint()
+  }
+
+  def flagArrivals(src: DataFrame, dir: String): Dataset[ImageMatch] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val idx = bandIndex(spark, dir)
+      .withColumnRenamed("phash", "iphash")
+    val arrivals = graft.multimodal.Multimodal.phashFrame(spark, src)
+      .select($"doc_id", $"phash",
+        explode(expr(
+          "transform(sequence(0, 2), c -> named_struct('c', c, 'cv', shiftright(phash, c*8) & 255))"))
+          .as("ch"))
+      .select($"doc_id", $"phash", $"ch.c".as("c"), $"ch.cv".as("cv"))
+    arrivals.join(idx, Seq("c", "cv"))
+      .filter(expr("bit_count(phash ^ iphash) <= 2") && $"dmin" =!= $"doc_id")
+      .select($"doc_id", $"dmin",
+        expr("cast(bit_count(phash ^ iphash) as int)").as("hamming"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (doc: Long, rows: Iterator[(Long, Long, Int)], state: GroupState[Long]) =>
+          rows.map { case (_, dmin, h) => (dmin, h) }.toArray.distinct
+            .sortBy(_._1).iterator
+            .map { case (dmin, h) => ImageMatch(doc, dmin, h) }
+      }
+  }
+}
