@@ -143,6 +143,7 @@ object SparkEntry {
     // and the per-cell coreset selection it feeds
     "vector_pagerank", "vector_coreset",
     // round 9 (late): ANN quality evaluation as a catalog operator
-    "vector_recall_eval"
+    // and the MMR diversity re-rank on the serving side
+    "vector_recall_eval", "vector_mmr_rerank"
   )
 }

@@ -1182,7 +1182,124 @@ object VectorSearch {
     }
   )
 
+  /** MMR (maximal-marginal-relevance) diversity re-rank: from each
+    * query's top-20 cosine candidates, greedily select 5 maximizing
+    * λ·rel − (1−λ)·redundancy (λ=0.7, redundancy = max cosine to the
+    * already-selected set) — the serving-side re-rank that stops a RAG
+    * retriever returning five paraphrases of one document. All scores
+    * are EXACT INTEGER micro-units (cosines micro-rounded once, then
+    * score = 7·rel − 3·maxRed in 10×micro units), so the greedy
+    * argmax ties deterministically on vec_id and both engines select
+    * identical sets.
+    *
+    * Scale design: the greedy loop runs over TOP-K-SIZED frames only —
+    * 20 candidates per query, 20×20 pairwise cosines per query (the
+    * corpus is touched once, by the candidate search itself); each of
+    * the 5 unrolled steps is a selected×remaining join + one
+    * qid-partitioned argmax window over ≤20-row groups. */
+  val mmrRerank: Q = Q(
+    "vector_mmr_rerank",
+    (s, dir) => {
+      import s.implicits._
+      val e = normed(s, dir)
+      val cand20 = rankTopK(s,
+        e.join(broadcast(
+          e.filter($"vec_id" < 8)
+            .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))),
+          $"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id",
+            (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos")), 20)
+        .select($"qid", $"vec_id",
+          expr("cast(round(1e6 * cos) as bigint)").as("rel"))
+        .localCheckpoint()
+      // pairwise candidate-candidate micro-cosines, per query
+      val cv = cand20.join(e.select($"vec_id", $"v", $"nrm"), "vec_id")
+        .select($"qid", $"vec_id", $"v", $"nrm").localCheckpoint()
+      val pairs = cv.select($"qid", $"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
+        .join(cv.select($"qid", $"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb")), "qid")
+        .filter($"a" =!= $"b")
+        .select($"qid", $"a", $"b",
+          round(lit(1e6) * (dot_product($"va", $"vb") / ($"na" * $"nb")))
+            .cast("long").as("cc"))
+        .localCheckpoint()
+      val w = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id")
+      // step 1: pure relevance
+      var selected = cand20
+        .withColumn("score", $"rel" * 10L)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"qid").orderBy($"rel".desc, $"vec_id")))
+        .filter($"rk" === 1)
+        .select($"qid", $"vec_id", lit(1).as("step"), ($"rel" * 10L).as("mmr_score"))
+        .localCheckpoint()
+      (2 to 5).foreach { k =>
+        val remaining = cand20.join(selected.select($"qid", $"vec_id"),
+          Seq("qid", "vec_id"), "left_anti")
+        val red = remaining
+          .join(pairs.withColumnRenamed("a", "vec_id"), Seq("qid", "vec_id"))
+          .join(selected.select($"qid", $"vec_id".as("b")), Seq("qid", "b"), "left_semi")
+          .groupBy($"qid", $"vec_id").agg(max($"cc").as("max_red"))
+        val scored = remaining.join(red, Seq("qid", "vec_id"), "left")
+          .select($"qid", $"vec_id", $"rel",
+            ($"rel" * 7L - coalesce($"max_red", lit(0L)) * 3L).as("score"))
+        selected = selected.union(
+          scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+            .select($"qid", $"vec_id", lit(k).as("step"), $"score".as("mmr_score")))
+          .localCheckpoint()
+      }
+      selected.orderBy($"qid", $"step")
+    },
+    Some {
+      val steps = (2 to 5).map { k =>
+        s"""sel$k AS (
+           |  SELECT qid, vec_id, $k stp, score FROM (
+           |    SELECT r.qid, r.vec_id, 7 * r.rel - 3 * COALESCE(mr.max_red, 0) score,
+           |           ROW_NUMBER() OVER (PARTITION BY r.qid
+           |             ORDER BY 7 * r.rel - 3 * COALESCE(mr.max_red, 0) DESC, r.vec_id) rk
+           |    FROM c20 r
+           |    LEFT JOIN (SELECT p.qid, p.a vec_id, MAX(p.cc) max_red
+           |               FROM prs p JOIN acc${k - 1} s ON s.qid = p.qid AND s.vec_id = p.b
+           |               GROUP BY p.qid, p.a) mr
+           |      ON mr.qid = r.qid AND mr.vec_id = r.vec_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM acc${k - 1} s
+           |                      WHERE s.qid = r.qid AND s.vec_id = r.vec_id)
+           |  ) WHERE rk = 1
+           |),
+           |acc$k AS (SELECT qid, vec_id, stp, score FROM acc${k - 1}
+           |          UNION ALL SELECT qid, vec_id, stp, score FROM sel$k)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      qs AS (SELECT vec_id qid, v qv, nrm qnrm FROM n WHERE vec_id < 8),
+      p AS (SELECT qid, vec_id,
+              list_reduce(list_transform(list_zip(qv, v), s -> s[1]*s[2]), (x, y) -> x + y)
+                / (qnrm * nrm) AS cos
+            FROM qs, n WHERE vec_id <> qid),
+      c20 AS (SELECT qid, vec_id, CAST(ROUND(1e6 * cos) AS BIGINT) rel FROM (
+                SELECT qid, vec_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
+                FROM p) WHERE rn <= 20),
+      cv AS (SELECT c.qid, c.vec_id, n.v, n.nrm FROM c20 c JOIN n USING (vec_id)),
+      prs AS (SELECT x.qid, x.vec_id a, y.vec_id b,
+                CAST(ROUND(1e6 * (
+                  list_reduce(list_transform(list_zip(x.v, y.v), s -> s[1]*s[2]), (q, r) -> q + r)
+                    / (x.nrm * y.nrm))) AS BIGINT) cc
+              FROM cv x JOIN cv y ON x.qid = y.qid AND x.vec_id <> y.vec_id),
+      acc1 AS (SELECT qid, vec_id, 1 stp, rel * 10 score FROM (
+                 SELECT qid, vec_id, rel,
+                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) rk
+                 FROM c20) WHERE rk = 1),
+      $steps
+      SELECT qid, vec_id, CAST(stp AS INT) step, CAST(score AS BIGINT) mmr_score
+      FROM acc5 ORDER BY qid, step
+    """
+    }
+  )
+
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
-      pqAdc, annIvfPq, knnGraph, pageRank, coreset, recallEval)
+      pqAdc, annIvfPq, knnGraph, pageRank, coreset, recallEval, mmrRerank)
 }

@@ -388,4 +388,49 @@ class VectorSpec extends SparkSuite {
     assert(got.values.map(_._3).toSet.size > 1)
   }
 
+  test("vector_mmr_rerank equals an exact integer greedy replay") {
+    val got = VectorSearch.mmrRerank.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // driver replay from raw embeddings
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = (0L until 8L).flatMap { qid =>
+      val cand = emb.keys.filter(_ != qid).toSeq
+        .map(v => (v, cos(emb(qid), emb(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(20)
+        .map { case (v, c) => (v, math.round(1e6 * c)) }
+      val cc = (for { (a, _) <- cand; (b, _) <- cand if a != b }
+        yield (a, b) -> math.round(1e6 * cos(emb(a), emb(b)))).toMap
+      var selected = List.empty[(Long, Int, Long)]
+      (1 to 5).foreach { step =>
+        val chosen =
+          if (step == 1) { val (v, rel) = cand.maxBy { case (v, r) => (r, -v) }
+            (v, 10L * rel) }
+          else {
+            val picked = selected.map(_._1).toSet
+            cand.filterNot { case (v, _) => picked(v) }
+              .map { case (v, rel) =>
+                val red = picked.map(s => cc((v, s))).max
+                (v, 7L * rel - 3L * red)
+              }.maxBy { case (v, s) => (s, -v) }
+          }
+        selected = selected :+ ((chosen._1, step, chosen._2))
+      }
+      selected.map { case (v, step, sc) => (qid, v, step, sc) }
+    }.toSet
+    assert(got.toSet == expect, s"MMR mismatch: ${got.length} vs ${expect.size}")
+    // the re-rank genuinely diversifies: some query's MMR set differs
+    // from its pure top-5 relevance set
+    val top5 = VectorSearch.topK.run(spark, sf0001).collect()
+      .filter(_.getInt(1) <= 5).map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mmrSet = got.map(r => (r._1, r._2)).toSet
+    assert(mmrSet != top5, "MMR never deviated from pure relevance")
+  }
+
 }
