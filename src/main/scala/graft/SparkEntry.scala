@@ -144,6 +144,9 @@ object SparkEntry {
     "vector_pagerank", "vector_coreset",
     // round 9 (late): ANN quality evaluation as a catalog operator
     // and the MMR diversity re-rank on the serving side
-    "vector_recall_eval", "vector_mmr_rerank"
+    "vector_recall_eval", "vector_mmr_rerank",
+    // round 9 (late): experimentation analytics — content-addressed A/B
+    // assignment with an engine-mirrored two-proportion z-test
+    "events_ab_test"
   )
 }

@@ -230,5 +230,87 @@ object Quality {
     """)
   )
 
-  def queries: Seq[Q] = Seq(dqReferential, dqConstraints, eventsAttribution)
+  /** A/B experiment readout: users assigned to variants by the
+    * content-addressed md5 bucket (the `split_assign` discipline — no
+    * RNG, no seed coordination, reproducible across engines and
+    * cluster sizes), conversion = total purchase value above $600,
+    * reported as one row with exact integer counts/rates plus a
+    * two-proportion z-test. The z statistic is the ONE float in the
+    * row and is micro-rounded once from [[zSql]] — the SAME SQL text
+    * evaluated by both engines (division and sqrt are correctly-
+    * rounded IEEE ops, so identical inputs give identical doubles);
+    * the degenerate all-convert/none-convert pool reads z = 0 on both
+    * sides instead of NaN.
+    *
+    * Scale design: one user_id exchange (the per-user conversion agg),
+    * then a stateless variant projection and ONE conditional aggregate
+    * to a single row — adding metrics adds columns, not passes. */
+  private val zSql =
+    """cast(round(1e6 * (case
+      |  when conv_a + conv_b = 0 or conv_a + conv_b = n_a + n_b then 0.0
+      |  else (cast(conv_a as double) / cast(n_a as double)
+      |          - cast(conv_b as double) / cast(n_b as double))
+      |       / sqrt((cast(conv_a + conv_b as double) / cast(n_a + n_b as double))
+      |              * (1.0 - cast(conv_a + conv_b as double) / cast(n_a + n_b as double))
+      |              * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double)))
+      |  end)) as bigint)""".stripMargin
+
+  val eventsAbTest: Q = Q(
+    "events_ab_test",
+    (s, dir) => {
+      import s.implicits._
+      val u = Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .agg((sum(when($"event_type" === "purchase",
+          round($"value" * 100).cast("long")).otherwise(0L)) > 60000L)
+          .cast("long").as("conv"))
+        .withColumn("variant",
+          when(substring(md5($"user_id".cast("string")), 1, 2) < "80", "A")
+            .otherwise("B"))
+      u.agg(
+        sum(when($"variant" === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"variant" === "A", $"conv").otherwise(0L)).as("conv_a"),
+        sum(when($"variant" === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when($"variant" === "B", $"conv").otherwise(0L)).as("conv_b"))
+        .selectExpr(
+          "n_a", "conv_a", "(1000000 * conv_a) div n_a as rate_a_micro",
+          "n_b", "conv_b", "(1000000 * conv_b) div n_b as rate_b_micro",
+          "(1000000 * conv_a) div n_a - (1000000 * conv_b) div n_b as diff_micro",
+          s"$zSql as z_micro")
+        .withColumn("significant", abs($"z_micro") >= 1960000L)
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) > 60000
+                    THEN 1 ELSE 0 END conv
+        FROM events GROUP BY user_id
+      ),
+      v AS (
+        SELECT conv,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                    THEN 'A' ELSE 'B' END variant
+        FROM u
+      ),
+      agg AS (
+        SELECT SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) n_a,
+               SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) conv_a,
+               SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) n_b,
+               SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) conv_b
+        FROM v
+      )
+      SELECT CAST(n_a AS BIGINT) n_a, CAST(conv_a AS BIGINT) conv_a,
+             CAST((1000000 * conv_a) // n_a AS BIGINT) rate_a_micro,
+             CAST(n_b AS BIGINT) n_b, CAST(conv_b AS BIGINT) conv_b,
+             CAST((1000000 * conv_b) // n_b AS BIGINT) rate_b_micro,
+             CAST((1000000 * conv_a) // n_a - (1000000 * conv_b) // n_b AS BIGINT) diff_micro,
+             $zSql z_micro,
+             abs($zSql) >= 1960000 AS significant
+      FROM agg
+    """)
+  )
+
+  def queries: Seq[Q] =
+    Seq(dqReferential, dqConstraints, eventsAttribution, eventsAbTest)
 }

@@ -79,4 +79,37 @@ class QualitySpec extends SparkSuite {
     // the fixture must exercise BOTH the attributed and the direct path
     assert(got.contains("direct") && (got.contains("view") || got.contains("click")))
   }
+
+  test("events_ab_test matches a driver replay of counts and z statistic") {
+    val row = Quality.eventsAbTest.run(spark, sf0001).head()
+    val perUser = graft.Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "event_type", "cast(round(value * 100) as long) c")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> (rows.filter(_._2 == "purchase").map(_._3).sum > 60000L)
+      }
+    def variantOf(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 2)
+      if (hex < "80") "A" else "B"
+    }
+    val byVar = perUser.groupBy { case (u, _) => variantOf(u) }
+    val (nA, cA) = (byVar("A").size.toLong, byVar("A").count(_._2).toLong)
+    val (nB, cB) = (byVar("B").size.toLong, byVar("B").count(_._2).toLong)
+    assert((row.getLong(0), row.getLong(1), row.getLong(3), row.getLong(4)) ==
+      ((nA, cA, nB, cB)))
+    assert(row.getLong(2) == 1000000L * cA / nA)
+    assert(row.getLong(5) == 1000000L * cB / nB)
+    val pA = cA.toDouble / nA
+    val pB = cB.toDouble / nB
+    val pool = (cA + cB).toDouble / (nA + nB)
+    val z =
+      if (cA + cB == 0 || cA + cB == nA + nB) 0.0
+      else (pA - pB) / math.sqrt(pool * (1.0 - pool) * (1.0 / nA + 1.0 / nB))
+    assert(row.getLong(7) == math.round(1e6 * z))
+    assert(row.getBoolean(8) == (math.abs(math.round(1e6 * z)) >= 1960000L))
+    // both variants populated and the conversion rule discriminates
+    assert(nA > 0 && nB > 0 && cA + cB > 0 && cA + cB < nA + nB)
+  }
 }
