@@ -313,10 +313,10 @@ object VectorSearch {
     * min-struct. Returns (vec_id, v, nrm, cell) plus the centroid
     * frame. */
   private[graft] def ivfFlatAssign(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      s: SparkSession, dir: String, nCells: Int = 16): (DataFrame, DataFrame) = {
     import s.implicits._
     val e = normed(s, dir)
-    val cents = e.filter($"vec_id" < 16)
+    val cents = e.filter($"vec_id" < nCells)
       .select($"vec_id".cast("int").as("cell"), $"v".as("cvec"))
     val dist = dot_product($"cvec", $"cvec") - lit(2.0) * dot_product($"v", $"cvec")
     val best = e.crossJoin(broadcast(cents))
@@ -936,10 +936,19 @@ object VectorSearch {
   /** The canonical (a<b) mutual top-3 edge set with cosine weights —
     * shared by [[knnGraph]] (reported directly) and [[pageRank]] (the
     * iterative consumer). See [[knnGraph]]'s scaladoc for the scale
-    * shape. */
+    * shape.
+    *
+    * Cell-count dial: within-cell pair volume is n²/C, so C must GROW
+    * with the corpus to keep per-cell population (and therefore pair
+    * volume per cell) constant — `graft.vector.knn.cells` (default 16,
+    * the oracle's literal; production sizes C ≈ n/1000). ScaleProbe
+    * measured the fixed-C trap directly: 4× the vectors at C=16 cost
+    * 14× the time, and C=64 at the same scale restored the per-cell
+    * population and the runtime (SCALING.md). */
   private[operators] def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (assigned, _) = ivfFlatAssign(s, dir)
+    val nCells = s.conf.getOption("graft.vector.knn.cells").map(_.toInt).getOrElse(16)
+    val (assigned, _) = ivfFlatAssign(s, dir, nCells)
     val l = assigned.select($"cell", $"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
     val r = assigned.select($"cell", $"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
     val pairs = l.join(r, "cell").filter($"a" =!= $"b")

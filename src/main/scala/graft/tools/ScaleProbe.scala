@@ -133,6 +133,10 @@ object ScaleProbe {
     // fault-tolerant-lineage premium is measurable: GRAFT_CC_CHECKPOINT_DIR=<dir>
     sys.env.get("GRAFT_CC_CHECKPOINT_DIR")
       .foreach(d => spark.conf.set("graft.dedup.cc.checkpointDir", d))
+    // kNN-graph cell-count dial (C must grow with the corpus to keep
+    // per-cell pair volume constant): GRAFT_KNN_CELLS=<n>
+    sys.env.get("GRAFT_KNN_CELLS")
+      .foreach(c => spark.conf.set("graft.vector.knn.cells", c))
 
     val t0 = System.nanoTime()
     generate(spark, mult, dir)
