@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The DSv2 write connector: streamed rows land in per-epoch
+  * `batch=<id>` dirs exactly once, a REPLAYED epoch commit rewrites
+  * instead of appending, aborts leave committed epochs intact, and the
+  * batch write path shares the same protocol. */
+class IndexSinkSpec extends SparkSuite {
+
+  private def readAll(dir: java.nio.file.Path): Seq[String] = {
+    val committed = Option(dir.toFile.listFiles).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("batch=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+    committed.flatMap { d =>
+      d.listFiles.filterNot(_.getName == "_SUCCESS").flatMap { f =>
+        scala.io.Source.fromFile(f).getLines().toSeq
+      }
+    }.toSeq
+  }
+
+  test("streaming write: per-epoch dirs, all rows, exactly once") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-idxsink-in")
+    val out = java.nio.file.Files.createTempDirectory("graft-idxsink-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idxsink-ckpt")
+    def addFile(rows: Seq[String], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-idx-$name")
+      rows.toDF("value").coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val part = tmp.resolve("d").toFile.listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+    }
+    try {
+      def start() = spark.readStream
+        .schema("value STRING").parquet(in.toString)
+        .writeStream.format("graft.sources.IndexSinkProvider")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      addFile(Seq("a1", "a2"), "b1")
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      addFile(Seq("b1", "b2", "b3"), "b2")
+      val q2 = start()   // restart from checkpoint — epochs continue
+      try q2.processAllAvailable() finally q2.stop()
+      assert(readAll(out).sorted == Seq("a1", "a2", "b1", "b2", "b3"))
+      val epochs = out.toFile.listFiles.map(_.getName).filter(_.startsWith("batch="))
+      assert(epochs.length >= 2, s"expected per-epoch dirs, saw ${epochs.toSeq}")
+    } finally Seq(in, out, ckpt).foreach(p =>
+      new scala.reflect.io.Directory(p.toFile).deleteRecursively())
+  }
+
+  test("a replayed epoch commit REWRITES its dir — no duplicates") {
+    val out = java.nio.file.Files.createTempDirectory("graft-idxsink-replay")
+    try {
+      // drive the connector API directly: same epoch committed twice
+      // (the crash-between-sink-write-and-checkpoint-commit replay)
+      def runEpoch(lines: Seq[String], epoch: Long): Unit = {
+        val w = new IndexDataWriter(out.toString, 0, epoch * 10 + lines.size, epoch)
+        lines.foreach { l =>
+          val row = org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(l))
+          w.write(row)
+        }
+        val msg = w.commit()
+        IndexCommit.publish(out.toString, epoch, Array(msg))
+      }
+      runEpoch(Seq("x1", "x2"), 0L)
+      runEpoch(Seq("x1", "x2"), 0L)   // replay
+      runEpoch(Seq("y1"), 1L)
+      assert(readAll(out).sorted == Seq("x1", "x2", "y1"),
+        "replayed epoch must not duplicate")
+      // abort leaves committed epochs intact
+      val w = new IndexDataWriter(out.toString, 0, 99L, 2L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("z")))
+      IndexCommit.discard(Array(w.commit()))
+      assert(readAll(out).sorted == Seq("x1", "x2", "y1"))
+    } finally new scala.reflect.io.Directory(out.toFile).deleteRecursively()
+  }
+
+  test("batch write shares the protocol (epoch -1)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-idxsink-batch")
+    try {
+      Seq("m1", "m2").toDF("value")
+        .write.format("graft.sources.IndexSinkProvider")
+        .option("path", out.toString).mode("append").save()
+      assert(readAll(out).sorted == Seq("m1", "m2"))
+    } finally new scala.reflect.io.Directory(out.toFile).deleteRecursively()
+  }
+}
