@@ -77,14 +77,18 @@ class IndexSinkTable(options: CaseInsensitiveStringMap)
     require(info.schema().fields.length == 1 &&
       info.schema().fields.head.dataType == StringType,
       s"graft index sink expects one string column, got ${info.schema().simpleString}")
+    // batch-path epoch override: lets a foreachBatch caller route each
+    // micro-batch through the connector's replace-wholesale commit with
+    // the batch id as the epoch (idempotent replay from ONE query)
+    val batchEpoch = Option(options.get("epoch")).map(_.toLong).getOrElse(-1L)
     new WriteBuilder {
-      override def build(): Write = new IndexWrite(path)
+      override def build(): Write = new IndexWrite(path, batchEpoch)
     }
   }
 }
 
-class IndexWrite(path: String) extends Write {
-  override def toBatch: BatchWrite = new IndexBatchWrite(path)
+class IndexWrite(path: String, batchEpoch: Long = -1L) extends Write {
+  override def toBatch: BatchWrite = new IndexBatchWrite(path, batchEpoch)
   override def toStreaming: StreamingWrite = new IndexStreamingWrite(path)
 }
 
@@ -103,11 +107,11 @@ class IndexStreamingWrite(path: String) extends StreamingWrite {
     IndexCommit.discard(messages)
 }
 
-class IndexBatchWrite(path: String) extends BatchWrite {
+class IndexBatchWrite(path: String, epoch: Long = -1L) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new IndexWriterFactory(path)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    IndexCommit.publish(path, -1L, messages)
+    IndexCommit.publish(path, epoch, messages)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     IndexCommit.discard(messages)
 }

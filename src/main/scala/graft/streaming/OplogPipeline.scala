@@ -64,7 +64,10 @@ object OplogPipeline {
 
   /** O12 per-batch index write, IDEMPOTENT under batch replay: each
     * micro-batch lands in its own partition-style `batch=<id>`
-    * directory written with OVERWRITE. `foreachBatch` is at-least-once
+    * directory through the native DSv2 connector
+    * ([[graft.sources.IndexSinkProvider]]) with the batch id as the
+    * commit epoch — task files stage invisibly and the driver commit
+    * REPLACES the epoch dir wholesale. `foreachBatch` is at-least-once
     * — a crash between sink write and checkpoint commit replays the
     * batch with the SAME batchId — so the replay replaces its own
     * (possibly partial) output instead of appending duplicate lines
@@ -75,7 +78,11 @@ object OplogPipeline {
     * CheckpointResumeSpec's kill-between-write-and-commit case. */
   def writeIndexBatch(df: DataFrame, indexDir: String, batchId: Long): Unit =
     indexProjection(df)
-      .write.mode("overwrite").text(s"$indexDir/oplog/batch=$batchId")
+      .withColumnRenamed("line", "value")   // the connector's declared schema
+      .write.format("graft.sources.IndexSinkProvider")
+      .option("path", s"$indexDir/oplog")
+      .option("epoch", batchId.toString)
+      .mode("append").save()
 
   /** full pipeline: filter → watermark → quorum dedup → dual sink.
     * Returns the started query (caller owns lifecycle). */
