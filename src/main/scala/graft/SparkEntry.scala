@@ -147,6 +147,8 @@ object SparkEntry {
     "vector_recall_eval", "vector_mmr_rerank",
     // round 9 (late): experimentation analytics — content-addressed A/B
     // assignment with an engine-mirrored two-proportion z-test
-    "events_ab_test"
+    "events_ab_test",
+    // round 9 (late): time-series resampling with gap fill
+    "events_resample"
   )
 }

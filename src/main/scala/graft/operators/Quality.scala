@@ -311,6 +311,70 @@ object Quality {
     """)
   )
 
+  /** Time-series RESAMPLING with gap fill: each user's event stream
+    * regularized onto an hourly grid spanning their first→last event —
+    * empty hours materialize as zero rows and the running total
+    * carries through them — the time-regularization every
+    * forecasting/feature pipeline needs before a model sees the data.
+    * No calendar table: the grid is a per-user `sequence()` explode.
+    *
+    * Scale design: one user_id exchange for the span aggregate, a
+    * stateless per-user grid explode (bounded by the user's own time
+    * range, not the global one), an equi-join back to the hourly
+    * aggregates on (user, hour), and the running sum rides a
+    * user-partitioned window — every term is per-user-bounded. Money
+    * is exact integer cents throughout. */
+  val eventsResample: Q = Q(
+    "events_resample",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"ts", round($"value" * 100).cast("long").as("c"))
+      val hourly = ev
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("hour_ts"))
+        .agg(count(lit(1)).as("n_events"), sum($"c").as("cents"))
+      val grid = ev.groupBy($"user_id")
+        .agg(date_trunc("hour", min($"ts")).as("h0"),
+          date_trunc("hour", max($"ts")).as("h1"))
+        .select($"user_id",
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_ts"))
+      val w = Window.partitionBy($"user_id").orderBy($"hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour_ts"), "left")
+        .select($"user_id", $"hour_ts",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"cents", lit(0L)).as("cents"))
+        .withColumn("cum_cents", sum($"cents").over(w))
+        .orderBy($"user_id", $"hour_ts")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) c FROM events
+      ),
+      hourly AS (
+        SELECT user_id, date_trunc('hour', ts) hour_ts,
+               COUNT(*) n_events, SUM(c) cents
+        FROM ev GROUP BY 1, 2
+      ),
+      grid AS (
+        SELECT user_id,
+               unnest(generate_series(date_trunc('hour', MIN(ts)),
+                                      date_trunc('hour', MAX(ts)),
+                                      INTERVAL 1 HOUR)) hour_ts
+        FROM ev GROUP BY user_id
+      )
+      SELECT g.user_id, g.hour_ts,
+             CAST(COALESCE(h.n_events, 0) AS BIGINT) n_events,
+             CAST(COALESCE(h.cents, 0) AS BIGINT) cents,
+             CAST(SUM(COALESCE(h.cents, 0)) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_cents
+      FROM grid g
+      LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour_ts = g.hour_ts
+      ORDER BY g.user_id, g.hour_ts
+    """)
+  )
+
   def queries: Seq[Q] =
-    Seq(dqReferential, dqConstraints, eventsAttribution, eventsAbTest)
+    Seq(dqReferential, dqConstraints, eventsAttribution, eventsAbTest, eventsResample)
 }

@@ -112,4 +112,37 @@ class QualitySpec extends SparkSuite {
     // both variants populated and the conversion rule discriminates
     assert(nA > 0 && nB > 0 && cA + cB > 0 && cA + cB < nA + nB)
   }
+
+  test("events_resample: dense hourly grid, zero-filled gaps, exact running totals") {
+    val rows = Quality.eventsResample.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // grid is DENSE: consecutive rows are exactly one hour apart
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 - a._2 == 3600000L, s"user $u grid gap ${b._2 - a._2}")
+        case _ => ()
+      }
+      // running total is the prefix sum of the hourly cents
+      var cum = 0L
+      sorted.foreach { case (_, _, _, cents, cumCents) =>
+        cum += cents
+        assert(cumCents == cum, s"user $u cum drift")
+      }
+    }
+    // gap hours genuinely materialize as zero rows
+    assert(rows.exists(_._3 == 0L), "no gap rows — resampling did nothing")
+    // per-user totals equal the raw event aggregation
+    val want = graft.Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "cast(round(value * 100) as long) c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    byUser.foreach { case (u, rs) =>
+      assert(rs.maxBy(_._2)._5 == want(u), s"user $u total")
+    }
+  }
 }
