@@ -1156,15 +1156,28 @@ object VectorSearch {
     (s, dir) => {
       import s.implicits._
       val exact = topK.run(s, dir).select($"qid", $"vec_id").localCheckpoint()
+      // the four searches are independent jobs — submit them
+      // CONCURRENTLY (Spark schedules jobs from multiple threads onto
+      // the same executors); they serialized on their localCheckpoint
+      // barriers before, ~4 s of pure queueing at fixture scale. The
+      // result is order-fixed by the method sequence, so the union is
+      // deterministic regardless of completion order.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       Seq("ivf_flat" -> annIvfFlat, "ivfpq" -> annIvfPq,
-          "lsh" -> annLsh, "pq_adc" -> pqAdc).map { case (name, q) =>
-        val approx = q.run(s, dir).select($"qid", $"vec_id").localCheckpoint()
-        val served = approx.agg(count(lit(1)).as("served"))
-        val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        hits.crossJoin(served).select(lit(name).as("ann_method"), $"hits", $"served",
-          expr("(1000000 * hits) div served").as("recall_micro"))
-      }.reduce(_ union _).orderBy($"ann_method")
+          "lsh" -> annLsh, "pq_adc" -> pqAdc)
+        .map { case (name, q) =>
+          name -> Future(q.run(s, dir).select($"qid", $"vec_id").localCheckpoint())
+        }
+        .map { case (name, f) =>
+          val approx = Await.result(f, Duration.Inf)
+          val served = approx.agg(count(lit(1)).as("served"))
+          val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("hits"))
+          hits.crossJoin(served).select(lit(name).as("ann_method"), $"hits", $"served",
+            expr("(1000000 * hits) div served").as("recall_micro"))
+        }.reduce(_ union _).orderBy($"ann_method")
     },
     Some {
       val methods = Seq(
