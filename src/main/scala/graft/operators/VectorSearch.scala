@@ -947,7 +947,16 @@ object VectorSearch {
     * population and the runtime (SCALING.md). */
   private[operators] def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nCells = s.conf.getOption("graft.vector.knn.cells").map(_.toInt).getOrElse(16)
+    // "auto" sizes C from the corpus itself (one cheap count) so the
+    // per-cell population — and with it the n²/C pair volume — stays
+    // ~constant as the corpus grows, with no operator hand-tuning
+    val nCells = s.conf.getOption("graft.vector.knn.cells") match {
+      case Some("auto") =>
+        val n = Tables.load(s, dir, "embeddings").count()
+        math.max(16L, n / 1000L).toInt
+      case Some(v) => v.toInt
+      case None => 16
+    }
     val (assigned, _) = ivfFlatAssign(s, dir, nCells)
     val l = assigned.select($"cell", $"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
     val r = assigned.select($"cell", $"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))

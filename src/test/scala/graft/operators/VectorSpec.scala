@@ -319,6 +319,15 @@ class VectorSpec extends SparkSuite {
     }.toSet
     val mutual = top3.filter { case (a, b) => a < b && top3.contains((b, a)) }
     assert(got == mutual, s"edge set mismatch: got ${got.size}, want ${mutual.size}")
+    // the "auto" cell dial resolves to the default 16 at fixture scale
+    // (500 vectors / 1000 < 16) and must reproduce the same edge set
+    val key = "graft.vector.knn.cells"
+    spark.conf.set(key, "auto")
+    try {
+      val auto = VectorSearch.knnGraph.run(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(auto == got, "auto cell sizing diverged at fixture scale")
+    } finally spark.conf.unset(key)
   }
 
   test("vector_pagerank equals an exact integer driver replay over the mutual graph") {
