@@ -1689,7 +1689,8 @@ object Pipeline {
     * the per-user frame, not the event log — for a corpus whose USER
     * count also breaks the single-partition window, the cut values
     * take the [[tokenPercentilesBinned]] two-phase histogram treatment
-    * (recency and frequency are small-integer keys by nature). */
+    * (recency and frequency are small-integer keys by nature) — that
+    * production form SHIPS as the hash-gated [[eventsRfm2Phase]]. */
   val eventsRfm: Q = Q(
     "events_rfm",
     (s, dir) => {
@@ -1739,6 +1740,111 @@ object Pipeline {
                || CAST(NTILE(3) OVER (ORDER BY monetary_cents DESC, user_id) AS VARCHAR)
                AS segment
       FROM u
+      ORDER BY user_id
+    """)
+  )
+
+  /** Two-phase RFM segmentation — the PRODUCTION form of [[eventsRfm]],
+    * whose NTILE(3) cut is three single-partition global windows over
+    * the per-user frame (the classic scale-killer once the USER count
+    * itself outgrows one partition). Here each tercile boundary comes
+    * from a HISTOGRAM cut, the [[tokenPercentilesBinned]] treatment:
+    * recency and frequency are small-integer keys by nature; monetary
+    * is first bucketed to $100 cells (`cents div 10000` — bounded by
+    * value-range/width, not by users). The cut is then
+    * bin = ceil(3·cum/n) over the cumulative histogram — all-integer
+    * (`(3·cum + n − 1) div n`), so the oracle is hash-exact — and the
+    * per-user assignment is three BROADCAST joins of histogram-sized
+    * bin tables back onto the per-user frame.
+    *
+    * Semantics vs the NTILE twin: ties (equal metric value / equal
+    * bucket) land in ONE bin together instead of being split by
+    * user_id rank — the cume_dist-style cut every scalable RFM
+    * implementation uses, at the price of up-to-one-bucket boundary
+    * resolution on monetary. Scale shape: ONE user_id exchange (the
+    * per-user agg, map-side combined) + three O(distinct-values)
+    * histograms (each a mergeable partial agg, windowed over the tiny
+    * histogram frame only) + broadcast joins — nothing corpus- or
+    * user-sized ever passes through a single partition. */
+  val eventsRfm2Phase: Q = Q(
+    "events_rfm_2phase",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"ts", round($"value" * 100).cast("long").as("c"))
+      val ref = ev.agg(max($"ts").as("ref"))
+      val perUser = ev.groupBy($"user_id").agg(
+        max($"ts").as("last_ts"), count(lit(1)).as("frequency"),
+        sum($"c").as("monetary_cents"))
+        .crossJoin(broadcast(ref))
+        .select($"user_id",
+          expr("(unix_micros(ref) - unix_micros(last_ts)) div 86400000000L")
+            .as("recency_days"),
+          $"frequency", $"monetary_cents",
+          expr("monetary_cents div 10000").as("m_bucket"))
+        .persist()
+      // histogram cut: key -> bin, computed over the DISTINCT-KEY frame
+      def cut(key: String, asc: Boolean, out: String) = {
+        val h = perUser.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+        val ord = if (asc) $"k".asc else $"k".desc
+        val cum = h.withColumn("cum", sum($"cnt").over(
+            Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum($"cnt").over(Window.partitionBy(lit(1))))
+        cum.select($"k".as(s"${out}_k"),
+          expr("CAST((3 * cum + n - 1) div n AS INT)").as(out))
+      }
+      perUser
+        .join(broadcast(cut("recency_days", asc = true, "r_bin")),
+          $"recency_days" === $"r_bin_k")
+        .join(broadcast(cut("frequency", asc = false, "f_bin")),
+          $"frequency" === $"f_bin_k")
+        .join(broadcast(cut("m_bucket", asc = false, "m_bin")),
+          $"m_bucket" === $"m_bin_k")
+        .select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
+          $"r_bin", $"f_bin", $"m_bin",
+          concat($"r_bin", $"f_bin", $"m_bin").as("segment"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) c
+        FROM events
+      ),
+      ref AS (SELECT MAX(ts) AS ref FROM ev),
+      u AS (
+        SELECT user_id,
+               (epoch_us(ref) - epoch_us(MAX(ts))) // 86400000000 AS recency_days,
+               COUNT(*) AS frequency, SUM(c) AS monetary_cents,
+               SUM(c) // 10000 AS m_bucket
+        FROM ev, ref
+        GROUP BY user_id, ref
+      ),
+      rh AS (SELECT recency_days k, COUNT(*) cnt FROM u GROUP BY 1),
+      rc AS (SELECT k, SUM(cnt) OVER (ORDER BY k ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+               SUM(cnt) OVER () n FROM rh),
+      rb AS (SELECT k, CAST((3 * cum + n - 1) // n AS INT) r_bin FROM rc),
+      fh AS (SELECT frequency k, COUNT(*) cnt FROM u GROUP BY 1),
+      fc AS (SELECT k, SUM(cnt) OVER (ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+               SUM(cnt) OVER () n FROM fh),
+      fb AS (SELECT k, CAST((3 * cum + n - 1) // n AS INT) f_bin FROM fc),
+      mh AS (SELECT m_bucket k, COUNT(*) cnt FROM u GROUP BY 1),
+      mc AS (SELECT k, SUM(cnt) OVER (ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+               SUM(cnt) OVER () n FROM mh),
+      mb AS (SELECT k, CAST((3 * cum + n - 1) // n AS INT) m_bin FROM mc)
+      SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency,
+             CAST(monetary_cents AS BIGINT) AS monetary_cents,
+             r_bin, f_bin, m_bin,
+             CAST(r_bin AS VARCHAR) || CAST(f_bin AS VARCHAR) || CAST(m_bin AS VARCHAR)
+               AS segment
+      FROM u
+      JOIN rb ON u.recency_days = rb.k
+      JOIN fb ON u.frequency = fb.k
+      JOIN mb ON u.m_bucket = mb.k
       ORDER BY user_id
     """)
   )
@@ -1982,7 +2088,7 @@ object Pipeline {
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
-      mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, curateOrder, retention, eventsRfm,
+      mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, curateOrder, retention, eventsRfm, eventsRfm2Phase,
       eventsKAnonymity, corpusZorder, eventsHeavyHitters, eventsOutliersMad,
       snapshotDiff, eventsSequences, eventsMarkov, tokenBudget, tokenBudget2Phase)
 }
