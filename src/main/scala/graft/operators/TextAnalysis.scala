@@ -868,11 +868,12 @@ object TextAnalysis {
     * exact.
     *
     * Scale shape: one term-keyed exchange with map-side combine builds
-    * the frequency table; the rank window then runs over the VOCAB
-    * frame, not the corpus — bounded by distinct terms, which is the
-    * quantity this diagnostic exists to measure (production truncates
-    * to top-max(k) via TakeOrdered first, making the windowed frame
-    * O(k)). */
+    * the frequency table; totals are a plain aggregate of it; the rank
+    * window then runs over the top-max(k) PREFIX only — an exact
+    * `TakeOrderedAndProject` (orderBy+limit) by (cnt desc, term), so
+    * the windowed frame is O(k) rows regardless of vocabulary size
+    * (the coverage points at k ∈ {10,100,1000} only ever need the
+    * first 1000 ranks of the cumulative sum). */
   val vocabCoverage: Q = Q(
     "text_vocab_coverage",
     (s, dir) => {
@@ -884,7 +885,8 @@ object TextAnalysis {
       val w = Window.orderBy($"cnt".desc, $"term")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = tf.agg(sum($"cnt").as("total"), count(lit(1)).as("vocab"))
-      tf.withColumn("rk", row_number().over(Window.orderBy($"cnt".desc, $"term")))
+      tf.orderBy($"cnt".desc, $"term").limit(1000)
+        .withColumn("rk", row_number().over(Window.orderBy($"cnt".desc, $"term")))
         .withColumn("cum", sum($"cnt").over(w))
         .filter($"rk".isin(10, 100, 1000))
         .crossJoin(broadcast(tot))
