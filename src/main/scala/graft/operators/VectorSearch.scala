@@ -940,24 +940,27 @@ object VectorSearch {
     *
     * Cell-count dial: within-cell pair volume is n²/C, so C must GROW
     * with the corpus to keep per-cell population (and therefore pair
-    * volume per cell) constant — `graft.vector.knn.cells` (default 16,
-    * the oracle's literal; production sizes C ≈ n/1000). ScaleProbe
-    * measured the fixed-C trap directly: 4× the vectors at C=16 cost
-    * 14× the time, and C=64 at the same scale restored the per-cell
-    * population and the runtime (SCALING.md). */
-  private[operators] def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // "auto" sizes C from the corpus itself (one cheap count) so the
-    // per-cell population — and with it the n²/C pair volume — stays
-    // ~constant as the corpus grows, with no operator hand-tuning
-    val nCells = s.conf.getOption("graft.vector.knn.cells") match {
-      case Some("auto") =>
+    * volume per cell) constant — `graft.vector.knn.cells` (DEFAULT
+    * `auto` = max(16, n/1000); production's C ≈ n/1000 sizing with no
+    * hand-tuning, one cheap count). ScaleProbe measured the fixed-C
+    * trap directly: 4× the vectors at C=16 cost 14× the time, and
+    * C=64 at the same scale restored the per-cell population and the
+    * runtime (SCALING.md). The DuckDB oracles for the three graph
+    * consumers pin C=16 — exactly what `auto` resolves to on every
+    * fixture (all < 32k vectors), so the oracle contract and the
+    * production default coincide there; setting the conf to any other
+    * value is a production dial, not an oracle-comparable mode. */
+  private[operators] def knnCells(s: SparkSession, dir: String): Int =
+    s.conf.getOption("graft.vector.knn.cells") match {
+      case Some("auto") | None =>
         val n = Tables.load(s, dir, "embeddings").count()
         math.max(16L, n / 1000L).toInt
       case Some(v) => v.toInt
-      case None => 16
     }
-    val (assigned, _) = ivfFlatAssign(s, dir, nCells)
+
+  private[operators] def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (assigned, _) = ivfFlatAssign(s, dir, knnCells(s, dir))
     val l = assigned.select($"cell", $"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
     val r = assigned.select($"cell", $"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
     val pairs = l.join(r, "cell").filter($"a" =!= $"b")
@@ -1113,7 +1116,9 @@ object VectorSearch {
     (s, dir) => {
       import s.implicits._
       val ranks = pageRank.run(s, dir)
-      val cells = ivfFlatAssign(s, dir)._1.select($"vec_id", $"cell")
+      // the SAME resolved cell count as the kNN graph the ranks come
+      // from — two cell systems in one manifest would be incoherent
+      val cells = ivfFlatAssign(s, dir, knnCells(s, dir))._1.select($"vec_id", $"cell")
       val w = Window.partitionBy($"cell").orderBy($"rank_micro".desc, $"vec_id")
       ranks.join(cells, "vec_id")
         .withColumn("rn", row_number().over(w))
@@ -1151,7 +1156,11 @@ object VectorSearch {
     * exact brute-force answer, per method — "measure, don't guess" as
     * a catalog query a pipeline can schedule after every index
     * rebuild. Recall is reported in exact integer micro-units
-    * ((10⁶·hits) DIV served), so the row is hash-stable.
+    * ((10⁶·hits) DIV |exact|, the true recall denominator — dividing
+    * by the approximate side's own row count would overstate recall
+    * whenever an ANN path serves fewer than k rows per query, e.g.
+    * sparse IVF cells; `served` stays in the row so that gap is
+    * visible too), so the row is hash-stable.
     *
     * Scale design: the approx→exact comparison is a semi-join on
     * (qid, vec_id) over TOP-K-SIZED frames (k rows per query per
@@ -1165,6 +1174,7 @@ object VectorSearch {
     (s, dir) => {
       import s.implicits._
       val exact = topK.run(s, dir).select($"qid", $"vec_id").localCheckpoint()
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
       // the four searches are independent jobs — submit them
       // CONCURRENTLY (Spark schedules jobs from multiple threads onto
       // the same executors); they serialized on their localCheckpoint
@@ -1184,8 +1194,9 @@ object VectorSearch {
           val served = approx.agg(count(lit(1)).as("served"))
           val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
             .agg(count(lit(1)).as("hits"))
-          hits.crossJoin(served).select(lit(name).as("ann_method"), $"hits", $"served",
-            expr("(1000000 * hits) div served").as("recall_micro"))
+          hits.crossJoin(served).crossJoin(nExact)
+            .select(lit(name).as("ann_method"), $"hits", $"served",
+              expr("(1000000 * hits) div n_exact").as("recall_micro"))
         }.reduce(_ union _).orderBy($"ann_method")
     },
     Some {
@@ -1207,7 +1218,7 @@ object VectorSearch {
         $branches
       )
       SELECT ann_method, CAST(hits AS BIGINT) hits, CAST(served AS BIGINT) served,
-             CAST((1000000 * hits) // served AS BIGINT) recall_micro
+             CAST((1000000 * hits) // (SELECT COUNT(*) FROM exact) AS BIGINT) recall_micro
       FROM h ORDER BY ann_method
     """
     }
