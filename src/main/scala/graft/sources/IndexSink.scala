@@ -20,13 +20,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - each task writes its partition to a private temp file
   *    (`_tmp/epoch=<e>/part-<p>-<t>`) and reports it in its commit
   *    message — nothing is visible until the driver commits;
-  *  - `commit(epoch, msgs)` REPLACES `batch=<epoch>/` wholesale (drop
-  *    any previous attempt's directory, move the temp files in, then
-  *    mark `_SUCCESS`) — so a replayed epoch after a crash between
-  *    sink write and checkpoint commit REWRITES instead of appending,
-  *    the same per-batch-overwrite idempotence the foreachBatch sink
-  *    uses (streaming/OplogPipeline.scala), but enforced by the
-  *    connector for every writer;
+  *  - `commit(epoch, msgs)` REPLACES `batch=<epoch>/` wholesale via a
+  *    stage-then-rename swap (assemble the complete epoch INCLUDING
+  *    `_SUCCESS` under `_tmp/`, retire any previous attempt, take its
+  *    name with one directory rename — see [[IndexCommit.publish]]) —
+  *    so a replayed epoch after a crash between sink write and
+  *    checkpoint commit REWRITES instead of appending, a crash
+  *    MID-COMMIT never exposes a partial directory, and stale `_tmp`
+  *    scratch from zombie tasks is swept at each commit;
   *  - `abort` deletes the temp files, leaving committed epochs intact.
   *
   * Readers treat `batch=<id>` as a hive-style partition column, so the
@@ -117,21 +118,58 @@ class IndexBatchWrite(path: String, epoch: Long = -1L) extends BatchWrite {
 }
 
 object IndexCommit {
-  /** Driver-side publish: replace the epoch dir wholesale, then mark
-    * success — a replayed epoch rewrites, never appends. */
+  /** Driver-side publish, ATOMIC to readers: assemble the COMPLETE
+    * epoch (task files + `_SUCCESS`) in a staging dir under `_tmp/`
+    * (Spark's file listing ignores underscore-prefixed paths, so
+    * nothing staged is ever visible), then swap it in with directory
+    * renames — a previously-committed attempt moves wholesale to a
+    * trash entry before the stage dir takes its name, so readers see
+    * either the old complete epoch, a transient absence, or the new
+    * complete epoch, NEVER a partial directory, and every visible
+    * `batch=<id>` dir contains `_SUCCESS` by construction. A replayed
+    * epoch therefore rewrites, never appends. Afterwards, stale
+    * `_tmp` entries of EARLIER epochs (zombie-task leftovers, crashed
+    * attempts) are swept — micro-batch epochs commit serially, so
+    * anything below the committing epoch is dead. */
   def publish(root: String, epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val target = IndexSink.epochDir(root, epochId)
-    if (target.exists()) IndexSink.deleteRecursively(target)
-    require(target.mkdirs(), s"cannot create ${target.getPath}")
+    val stage = new File(root, s"_tmp/stage-epoch=$epochId")
+    val trash = new File(root, s"_tmp/trash-epoch=$epochId")
+    if (stage.exists()) IndexSink.deleteRecursively(stage)
+    require(stage.mkdirs(), s"cannot create ${stage.getPath}")
     messages.collect { case IndexFileMessage(tmp) => new File(tmp) }
       .filter(_.exists())
       .foreach { f =>
-        val dest = new File(target, f.getName)
-        require(f.renameTo(dest), s"cannot publish ${f.getPath} -> ${dest.getPath}")
+        val dest = new File(stage, f.getName)
+        require(f.renameTo(dest), s"cannot stage ${f.getPath} -> ${dest.getPath}")
       }
-    new File(target, "_SUCCESS").createNewFile()
-    ()
+    require(new File(stage, "_SUCCESS").createNewFile(),
+      s"cannot mark ${stage.getPath}")
+    if (trash.exists()) IndexSink.deleteRecursively(trash)
+    if (target.exists())
+      require(target.renameTo(trash), s"cannot retire ${target.getPath}")
+    require(stage.renameTo(target),
+      s"cannot publish ${stage.getPath} -> ${target.getPath}")
+    IndexSink.deleteRecursively(trash)
+    sweepStaleTmp(root, epochId)
+  }
+
+  /** Drop `_tmp` entries at or below the epoch just committed:
+    * `epoch=<e>` writer scratch (the committed epoch's own dir is
+    * spent — its winning files were staged out, and a same-epoch
+    * zombie task's files are abandoned output by definition) and
+    * `stage-`/`trash-` leftovers of crashed earlier commits. Bounded
+    * work (one listing), run on the driver at each commit, so `_tmp`
+    * never accumulates. */
+  private def sweepStaleTmp(root: String, epochId: Long): Unit = {
+    val Entry = """(?:stage-|trash-)?epoch=(-?\d+)""".r
+    Option(new File(root, "_tmp").listFiles).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case Entry(e) if e.toLong <= epochId => IndexSink.deleteRecursively(f)
+        case _ => ()
+      }
+    }
   }
 
   def discard(messages: Array[WriterCommitMessage]): Unit =

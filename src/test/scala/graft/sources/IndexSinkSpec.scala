@@ -81,6 +81,58 @@ class IndexSinkSpec extends SparkSuite {
     } finally new scala.reflect.io.Directory(out.toFile).deleteRecursively()
   }
 
+  test("uncommitted writes are invisible; visible epochs always carry _SUCCESS") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-idxsink-atomic")
+    try {
+      // a writer that finished its task but whose epoch never reached
+      // publish (crashed query): nothing outside _tmp, readers see nothing
+      val w = new IndexDataWriter(out.toString, 0, 7L, 0L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("ghost")))
+      w.commit()
+      assert(readAll(out).isEmpty, "unpublished epoch leaked")
+      assert(!out.toFile.listFiles.exists(_.getName.startsWith("batch=")),
+        "no batch= dir may exist before publish")
+
+      // a real publish: the visible dir carries _SUCCESS (staged before
+      // the rename, so visibility implies completeness)
+      def runEpoch(lines: Seq[String], epoch: Long): Unit = {
+        val w = new IndexDataWriter(out.toString, 0, epoch * 10 + lines.size, epoch)
+        lines.foreach { l =>
+          w.write(org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(l)))
+        }
+        IndexCommit.publish(out.toString, epoch, Array(w.commit()))
+      }
+      runEpoch(Seq("a"), 1L)
+      val d = new java.io.File(out.toFile, "batch=1")
+      assert(d.exists() && new java.io.File(d, "_SUCCESS").exists())
+      assert(readAll(out) == Seq("a"))
+    } finally new scala.reflect.io.Directory(out.toFile).deleteRecursively()
+  }
+
+  test("commit sweeps stale _tmp scratch of earlier epochs") {
+    val out = java.nio.file.Files.createTempDirectory("graft-idxsink-sweep")
+    try {
+      // zombie leftovers from earlier epochs: writer scratch, a crashed
+      // stage, a crashed trash
+      val tmp = new java.io.File(out.toFile, "_tmp")
+      Seq("epoch=0", "stage-epoch=1", "trash-epoch=0").foreach { n =>
+        val dd = new java.io.File(tmp, n); dd.mkdirs()
+        val f = new java.io.File(dd, "junk")
+        val o = new java.io.FileWriter(f); o.write("x"); o.close()
+      }
+      val w = new IndexDataWriter(out.toString, 0, 42L, 5L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("live")))
+      IndexCommit.publish(out.toString, 5L, Array(w.commit()))
+      val left = Option(tmp.listFiles).getOrElse(Array.empty).map(_.getName).toSet
+      assert(left.isEmpty, s"stale _tmp entries survived: $left")
+      assert(readAll(out) == Seq("live"))
+    } finally new scala.reflect.io.Directory(out.toFile).deleteRecursively()
+  }
+
   test("batch write shares the protocol (epoch -1)") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-idxsink-batch")
