@@ -442,4 +442,19 @@ class PlanHygieneSpec extends SparkSuite {
       "both modality edge generators must stay banded/cell-keyed")
   }
 
+  test("events_rfm_2phase: bin tables broadcast back; no user-frame global window") {
+    val p = plan("events_rfm_2phase")
+    val bcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bcasts >= 3, s"three histogram bin tables must broadcast, saw $bcasts")
+    // the only windows run over DISTINCT-VALUE histograms; NTILE over
+    // the per-user frame (the twin's scale-killer) must not appear
+    assert(!p.contains("ntile"), "NTILE crept back into the production form")
+  }
+
+  test("text_vocab_coverage: rank window runs over a TakeOrdered prefix, not the vocab") {
+    val p = plan("text_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-max(k) prefix must be TakeOrdered, not a global sort of the vocabulary")
+  }
+
 }
