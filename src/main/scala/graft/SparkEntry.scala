@@ -149,6 +149,12 @@ object SparkEntry {
     // assignment with an engine-mirrored two-proportion z-test
     "events_ab_test",
     // round 9 (late): time-series resampling with gap fill
-    "events_resample"
+    "events_resample",
+    // round 10: the histogram-cut RFM production form benched beside
+    // the NTILE twin so the two-phase premium is measured
+    "events_rfm_2phase",
+    // round 10: multi-touch attribution (U-shaped position credit and
+    // integer time-decay) over the shared touch-window join
+    "events_attribution_position", "events_attribution_timedecay"
   )
 }

@@ -230,6 +230,169 @@ object Quality {
     """)
   )
 
+  /** The shared touch×purchase frame for MULTI-TOUCH attribution: each
+    * purchase LEFT-joined to every view/click of its user strictly
+    * before it (by the batch rule's (ts, event_id) order) and within
+    * the trailing 7 days, plus its per-purchase touch count `n` and
+    * touch rank `rk` (1 = earliest). Purchases with no window touch
+    * keep one null-touch row → the 'direct' channel.
+    *
+    * Scale shape: ONE equi-join keyed on user_id (the range and order
+    * predicates ride along as join filters — no cartesian, no second
+    * exchange: the per-purchase windows partition by (user_id, p_id),
+    * a strict refinement of the join key, so rank and count reuse the
+    * join's partitioning); per-user touch×purchase fan-out is bounded
+    * by per-user activity in the 7-day window, the same bound the
+    * streaming buffer state carries (streaming/AttributionStream). */
+  private def touchFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("c"))
+    val t = ev.filter($"event_type".isin("view", "click"))
+      .select($"user_id".as("t_user"), $"us".as("t_us"), $"event_id".as("t_id"),
+        $"event_type".as("t_type"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"us".as("p_us"), $"event_id".as("p_id"), $"c")
+    val j = p.join(t,
+      $"user_id" === $"t_user" &&
+        ($"t_us" < $"p_us" || ($"t_us" === $"p_us" && $"t_id" < $"p_id")) &&
+        $"p_us" - $"t_us" <= lit(7L * 86400L * 1000000L),
+      "left")
+      .select($"user_id", $"p_us", $"p_id", $"c", $"t_us", $"t_id", $"t_type")
+    val per = Window.partitionBy($"user_id", $"p_id")
+    j.withColumn("n", count($"t_id").over(per))
+      .withColumn("rk", row_number().over(per.orderBy($"t_us".asc_nulls_first,
+        $"t_id".asc_nulls_first)))
+  }
+
+  /** The same frame in DuckDB, ending in CTE
+    * `f(user_id, p_us, p_id, c, t_us, t_id, t_type, n, rk)`. */
+  private val touchFrameSql =
+    """ev AS (
+        SELECT user_id, epoch_us(ts) us, event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) c
+        FROM events
+      ),
+      t AS (SELECT user_id, us t_us, event_id t_id, event_type t_type
+            FROM ev WHERE event_type IN ('view','click')),
+      p AS (SELECT user_id, us p_us, event_id p_id, c
+            FROM ev WHERE event_type = 'purchase'),
+      f AS (
+        SELECT p.user_id, p.p_us, p.p_id, p.c, t.t_us, t.t_id, t.t_type,
+               COUNT(t.t_id) OVER w n,
+               ROW_NUMBER() OVER (PARTITION BY p.user_id, p.p_id
+                 ORDER BY t.t_us ASC NULLS FIRST, t.t_id ASC NULLS FIRST) rk
+        FROM p LEFT JOIN t
+          ON p.user_id = t.user_id
+         AND (t.t_us < p.p_us OR (t.t_us = p.p_us AND t.t_id < p.p_id))
+         AND p.p_us - t.t_us <= 604800000000
+        WINDOW w AS (PARTITION BY p.user_id, p.p_id)
+      )"""
+
+  /** POSITION-BASED (U-shaped) multi-touch attribution: the credit
+    * model marketing analytics reaches for right after last-touch
+    * ([[eventsAttribution]]) — 40% of each purchase to the FIRST touch
+    * in its 7-day window, 40% to the LAST, the remaining 20% split
+    * evenly across the middle touches (collapsing to 100% / 50%+50%
+    * when the window holds one / two touches; no touch → 'direct').
+    * Credits are exact integer micro-units with the identical CASE
+    * shape on both engines (the 20% split is `200000 div (n−2)` —
+    * truncating division, deterministic), so per-channel sums are
+    * hash-exact; `value_micro_cents` weights each purchase's cents by
+    * its touches' credit shares.
+    *
+    * Scale shape: [[touchFrame]]'s one user-keyed join + its reused
+    * partitioning, then ONE channel aggregation (map-side combined). */
+  val eventsAttributionPosition: Q = Q(
+    "events_attribution_position",
+    (s, dir) => {
+      import s.implicits._
+      touchFrame(s, dir)
+        .withColumn("credit_micro", expr("""
+          CASE WHEN t_id IS NULL THEN 1000000L
+               WHEN n = 1 THEN 1000000L
+               WHEN n = 2 THEN 500000L
+               WHEN rk = 1 OR rk = n THEN 400000L
+               ELSE 200000L div (n - 2)
+          END"""))
+        .withColumn("channel", coalesce($"t_type", lit("direct")))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_credits"),
+          sum($"credit_micro").as("credit_micro_sum"),
+          sum($"c" * $"credit_micro").as("value_micro_cents"))
+        .orderBy($"channel")
+    },
+    Some(s"""
+      WITH $touchFrameSql
+      SELECT COALESCE(t_type, 'direct') AS channel,
+             CAST(COUNT(*) AS BIGINT) n_credits,
+             CAST(SUM(CASE WHEN t_id IS NULL THEN 1000000
+                           WHEN n = 1 THEN 1000000
+                           WHEN n = 2 THEN 500000
+                           WHEN rk = 1 OR rk = n THEN 400000
+                           ELSE 200000 // (n - 2) END) AS BIGINT) credit_micro_sum,
+             CAST(SUM(c * (CASE WHEN t_id IS NULL THEN 1000000
+                           WHEN n = 1 THEN 1000000
+                           WHEN n = 2 THEN 500000
+                           WHEN rk = 1 OR rk = n THEN 400000
+                           ELSE 200000 // (n - 2) END)) AS BIGINT) value_micro_cents
+      FROM f
+      GROUP BY 1 ORDER BY 1
+    """)
+  )
+
+  /** TIME-DECAY multi-touch attribution: each touch in a purchase's
+    * 7-day window earns weight 2^(6−age_days) (integer halving per
+    * elapsed day — ages 0..6 map to weights 64..1), and the purchase's
+    * credit splits proportionally: `credit = (10⁶·w) div Σw`. All
+    * integer (shift arithmetic + truncating division with identical
+    * shape on both engines), so the oracle is hash-exact; a purchase
+    * with no window touch credits 'direct' wholesale.
+    *
+    * Scale shape: identical to [[eventsAttributionPosition]] — the
+    * per-purchase weight sum is one more window over the SAME
+    * (user_id, p_id) partitioning, then one channel aggregation. */
+  val eventsAttributionTimeDecay: Q = Q(
+    "events_attribution_timedecay",
+    (s, dir) => {
+      import s.implicits._
+      val per = Window.partitionBy($"user_id", $"p_id")
+      touchFrame(s, dir)
+        .withColumn("w", expr(
+          "CASE WHEN t_id IS NULL THEN 0L ELSE shiftleft(1L, 6 - CAST((p_us - t_us) div 86400000000L AS INT)) END"))
+        .withColumn("sw", sum($"w").over(per))
+        .withColumn("credit_micro", expr(
+          "CASE WHEN t_id IS NULL THEN 1000000L ELSE (1000000L * w) div sw END"))
+        .withColumn("channel", coalesce($"t_type", lit("direct")))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_credits"),
+          sum($"credit_micro").as("credit_micro_sum"),
+          sum($"c" * $"credit_micro").as("value_micro_cents"))
+        .orderBy($"channel")
+    },
+    Some(s"""
+      WITH $touchFrameSql,
+      wts AS (
+        SELECT *,
+               CASE WHEN t_id IS NULL THEN 0
+                    ELSE (1::BIGINT << (6 - (p_us - t_us) // 86400000000)) END AS w
+        FROM f
+      ),
+      sw AS (
+        SELECT *, SUM(w) OVER (PARTITION BY user_id, p_id) sw FROM wts
+      )
+      SELECT COALESCE(t_type, 'direct') AS channel,
+             CAST(COUNT(*) AS BIGINT) n_credits,
+             CAST(SUM(CASE WHEN t_id IS NULL THEN 1000000
+                           ELSE (1000000 * w) // sw END) AS BIGINT) credit_micro_sum,
+             CAST(SUM(c * (CASE WHEN t_id IS NULL THEN 1000000
+                           ELSE (1000000 * w) // sw END)) AS BIGINT) value_micro_cents
+      FROM sw
+      GROUP BY 1 ORDER BY 1
+    """)
+  )
+
   /** A/B experiment readout: users assigned to variants by the
     * content-addressed md5 bucket (the `split_assign` discipline — no
     * RNG, no seed coordination, reproducible across engines and
@@ -376,5 +539,7 @@ object Quality {
   )
 
   def queries: Seq[Q] =
-    Seq(dqReferential, dqConstraints, eventsAttribution, eventsAbTest, eventsResample)
+    Seq(dqReferential, dqConstraints, eventsAttribution,
+      eventsAttributionPosition, eventsAttributionTimeDecay,
+      eventsAbTest, eventsResample)
 }

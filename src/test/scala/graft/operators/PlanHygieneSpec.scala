@@ -451,6 +451,21 @@ class PlanHygieneSpec extends SparkSuite {
     assert(!p.contains("ntile"), "NTILE crept back into the production form")
   }
 
+  test("multi-touch attribution: user-keyed join (no cartesian); both windows share one exchange") {
+    for (q <- Seq("events_attribution_position", "events_attribution_timedecay")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: the touch-window predicate must ride the user_id equi-join")
+      assert("""SortMergeJoin \[user_id""".r.findFirstIn(p).isDefined,
+        s"$q: the touch join must keep user_id as its equi key")
+      // (user_id, p_id) clustering is satisfied by the join's user_id
+      // hash partitioning — the rank/count/weight windows must NOT
+      // re-shuffle on the refined key
+      assert("""hashpartitioning\(user_id#\d+L?, p_id""".r.findAllIn(p).isEmpty,
+        s"$q: windows re-shuffled on (user_id, p_id) instead of reusing the join exchange")
+    }
+  }
+
   test("text_vocab_coverage: rank window runs over a TakeOrdered prefix, not the vocab") {
     val p = plan("text_vocab_coverage")
     assert(p.contains("TakeOrderedAndProject"),
