@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One candidate row entering the per-query MMR kernel: the cosine is
+  * computed OUTSIDE the kernel by the codegen'd `dot_product`
+  * expression, so it is bit-identical to the batch path's; `v`/`nrm`
+  * ride along for the candidate-candidate redundancy cosines. */
+case class MmrCand(qid: Long, vec_id: Long, cos: Double,
+                   v: Array[Double], nrm: Double)
+
+/** One diversity-selected serving row. */
+case class MmrHit(qid: Long, step: Int, vec_id: Long, mmr_score: Long)
+
+/** STREAMING RETRIEVE → MMR RE-RANK, composed in ONE query: arriving
+  * query vectors are routed to their IVF probe cells, candidates come
+  * from the cell-keyed stream-static join ([[VectorServeStream]]'s
+  * retrieve half), and each query's top-20 is diversity-re-ranked by
+  * the batch `vector_mmr_rerank` rule (operators/VectorSearch.scala)
+  * INSIDE the per-key kernel — the serving path a RAG deployment runs
+  * (retrieve, then stop the retriever returning five paraphrases of
+  * one document) with no second query and no driver round-trip.
+  *
+  * The greedy MMR loop is per-query over ≤20 candidates, so the
+  * streaming-legal home for it is the `flatMapGroupsWithState` group
+  * iterator: 20×20 pairwise micro-cosines + 5 unrolled argmax steps,
+  * all integer after one HALF_UP micro-rounding per cosine — the SAME
+  * arithmetic as the batch operator (Spark `round()` is BigDecimal
+  * HALF_UP; the kernel uses BigDecimal HALF_UP, not `math.round`,
+  * which differs on negative half-values), so when the probes cover
+  * the exact top-20 the streamed selection is bit-identical to batch
+  * (MmrServeStreamSpec pins stream ≡ batch at nprobe = C).
+  *
+  * At 100 TB the economics are the retrieve half's: per batch, nprobe/C
+  * of the static side is scanned; the re-rank adds O(k²) per query —
+  * top-k-sized frames only, never corpus-sized. */
+object MmrServeStream {
+
+  def serve(queries: DataFrame, dir: String, kCand: Int = 20, kOut: Int = 5,
+      nprobe: Int = 2): Dataset[MmrHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
+    val (probed, corpus) = VectorServeStream.probeWithCorpus(queries, dir, nprobe)
+    val cand = probed.toDF()
+      .join(corpus, Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"),
+        $"v", $"nrm")
+      .as[MmrCand]
+    cand.groupByKey(_.qid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[MmrCand], _: GroupState[Long]) =>
+          rerank(qid, rows, kCand, kOut)
+      }
+  }
+
+  /** Spark `round(1e6 * x)`: BigDecimal HALF_UP on the double value. */
+  private def micro(x: Double): Long =
+    java.math.BigDecimal.valueOf(1e6 * x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** The batch MMR rule over one query's candidate iterator: top-kCand
+    * by (cos desc, vec_id), step 1 = pure relevance (score rel·10),
+    * steps 2..kOut maximize 7·rel − 3·maxRedundancy with ties to the
+    * smaller vec_id. */
+  private[streaming] def rerank(qid: Long, rows: Iterator[MmrCand],
+      kCand: Int, kOut: Int): Iterator[MmrHit] = {
+    val top = rows.toArray.sortBy(c => (-c.cos, c.vec_id)).take(kCand)
+    if (top.isEmpty) return Iterator.empty
+    val n = top.length
+    val rel = top.map(c => micro(c.cos))
+    // pairwise candidate-candidate micro-cosines (same fold order as
+    // the dot_product expression: ascending index, one running sum)
+    val cc = Array.ofDim[Long](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (i != j) {
+          val a = top(i).v; val b = top(j).v
+          var s = 0.0
+          var k = 0
+          while (k < a.length) { s += a(k) * b(k); k += 1 }
+          cc(i)(j) = micro(s / (top(i).nrm * top(j).nrm))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val selected = Array.newBuilder[MmrHit]
+    val taken = Array.fill(n)(false)
+    // step 1: pure relevance, ties to the smaller vec_id
+    var best = -1
+    i = 0
+    while (i < n) {
+      if (best < 0 || rel(i) > rel(best) ||
+        (rel(i) == rel(best) && top(i).vec_id < top(best).vec_id)) best = i
+      i += 1
+    }
+    taken(best) = true
+    selected += MmrHit(qid, 1, top(best).vec_id, rel(best) * 10L)
+    var step = 2
+    while (step <= math.min(kOut, n)) {
+      var bi = -1
+      var bScore = 0L
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          var maxRed = Long.MinValue
+          var j = 0
+          while (j < n) {
+            if (taken(j) && cc(i)(j) > maxRed) maxRed = cc(i)(j)
+            j += 1
+          }
+          val score = rel(i) * 7L - (if (maxRed == Long.MinValue) 0L else maxRed) * 3L
+          if (bi < 0 || score > bScore ||
+            (score == bScore && top(i).vec_id < top(bi).vec_id)) {
+            bi = i; bScore = score
+          }
+        }
+        i += 1
+      }
+      taken(bi) = true
+      selected += MmrHit(qid, step, top(bi).vec_id, bScore)
+      step += 1
+    }
+    selected.result().iterator
+  }
+}

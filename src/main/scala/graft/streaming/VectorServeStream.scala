@@ -34,11 +34,14 @@ case class ServedHit(qid: Long, rn: Int, vec_id: Long, cos: Double)
   * riding the connector's backpressure dials. */
 object VectorServeStream {
 
-  def serve(queries: DataFrame, dir: String, k: Int = 10,
-      nprobe: Int = 2): Dataset[ServedHit] = {
+  /** The shared retrieve front half: cell-assigned static corpus
+    * (persisted) + the arriving queries routed to their `nprobe`
+    * nearest coarse cells (stateless mapPartitions over a collected,
+    * driver-sized codebook — same float fold as the batch path). */
+  private[streaming] def probeWithCorpus(queries: DataFrame, dir: String,
+      nprobe: Int): (Dataset[ProbedQuery], DataFrame) = {
     val spark = queries.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
     val (assigned, cents) = graft.operators.VectorSearch.ivfFlatAssign(spark, dir)
     val corpus = assigned.select($"cell", $"vec_id", $"v", $"nrm").persist()
     val centArr: Array[(Int, Array[Double])] = cents.collect()
@@ -63,6 +66,15 @@ object VectorServeStream {
             .map { case (_, cell) => ProbedQuery(qid, qv, qnrm, cell) }
         }
       }
+    (probed, corpus)
+  }
+
+  def serve(queries: DataFrame, dir: String, k: Int = 10,
+      nprobe: Int = 2): Dataset[ServedHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
+    val (probed, corpus) = probeWithCorpus(queries, dir, nprobe)
     val cand = probed.toDF()
       .join(corpus, Seq("cell"))
       .filter($"vec_id" =!= $"qid")
