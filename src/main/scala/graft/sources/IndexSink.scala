@@ -31,12 +31,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `abort` deletes the temp files, leaving committed epochs intact.
   *
   * Readers treat `batch=<id>` as a hive-style partition column, so the
-  * committed index is one `spark.read.text(path)` away. Local-FS file
-  * moves stand in for the object-store/HDFS committer at production
-  * scale — the commit protocol (invisible temps, driver-side atomic
-  * publish, replay-replaces) is the load-bearing part and is identical
-  * there. Supports batch writes with the same epoch discipline
-  * (epoch = -1).
+  * committed index is one `spark.read.text(path)` away. Supports batch
+  * writes with the same epoch discipline (epoch = -1).
+  *
+  * TWO COMMIT MODES (`option("commitMode", ...)`):
+  *
+  *  - `rename` (default): the stage-then-rename swap above — correct
+  *    wherever directory rename is atomic (local FS, HDFS).
+  *  - `manifest`: the S3-CLASS protocol, for stores with NO atomic
+  *    rename. Tasks write straight to UNIQUE final keys under
+  *    `_data/epoch=<e>/` (a single-object PUT is atomic on S3, and
+  *    the underscore prefix hides the dir from Spark's listing, so an
+  *    unlisted object is invisible either way); the driver then
+  *    publishes by (re)writing ONE small manifest object,
+  *    `_manifests/epoch=<e>.manifest`, listing exactly the committed
+  *    files — last-writer-wins replace, so a replayed epoch swaps its
+  *    whole file list, and data objects orphaned by the earlier
+  *    attempt are swept after publish. Visibility = presence in a
+  *    manifest, nothing else; readers go through
+  *    [[IndexSink.readCommitted]], which resolves manifests to file
+  *    paths (and falls back to the partition-dir layout in rename
+  *    mode).
   *
   * Usage: `df.writeStream.format("graft.sources.IndexSinkProvider")
   *          .option("path", dir)` — input schema: one string column. */
@@ -56,10 +71,33 @@ object IndexSink {
   private[sources] def epochDir(root: String, epoch: Long): File =
     new File(root, s"batch=$epoch")
 
+  private[sources] def manifestFile(root: String, epoch: Long): File =
+    new File(root, s"_manifests/epoch=$epoch.manifest")
+
   private[sources] def deleteRecursively(f: File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete()
     ()
+  }
+
+  /** Every committed line of the index at `root`, whichever commit mode
+    * wrote it: manifest mode resolves the `.manifest` files under
+    * `_manifests/` to the exact committed file set (an unlisted `_data/` object is
+    * uncommitted by definition); rename mode reads the partition-dir
+    * layout, where visibility itself implies a complete epoch. */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.DataFrame = {
+    val manifests = Option(new File(root, "_manifests").listFiles)
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".manifest"))
+    if (manifests.nonEmpty) {
+      val files = manifests.flatMap { m =>
+        scala.io.Source.fromFile(m).getLines()
+          .filter(_.nonEmpty).map(rel => new File(root, rel).getPath).toSeq
+      }
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).text(files.toIndexedSeq: _*)
+    } else spark.read.schema(schema).text(root)
   }
 }
 
@@ -82,37 +120,45 @@ class IndexSinkTable(options: CaseInsensitiveStringMap)
     // micro-batch through the connector's replace-wholesale commit with
     // the batch id as the epoch (idempotent replay from ONE query)
     val batchEpoch = Option(options.get("epoch")).map(_.toLong).getOrElse(-1L)
+    val mode = Option(options.get("commitMode")).getOrElse("rename")
+    require(mode == "rename" || mode == "manifest",
+      s"commitMode must be 'rename' or 'manifest', got '$mode'")
     new WriteBuilder {
-      override def build(): Write = new IndexWrite(path, batchEpoch)
+      override def build(): Write = new IndexWrite(path, batchEpoch, mode)
     }
   }
 }
 
-class IndexWrite(path: String, batchEpoch: Long = -1L) extends Write {
-  override def toBatch: BatchWrite = new IndexBatchWrite(path, batchEpoch)
-  override def toStreaming: StreamingWrite = new IndexStreamingWrite(path)
+class IndexWrite(path: String, batchEpoch: Long = -1L,
+    mode: String = "rename") extends Write {
+  override def toBatch: BatchWrite = new IndexBatchWrite(path, batchEpoch, mode)
+  override def toStreaming: StreamingWrite = new IndexStreamingWrite(path, mode)
 }
 
 /** One committed-file report from a task. */
 case class IndexFileMessage(tmpPath: String) extends WriterCommitMessage
 
-class IndexStreamingWrite(path: String) extends StreamingWrite {
+class IndexStreamingWrite(path: String, mode: String = "rename")
+    extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new IndexWriterFactory(path)
+    new IndexWriterFactory(path, mode)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    IndexCommit.publish(path, epochId, messages)
+    if (mode == "manifest") IndexCommit.publishManifest(path, epochId, messages)
+    else IndexCommit.publish(path, epochId, messages)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     IndexCommit.discard(messages)
 }
 
-class IndexBatchWrite(path: String, epoch: Long = -1L) extends BatchWrite {
+class IndexBatchWrite(path: String, epoch: Long = -1L,
+    mode: String = "rename") extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new IndexWriterFactory(path)
+    new IndexWriterFactory(path, mode)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    IndexCommit.publish(path, epoch, messages)
+    if (mode == "manifest") IndexCommit.publishManifest(path, epoch, messages)
+    else IndexCommit.publish(path, epoch, messages)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     IndexCommit.discard(messages)
 }
@@ -172,23 +218,71 @@ object IndexCommit {
     }
   }
 
+  /** S3-class publish: visibility is a MANIFEST OBJECT, not a rename.
+    * The winning tasks' files (already at their final unique keys
+    * under `_data/epoch=<e>/`) are listed, root-relative and sorted,
+    * into `_manifests/epoch=<e>.manifest`, written via tmp + rename —
+    * the local stand-in for S3's atomic single-object PUT, the ONLY
+    * primitive this protocol needs. A replayed epoch overwrites the
+    * manifest (last writer wins), atomically swapping the whole file
+    * list; data objects the new manifest no longer references (the
+    * earlier attempt's) are deleted after publish, as are epoch data
+    * dirs below the committing epoch that never got a manifest
+    * (crashed, superseded attempts). */
+  def publishManifest(root: String, epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val rootPath = new File(root).getCanonicalFile.toPath
+    val committed = messages.collect { case IndexFileMessage(p) if p.nonEmpty =>
+      new File(p).getCanonicalFile }
+    val rel = committed.map(f => rootPath.relativize(f.toPath).toString).sorted
+    val manifest = IndexSink.manifestFile(root, epochId)
+    manifest.getParentFile.mkdirs()
+    val tmp = new File(manifest.getParentFile, manifest.getName + ".tmp")
+    val out = new BufferedWriter(new FileWriter(tmp))
+    try rel.foreach { r => out.write(r); out.newLine() } finally out.close()
+    if (manifest.exists()) manifest.delete()
+    require(tmp.renameTo(manifest), s"cannot publish ${manifest.getPath}")
+    // sweep: THIS epoch's orphaned attempt files + manifest-less
+    // earlier epoch dirs (superseded before their commit)
+    val keep = committed.map(_.getPath).toSet
+    val EpochDir = """epoch=(-?\d+)""".r
+    Option(new File(root, "_data").listFiles).getOrElse(Array.empty).foreach { d =>
+      d.getName match {
+        case EpochDir(e) if e.toLong == epochId =>
+          Option(d.listFiles).getOrElse(Array.empty)
+            .filterNot(f => keep.contains(f.getCanonicalFile.getPath))
+            .foreach(_.delete())
+        case EpochDir(e) if e.toLong < epochId &&
+            !IndexSink.manifestFile(root, e.toLong).exists() =>
+          IndexSink.deleteRecursively(d)
+        case _ => ()
+      }
+    }
+  }
+
   def discard(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case IndexFileMessage(tmp) => new File(tmp) }
       .foreach(f => if (f.exists()) f.delete())
 }
 
-class IndexWriterFactory(path: String)
+class IndexWriterFactory(path: String, mode: String = "rename")
     extends StreamingDataWriterFactory with DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new IndexDataWriter(path, partitionId, taskId, epochId)
+    new IndexDataWriter(path, partitionId, taskId, epochId, mode)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new IndexDataWriter(path, partitionId, taskId, -1L)
+    new IndexDataWriter(path, partitionId, taskId, -1L, mode)
 }
 
-class IndexDataWriter(root: String, partitionId: Int, taskId: Long, epochId: Long)
+class IndexDataWriter(root: String, partitionId: Int, taskId: Long, epochId: Long,
+    mode: String = "rename")
     extends DataWriter[InternalRow] {
-  private val tmpDir = new File(root, s"_tmp/epoch=$epochId")
+  // rename mode: private scratch, staged out at commit. manifest mode:
+  // the FINAL unique key — one file per (partition, task attempt),
+  // invisible until a manifest lists it (S3: a PUT that never raced).
+  private val tmpDir =
+    if (mode == "manifest") new File(root, s"_data/epoch=$epochId")
+    else new File(root, s"_tmp/epoch=$epochId")
   tmpDir.mkdirs()
   private val tmpFile = new File(tmpDir, f"part-$partitionId%05d-$taskId")
   private lazy val out = new BufferedWriter(new FileWriter(tmpFile))

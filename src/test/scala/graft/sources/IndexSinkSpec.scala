@@ -143,4 +143,74 @@ class IndexSinkSpec extends SparkSuite {
       assert(readAll(out).sorted == Seq("m1", "m2"))
     } finally new scala.reflect.io.Directory(out.toFile).deleteRecursively()
   }
+
+  test("manifest mode: visibility is the manifest object; replay swaps the file list") {
+    val out = java.nio.file.Files.createTempDirectory("graft-idxsink-manifest")
+    def read(): Seq[String] =
+      IndexSink.readCommitted(spark, out.toString).collect().map(_.getString(0)).toSeq
+    def runEpoch(lines: Seq[String], epoch: Long, task: Long): Unit = {
+      val w = new IndexDataWriter(out.toString, 0, task, epoch, "manifest")
+      lines.foreach { l =>
+        w.write(org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(l)))
+      }
+      IndexCommit.publishManifest(out.toString, epoch, Array(w.commit()))
+    }
+    try {
+      // a PUT with no manifest entry is invisible
+      val ghost = new IndexDataWriter(out.toString, 0, 99L, 0L, "manifest")
+      ghost.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("ghost")))
+      ghost.commit()
+      assert(read().isEmpty, "unmanifested data object leaked")
+
+      runEpoch(Seq("x1", "x2"), 0L, task = 1L)
+      assert(read().sorted == Seq("x1", "x2"))
+      // the ghost attempt's object was swept by epoch 0's publish
+      val dataDir = new java.io.File(out.toFile, "_data/epoch=0")
+      assert(dataDir.listFiles.length == 1,
+        s"orphan survived: ${dataDir.listFiles.map(_.getName).toSeq}")
+
+      // replayed epoch: new attempt file, manifest swaps wholesale
+      runEpoch(Seq("x1", "x2"), 0L, task = 2L)
+      runEpoch(Seq("y1"), 1L, task = 3L)
+      assert(read().sorted == Seq("x1", "x2", "y1"), "replay must not duplicate")
+
+      // no batch= dirs in manifest mode; everything lives under _ paths
+      assert(!out.toFile.listFiles.exists(_.getName.startsWith("batch=")))
+    } finally new scala.reflect.io.Directory(out.toFile).deleteRecursively()
+  }
+
+  test("manifest mode end-to-end: streaming restart continues exactly-once") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-idxmf-in")
+    val out = java.nio.file.Files.createTempDirectory("graft-idxmf-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idxmf-ckpt")
+    def addFile(rows: Seq[String], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-idxmf-$name")
+      rows.toDF("value").coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val part = tmp.resolve("d").toFile.listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+    }
+    try {
+      def start() = spark.readStream
+        .schema("value STRING").parquet(in.toString)
+        .writeStream.format("graft.sources.IndexSinkProvider")
+        .option("path", out.toString)
+        .option("commitMode", "manifest")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      addFile(Seq("a1", "a2"), "b1")
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      addFile(Seq("b1", "b2"), "b2")
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = IndexSink.readCommitted(spark, out.toString)
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("a1", "a2", "b1", "b2"))
+    } finally Seq(in, out, ckpt).foreach(p =>
+      new scala.reflect.io.Directory(p.toFile).deleteRecursively())
+  }
 }
