@@ -155,6 +155,8 @@ object SparkEntry {
     "events_rfm_2phase",
     // round 10: multi-touch attribution (U-shaped position credit and
     // integer time-decay) over the shared touch-window join
-    "events_attribution_position", "events_attribution_timedecay"
+    "events_attribution_position", "events_attribution_timedecay",
+    // round 10: snapshot volume-drift DQ gate and PMI collocations
+    "dq_volume_drift", "text_pmi_collocations"
   )
 }

@@ -230,6 +230,77 @@ object Quality {
     """)
   )
 
+  /** VOLUME-DRIFT GATE between corpus snapshot versions: per
+    * (source, lang) stratum, compare the v1→v2 document counts (the
+    * [[graft.operators.Pipeline]] snapshot-diff derivation of the two
+    * versions) and flag any stratum whose volume moved more than 10%
+    * — the "did the refresh silently drop a source" monitor a
+    * versioned training pipeline runs BEFORE content-level checks
+    * (text_jsd_drift) ever see the data: a crawler auth failure or a
+    * bad partition filter shows up as volume drift first. Drift is
+    * exact integer ppm (`(c2−c1)·10⁶ div c1`); strata appearing or
+    * disappearing outright are their own statuses ('new' / 'gone', no
+    * division), so the row set is hash-exact.
+    *
+    * Scale shape: two partial-aggregated counts over the stratum key
+    * (map-side combined — counts, not rows, cross the exchange) and a
+    * stratum-sized full-outer join; nothing corpus-sized moves. */
+  val dqVolumeDrift: Q = Q(
+    "dq_volume_drift",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val h = substring(md5($"doc_id".cast("string")), 1, 1)
+      val c1 = d.filter(h =!= "f").groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("c1"))
+      val c2 = d.filter(h =!= "0").groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("c2"))
+      c1.join(c2, Seq("source", "lang"), "full_outer")
+        .select($"source", $"lang",
+          coalesce($"c1", lit(0L)).as("c1"), coalesce($"c2", lit(0L)).as("c2"))
+        .withColumn("drift_ppm",
+          when($"c1" > 0L && $"c2" > 0L, expr("((c2 - c1) * 1000000L) div c1")))
+        .withColumn("status",
+          when($"c1" === 0L, "new")
+            .when($"c2" === 0L, "gone")
+            .when(abs($"drift_ppm") > 100000L, "drift")
+            .otherwise("ok"))
+        .orderBy($"source", $"lang")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT source, lang, COUNT(*) c1 FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'
+        GROUP BY 1, 2
+      ),
+      v2 AS (
+        SELECT source, lang, COUNT(*) c2 FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+        GROUP BY 1, 2
+      ),
+      j AS (
+        SELECT COALESCE(v1.source, v2.source) source,
+               COALESCE(v1.lang, v2.lang) lang,
+               COALESCE(c1, 0) c1, COALESCE(c2, 0) c2
+        FROM v1 FULL OUTER JOIN v2
+          ON v1.source = v2.source AND v1.lang = v2.lang
+      ),
+      dr AS (
+        SELECT source, lang, CAST(c1 AS BIGINT) c1, CAST(c2 AS BIGINT) c2,
+               CASE WHEN c1 > 0 AND c2 > 0
+                    THEN CAST(((c2 - c1) * 1000000) // c1 AS BIGINT) END drift_ppm
+        FROM j
+      )
+      SELECT source, lang, c1, c2, drift_ppm,
+             CASE WHEN c1 = 0 THEN 'new'
+                  WHEN c2 = 0 THEN 'gone'
+                  WHEN abs(drift_ppm) > 100000 THEN 'drift'
+                  ELSE 'ok' END AS status
+      FROM dr
+      ORDER BY source, lang
+    """)
+  )
+
   /** The shared touch×purchase frame for MULTI-TOUCH attribution: each
     * purchase LEFT-joined to every view/click of its user strictly
     * before it (by the batch rule's (ts, event_id) order) and within
@@ -539,7 +610,7 @@ object Quality {
   )
 
   def queries: Seq[Q] =
-    Seq(dqReferential, dqConstraints, eventsAttribution,
+    Seq(dqReferential, dqConstraints, dqVolumeDrift, eventsAttribution,
       eventsAttributionPosition, eventsAttributionTimeDecay,
       eventsAbTest, eventsResample)
 }

@@ -1159,9 +1159,87 @@ object TextAnalysis {
     )
   }
 
+  /** PMI COLLOCATIONS: the top-20 bigrams by pointwise mutual
+    * information — ln(p(w1w2) / (p(w1)p(w2))) — with support ≥ 5, the
+    * classic collocation extractor (Church & Hanks) a corpus pipeline
+    * runs to find multi-word units worth protecting from tokenization
+    * splits. Parity is the [[jsdDrift]] discipline: ONE ln over an
+    * identically-shaped ratio of exact integer counts, nano-rounded
+    * once; ties break on the bigram string, so top-20 is hash-exact.
+    *
+    * Scale shape: the bigram and unigram frequency tables are each one
+    * partial-aggregated exchange (the [[bigrams]] kernel feeds the
+    * first); scoring joins the BIGRAM-VOCAB-sized frame to the unigram
+    * table twice on the word key — vocabulary-sized frames throughout
+    * (Heaps-sublinear in the corpus), never document-sized; top-20 is
+    * a TakeOrdered, not a global sort. */
+  val pmiCollocations: Q = Q(
+    "text_pmi_collocations",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .repartition($"doc_id")
+        .select($"text").as[String]
+      val bg = toks.mapPartitions(_.flatMap(bigramsOf)).toDF("bigram")
+        .groupBy($"bigram").agg(count(lit(1)).as("c_ab"))
+        .filter($"c_ab" >= 5)
+      val uni = docs(s, dir)
+        .select(explode(TextFns.tokens($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("c"))
+        .localCheckpoint()   // joined twice + totalled
+      val nt = uni.agg(sum($"c").as("nt"))
+      val nb = docs(s, dir)
+        .select((size(TextFns.tokens($"text")) - 1).as("k"))
+        .filter($"k" >= 1).agg(sum($"k").as("nb"))
+      bg
+        .withColumn("w1", split($"bigram", " ").getItem(0))
+        .withColumn("w2", split($"bigram", " ").getItem(1))
+        .join(uni.select($"term".as("w1"), $"c".as("c_a")), "w1")
+        .join(uni.select($"term".as("w2"), $"c".as("c_b")), "w2")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+        .withColumn("pmi_nano", round(log(
+          ($"c_ab".cast("double") / $"nb".cast("double")) /
+            (($"c_a".cast("double") / $"nt".cast("double")) *
+              ($"c_b".cast("double") / $"nt".cast("double")))) * 1e9).cast("long"))
+        .select($"bigram", $"c_ab", $"c_a", $"c_b", $"pmi_nano")
+        .orderBy($"pmi_nano".desc, $"bigram")
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents
+      ),
+      bgx AS (
+        SELECT unnest(list_transform(range(len(toks)-1),
+               i -> array_to_string(toks[i+1:i+2], ' '))) AS bigram
+        FROM t WHERE len(toks) >= 2
+      ),
+      bg AS (SELECT bigram, COUNT(*) c_ab FROM bgx GROUP BY 1 HAVING COUNT(*) >= 5),
+      uni AS (SELECT unnest(toks) term FROM t),
+      u AS (SELECT term, COUNT(*) c FROM uni GROUP BY 1),
+      nt AS (SELECT SUM(c) nt FROM u),
+      nb AS (SELECT SUM(len(toks) - 1) nb FROM t WHERE len(toks) >= 2),
+      sc AS (
+        SELECT bg.bigram, bg.c_ab, ua.c c_a, ub.c c_b,
+               CAST(ROUND(ln(
+                 (CAST(bg.c_ab AS DOUBLE) / CAST(nb AS DOUBLE)) /
+                   ((CAST(ua.c AS DOUBLE) / CAST(nt AS DOUBLE)) *
+                    (CAST(ub.c AS DOUBLE) / CAST(nt AS DOUBLE)))) * 1e9) AS BIGINT)
+                 AS pmi_nano
+        FROM bg
+        JOIN u ua ON ua.term = string_split(bg.bigram, ' ')[1]
+        JOIN u ub ON ub.term = string_split(bg.bigram, ' ')[2]
+        CROSS JOIN nt CROSS JOIN nb
+      )
+      SELECT bigram, CAST(c_ab AS BIGINT) c_ab, CAST(c_a AS BIGINT) c_a,
+             CAST(c_b AS BIGINT) c_b, pmi_nano
+      FROM sc ORDER BY pmi_nano DESC, bigram LIMIT 20
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(tokenCount, quality, qualityClassifier, langId, fingerprintQ, topTerms,
       bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons,
       unigramLogprob, invertedIndex, piiRedact, keywordExtract, vocabCoverage,
-      jsdDrift, bpeMerges, langidConfusion, statsProfile)
+      jsdDrift, bpeMerges, langidConfusion, statsProfile, pmiCollocations)
 }
