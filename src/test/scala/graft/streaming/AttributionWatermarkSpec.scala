@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** At-watermark emission: the one disorder emit-at-arrival cannot
+  * repair is a touch arriving AFTER a purchase it should credit —
+  * buffering purchases until the watermark finalizes them makes the
+  * assignment exact for every admissible arrival order, and makes the
+  * multi-touch U-shaped split (which needs the COMPLETE window)
+  * streamable at all. */
+class AttributionWatermarkSpec extends SparkSuite {
+
+  private case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                        event_type: String, value: Double)
+  private def at(minute: Long) = new java.sql.Timestamp(minute * 60000L)
+
+  test("a touch arriving after its purchase still gets the credit (at-watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = AttributionStream.attribute(src.toDF(), delay = "1 hour",
+        emitAtWatermark = true)
+      .writeStream.format("memory").queryName("attr_wm")
+      .outputMode("append").start()
+    try {
+      // purchase first; its crediting view arrives one batch LATER
+      src.addData(Ev(1L, at(640), 2L, "purchase", 5.0))
+      q.processAllAvailable()
+      src.addData(Ev(1L, at(630), 3L, "view", 1.0))
+      q.processAllAvailable()
+      // nothing final yet: wm = 640' − 60' = 580' < 640'
+      assert(spark.table("attr_wm").isEmpty, "emitted before the watermark finalized")
+      // sentinel advances the watermark past the purchase
+      src.addData(Ev(99L, at(710), 9L, "view", 1.0))
+      q.processAllAvailable()
+      src.addData(Ev(99L, at(711), 10L, "view", 1.0))   // trigger the timeout batch
+      q.processAllAvailable()
+      val got = spark.table("attr_wm").collect()
+        .map(r => (r.getLong(1), r.getString(3))).toMap
+      assert(got == Map(2L -> "view"),
+        s"late view must credit the earlier-arrived purchase: $got")
+    } finally q.stop()
+  }
+
+  test("streamed U-shaped credits aggregate to the batch multi-touch result") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us").collect()
+    val maxUs = ev.map(_.getLong(1)).max
+
+    val expected = graft.operators.Quality.eventsAttributionPosition
+      .run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val in = java.nio.file.Files.createTempDirectory("graft-attrpos-in")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-attrpos-scr")
+    def addParquet(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = scratch.resolve(name)
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+    }
+    try {
+      val fixture = spark.read.parquet(s"$sf0001/events.parquet")
+      val cutoffUs = ev.map(_.getLong(1)).sorted.apply(ev.length / 2)
+      val stream = graft.Tables.loadStream(
+        spark, in.toString, "events", s"$sf0001/events.parquet")
+      val q = AttributionStream.attributePosition(stream, delay = "1 hour")
+        .writeStream.format("memory").queryName("attr_pos")
+        .outputMode("append").start()
+      try {
+        addParquet(fixture.filter(
+          org.apache.spark.sql.functions.expr(
+            s"unix_micros(cast(ts as timestamp)) < ${cutoffUs}L")), "b1")
+        q.processAllAvailable()
+        addParquet(fixture.filter(
+          org.apache.spark.sql.functions.expr(
+            s"unix_micros(cast(ts as timestamp)) >= ${cutoffUs}L")), "b2")
+        q.processAllAvailable()
+        // sentinel: a view-only user far past max ts + delay flushes
+        // every real purchase through the watermark (adds no credits)
+        val sentinelTs = new java.sql.Timestamp((maxUs + 8L * 86400L * 1000000L) / 1000L)
+        def sentinel(eid: Long, ts: java.sql.Timestamp) =
+          Seq((eid, ts, 999999L, "view", 1.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        addParquet(sentinel(999999L, sentinelTs), "b3")
+        q.processAllAvailable()
+        addParquet(sentinel(999998L,
+          new java.sql.Timestamp(sentinelTs.getTime + 60000L)), "b4")
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val got = spark.table("attr_pos").collect()
+        .map(r => (r.getString(3), r.getLong(4), r.getLong(5)))
+        .groupBy(_._1).map { case (ch, rows) =>
+          (ch, rows.length.toLong, rows.map(_._2).sum,
+            rows.map(r => r._3 * r._2).sum)
+        }.toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    } finally {
+      new scala.reflect.io.Directory(in.toFile).deleteRecursively()
+      new scala.reflect.io.Directory(scratch.toFile).deleteRecursively()
+    }
+  }
+}
