@@ -120,6 +120,22 @@ object AttributionStream {
         stepPosition _)
   }
 
+  /** STREAMING TIME-DECAY multi-touch attribution: one credit row per
+    * (purchase, touch) with weight 2^(6−age_days) and credit =
+    * (10⁶·w) div Σw — `events_attribution_timedecay`'s rule at
+    * watermark finalization (like the U-shape, the split depends on
+    * the complete window). Shares [[attributePosition]]'s full-window
+    * prune and state walk; only the credit callback differs. */
+  def attributeTimeDecay(src: DataFrame,
+      delay: String = "1 hour"): Dataset[PositionCredit] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    events(src, delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        stepTimeDecay _)
+  }
+
   private def events(src: DataFrame, delay: String): Dataset[AttrEvent] = {
     val spark = src.sparkSession
     import spark.implicits._
@@ -260,6 +276,24 @@ object AttributionStream {
             else if (i == 0 || i == n - 1) 400000L
             else 200000L / (n - 2)
           PositionCredit(u, p.p_id, p.p_us, t.t_type, credit, p.cents)
+        }
+      })
+
+  private def stepTimeDecay(user: Long, events: Iterator[AttrEvent],
+      state: GroupState[TouchState]): Iterator[PositionCredit] =
+    stepWatermarked[PositionCredit](user, events, state, pruneWindow,
+      (u, touches, p) => {
+        val w = windowOf(touches, p.p_us, p.p_id)
+        if (w.isEmpty)
+          Seq(PositionCredit(u, p.p_id, p.p_us, "direct", 1000000L, p.cents))
+        else {
+          // the batch expression verbatim: weight halves per elapsed
+          // day (ages 0..6 → 64..1), credit = (10⁶·w) div Σw
+          val weights = w.map(t => 1L << (6 - ((p.p_us - t.t_us) / 86400000000L).toInt))
+          val sw = weights.sum
+          w.zip(weights).map { case (t, wt) =>
+            PositionCredit(u, p.p_id, p.p_us, t.t_type, 1000000L * wt / sw, p.cents)
+          }
         }
       })
 }

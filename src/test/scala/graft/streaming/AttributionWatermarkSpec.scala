@@ -43,19 +43,14 @@ class AttributionWatermarkSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("streamed U-shaped credits aggregate to the batch multi-touch result") {
+  private def drainAndAggregate(model: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.Dataset[PositionCredit], sinkName: String): Set[(String, Long, Long, Long)] = {
     import spark.implicits._
     val ev = graft.Tables.load(spark, sf0001, "events")
       .selectExpr("user_id", "unix_micros(ts) AS us").collect()
     val maxUs = ev.map(_.getLong(1)).max
-
-    val expected = graft.operators.Quality.eventsAttributionPosition
-      .run(spark, sf0001).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
-
-    val in = java.nio.file.Files.createTempDirectory("graft-attrpos-in")
-    val scratch = java.nio.file.Files.createTempDirectory("graft-attrpos-scr")
+    val in = java.nio.file.Files.createTempDirectory(s"graft-$sinkName-in")
+    val scratch = java.nio.file.Files.createTempDirectory(s"graft-$sinkName-scr")
     def addParquet(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = scratch.resolve(name)
       df.coalesce(1).write.parquet(tmp.toString)
@@ -67,8 +62,8 @@ class AttributionWatermarkSpec extends SparkSuite {
       val cutoffUs = ev.map(_.getLong(1)).sorted.apply(ev.length / 2)
       val stream = graft.Tables.loadStream(
         spark, in.toString, "events", s"$sf0001/events.parquet")
-      val q = AttributionStream.attributePosition(stream, delay = "1 hour")
-        .writeStream.format("memory").queryName("attr_pos")
+      val q = model(stream)
+        .writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()
       try {
         addParquet(fixture.filter(
@@ -91,18 +86,35 @@ class AttributionWatermarkSpec extends SparkSuite {
           new java.sql.Timestamp(sentinelTs.getTime + 60000L)), "b4")
         q.processAllAvailable()
       } finally q.stop()
-
-      val got = spark.table("attr_pos").collect()
+      spark.table(sinkName).collect()
         .map(r => (r.getString(3), r.getLong(4), r.getLong(5)))
         .groupBy(_._1).map { case (ch, rows) =>
           (ch, rows.length.toLong, rows.map(_._2).sum,
             rows.map(r => r._3 * r._2).sum)
         }.toSet
-      assert(got == expected,
-        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
     } finally {
       new scala.reflect.io.Directory(in.toFile).deleteRecursively()
       new scala.reflect.io.Directory(scratch.toFile).deleteRecursively()
     }
+  }
+
+  private def batchRows(q: graft.operators.Q): Set[(String, Long, Long, Long)] =
+    q.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("streamed U-shaped credits aggregate to the batch multi-touch result") {
+    val got = drainAndAggregate(
+      df => AttributionStream.attributePosition(df, delay = "1 hour"), "attr_pos")
+    val expected = batchRows(graft.operators.Quality.eventsAttributionPosition)
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("streamed time-decay credits aggregate to the batch time-decay result") {
+    val got = drainAndAggregate(
+      df => AttributionStream.attributeTimeDecay(df, delay = "1 hour"), "attr_td")
+    val expected = batchRows(graft.operators.Quality.eventsAttributionTimeDecay)
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 }
