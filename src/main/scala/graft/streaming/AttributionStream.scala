@@ -181,6 +181,25 @@ object AttributionStream {
   private def isTouch(e: AttrEvent): Boolean =
     e.event_type == "view" || e.event_type == "click"
 
+  /** The U-shaped credit vector for a window of n ≥ 1 touches (index
+    * order = (ts, event_id) ascending): 100% / 50-50 /
+    * 40%-first, 40%-last, 20% split across middles (truncating —
+    * the batch CASE verbatim). */
+  private[streaming] def positionSplit(n: Int): IndexedSeq[Long] =
+    if (n == 1) IndexedSeq(1000000L)
+    else if (n == 2) IndexedSeq(500000L, 500000L)
+    else (0 until n).map(i =>
+      if (i == 0 || i == n - 1) 400000L else 200000L / (n - 2))
+
+  /** The time-decay credit vector for touch ages (whole days, 0..6):
+    * weight 2^(6−age), credit = (10⁶·w) div Σw — the batch expression
+    * verbatim. */
+  private[streaming] def timeDecaySplit(agesDays: Seq[Long]): Seq[Long] = {
+    val weights = agesDays.map(a => 1L << (6 - a.toInt))
+    val sw = weights.sum
+    weights.map(w => 1000000L * w / sw)
+  }
+
   // ---------------- emit-at-arrival (last-touch) ----------------
 
   private def stepAtArrival(user: Long, events: Iterator[AttrEvent],
@@ -268,14 +287,11 @@ object AttributionStream {
         val n = w.length
         if (n == 0)
           Seq(PositionCredit(u, p.p_id, p.p_us, "direct", 1000000L, p.cents))
-        else w.zipWithIndex.map { case (t, i) =>
-          // the batch CASE verbatim: 100% / 50-50 / 40-20·(n-2)⁻¹-40
-          val credit =
-            if (n == 1) 1000000L
-            else if (n == 2) 500000L
-            else if (i == 0 || i == n - 1) 400000L
-            else 200000L / (n - 2)
-          PositionCredit(u, p.p_id, p.p_us, t.t_type, credit, p.cents)
+        else {
+          val credits = positionSplit(n)
+          w.zipWithIndex.map { case (t, i) =>
+            PositionCredit(u, p.p_id, p.p_us, t.t_type, credits(i), p.cents)
+          }
         }
       })
 
@@ -287,12 +303,9 @@ object AttributionStream {
         if (w.isEmpty)
           Seq(PositionCredit(u, p.p_id, p.p_us, "direct", 1000000L, p.cents))
         else {
-          // the batch expression verbatim: weight halves per elapsed
-          // day (ages 0..6 → 64..1), credit = (10⁶·w) div Σw
-          val weights = w.map(t => 1L << (6 - ((p.p_us - t.t_us) / 86400000000L).toInt))
-          val sw = weights.sum
-          w.zip(weights).map { case (t, wt) =>
-            PositionCredit(u, p.p_id, p.p_us, t.t_type, 1000000L * wt / sw, p.cents)
+          val credits = timeDecaySplit(w.map(t => (p.p_us - t.t_us) / 86400000000L))
+          w.zip(credits).map { case (t, c) =>
+            PositionCredit(u, p.p_id, p.p_us, t.t_type, c, p.cents)
           }
         }
       })
