@@ -157,6 +157,8 @@ object SparkEntry {
     // integer time-decay) over the shared touch-window join
     "events_attribution_position", "events_attribution_timedecay",
     // round 10: snapshot volume-drift DQ gate and PMI collocations
-    "dq_volume_drift", "text_pmi_collocations"
+    "dq_volume_drift", "text_pmi_collocations",
+    // round 10: content-addressed weighted sampling and the Zipf fit
+    "sample_weighted", "text_zipf_fit"
   )
 }

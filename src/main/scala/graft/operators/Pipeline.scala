@@ -185,6 +185,66 @@ object Pipeline {
     """)
   )
 
+  /** Deterministic WEIGHTED sample without replacement
+    * (Efraimidis–Spirakis A-Res): top-200 documents by the key
+    * ln(u)/w, where w = the document's token count (longer docs
+    * proportionally likelier — the "sample by content mass" draw a
+    * token-budgeted corpus build wants) and u ∈ (0,1] is
+    * content-addressed (md5 32-bit prefix, the [[splitAssign]]
+    * discipline — no RNG, no seed coordination, reproducible across
+    * engines/runs/cluster sizes). u = (v+1)/2³² is an EXACT double
+    * (integer over a power of two) and ln/÷ are evaluated with the
+    * identical expression shape on both engines, nano-rounded ONCE
+    * per doc (the [[graft.operators.TextAnalysis]] bm25/jsd parity
+    * discipline), so rank and tie-break (key desc, doc_id) are
+    * hash-exact.
+    *
+    * Scale shape: one stateless projection computes every key
+    * map-side; top-200 is TakeOrderedAndProject (per-partition heaps +
+    * a k-row driver merge) — no shuffle grows with the corpus,
+    * exactly [[sampleStratifiedThreshold]]'s scan-bound economics with
+    * weights instead of strata. */
+  val sampleWeighted: Q = Q(
+    "sample_weighted",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(TextFns.tokens($"text")).cast("long").as("w"),
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+            .as("v"))
+        .filter($"w" >= 1L)
+        .withColumn("key_nano",
+          expr("CAST(ROUND(1e9 * ln((v + 1) / 4294967296.0D) / CAST(w AS DOUBLE)) AS BIGINT)"))
+        .orderBy($"key_nano".desc, $"doc_id")
+        .limit(200)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"key_nano".desc, $"doc_id")))
+        .select($"rk", $"doc_id", $"lang", $"w", $"key_nano")
+        .orderBy($"rk")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) w,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) v
+        FROM documents
+      ),
+      k AS (
+        SELECT doc_id, lang, w,
+               CAST(ROUND(1e9 * ln((v + 1) / 4294967296.0) / CAST(w AS DOUBLE)) AS BIGINT)
+                 AS key_nano
+        FROM d WHERE w >= 1
+      ),
+      r AS (
+        SELECT doc_id, lang, w, key_nano,
+               CAST(ROW_NUMBER() OVER (ORDER BY key_nano DESC, doc_id) AS INT) rk
+        FROM k
+      )
+      SELECT rk, doc_id, lang, w, key_nano FROM r WHERE rk <= 200 ORDER BY rk
+    """)
+  )
+
   /** Deterministic BALANCED stratified sample: every language stratum
     * contributes exactly `target` documents, where target = the smallest
     * stratum's size — the "equalize strata" downsampling a multilingual
@@ -2084,7 +2144,7 @@ object Pipeline {
   )
 
   def queries: Seq[Q] =
-    Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified,
+    Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified, sampleWeighted,
       sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,

@@ -1237,9 +1237,80 @@ object TextAnalysis {
     """)
   )
 
+  /** ZIPF-LAW FIT over the rank-frequency head: least-squares slope
+    * and intercept of ln(cnt) on ln(rank) for the top-1000 terms —
+    * the "is this corpus natural-language-shaped" diagnostic (natural
+    * text fits slope ≈ −1; template/boilerplate-heavy corpora flatten
+    * it). Parity is a two-stage discipline: each ln is nano-rounded
+    * ONCE per term with the identical expression shape (bm25/jsd),
+    * then every regression moment (Σx, Σy, Σxy, Σx²) is an EXACT
+    * integer sum in decimal(38,0)/HUGEINT — order-independent — and
+    * the single closing division runs over identically-rounded
+    * doubles (the [[graft.operators.Quality]] z-test treatment), so
+    * the one-row result is hash-exact.
+    *
+    * Scale shape: the frequency table is one partial-aggregated
+    * exchange; the fit runs on a top-1000 `TakeOrderedAndProject`
+    * prefix ([[vocabCoverage]]'s discipline) — O(k) regression work
+    * regardless of vocabulary size. */
+  val zipfFit: Q = Q(
+    "text_zipf_fit",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val tf = docs(s, dir)
+        .select(explode(TextFns.tokens($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"term").limit(1000)
+        .withColumn("rk", row_number().over(Window.orderBy($"cnt".desc, $"term")))
+        .select(
+          expr(s"CAST(CAST(ROUND(1e9 * ln(CAST(rk AS DOUBLE))) AS BIGINT) AS $dec)").as("x"),
+          expr(s"CAST(CAST(ROUND(1e9 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS $dec)").as("y"))
+      tf.agg(
+          count(lit(1)).cast(dec).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        .select($"n".cast("long").as("n_terms"),
+          expr("""CAST(ROUND(1e6 *
+                   (CAST(n * sxy - sx * sy AS DOUBLE) /
+                    CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)""").as("slope_micro"),
+          expr("""CAST(ROUND(
+                   CAST(sy * sxx - sx * sxy AS DOUBLE) /
+                   CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)""").as("intercept_nano"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+        FROM documents
+      ),
+      tf AS (SELECT term, COUNT(*) cnt FROM t GROUP BY 1
+             ORDER BY cnt DESC, term LIMIT 1000),
+      r AS (
+        SELECT CAST(CAST(ROUND(1e9 * ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS DOUBLE))) AS BIGINT) AS HUGEINT) x,
+               CAST(CAST(ROUND(1e9 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS HUGEINT) y
+        FROM tf
+      ),
+      m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) n, SUM(x) sx, SUM(y) sy,
+               SUM(x * y) sxy, SUM(x * x) sxx
+        FROM r
+      )
+      SELECT CAST(n AS BIGINT) n_terms,
+             CAST(ROUND(1e6 *
+               (CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT) slope_micro,
+             CAST(ROUND(
+               CAST(sy * sxx - sx * sxy AS DOUBLE) /
+               CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) intercept_nano
+      FROM m
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(tokenCount, quality, qualityClassifier, langId, fingerprintQ, topTerms,
       bm25, searchTopK, bigrams, repetition, docChunks, qualityFilterReasons,
       unigramLogprob, invertedIndex, piiRedact, keywordExtract, vocabCoverage,
-      jsdDrift, bpeMerges, langidConfusion, statsProfile, pmiCollocations)
+      jsdDrift, bpeMerges, langidConfusion, statsProfile, pmiCollocations,
+      zipfFit)
 }

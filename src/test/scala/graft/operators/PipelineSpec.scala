@@ -786,4 +786,30 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("sample_weighted: Efraimidis-Spirakis draw is exact, ranked, weight-favoring") {
+    val rows = Pipeline.sampleWeighted.run(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 200)
+    assert(rows.map(_._1).toSeq == (1 to 200), "ranks dense")
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._5 > b._5 || (a._5 == b._5 && a._2 < b._2) }, "key order with doc_id tiebreak")
+    assert(rows.forall(_._4 >= 1L), "zero-weight docs excluded")
+    // the draw favors weight: the sampled docs' mean token count must
+    // exceed the corpus mean (PPS property, deterministic here)
+    val corpus = graft.Tables.load(spark, sf0001, "documents")
+      .selectExpr("CAST(size(filter(split(text, ' '), x -> x != '')) AS LONG) w")
+      .collect().map(_.getLong(0)).filter(_ >= 1L)
+    val corpusMean = corpus.sum.toDouble / corpus.length
+    val sampleMean = rows.map(_._4).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+    // exact key recompute for the top row
+    val top = rows.head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(top._2.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    val v = java.lang.Long.parseLong(hex, 16)
+    val key = math.round(1e9 * math.log((v + 1) / 4294967296.0) / top._4.toDouble)
+    assert(key == top._5, s"key recompute: $key != ${top._5}")
+  }
 }

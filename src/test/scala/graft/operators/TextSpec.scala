@@ -365,4 +365,27 @@ class TextSpec extends SparkSuite {
     assert(got == want, "stats rows must equal the exact recompute")
   }
 
+  test("text_zipf_fit: one-row fit equals the driver least-squares over nano-rounded lns") {
+    val Array(row) = TextAnalysis.zipfFit.run(spark, sf0001).collect()
+    val tf = graft.Tables.load(spark, sf0001, "documents")
+      .selectExpr("explode(filter(split(text, ' '), x -> x != '')) term")
+      .collect().map(_.getString(0))
+      .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(1000)
+    val pts = tf.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(1e9 * math.log((i + 1).toDouble)),
+        math.round(1e9 * math.log(c.toDouble))) }
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val slope = math.round(1e6 * ((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble))
+    val icept = math.round((sy * sxx - sx * sxy).toDouble / (n * sxx - sx * sx).toDouble)
+    assert(row.getLong(0) == pts.length.toLong)
+    assert(row.getLong(1) == slope, s"slope ${row.getLong(1)} != $slope")
+    assert(row.getLong(2) == icept, s"intercept ${row.getLong(2)} != $icept")
+    // a template-vocab fixture reads flat-but-negative; natural corpora ~ -1e6
+    assert(row.getLong(1) < 0L)
+  }
 }
