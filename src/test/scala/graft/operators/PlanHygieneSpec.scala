@@ -472,4 +472,17 @@ class PlanHygieneSpec extends SparkSuite {
       "the top-max(k) prefix must be TakeOrdered, not a global sort of the vocabulary")
   }
 
+  test("sample_weighted: keys map-side, top-200 is TakeOrdered, no shuffle grows with the corpus") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), "the draw must not global-sort the corpus")
+    assert(!"""Exchange hashpartitioning""".r.findFirstIn(p).isDefined,
+      "a weighted draw is a stateless projection + heap merge — no hash exchange")
+  }
+
+  test("text_zipf_fit: regression runs over a TakeOrdered head with map-side moments") {
+    val p = plan("text_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"), "the top-1000 head must be TakeOrdered")
+    assert(p.contains("partial_sum"), "regression moments must partial-aggregate map-side")
+  }
+
 }
