@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 158 of
-  * 160, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 161 of
+  * 163, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -159,6 +159,9 @@ object SparkEntry {
     // round 10: snapshot volume-drift DQ gate and PMI collocations
     "dq_volume_drift", "text_pmi_collocations",
     // round 10: content-addressed weighted sampling and the Zipf fit
-    "sample_weighted", "text_zipf_fit"
+    "sample_weighted", "text_zipf_fit",
+    // round 10: the dedup threshold planning curve (one candidate pass,
+    // three integer-exact threshold points)
+    "dedup_threshold_curve"
   )
 }

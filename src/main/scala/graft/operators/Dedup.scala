@@ -163,6 +163,79 @@ object Dedup {
     ORDER BY d1, d2
   """)
 
+  /** DEDUP THRESHOLD CURVE: near-dup pair and affected-document counts
+    * at Jaccard ≥ {0.5, 0.7, 0.9} in ONE pass — the planning table a
+    * curation pipeline consults BEFORE committing to a threshold (how
+    * much does the corpus shrink per notch of aggressiveness). The
+    * candidate machinery runs ONCE at the loosest threshold
+    * ([[ngramJaccard]]'s CMS prefix filter at t = 0.5 — lossless for
+    * every t ≥ 0.5, so the one candidate set serves all three
+    * points); each candidate is verified once, then the three
+    * integer-exact threshold tests ((100+pct)·inter ≥ pct·(n1+n2))
+    * fan the tiny verified frame out by a broadcast 3-row threshold
+    * table. Zero-pair thresholds keep their row (left join from the
+    * threshold table, identical on both engines).
+    *
+    * Scale shape: identical to [[ngramJaccard]] up to verification —
+    * the curve adds two aggregations over the verified-PAIR frame
+    * (near-dup-mass-sized, not corpus-sized). */
+  val thresholdCurve: Q = Q(
+    "dedup_threshold_curve",
+    (s, dir) => {
+      import s.implicits._
+      val t = 0.5
+      val sh = shingleSets(s, dir)
+      val ranked = cmsPrefixRanked(s, sh, t)
+      val cand = ranked.as("a")
+        .join(ranked.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id"
+          && $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      val s1 = sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
+      val s2 = sh.select($"doc_id".as("d2"), $"sh".as("sh2"))
+      val verified = cand.join(s1, "d1").join(s2, "d2")
+        .withColumn("inter", size(array_intersect($"sh1", $"sh2")).cast("long"))
+        .withColumn("n1", size($"sh1").cast("long"))
+        .withColumn("n2", size($"sh2").cast("long"))
+        .filter($"inter" * 3 >= $"n1" + $"n2")
+        .select($"d1", $"d2", $"inter", $"n1", $"n2")
+        .localCheckpoint()   // scanned by both curve aggregations
+      val thr = Seq(50L, 70L, 90L).toDF("thr_pct")
+      val hits = verified.crossJoin(broadcast(thr))
+        .filter((lit(100L) + $"thr_pct") * $"inter" >= $"thr_pct" * ($"n1" + $"n2"))
+        .localCheckpoint()
+      val nPairs = hits.groupBy($"thr_pct").agg(count(lit(1)).as("n_pairs"))
+      val nDocs = hits.select($"thr_pct", explode(array($"d1", $"d2")).as("doc"))
+        .groupBy($"thr_pct").agg(count_distinct($"doc").as("n_docs"))
+      thr.join(nPairs, Seq("thr_pct"), "left")
+        .join(nDocs, Seq("thr_pct"), "left")
+        .select($"thr_pct",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_docs", lit(0L)).as("n_docs"))
+        .orderBy($"thr_pct")
+    },
+    Some(s"""
+      WITH $shingleSetSql,
+      ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
+      pairs AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) inter,
+               ANY_VALUE(a.n) n1, ANY_VALUE(b.n) n2
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      thr(thr_pct) AS (VALUES (CAST(50 AS BIGINT)), (70), (90)),
+      q AS (SELECT thr_pct, d1, d2 FROM pairs, thr
+            WHERE (100 + thr_pct) * inter >= thr_pct * (n1 + n2)),
+      p AS (SELECT thr_pct, CAST(COUNT(*) AS BIGINT) n_pairs FROM q GROUP BY 1),
+      d AS (SELECT thr_pct, CAST(COUNT(DISTINCT doc) AS BIGINT) n_docs FROM (
+              SELECT thr_pct, d1 doc FROM q
+              UNION ALL SELECT thr_pct, d2 FROM q) GROUP BY 1)
+      SELECT thr.thr_pct, COALESCE(n_pairs, 0) n_pairs, COALESCE(n_docs, 0) n_docs
+      FROM thr LEFT JOIN p USING (thr_pct) LEFT JOIN d USING (thr_pct)
+      ORDER BY thr_pct
+    """)
+  )
+
   /** Exact dedup: group by content hash, keep the lowest doc_id as
     * canonical. One shuffle on a 128-bit key; at 100 TB this is the
     * cheapest possible full-corpus dedup. */
@@ -2586,5 +2659,6 @@ object Dedup {
       clustersStar, labelsQ, clusterStats, contamination, survivors, embeddingLsh, substringDetect,
       substringClean, semantic, boilerplate, incremental, incrementalBloom,
       incrementalMinhash, containmentPairs, editDistance, snapshotNeardup,
-      splitLeakageSafe, mixDedupWeighted, imagePhash, crossModal, labelsIncremental)
+      splitLeakageSafe, mixDedupWeighted, imagePhash, crossModal, labelsIncremental,
+      thresholdCurve)
 }

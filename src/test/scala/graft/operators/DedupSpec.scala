@@ -807,4 +807,14 @@ class DedupSpec extends SparkSuite {
     assert(merged, "no crossmodal cluster bridges the two modalities")
   }
 
+  test("dedup_threshold_curve: monotone in threshold, 0.5-point equals the exact pair set") {
+    val rows = Dedup.thresholdCurve.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(50L, 70L, 90L))
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._3 >= b._3 }, "tightening the threshold cannot add pairs")
+    val exactPairs = Dedup.ngramJaccard.run(spark, sf0001).count()
+    assert(rows.head._2 == exactPairs,
+      s"the 50% point (${rows.head._2}) must equal dedup_ngram_jaccard's pair count ($exactPairs)")
+  }
 }
