@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 161 of
-  * 163, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 162 of
+  * 164, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -162,6 +162,8 @@ object SparkEntry {
     "sample_weighted", "text_zipf_fit",
     // round 10: the dedup threshold planning curve (one candidate pass,
     // three integer-exact threshold points)
-    "dedup_threshold_curve"
+    "dedup_threshold_curve",
+    // round 10: matryoshka prefix-dimension retrieval eval
+    "vector_matryoshka_eval"
   )
 }

@@ -1341,7 +1341,79 @@ object VectorSearch {
     }
   )
 
+  /** MATRYOSHKA PREFIX-DIMENSION retrieval eval: recall@10 of ranking
+    * by the first 16 of 64 dimensions against the full-dimension
+    * answer, per query — the measurement an MRL-style deployment runs
+    * before serving truncated embeddings (4× less memory and
+    * bandwidth; how much recall does the prefix keep). Both rankings
+    * are computed with the engine's own identical float shapes (the
+    * [[topK]] parity), so the SETS are engine-identical and the
+    * per-query hit counts hash-exact; recall is integer micro-units.
+    * On the ISOTROPIC fixture embeddings the prefix keeps only
+    * 10–30% — the correct readout for vectors with no MRL training
+    * (information is spread evenly across dimensions), which is
+    * precisely the don't-truncate-these signal the eval exists to
+    * give; MRL-trained embeddings front-load variance and read high.
+    *
+    * Scale shape: the prefix ranking scans slice(v, 1, 16) — the scan
+    * and the dot products shrink with the prefix, which is the point;
+    * the hit comparison is a semi-join over top-k-SIZED frames (the
+    * [[recallEval]] economics). */
+  val matryoshkaEval: Q = Q(
+    "vector_matryoshka_eval",
+    (s, dir) => {
+      import s.implicits._
+      val k = 10
+      val pre = normed(s, dir)
+        .select($"vec_id", slice($"v", 1, 16).as("v"))
+        .withColumn("nrm", sqrt(dot_product($"v", $"v")))
+      val scored = pre.join(broadcast(
+          pre.filter($"vec_id" < 8)
+            .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))),
+          $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"))
+      val prefix10 = rankTopK(s, scored, k).select($"qid", $"vec_id")
+      val full10 = topK.run(s, dir).select($"qid", $"vec_id")
+      val hits = prefix10.join(full10, Seq("qid", "vec_id"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("hits"))
+      full10.select($"qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select($"qid", coalesce($"hits", lit(0L)).as("hits"),
+          expr(s"(1000000 * coalesce(hits, 0L)) div $k").as("recall_micro"))
+        .orderBy($"qid")
+    },
+    Some {
+      s"""
+      WITH full_r AS (${topK.oracle.get}),
+      pe AS (SELECT vec_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) v
+             FROM embeddings),
+      pn AS (SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+             FROM pe),
+      pqs AS (SELECT vec_id qid, v qv, nrm qnrm FROM pn WHERE vec_id < 8),
+      pp AS (SELECT qid, vec_id,
+               list_reduce(list_transform(list_zip(qv, v), s -> s[1]*s[2]), (x, y) -> x + y)
+                 / (qnrm * nrm) AS cos
+             FROM pqs, pn WHERE vec_id <> qid),
+      pr AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
+               FROM pp) WHERE rn <= 10),
+      h AS (SELECT pr.qid, COUNT(*) hits
+            FROM pr JOIN full_r f ON f.qid = pr.qid AND f.vec_id = pr.vec_id
+            GROUP BY 1)
+      SELECT q.qid, CAST(COALESCE(hits, 0) AS BIGINT) hits,
+             CAST((1000000 * COALESCE(hits, 0)) // 10 AS BIGINT) recall_micro
+      FROM (SELECT DISTINCT qid FROM full_r) q
+      LEFT JOIN h USING (qid)
+      ORDER BY qid
+    """
+    }
+  )
+
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
-      pqAdc, annIvfPq, knnGraph, pageRank, coreset, recallEval, mmrRerank)
+      pqAdc, annIvfPq, knnGraph, pageRank, coreset, recallEval, mmrRerank,
+      matryoshkaEval)
 }
