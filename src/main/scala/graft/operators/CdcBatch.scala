@@ -401,9 +401,53 @@ object CdcBatch {
     """)
   )
 
+  /** REPLICA LAG REPORT: per simulated replica member (host =
+    * `r(event_id mod 3)`, the fan-in modeling), how far its newest
+    * seen op trails the set's newest — plus the QUORUM FRONTIER flag
+    * on the laggiest member, the one actually holding a
+    * depth-majority quorum back. The reference tails N members
+    * (MongoOplogTailMapper.java:75-78) with zero observability into
+    * which cursor is behind; this is the ops readout its quorum gate
+    * needs, as one oracled query. All integer µs arithmetic.
+    *
+    * Scale shape: one partial-aggregated exchange on the member key
+    * (member count is replica-set-sized — tiny), global max broadcast
+    * back; nothing op-log-sized moves after the scan. */
+  val lagReport: Q = Q(
+    "cdc_lag",
+    (s, dir) => {
+      import s.implicits._
+      val perHost = ev(s, dir)
+        .select(concat(lit("r"), $"event_id" % 3).as("host"),
+          unix_micros($"ts").as("us"))
+        .groupBy($"host")
+        .agg(count(lit(1)).as("n_ops"), max($"us").as("last_ts_us"))
+      val frontier = perHost.agg(
+        max($"last_ts_us").as("newest"), min($"last_ts_us").as("frontier"))
+      perHost.crossJoin(broadcast(frontier))
+        .select($"host", $"n_ops", $"last_ts_us",
+          ($"newest" - $"last_ts_us").as("lag_us"),
+          ($"last_ts_us" === $"frontier").as("is_quorum_frontier"))
+        .orderBy($"host")
+    },
+    Some("""
+      WITH h AS (
+        SELECT 'r' || CAST(event_id % 3 AS VARCHAR) host,
+               COUNT(*) n_ops, MAX(epoch_us(ts)) last_ts_us
+        FROM events GROUP BY 1
+      ),
+      f AS (SELECT MAX(last_ts_us) newest, MIN(last_ts_us) frontier FROM h)
+      SELECT host, CAST(n_ops AS BIGINT) n_ops, CAST(last_ts_us AS BIGINT) last_ts_us,
+             CAST(newest - last_ts_us AS BIGINT) lag_us,
+             last_ts_us = frontier AS is_quorum_frontier
+      FROM h, f
+      ORDER BY host
+    """)
+  )
+
   def queries: Seq[Q] = Seq(
     filterPushdown, resumeRange, sortLimit, quorumBatch, offsets,
     unionFanIn, esProjection, pseudonymize, scd2, payloadRedact,
-    payloadSchema
+    payloadSchema, lagReport
   )
 }

@@ -1412,8 +1412,76 @@ object VectorSearch {
     }
   )
 
+  /** EMBEDDING CENTROID DRIFT between snapshot versions: the cosine
+    * between the v1 and v2 mean vectors (the md5-bucket version
+    * derivation, [[graft.operators.Pipeline]] snapshot-diff
+    * discipline) — the "did the new encoder/refresh move the
+    * embedding space" monitor a vector pipeline runs before reusing
+    * centroids, IVF cells, or PQ codebooks trained on the old
+    * snapshot. Parity: each component is MICRO-QUANTIZED once
+    * (round(10⁶·x), identical shape), per-dimension totals are then
+    * EXACT int64 sums — order-independent where raw double sums would
+    * hash-differ under parallel aggregation — and the closing cosine
+    * folds the two exact integer sum-vectors with the engines'
+    * identical sequential shape, micro-rounded once.
+    *
+    * Scale shape: one posexplode + one (version, dim)-keyed
+    * partial-aggregated exchange (128 groups total); the cosine runs
+    * on two 64-long arrays. */
+  val centroidDrift: Q = Q(
+    "vector_centroid_drift",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val bk = substring(md5($"vec_id".cast("string")), 1, 1)
+      def sums(df: DataFrame) = df
+        .select(posexplode(expr(
+          "transform(embedding, x -> CAST(ROUND(1000000 * CAST(x AS DOUBLE)) AS BIGINT))"))
+          .as(Seq("pos", "q")))
+        .groupBy($"pos").agg(sum($"q").as("sq"))
+        .agg(array_sort(collect_list(struct($"pos", $"sq"))).as("ps"))
+        .select(expr("transform(ps, p -> CAST(p.sq AS DOUBLE))").as("v"))
+      val v1 = e.filter(bk =!= "f")
+      val v2 = e.filter(bk =!= "0")
+      val n1 = v1.agg(count(lit(1)).as("n1"))
+      val n2 = v2.agg(count(lit(1)).as("n2"))
+      sums(v1).select($"v".as("a")).crossJoin(sums(v2).select($"v".as("b")))
+        .crossJoin(n1).crossJoin(n2)
+        .select($"n1", $"n2",
+          round(lit(1e6) * dot_product($"a", $"b") /
+            (sqrt(dot_product($"a", $"a")) * sqrt(dot_product($"b", $"b"))))
+            .cast("long").as("cos_micro"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) bk
+        FROM embeddings
+      ),
+      x1 AS (SELECT unnest(list_transform(embedding, x -> CAST(ROUND(1000000 * CAST(x AS DOUBLE)) AS BIGINT))) q,
+                    generate_subscripts(embedding, 1) pos
+             FROM e WHERE bk <> 'f'),
+      x2 AS (SELECT unnest(list_transform(embedding, x -> CAST(ROUND(1000000 * CAST(x AS DOUBLE)) AS BIGINT))) q,
+                    generate_subscripts(embedding, 1) pos
+             FROM e WHERE bk <> '0'),
+      s1 AS (SELECT list(CAST(sq AS DOUBLE) ORDER BY pos) a FROM
+               (SELECT pos, SUM(q) sq FROM x1 GROUP BY pos)),
+      s2 AS (SELECT list(CAST(sq AS DOUBLE) ORDER BY pos) b FROM
+               (SELECT pos, SUM(q) sq FROM x2 GROUP BY pos)),
+      c1 AS (SELECT COUNT(*) n1 FROM e WHERE bk <> 'f'),
+      c2 AS (SELECT COUNT(*) n2 FROM e WHERE bk <> '0')
+      SELECT CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2,
+             CAST(ROUND(1e6 *
+               list_reduce(list_transform(list_zip(a, b), s -> s[1]*s[2]), (x, y) -> x + y) /
+               (sqrt(list_reduce(list_transform(list_zip(a, a), s -> s[1]*s[2]), (x, y) -> x + y)) *
+                sqrt(list_reduce(list_transform(list_zip(b, b), s -> s[1]*s[2]), (x, y) -> x + y))))
+               AS BIGINT) cos_micro
+      FROM s1, s2, c1, c2
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
       pqAdc, annIvfPq, knnGraph, pageRank, coreset, recallEval, mmrRerank,
-      matryoshkaEval)
+      matryoshkaEval, centroidDrift)
 }
