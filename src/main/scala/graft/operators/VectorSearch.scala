@@ -1480,8 +1480,61 @@ object VectorSearch {
     """)
   )
 
+  /** IVF CELL-BALANCE PROFILE: per-cell population, corpus share, and
+    * load factor (100 = perfectly balanced) — the monitor for the
+    * assumption EVERY within-cell operator rests on (kNN graph,
+    * semantic dedup, ANN serve: pair volume n²/C holds only while
+    * cells stay near-uniform; a hot cell is the vector side's skew
+    * problem, and this report is how it gets caught before the n²
+    * term does). All integer; one cell-keyed partial agg + broadcast
+    * total.
+    *
+    * The companion dial (`graft.vector.knn.cells=auto`) fixes the
+    * GLOBAL population-per-cell; this profile catches the
+    * DISTRIBUTIONAL failure auto-sizing can't (all vectors crowding
+    * few cells) — the cue to re-train centroids rather than add
+    * cells. */
+  val cellProfile: Q = Q(
+    "vector_cell_profile",
+    (s, dir) => {
+      import s.implicits._
+      val (assigned, _) = ivfFlatAssign(s, dir)
+      val per = assigned.groupBy($"cell").agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum($"n").as("total"), count(lit(1)).as("n_cells"))
+      per.crossJoin(broadcast(tot))
+        .select($"cell", $"n",
+          expr("(n * 1000000L) div total").as("share_ppm"),
+          expr("(n * n_cells * 100L) div total").as("load_factor_pct"))
+        .orderBy($"cell")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM n WHERE vec_id < 16),
+      sc AS (SELECT n.vec_id, cell,
+               list_reduce(list_transform(list_zip(cvec, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 - 2.0 * list_reduce(list_transform(list_zip(v, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 AS score
+             FROM n, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                   FROM sc) WHERE rn = 1),
+      per AS (SELECT cell, COUNT(*) n FROM assign GROUP BY 1),
+      tot AS (SELECT SUM(n) total, COUNT(*) n_cells FROM per)
+      SELECT cell, CAST(n AS BIGINT) n,
+             CAST((n * 1000000) // total AS BIGINT) share_ppm,
+             CAST((n * n_cells * 100) // total AS BIGINT) load_factor_pct
+      FROM per, tot
+      ORDER BY cell
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
       pqAdc, annIvfPq, knnGraph, pageRank, coreset, recallEval, mmrRerank,
-      matryoshkaEval, centroidDrift)
+      matryoshkaEval, centroidDrift, cellProfile)
 }
