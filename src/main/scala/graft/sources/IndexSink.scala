@@ -242,19 +242,29 @@ object IndexCommit {
     try rel.foreach { r => out.write(r); out.newLine() } finally out.close()
     if (manifest.exists()) manifest.delete()
     require(tmp.renameTo(manifest), s"cannot publish ${manifest.getPath}")
-    // sweep: THIS epoch's orphaned attempt files + manifest-less
-    // earlier epoch dirs (superseded before their commit)
+    // sweep: THIS epoch's orphaned attempt files, manifest-less earlier
+    // epoch dirs (superseded before their commit), and — one epoch of
+    // lag — files a ZOMBIE task PUT into the previous epoch's dir after
+    // that epoch committed (its manifest is re-read here; a straggler
+    // older than one epoch is the documented residual of keeping the
+    // per-commit sweep O(1) in manifests rather than O(epochs))
     val keep = committed.map(_.getPath).toSet
+    def unlisted(d: File, listed: Set[String]): Unit =
+      Option(d.listFiles).getOrElse(Array.empty)
+        .filterNot(f => listed.contains(f.getCanonicalFile.getPath))
+        .foreach(_.delete())
     val EpochDir = """epoch=(-?\d+)""".r
     Option(new File(root, "_data").listFiles).getOrElse(Array.empty).foreach { d =>
       d.getName match {
-        case EpochDir(e) if e.toLong == epochId =>
-          Option(d.listFiles).getOrElse(Array.empty)
-            .filterNot(f => keep.contains(f.getCanonicalFile.getPath))
-            .foreach(_.delete())
+        case EpochDir(e) if e.toLong == epochId => unlisted(d, keep)
         case EpochDir(e) if e.toLong < epochId &&
             !IndexSink.manifestFile(root, e.toLong).exists() =>
           IndexSink.deleteRecursively(d)
+        case EpochDir(e) if e.toLong == epochId - 1 =>
+          val m = IndexSink.manifestFile(root, e.toLong)
+          val listed = scala.io.Source.fromFile(m).getLines().filter(_.nonEmpty)
+            .map(rel => new File(root, rel).getCanonicalFile.getPath).toSet
+          unlisted(d, listed)
         case _ => ()
       }
     }

@@ -41,11 +41,15 @@ case class HhReport(event_type: String, version: Long, user_id: Long,
   *
   * Scale shape: ONE keyed exchange on event_type into the stateful
   * operator; state per type is `capacity` fixed-width counters
-  * REGARDLESS of user cardinality — the whole point at 10⁹ users; the
-  * per-batch fold is O(batch + capacity). Event types are few; if one
-  * type's arrival rate dwarfs the rest, pre-aggregating the batch
-  * map-side (groupBy count before the stateful op) cuts the shuffle
-  * to distinct-keys-per-batch rows. */
+  * REGARDLESS of user cardinality — the whole point at 10⁹ users. The
+  * fold is O(1) per already-tracked arrival; each unseen-key arrival
+  * at a FULL sketch pays an O(capacity) min scan (the textbook
+  * min-heap form makes that O(log capacity) — at the default
+  * capacity 64 the flat scan is cheaper than the heap's constant
+  * factors, and the dial to revisit if capacity grows to 10⁵+).
+  * Event types are few; if one type's arrival rate dwarfs the rest,
+  * pre-aggregating the batch map-side (groupBy count before the
+  * stateful op) cuts the shuffle to distinct-keys-per-batch rows. */
 object HeavyHittersStream {
 
   def hitters(src: DataFrame, capacity: Int = 64,

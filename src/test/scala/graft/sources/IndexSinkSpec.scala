@@ -178,6 +178,18 @@ class IndexSinkSpec extends SparkSuite {
 
       // no batch= dirs in manifest mode; everything lives under _ paths
       assert(!out.toFile.listFiles.exists(_.getName.startsWith("batch=")))
+
+      // a zombie PUT landing in an ALREADY-COMMITTED epoch's dir is
+      // swept by the next epoch's commit (one-epoch-lag cleanup)
+      val zombie = new IndexDataWriter(out.toString, 1, 77L, 1L, "manifest")
+      zombie.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("straggler")))
+      zombie.commit()
+      runEpoch(Seq("z1"), 2L, task = 4L)
+      val d1 = new java.io.File(out.toFile, "_data/epoch=1")
+      assert(d1.listFiles.length == 1,
+        s"zombie survived the next commit: ${d1.listFiles.map(_.getName).toSeq}")
+      assert(read().sorted == Seq("x1", "x2", "y1", "z1"))
     } finally new scala.reflect.io.Directory(out.toFile).deleteRecursively()
   }
 
