@@ -573,6 +573,69 @@ object Pipeline {
     """)
   )
 
+  /** PACKING EFFICIENCY report over [[packSequences]]' layout: per
+    * language stream — total tokens, bin count, overall fill
+    * (total / (bins·512) in exact ppm: only the final bin can be
+    * partial in the contiguous layout, so fill quantifies exactly the
+    * padding a trainer would burn per stream), and how many documents
+    * SPAN a bin boundary (the attention-mask / document-severing cost
+    * of contiguous packing vs first-fit). The metric every packing
+    * strategy is judged by, as one oracled query.
+    *
+    * Scale shape: one per-(lang) aggregation over the layout columns —
+    * the layout itself is [[packSequences]]' one lang-keyed window;
+    * the report adds a partial-aggregated exchange on the handful of
+    * langs. */
+  val packEfficiency: Q = Q(
+    "pack_efficiency",
+    (s, dir) => {
+      import s.implicits._
+      packLayout(
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            size(TextFns.tokens($"text")).cast("long").as("n_tokens")),
+        512)
+        .groupBy($"lang")
+        .agg(sum($"n_tokens").as("total_tokens"),
+          (max($"bin_last") + 1L).as("n_bins"),
+          sum(when($"bin_first" =!= $"bin_last", 1L).otherwise(0L))
+            .as("docs_spanning"))
+        .select($"lang", $"total_tokens", $"n_bins",
+          expr("(total_tokens * 1000000L) div (n_bins * 512L)").as("fill_ppm"),
+          $"docs_spanning")
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+      ),
+      o AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        FROM t
+      ),
+      lay AS (
+        SELECT lang, n_tokens,
+               CAST(FLOOR(tok_offset / 512.0) AS BIGINT) AS bin_first,
+               GREATEST(CAST(FLOOR(tok_offset / 512.0) AS BIGINT),
+                        CAST(FLOOR((tok_offset + n_tokens - 1) / 512.0) AS BIGINT)) AS bin_last
+        FROM o
+      )
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) total_tokens,
+             CAST(MAX(bin_last) + 1 AS BIGINT) n_bins,
+             CAST((SUM(n_tokens) * 1000000) // ((MAX(bin_last) + 1) * 512) AS BIGINT) fill_ppm,
+             CAST(SUM(CASE WHEN bin_first <> bin_last THEN 1 ELSE 0 END) AS BIGINT) docs_spanning
+      FROM lay
+      GROUP BY lang
+      ORDER BY lang
+    """)
+  )
+
   /** Mixture-weight downsampling (the pretraining "data mixing" step):
     * each source keeps a configured fraction of its documents —
     * full src0-src4, half src5-src9, a quarter of the rest — selected
@@ -2145,7 +2208,7 @@ object Pipeline {
 
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified, sampleWeighted,
-      sourceCap, eventOutliers, funnel, packSequences, mixSample, mixUpsample,
+      sourceCap, eventOutliers, funnel, packSequences, packEfficiency, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, curateOrder, retention, eventsRfm, eventsRfm2Phase,
