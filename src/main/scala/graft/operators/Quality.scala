@@ -464,6 +464,61 @@ object Quality {
     """)
   )
 
+  /** ACTIVE-USER CURVES: exact DAU and trailing-7-day WAU per observed
+    * day — the engagement staple every product warehouse serves. Days
+    * are TZ-free epoch-day integers (`unix_micros div 86.4e9`, the
+    * [[graft.operators.Pipeline]] retention discipline). WAU is EXACT:
+    * the distinct (user, day) frame fans out to the 7 trailing report
+    * days (a bounded ×7 explode of an already-deduplicated frame —
+    * far smaller than the event log) and re-deduplicates per report
+    * day; the approximate path at planet scale swaps the distinct for
+    * the mergeable HLL sketch (`hll_distinct`'s machinery), documented
+    * not needed while (users × days) fits an exchange.
+    *
+    * Scale shape: one (user, day) distinct agg (map-side combined),
+    * the ×7 generate, then one day-keyed distinct count; report days
+    * are calendar-bounded, so the final frame is tiny. */
+  val eventsActiveUsers: Q = Q(
+    "events_active_users",
+    (s, dir) => {
+      import s.implicits._
+      val ud = Tables.load(s, dir, "events")
+        .select($"user_id",
+          expr("unix_micros(ts) div 86400000000L").as("d"))
+        .distinct()
+      val days = ud.select($"d").distinct()
+      val dau = ud.groupBy($"d").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select($"user_id", explode(expr("sequence(0L, 6L)")).as("off"), $"d")
+        .select($"user_id", ($"d" + $"off").as("d"))
+        .join(days, "d")   // only observed report days
+        .groupBy($"d").agg(count_distinct($"user_id").as("wau"))
+      dau.join(wau, "d")
+        .select($"d".as("epoch_day"), $"dau", $"wau")
+        .orderBy($"epoch_day")
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        FROM events
+      ),
+      days AS (SELECT DISTINCT d FROM ud),
+      dau AS (SELECT d, COUNT(*) dau FROM ud GROUP BY 1),
+      w AS (
+        SELECT ud.user_id, ud.d + o.k AS d
+        FROM ud, (SELECT unnest(range(0, 7)) k) o
+      ),
+      wau AS (
+        SELECT w.d, COUNT(DISTINCT w.user_id) wau
+        FROM w JOIN days ON w.d = days.d
+        GROUP BY 1
+      )
+      SELECT dau.d AS epoch_day, CAST(dau AS BIGINT) dau, CAST(wau AS BIGINT) wau
+      FROM dau JOIN wau ON dau.d = wau.d
+      ORDER BY epoch_day
+    """)
+  )
+
   /** A/B experiment readout: users assigned to variants by the
     * content-addressed md5 bucket (the `split_assign` discipline — no
     * RNG, no seed coordination, reproducible across engines and
@@ -612,5 +667,5 @@ object Quality {
   def queries: Seq[Q] =
     Seq(dqReferential, dqConstraints, dqVolumeDrift, eventsAttribution,
       eventsAttributionPosition, eventsAttributionTimeDecay,
-      eventsAbTest, eventsResample)
+      eventsAbTest, eventsResample, eventsActiveUsers)
 }
