@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 167 of
-  * 169, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 168 of
+  * 170, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -169,7 +169,7 @@ object SparkEntry {
     "cdc_lag", "vector_centroid_drift",
     // round 10: the IVF cell-balance monitor and packing efficiency
     "vector_cell_profile", "pack_efficiency",
-    // round 10: exact DAU/WAU engagement curves
-    "events_active_users"
+    // round 10: exact DAU/WAU engagement curves + the HLL WAU twin
+    "events_active_users", "events_active_users_hll"
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -216,37 +216,49 @@ object Advanced {
     * and sketches merge associatively (register-wise max) — the
     * mergeable-sketch property that lets 1000 executors sketch 100 TB
     * and combine in O(m) per group. */
+  /** The deterministic md5-HLL estimator over a (grp, hx) frame —
+    * hx = md5 hex of the counted value. 256 registers from the first
+    * two nibbles, rho from the 56-bit suffix, bias-corrected harmonic
+    * estimate with the small-range linear-counting branch. Returns
+    * (grp, present, e_raw); shared by [[hllDistinct]] and the
+    * active-user sketch twin (operators/Quality.scala). */
+  private[operators] def md5HllEst(withHx: DataFrame): DataFrame = {
+    val hexdig = "'0123456789abcdef'"
+    val base = withHx
+      .selectExpr("grp",
+        s"CAST((instr($hexdig, substring(hx, 1, 1)) - 1) * 16 " +
+          s"+ (instr($hexdig, substring(hx, 2, 1)) - 1) AS INT) AS idx",
+        "substring(hx, 3, 14) AS suffix")
+      // z = leading zero NIBBLES of the 56-bit suffix; nv = value of
+      // the first non-zero nibble (computed once, reused below)
+      .selectExpr("grp", "idx",
+        "CAST(length(regexp_extract(suffix, '^0*', 0)) AS INT) AS z",
+        "suffix")
+      .selectExpr("grp", "idx", "z",
+        s"(instr($hexdig, substring(suffix, z + 1, 1)) - 1) AS nv")
+      .selectExpr("grp", "idx",
+        """CASE WHEN z >= 14 THEN 57
+          |ELSE CAST(z * 4 + (CASE WHEN nv >= 8 THEN 0 WHEN nv >= 4 THEN 1
+          |                        WHEN nv >= 2 THEN 2 ELSE 3 END) + 1 AS INT)
+          |END AS rho""".stripMargin)
+    val regs = base.groupBy(col("grp"), col("idx"))
+      .agg(max(col("rho")).as("mr"))
+    regs.groupBy(col("grp")).agg(
+        count(lit(1)).as("present"),
+        sum(expr("pow(2.0, -mr)")).as("sum_present"))
+      .selectExpr("grp", "present",
+        "(CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0" +
+          " / (sum_present + (256.0 - present)) AS e_raw")
+  }
+
   val hllDistinct: Q = Q(
     "hll_distinct",
     (s, dir) => {
       import s.implicits._
-      val hexdig = "'0123456789abcdef'"
-      val base = Tables.load(s, dir, "lineitem")
-        .select($"l_returnflag".as("grp"),
-          md5($"l_partkey".cast("string")).as("hx"))
-        .selectExpr("grp",
-          s"CAST((instr($hexdig, substring(hx, 1, 1)) - 1) * 16 " +
-            s"+ (instr($hexdig, substring(hx, 2, 1)) - 1) AS INT) AS idx",
-          "substring(hx, 3, 14) AS suffix")
-        // z = leading zero NIBBLES of the 56-bit suffix; nv = value of
-        // the first non-zero nibble (computed once, reused below)
-        .selectExpr("grp", "idx",
-          "CAST(length(regexp_extract(suffix, '^0*', 0)) AS INT) AS z",
-          "suffix")
-        .selectExpr("grp", "idx", "z",
-          s"(instr($hexdig, substring(suffix, z + 1, 1)) - 1) AS nv")
-        .selectExpr("grp", "idx",
-          """CASE WHEN z >= 14 THEN 57
-            |ELSE CAST(z * 4 + (CASE WHEN nv >= 8 THEN 0 WHEN nv >= 4 THEN 1
-            |                        WHEN nv >= 2 THEN 2 ELSE 3 END) + 1 AS INT)
-            |END AS rho""".stripMargin)
-      val regs = base.groupBy($"grp", $"idx").agg(max($"rho").as("mr"))
-      val agg = regs.groupBy($"grp").agg(
-        count(lit(1)).as("present"),
-        sum(expr("pow(2.0, -mr)")).as("sum_present"))
-      val est = agg.selectExpr("grp", "present",
-        "(CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0" +
-          " / (sum_present + (256.0 - present)) AS e_raw")
+      val est = md5HllEst(
+        Tables.load(s, dir, "lineitem")
+          .select($"l_returnflag".as("grp"),
+            md5($"l_partkey".cast("string")).as("hx")))
       val exact = Tables.load(s, dir, "lineitem")
         .groupBy($"l_returnflag".as("grp"))
         .agg(countDistinct($"l_partkey").as("exact_distinct"))

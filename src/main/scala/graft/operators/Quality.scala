@@ -519,6 +519,107 @@ object Quality {
     """)
   )
 
+  /** The MERGEABLE-SKETCH twin of [[eventsActiveUsers]]' WAU — the
+    * promised scale path shipping, hash-gated like every other
+    * family's production twin: the trailing-week distinct-user count
+    * per day via the deterministic md5-HLL
+    * ([[graft.operators.Advanced]] `md5HllEst`, 256 registers),
+    * reported beside the exact count so the error is visible in the
+    * row. Sketch registers are O(256) per report day and MERGE
+    * associatively — at planet scale each day's register vector is
+    * built once and the 7-day union is a register-wise max, never a
+    * re-scan; here the fan-out feeds the same estimator, which is
+    * value-identical because max-merge commutes with the fan-out.
+    * Deterministic md5 keeps the whole row SQL-expressible, so unlike
+    * native approx_count_distinct this sketch is fully oracled. */
+  val eventsActiveUsersHll: Q = Q(
+    "events_active_users_hll",
+    (s, dir) => {
+      import s.implicits._
+      val ud = Tables.load(s, dir, "events")
+        .select($"user_id",
+          expr("unix_micros(ts) div 86400000000L").as("d"))
+        .distinct()
+      val days = ud.select($"d").distinct()
+      val fanned = ud
+        .select($"user_id", explode(expr("sequence(0L, 6L)")).as("off"), $"d")
+        .select($"user_id", ($"d" + $"off").as("d"))
+        .join(days, "d")
+      val est = Advanced.md5HllEst(
+        fanned.select($"d".as("grp"), md5($"user_id".cast("string")).as("hx")))
+      val exact = fanned.groupBy($"d".as("grp"))
+        .agg(count_distinct($"user_id").as("wau_exact"))
+      est.join(exact, "grp")
+        .selectExpr("grp AS epoch_day",
+          "CAST(present AS INT) AS registers_present",
+          """CAST(ROUND(CASE WHEN e_raw <= 640.0 AND present < 256
+            |  THEN 256.0 * ln(256.0 / (256.0 - present))
+            |  ELSE e_raw END) AS BIGINT) AS wau_hll""".stripMargin,
+          "wau_exact")
+        .orderBy($"epoch_day")
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        FROM events
+      ),
+      days AS (SELECT DISTINCT d FROM ud),
+      fanned AS (
+        SELECT w.user_id, w.d
+        FROM (SELECT ud.user_id, ud.d + o.k AS d
+              FROM ud, (SELECT unnest(range(0, 7)) k) o) w
+        JOIN days ON w.d = days.d
+      ),
+      h AS (SELECT d AS grp, md5(CAST(user_id AS VARCHAR)) AS hx FROM fanned),
+      b AS (
+        SELECT grp,
+               CAST((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS INT) AS idx,
+               substring(hx, 3, 14) AS suffix
+        FROM h
+      ),
+      zb AS (
+        SELECT grp, idx,
+               CAST(length(regexp_extract(suffix, '^0*')) AS INT) AS z, suffix
+        FROM b
+      ),
+      nb AS (
+        SELECT grp, idx, z,
+               (strpos('0123456789abcdef', substring(suffix, z + 1, 1)) - 1) AS nv
+        FROM zb
+      ),
+      r AS (
+        SELECT grp, idx,
+               CASE WHEN z >= 14 THEN 57
+                    ELSE CAST(z * 4 + (CASE WHEN nv >= 8 THEN 0 WHEN nv >= 4 THEN 1
+                                            WHEN nv >= 2 THEN 2 ELSE 3 END) + 1 AS INT)
+               END AS rho
+        FROM nb
+      ),
+      m AS (SELECT grp, idx, MAX(rho) AS mr FROM r GROUP BY grp, idx),
+      agg AS (
+        SELECT grp, COUNT(*) AS present, SUM(pow(2.0, -mr)) AS sum_present
+        FROM m GROUP BY grp
+      ),
+      est AS (
+        SELECT grp, present,
+               (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)) * 65536.0
+                 / (sum_present + (256.0 - present)) AS e_raw
+        FROM agg
+      ),
+      ex AS (SELECT d AS grp, COUNT(DISTINCT user_id) AS wau_exact
+             FROM fanned GROUP BY 1)
+      SELECT est.grp AS epoch_day,
+             CAST(present AS INT) AS registers_present,
+             CAST(ROUND(CASE WHEN e_raw <= 640.0 AND present < 256
+                             THEN 256.0 * ln(256.0 / (256.0 - present))
+                             ELSE e_raw END) AS BIGINT) AS wau_hll,
+             wau_exact
+      FROM est JOIN ex ON est.grp = ex.grp
+      ORDER BY epoch_day
+    """)
+  )
+
   /** A/B experiment readout: users assigned to variants by the
     * content-addressed md5 bucket (the `split_assign` discipline — no
     * RNG, no seed coordination, reproducible across engines and
@@ -667,5 +768,5 @@ object Quality {
   def queries: Seq[Q] =
     Seq(dqReferential, dqConstraints, dqVolumeDrift, eventsAttribution,
       eventsAttributionPosition, eventsAttributionTimeDecay,
-      eventsAbTest, eventsResample, eventsActiveUsers)
+      eventsAbTest, eventsResample, eventsActiveUsers, eventsActiveUsersHll)
 }
