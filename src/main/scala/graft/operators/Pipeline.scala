@@ -574,9 +574,12 @@ object Pipeline {
   )
 
   /** PACKING EFFICIENCY report over [[packSequences]]' layout: per
-    * language stream — total tokens, bin count, overall fill
-    * (total / (bins·512) in exact ppm: only the final bin can be
-    * partial in the contiguous layout, so fill quantifies exactly the
+    * language stream — total tokens, bin count (= ceil(total/512),
+    * the non-empty bins of the contiguous layout — NOT max(bin_last)+1,
+    * which would count an empty trailing bin when a zero-token doc's
+    * offset lands on a 512 multiple), overall fill (total / (bins·512)
+    * in exact ppm: only the final bin can be partial in the contiguous
+    * layout, so fill quantifies exactly the
     * padding a trainer would burn per stream), and how many documents
     * SPAN a bin boundary (the attention-mask / document-severing cost
     * of contiguous packing vs first-fit). The metric every packing
@@ -597,9 +600,16 @@ object Pipeline {
         512)
         .groupBy($"lang")
         .agg(sum($"n_tokens").as("total_tokens"),
-          (max($"bin_last") + 1L).as("n_bins"),
           sum(when($"bin_first" =!= $"bin_last", 1L).otherwise(0L))
             .as("docs_spanning"))
+        // n_bins = ceil(total/512), NOT max(bin_last)+1: a zero-token
+        // document whose offset lands on a 512 multiple at stream end
+        // would otherwise count one empty trailing bin and deflate
+        // fill_ppm (round-10 ADVICE); ceil counts exactly the
+        // non-empty bins of the contiguous layout
+        .select($"lang", $"total_tokens",
+          expr("greatest((total_tokens + 511L) div 512L, 1L)").as("n_bins"),
+          $"docs_spanning")
         .select($"lang", $"total_tokens", $"n_bins",
           expr("(total_tokens * 1000000L) div (n_bins * 512L)").as("fill_ppm"),
           $"docs_spanning")
@@ -627,8 +637,9 @@ object Pipeline {
         FROM o
       )
       SELECT lang, CAST(SUM(n_tokens) AS BIGINT) total_tokens,
-             CAST(MAX(bin_last) + 1 AS BIGINT) n_bins,
-             CAST((SUM(n_tokens) * 1000000) // ((MAX(bin_last) + 1) * 512) AS BIGINT) fill_ppm,
+             CAST(GREATEST((SUM(n_tokens) + 511) // 512, 1) AS BIGINT) n_bins,
+             CAST((SUM(n_tokens) * 1000000)
+                  // (GREATEST((SUM(n_tokens) + 511) // 512, 1) * 512) AS BIGINT) fill_ppm,
              CAST(SUM(CASE WHEN bin_first <> bin_last THEN 1 ELSE 0 END) AS BIGINT) docs_spanning
       FROM lay
       GROUP BY lang

@@ -431,7 +431,7 @@ object Quality {
       val per = Window.partitionBy($"user_id", $"p_id")
       touchFrame(s, dir)
         .withColumn("w", expr(
-          "CASE WHEN t_id IS NULL THEN 0L ELSE shiftleft(1L, 6 - CAST((p_us - t_us) div 86400000000L AS INT)) END"))
+          "CASE WHEN t_id IS NULL THEN 0L ELSE shiftleft(1L, 6 - CAST(least((p_us - t_us) div 86400000000L, 6L) AS INT)) END"))
         .withColumn("sw", sum($"w").over(per))
         .withColumn("credit_micro", expr(
           "CASE WHEN t_id IS NULL THEN 1000000L ELSE (1000000L * w) div sw END"))
@@ -447,7 +447,7 @@ object Quality {
       wts AS (
         SELECT *,
                CASE WHEN t_id IS NULL THEN 0
-                    ELSE (1::BIGINT << (6 - (p_us - t_us) // 86400000000)) END AS w
+                    ELSE (1::BIGINT << (6 - LEAST((p_us - t_us) // 86400000000, 6))) END AS w
         FROM f
       ),
       sw AS (

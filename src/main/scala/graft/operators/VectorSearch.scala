@@ -947,7 +947,9 @@ object VectorSearch {
     * C=64 at the same scale restored the per-cell population and the
     * runtime (SCALING.md). The DuckDB oracles for the three graph
     * consumers pin C=16 — exactly what `auto` resolves to on every
-    * fixture (all < 32k vectors), so the oracle contract and the
+    * fixture (all < 17k vectors — auto exceeds 16 from n ≥ 17000,
+    * and VectorSpec pins knnCells == 16 on the fixture so growth
+    * breaks the pin loudly), so the oracle contract and the
     * production default coincide there; setting the conf to any other
     * value is a production dial, not an oracle-comparable mode. */
   private[operators] def knnCells(s: SparkSession, dir: String): Int =

@@ -91,8 +91,13 @@ object IndexSink {
       .getOrElse(Array.empty).filter(_.getName.endsWith(".manifest"))
     if (manifests.nonEmpty) {
       val files = manifests.flatMap { m =>
-        scala.io.Source.fromFile(m).getLines()
-          .filter(_.nonEmpty).map(rel => new File(root, rel).getPath).toSeq
+        // Using closes the Source — a long-running streaming driver
+        // commits every micro-batch, so a leaked handle per manifest
+        // read accumulates into descriptor exhaustion
+        scala.util.Using.resource(scala.io.Source.fromFile(m)) { src =>
+          src.getLines().filter(_.nonEmpty)
+            .map(rel => new File(root, rel).getPath).toList
+        }
       }
       if (files.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -262,8 +267,10 @@ object IndexCommit {
           IndexSink.deleteRecursively(d)
         case EpochDir(e) if e.toLong == epochId - 1 =>
           val m = IndexSink.manifestFile(root, e.toLong)
-          val listed = scala.io.Source.fromFile(m).getLines().filter(_.nonEmpty)
-            .map(rel => new File(root, rel).getCanonicalFile.getPath).toSet
+          val listed = scala.util.Using.resource(scala.io.Source.fromFile(m)) {
+            src => src.getLines().filter(_.nonEmpty)
+              .map(rel => new File(root, rel).getCanonicalFile.getPath).toSet
+          }
           unlisted(d, listed)
         case _ => ()
       }

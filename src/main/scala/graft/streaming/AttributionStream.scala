@@ -148,12 +148,16 @@ object AttributionStream {
 
   /** Drop touches no purchase with ts ≥ `wmUs` can credit LAST-touch:
     * everything older than wm − 7d, and all but the latest of the
-    * touches at or before wm (every admissible purchase sees all of
+    * touches STRICTLY before wm (every admissible purchase sees all of
     * those, so only the max by (t_us, t_id) can be its last-touch).
+    * Touches AT the watermark survive uncollapsed: an event with ts
+    * equal to the watermark is not late in Spark, so a purchase at
+    * p_us == wmUs with an intermediate event_id may still arrive and
+    * its window tie-breaks on t_id among those boundary touches.
     * `touches` is ascending (t_us, t_id); the result stays ascending. */
   private[streaming] def prune(touches: List[TouchRec], wmUs: Long): List[TouchRec] = {
-    val (atOrBefore, after) = touches.span(_.t_us <= wmUs)
-    val keep = atOrBefore.lastOption.toList ::: after
+    val (before, atOrAfter) = touches.span(_.t_us < wmUs)
+    val keep = before.lastOption.toList ::: atOrAfter
     keep.filter(_.t_us + SevenDaysUs >= wmUs)
   }
 
@@ -191,11 +195,14 @@ object AttributionStream {
     else (0 until n).map(i =>
       if (i == 0 || i == n - 1) 400000L else 200000L / (n - 2))
 
-  /** The time-decay credit vector for touch ages (whole days, 0..6):
-    * weight 2^(6−age), credit = (10⁶·w) div Σw — the batch expression
-    * verbatim. */
+  /** The time-decay credit vector for touch ages (whole days, 0..6,
+    * clamped): weight 2^(6−min(age,6)), credit = (10⁶·w) div Σw — the
+    * batch expression verbatim. The clamp matters: the touch window is
+    * INCLUSIVE (p_us − t_us ≤ 7d), so a boundary-aligned touch has
+    * whole-day age 7 and an unclamped shift would be `1L << -1` =
+    * Long.MIN_VALUE under Java's shift masking. */
   private[streaming] def timeDecaySplit(agesDays: Seq[Long]): Seq[Long] = {
-    val weights = agesDays.map(a => 1L << (6 - a.toInt))
+    val weights = agesDays.map(a => 1L << (6 - math.min(a, 6L).toInt))
     val sw = weights.sum
     weights.map(w => 1000000L * w / sw)
   }
@@ -252,8 +259,13 @@ object AttributionStream {
         pending = PendRec(e.ts_us, e.event_id, e.cents) :: pending
       if (isTouch(e)) touches = insertTouch(touches, e)
     }
-    val wmUs = state.getCurrentWatermarkMs() * 1000L
-    val (ripe, hold) = pending.partition(_.p_us <= wmUs)
+    val wmMs = state.getCurrentWatermarkMs()
+    val wmUs = wmMs * 1000L
+    // STRICT ripen: a purchase at exactly the watermark is finalized
+    // only once the watermark moves past it — an event (e.g. a touch
+    // with a smaller event_id at the same microsecond) timestamped AT
+    // the watermark is not late in Spark and may still arrive.
+    val (ripe, hold) = pending.partition(_.p_us < wmUs)
     val out = ripe.sortBy(p => (p.p_us, p.p_id))
       .flatMap(p => credit(user, touches, p))
     touches = pruneFn(touches, wmUs)
@@ -265,7 +277,11 @@ object AttributionStream {
       val evictMs = touches.lastOption
         .map(_.t_us / 1000L + SevenDaysUs / 1000L)
       val ripenMs = pending.map(_.p_us / 1000L).minOption
-      state.setTimeoutTimestamp((evictMs.toList ++ ripenMs.toList).min)
+      // never schedule at-or-before the current watermark (held
+      // boundary purchases truncate to exactly wmMs): wm+1 fires at
+      // the very next watermark advance, which is when they ripen
+      state.setTimeoutTimestamp(
+        math.max((evictMs.toList ++ ripenMs.toList).min, wmMs + 1L))
     }
     out.iterator
   }

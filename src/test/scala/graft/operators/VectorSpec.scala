@@ -297,6 +297,16 @@ class VectorSpec extends SparkSuite {
     assert(hits >= 8, s"IVF-PQ recall collapsed: $hits/$served")
   }
 
+  test("knnCells `auto` resolves to the oracle-pinned C=16 on the fixtures") {
+    // the DuckDB oracles for knn_graph / pagerank / coreset pin C=16;
+    // auto = max(16, n/1000) leaves 16 only while n < 17000. If a
+    // fixture ever grows past that, this breaks LOUDLY instead of the
+    // oracles silently diverging (round-10 ADVICE).
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01"))
+      assert(VectorSearch.knnCells(spark, dir) == 16,
+        s"auto cell count drifted off the oracle pin at $dir")
+  }
+
   test("vector_knn_graph equals a driver-side mutual top-3 within cells") {
     val got = VectorSearch.knnGraph.run(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
