@@ -74,6 +74,67 @@ class QuorumDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("replica-set reconfiguration: depth drop frees stuck keys, depth raise retracts nothing") {
+    // The reference captures member count once at discovery
+    // (MongoOplogTailMapper.java:64): a member leaving strands every op
+    // one copy short of the old quorum FOREVER. Our depth is swapped at
+    // restart (membership change re-plans the per-member source
+    // partitions anyway) and timeouts re-check quorum at CURRENT depth.
+    import java.nio.file.{Files, Paths}
+    def line(h: Long, host: String, sec: Int): String =
+      s"""{"ts":"2024-01-01T00:${f"${sec / 60}%02d"}:${f"${sec % 60}%02d"}.000Z","tsInc":$sec,"h":$h,"op":"i","ns":"t.c","o":"{}","o2":null,"sourceHost":"$host"}"""
+    val root = Files.createTempDirectory("graft-reconf").toFile.getAbsolutePath
+    val src = s"$root/oplog"
+    new java.io.File(src).mkdirs()
+
+    // phase 1 @ depth 3: h=1 quorate+emitted; h=2 stuck at 2/3 (the
+    // third member is about to leave the set and will never report)
+    Files.write(Paths.get(s"$src/b0.json"), Seq(
+      line(1, "r1", 1), line(1, "r2", 2), line(1, "r3", 3),
+      line(2, "r1", 1), line(2, "r2", 2)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q1 = OplogPipeline.run(spark, src, s"$root/index", s"$root/ckpt", replicaDepth = 3)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.json(s"$root/index/oplog").count() == 1)
+
+    // phase 2: member r3 left → restart at depth 2. Fresh traffic from
+    // the surviving members advances the watermark past h=2's event
+    // time; its timeout re-check (seen=2 >= depth=2) must emit it.
+    // h=1 must NOT re-emit (depth semantics never retract/duplicate).
+    Files.write(Paths.get(s"$src/b1.json"), Seq(
+      line(5, "r1", 300), line(5, "r2", 301)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q2 = OplogPipeline.run(spark, src, s"$root/index", s"$root/ckpt", replicaDepth = 2)
+    try q2.processAllAvailable() finally q2.stop()
+    import spark.implicits._
+    val hs = spark.read.json(s"$root/index/oplog")
+      .select($"data.h").as[Long].collect().sorted.toSeq
+    assert(hs == Seq(1L, 2L, 5L), s"depth drop left stuck/duplicated keys: $hs")
+
+    // phase 3: a member joins → restart at depth 3. Emitted ops stay
+    // emitted (late copies absorbed, nothing re-fires); a new op at
+    // 2/3 stays below the deeper quorum until a third copy arrives.
+    Files.write(Paths.get(s"$src/b2.json"), Seq(
+      line(2, "r1", 400),                       // late copy of emitted h=2
+      line(6, "r1", 400), line(6, "r2", 401)    // 2/3 under new depth 3
+    ).mkString("\n").getBytes("UTF-8"))
+    val q3 = OplogPipeline.run(spark, src, s"$root/index", s"$root/ckpt", replicaDepth = 3)
+    try q3.processAllAvailable() finally q3.stop()
+    val hs3 = spark.read.json(s"$root/index/oplog")
+      .select($"data.h").as[Long].collect().sorted.toSeq
+    assert(hs3 == Seq(1L, 2L, 5L), s"depth raise must not re-emit or early-fire: $hs3")
+
+    // h=6's third copy from the joined member completes the new quorum
+    Files.write(Paths.get(s"$src/b3.json"), Seq(
+      line(6, "r3", 402)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q4 = OplogPipeline.run(spark, src, s"$root/index", s"$root/ckpt", replicaDepth = 3)
+    try q4.processAllAvailable() finally q4.stop()
+    val hs4 = spark.read.json(s"$root/index/oplog")
+      .select($"data.h").as[Long].collect().sorted.toSeq
+    assert(hs4 == Seq(1L, 2L, 5L, 6L), s"got $hs4")
+  }
+
   test("batch form matches set-of-quorate-keys semantics") {
     implicit val s = spark
     import s.implicits._
