@@ -170,6 +170,9 @@ object SparkEntry {
     // round 10: the IVF cell-balance monitor and packing efficiency
     "vector_cell_profile", "pack_efficiency",
     // round 10: exact DAU/WAU engagement curves + the HLL WAU twin
-    "events_active_users", "events_active_users_hll"
+    "events_active_users", "events_active_users_hll",
+    // round 11: the deterministic Lloyd-round centroid retrain and the
+    // first-fit-decreasing packing twin
+    "vector_ivf_retrain", "pack_ffd"
   )
 }

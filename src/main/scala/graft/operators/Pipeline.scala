@@ -647,6 +647,147 @@ object Pipeline {
     """)
   )
 
+  /** Pure first-fit kernel: bin count after placing `sizes` (each in
+    * 1..cap, already in first-fit order — callers sort (size desc,
+    * doc_id)) into cap-sized bins, each item into the LOWEST-indexed
+    * bin with room, else a fresh bin. O(n·bins); per-group sequential
+    * by nature — the oracle's recursive CTE replays it step-for-step. */
+  private[operators] def ffdRemainders(sizes: Iterable[Long], cap: Long): Seq[Long] = {
+    val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sizes.foreach { sz =>
+      val i = rem.indexWhere(_ >= sz)
+      if (i < 0) rem += cap - sz else rem(i) -= sz
+    }
+    rem.toSeq
+  }
+
+  private[operators] def ffdBinCount(sizes: Iterable[Long], cap: Long): Long =
+    ffdRemainders(sizes, cap).length.toLong
+
+  /** FIRST-FIT-DECREASING packing twin — the comparison
+    * [[packEfficiency]] exists to make. Per language stream, both
+    * layouts of the SAME corpus side by side: the contiguous layout's
+    * bin count / severed-document count (every doc straddling a
+    * 512-boundary pays an attention-mask or truncation cost at train
+    * time) against a first-fit-decreasing assignment ((n_tokens DESC,
+    * doc_id) order, each doc whole into the first bin with room) where
+    * NO in-cap document is ever severed — the fill delta is the price
+    * of that, and on natural corpora (docs ≪ 512 tokens) it is zero.
+    * Oversized docs (> 512 tokens) are excluded from the fit and
+    * accounted as dedicated ceil(n/512)-bin runs, severed in both
+    * layouts — FFD packs documents, it cannot shrink them.
+    *
+    * Scale shape: the contiguous side is [[packLayout]]'s one
+    * lang-keyed window; the FFD side sorts each language's in-cap docs
+    * once and folds them sequentially per group (`mapGroups`) — the
+    * fold is inherently serial PER STREAM (the oracle replays it as a
+    * recursive CTE), so at 100 TB the pack key is the
+    * [[packSequencesSharded]] (lang, shard) key and each shard-stream
+    * folds independently; fold state is just the open bins' remaining
+    * capacities (≤ stream bins, bounded by stream tokens/512). */
+  val packFfd: Q = Q(
+    "pack_ffd",
+    (s, dir) => {
+      import s.implicits._
+      val cap = 512L
+      val t = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(TextFns.tokens($"text")).cast("long").as("n_tokens"))
+        .persist()   // three consumers: contiguous layout, fit, big-doc agg
+      val contig = packLayout(t, 512)
+        .groupBy($"lang")
+        .agg(sum($"n_tokens").as("total_tokens"),
+          sum(when($"bin_first" =!= $"bin_last", 1L).otherwise(0L))
+            .as("spanning_contig"))
+        .select($"lang", $"total_tokens",
+          expr("greatest((total_tokens + 511L) div 512L, 1L)").as("n_bins_contig"),
+          $"spanning_contig")
+      val ffdSmall = t.filter($"n_tokens" >= 1L && $"n_tokens" <= cap)
+        .select($"lang", $"doc_id", $"n_tokens").as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (lang, it) =>
+          val sizes = it.toArray.sortBy(d => (-d._3, d._2)).map(_._3)
+          (lang, ffdBinCount(scala.collection.immutable.ArraySeq.unsafeWrapArray(sizes), cap))
+        }
+        .toDF("lang", "bins_small")
+      val big = t.filter($"n_tokens" > cap)
+        .groupBy($"lang")
+        .agg(sum(expr("(n_tokens + 511L) div 512L")).as("bins_big"),
+          count(lit(1)).as("spanning_ffd"))
+      contig.join(ffdSmall, Seq("lang"), "left")
+        .join(big, Seq("lang"), "left")
+        .na.fill(0L, Seq("bins_small", "bins_big", "spanning_ffd"))
+        .select($"lang", $"total_tokens", $"n_bins_contig",
+          ($"bins_small" + $"bins_big").as("n_bins_ffd"),
+          $"spanning_contig", $"spanning_ffd",
+          expr("(total_tokens * 1000000L) div (n_bins_contig * 512L)")
+            .as("fill_contig_ppm"),
+          expr("CASE WHEN bins_small + bins_big = 0 THEN 0L ELSE (total_tokens * 1000000L) div ((bins_small + bins_big) * 512L) END")
+            .as("fill_ffd_ppm"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+      ),
+      o AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        FROM t
+      ),
+      lay AS (
+        SELECT lang, n_tokens,
+               CAST(FLOOR(tok_offset / 512.0) AS BIGINT) AS bin_first,
+               GREATEST(CAST(FLOOR(tok_offset / 512.0) AS BIGINT),
+                        CAST(FLOOR((tok_offset + n_tokens - 1) / 512.0) AS BIGINT)) AS bin_last
+        FROM o
+      ),
+      contig AS (SELECT lang, SUM(n_tokens) total_tokens,
+                   GREATEST((SUM(n_tokens) + 511) // 512, 1) n_bins_contig,
+                   SUM(CASE WHEN bin_first <> bin_last THEN 1 ELSE 0 END) spanning_contig
+                 FROM lay GROUP BY 1),
+      small AS (SELECT lang, doc_id, n_tokens,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) rn
+                FROM t WHERE n_tokens BETWEEN 1 AND 512),
+      nsm AS (SELECT lang, COUNT(*) n FROM small GROUP BY 1),
+      ffd AS (
+        SELECT lang, CAST(0 AS BIGINT) i, CAST([] AS BIGINT[]) rem FROM nsm
+        UNION ALL
+        SELECT lang, i + 1,
+               CASE WHEN idx IS NULL OR idx = 0 THEN list_append(rem, 512 - sz)
+                    ELSE list_concat(list_concat(rem[1:CAST(idx AS INT) - 1],
+                                                 [rem[CAST(idx AS INT)] - sz]),
+                                     rem[CAST(idx AS INT) + 1:CAST(len(rem) AS INT)])
+               END
+        FROM (
+          SELECT f.lang, f.i, f.rem, s.n_tokens sz,
+                 list_position(list_transform(f.rem, r -> r >= s.n_tokens), true) idx
+          FROM ffd f JOIN small s ON s.lang = f.lang AND s.rn = f.i + 1
+        )
+      ),
+      done AS (SELECT f.lang, CAST(len(rem) AS BIGINT) bins_small
+               FROM ffd f JOIN nsm ON nsm.lang = f.lang AND f.i = nsm.n),
+      big AS (SELECT lang, SUM((n_tokens + 511) // 512) bins_big, COUNT(*) n_spanning
+              FROM t WHERE n_tokens > 512 GROUP BY 1)
+      SELECT c.lang, CAST(total_tokens AS BIGINT) total_tokens,
+             CAST(n_bins_contig AS BIGINT) n_bins_contig,
+             CAST(COALESCE(bins_small, 0) + COALESCE(bins_big, 0) AS BIGINT) n_bins_ffd,
+             CAST(spanning_contig AS BIGINT) spanning_contig,
+             CAST(COALESCE(n_spanning, 0) AS BIGINT) spanning_ffd,
+             CAST((total_tokens * 1000000) // (n_bins_contig * 512) AS BIGINT) fill_contig_ppm,
+             CAST(CASE WHEN COALESCE(bins_small, 0) + COALESCE(bins_big, 0) = 0 THEN 0
+                  ELSE (total_tokens * 1000000)
+                       // ((COALESCE(bins_small, 0) + COALESCE(bins_big, 0)) * 512) END AS BIGINT) fill_ffd_ppm
+      FROM contig c LEFT JOIN done USING (lang) LEFT JOIN big USING (lang)
+      ORDER BY lang
+    """)
+  )
+
   /** Mixture-weight downsampling (the pretraining "data mixing" step):
     * each source keeps a configured fraction of its documents —
     * full src0-src4, half src5-src9, a quarter of the rest — selected
@@ -2219,7 +2360,7 @@ object Pipeline {
 
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified, sampleWeighted,
-      sourceCap, eventOutliers, funnel, packSequences, packEfficiency, mixSample, mixUpsample,
+      sourceCap, eventOutliers, funnel, packSequences, packEfficiency, packFfd, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, curateOrder, retention, eventsRfm, eventsRfm2Phase,

@@ -1535,8 +1535,116 @@ object VectorSearch {
     """)
   )
 
+  /** One exact-integer LLOYD ROUND over an existing cell assignment —
+    * the retrain action [[cellProfile]]'s load-factor breach calls for
+    * (hot cells mean the CENTROIDS are wrong, not the cell count; the
+    * `auto` dial only fixes global population-per-cell). Each vector is
+    * micro-quantized ONCE (round(10⁶·x) — the [[centroidDrift]]
+    * discipline); the retrained centroid of a cell is the truncating
+    * per-component integer mean of its members (order-independent,
+    * engine-exact); re-assignment scores c·c − 2v·c over the retrained
+    * codebook in doubles whose every product (≤ 9·10¹²) and partial sum
+    * (≤ 5.8·10¹⁴) is an exactly-representable integer below 2⁵³ — so
+    * the whole round is integer arithmetic in disguise and the
+    * before/after balance report is hash-exact. A cell nobody chooses
+    * after the round reports n_after = 0 (Lloyd's empty-cell death).
+    *
+    * Scale shape: one posexplode + (cell, pos)-keyed partial agg
+    * (C·64 groups) for the means; the re-assign is the same broadcast
+    * codebook scan + min-struct fold as [[ivfFlatAssign]] (≤ 1 row per
+    * vector crosses the shuffle); profiles are two C-row aggs joined.
+    * `assigned` is localCheckpoint'd: it feeds the mean AND the
+    * re-assign scan, and lineage truncation keeps CollapseProject from
+    * re-inlining the quantization into both consumers. */
+  private[operators] def ivfRetrainProfile(s: SparkSession, assigned: DataFrame): DataFrame = {
+    import s.implicits._
+    val eq = assigned.select($"vec_id", $"cell",
+      expr("transform(v, x -> CAST(round(1000000 * x) AS BIGINT))").as("vq"))
+      .localCheckpoint()
+    val cents2 = eq.select($"cell", posexplode($"vq").as(Seq("pos", "x")))
+      .groupBy($"cell", $"pos")
+      .agg(expr("sum(x) div count(1)").as("m"))
+      .groupBy($"cell")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cell".as("cell2"), expr("transform(pm, p -> CAST(p.m AS DOUBLE))").as("cvec2"))
+    val best2 = eq
+      .withColumn("vd", expr("transform(vq, x -> CAST(x AS DOUBLE))"))
+      .crossJoin(broadcast(cents2))
+      .withColumn("score",
+        dot_product($"cvec2", $"cvec2") - lit(2.0) * dot_product($"vd", $"cvec2"))
+      .groupBy($"vec_id").agg(min(struct($"score", $"cell2")).as("b"))
+      .select($"vec_id", $"b.cell2".as("cell"))
+    val before = eq.groupBy($"cell").agg(count(lit(1)).as("n_before"))
+    val after = best2.groupBy($"cell").agg(count(lit(1)).as("n_after"))
+    val tot = before.agg(sum($"n_before").as("total"), count(lit(1)).as("n_cells"))
+    before.join(after, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_before", "n_after"))
+      .crossJoin(broadcast(tot))
+      .select($"cell", $"n_before", $"n_after",
+        expr("(n_before * n_cells * 100L) div total").as("load_before_pct"),
+        expr("(n_after * n_cells * 100L) div total").as("load_after_pct"))
+      .orderBy($"cell")
+  }
+
+  /** IVF centroid RE-TRAIN: [[ivfRetrainProfile]]'s one deterministic
+    * Lloyd round applied to the content-addressed codebook's
+    * assignment, reported as the before/after cell-balance profile —
+    * closing the loop [[cellProfile]] opens (detect the breach →
+    * retrain → show the balance moved). The serving path
+    * (`vector_ann_ivf_flat`) is untouched: retraining is an offline
+    * action whose output codebook a deployment would swap in at the
+    * next index build. */
+  val ivfRetrain: Q = Q(
+    "vector_ivf_retrain",
+    (s, dir) => ivfRetrainProfile(s, ivfFlatAssign(s, dir)._1),
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM n WHERE vec_id < 16),
+      sc AS (SELECT n.vec_id, cell,
+               list_reduce(list_transform(list_zip(cvec, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 - 2.0 * list_reduce(list_transform(list_zip(v, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 AS score
+             FROM n, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                   FROM sc) WHERE rn = 1),
+      vq AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(ROUND(1000000 * CAST(x AS DOUBLE)) AS BIGINT)) q
+             FROM embeddings),
+      xp AS (SELECT a.cell, unnest(q) x, generate_subscripts(q, 1) pos
+             FROM assign a JOIN vq USING (vec_id)),
+      cm AS (SELECT cell, pos, SUM(x) // COUNT(*) m FROM xp GROUP BY 1, 2),
+      c2 AS (SELECT cell, list(CAST(m AS DOUBLE) ORDER BY pos) cvec2 FROM cm GROUP BY 1),
+      vd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) dv FROM vq),
+      sc2 AS (SELECT v.vec_id, c.cell,
+                list_reduce(list_transform(list_zip(cvec2, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
+                  - 2.0 * list_reduce(list_transform(list_zip(dv, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
+                  AS score
+              FROM vd v, c2 c),
+      as2 AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                FROM sc2) WHERE rn = 1),
+      bf AS (SELECT cell, COUNT(*) n_before FROM assign GROUP BY 1),
+      af AS (SELECT cell, COUNT(*) n_after FROM as2 GROUP BY 1),
+      tot AS (SELECT SUM(n_before) total, COUNT(*) n_cells FROM bf)
+      SELECT cell,
+             CAST(COALESCE(n_before, 0) AS BIGINT) n_before,
+             CAST(COALESCE(n_after, 0) AS BIGINT) n_after,
+             CAST((COALESCE(n_before, 0) * n_cells * 100) // total AS BIGINT) load_before_pct,
+             CAST((COALESCE(n_after, 0) * n_cells * 100) // total AS BIGINT) load_after_pct
+      FROM bf FULL OUTER JOIN af USING (cell), tot
+      ORDER BY cell
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
       pqAdc, annIvfPq, knnGraph, pageRank, coreset, recallEval, mmrRerank,
-      matryoshkaEval, centroidDrift, cellProfile)
+      matryoshkaEval, centroidDrift, cellProfile, ivfRetrain)
 }

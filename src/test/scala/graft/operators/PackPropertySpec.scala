@@ -53,4 +53,29 @@ object PackPropertySpec extends Properties("PackLayout") {
       }.toMap
       got == want
     }
+
+  // ---- pure first-fit kernel (pack_ffd) — no Spark involved ----
+
+  private val Cap = 64L
+  private val ffdGen = Gen.listOf(Gen.choose(1L, Cap)).map(_.sorted.reverse)
+
+  property("ffd: token mass conserved across bins") =
+    Prop.forAll(ffdGen) { sizes =>
+      val rem = Pipeline.ffdRemainders(sizes, Cap)
+      rem.map(Cap - _).sum == sizes.sum
+    }
+
+  property("ffd: bin count between ceil(total/cap) and n items") =
+    Prop.forAll(ffdGen) { sizes =>
+      val bins = Pipeline.ffdBinCount(sizes, Cap)
+      val lower = (sizes.sum + Cap - 1) / Cap
+      bins >= lower && bins <= sizes.length.toLong
+    }
+
+  property("ffd: first-fit invariant — at most one bin over half empty") =
+    Prop.forAll(ffdGen) { sizes =>
+      // two bins each > cap/2 empty contradict first-fit: the second
+      // bin's first item (< cap/2) would have fit the first bin
+      Pipeline.ffdRemainders(sizes, Cap).count(_ > Cap / 2) <= 1
+    }
 }

@@ -297,6 +297,31 @@ class VectorSpec extends SparkSuite {
     assert(hits >= 8, s"IVF-PQ recall collapsed: $hits/$served")
   }
 
+  test("ivf retrain: one Lloyd round rebalances a skewed assignment") {
+    import spark.implicits._
+    // two well-separated 1-D blobs, but BOTH initial centroids sit
+    // inside blob A (0.0 and 0.05): cell 1 captures most of A plus the
+    // whole of B — exactly the hot-cell failure cell_profile flags
+    val pts = (0 until 95).map(i => (100L + i, i * 0.001)) ++
+      (0 until 95).map(i => (200L + i, 10.0 + i * 0.001))
+    val assigned = pts.map { case (id, x) =>
+      val cell = if (math.abs(x) <= math.abs(x - 0.05)) 0 else 1
+      (id, Seq(x, 0.0, 0.0, 0.0), cell)
+    }.toDF("vec_id", "v", "cell")
+    val prof = VectorSearch.ivfRetrainProfile(spark, assigned).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(prof.keySet == Set(0, 1))
+    val (nb0, na0, lb0, la0) = prof(0)
+    val (nb1, na1, lb1, la1) = prof(1)
+    assert(nb0 + nb1 == 190 && na0 + na1 == 190, "population conserved")
+    assert(nb1 > 150, s"fixture must start skewed: $nb1")
+    // one round moves cell 1's centroid into blob B → perfect split
+    assert(na0 == 95 && na1 == 95, s"expected 95/95, got $na0/$na1")
+    assert(math.max(la0, la1) < math.max(lb0, lb1),
+      s"balance must improve: before ($lb0,$lb1) after ($la0,$la1)")
+  }
+
   test("knnCells `auto` resolves to the oracle-pinned C=16 on the fixtures") {
     // the DuckDB oracles for knn_graph / pagerank / coreset pin C=16;
     // auto = max(16, n/1000) leaves 16 only while n < 17000. If a
