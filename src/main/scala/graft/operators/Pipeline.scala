@@ -1966,31 +1966,47 @@ object Pipeline {
     * take the [[tokenPercentilesBinned]] two-phase histogram treatment
     * (recency and frequency are small-integer keys by nature) — that
     * production form SHIPS as the hash-gated [[eventsRfm2Phase]]. */
+  /** The shared per-user RFM metric frame: exact integer recency /
+    * frequency / monetary plus the $100 monetary bucket the two-phase
+    * cut keys on. One user_id-keyed aggregation (map-side combined). */
+  private[operators] def rfmPerUser(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", round($"value" * 100).cast("long").as("c"))
+    val ref = ev.agg(max($"ts").as("ref"))
+    ev.groupBy($"user_id").agg(
+      max($"ts").as("last_ts"), count(lit(1)).as("frequency"),
+      sum($"c").as("monetary_cents"))
+      .crossJoin(broadcast(ref))
+      .select($"user_id",
+        expr("(unix_micros(ref) - unix_micros(last_ts)) div 86400000000L")
+          .as("recency_days"),
+        $"frequency", $"monetary_cents",
+        expr("monetary_cents div 10000").as("m_bucket"))
+  }
+
+  /** NTILE(3) tercile assignment over a per-user frame
+    * (user_id, recency_days, frequency, monetary_cents[, m_bucket]) —
+    * [[eventsRfm]]'s cut, factored so RfmPropertySpec can drive it
+    * with generated frames against [[rfmHistogramBins]]. */
+  private[operators] def rfmNtileBins(perUser: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col => c}
+    perUser
+      .withColumn("r_bin", ntile(3).over(Window.orderBy(c("recency_days"), c("user_id"))))
+      .withColumn("f_bin", ntile(3).over(Window.orderBy(c("frequency").desc, c("user_id"))))
+      .withColumn("m_bin", ntile(3).over(Window.orderBy(c("monetary_cents").desc, c("user_id"))))
+      .select(c("user_id"), c("recency_days"), c("frequency"), c("monetary_cents"),
+        c("r_bin"), c("f_bin"), c("m_bin"),
+        concat(c("r_bin"), c("f_bin"), c("m_bin")).as("segment"))
+      .orderBy(c("user_id"))
+  }
+
   val eventsRfm: Q = Q(
     "events_rfm",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.load(s, dir, "events")
-        .select($"user_id", $"ts", round($"value" * 100).cast("long").as("c"))
-      val ref = ev.agg(max($"ts").as("ref"))
-      val perUser = ev.groupBy($"user_id").agg(
-        max($"ts").as("last_ts"), count(lit(1)).as("frequency"),
-        sum($"c").as("monetary_cents"))
-        .crossJoin(broadcast(ref))
-        .select($"user_id",
-          expr("(unix_micros(ref) - unix_micros(last_ts)) div 86400000000L")
-            .as("recency_days"),
-          $"frequency", $"monetary_cents")
-      perUser
-        .withColumn("r_bin", ntile(3).over(Window.orderBy($"recency_days", $"user_id")))
-        .withColumn("f_bin", ntile(3).over(Window.orderBy($"frequency".desc, $"user_id")))
-        .withColumn("m_bin", ntile(3).over(Window.orderBy($"monetary_cents".desc, $"user_id")))
-        .select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
-          $"r_bin", $"f_bin", $"m_bin",
-          concat($"r_bin", $"f_bin", $"m_bin").as("segment"))
-        .orderBy($"user_id")
-    },
+    (s, dir) => rfmNtileBins(rfmPerUser(s, dir)
+      .drop("m_bucket")),
+
     Some("""
       WITH ev AS (
         SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) c
@@ -2026,61 +2042,63 @@ object Pipeline {
     * from a HISTOGRAM cut, the [[tokenPercentilesBinned]] treatment:
     * recency and frequency are small-integer keys by nature; monetary
     * is first bucketed to $100 cells (`cents div 10000` — bounded by
-    * value-range/width, not by users). The cut is then
-    * bin = ceil(3·cum/n) over the cumulative histogram — all-integer
-    * (`(3·cum + n − 1) div n`), so the oracle is hash-exact — and the
-    * per-user assignment is three BROADCAST joins of histogram-sized
-    * bin tables back onto the per-user frame.
+    * value-range/width, not by users). The cut is then the CLOSED FORM
+    * of NTILE over the cumulative histogram — each key bins at the
+    * NTILE rank of its first tied member, `(3·(cum − cnt)) div n + 1`
+    * (NTILE(k) ≡ ⌊k(r−1)/n⌋+1), all-integer so the oracle is
+    * hash-exact — and the per-user assignment is three BROADCAST joins
+    * of histogram-sized bin tables back onto the per-user frame.
     *
-    * Semantics vs the NTILE twin: ties (equal metric value / equal
-    * bucket) land in ONE bin together instead of being split by
-    * user_id rank — the cume_dist-style cut every scalable RFM
-    * implementation uses, at the price of up-to-one-bucket boundary
-    * resolution on monetary. Scale shape: ONE user_id exchange (the
+    * Semantics vs the NTILE twin: on TIE-FREE metrics the two forms
+    * agree bin-for-bin (RfmPropertySpec proves it over random logs);
+    * ties (equal metric value / equal bucket) land in ONE bin together
+    * instead of being split by user_id rank — the cut every scalable
+    * RFM implementation uses, at the price of up-to-one-bucket
+    * boundary resolution on monetary. Scale shape: ONE user_id
+    * exchange (the
     * per-user agg, map-side combined) + three O(distinct-values)
     * histograms (each a mergeable partial agg, windowed over the tiny
     * histogram frame only) + broadcast joins — nothing corpus- or
     * user-sized ever passes through a single partition. */
+  /** Histogram-cut tercile assignment over a per-user frame — the
+    * [[eventsRfm2Phase]] cut, factored beside [[rfmNtileBins]] for the
+    * cross-form property. Bin formula: each key takes the NTILE rank
+    * of its FIRST tied member, `(3·(cum − cnt)) div n + 1` (the exact
+    * closed form of NTILE(k): bin(r) = ⌊k(r−1)/n⌋+1) — so on TIE-FREE
+    * frames (cnt ≡ 1, cum ≡ rank) the histogram cut IS NTILE(3),
+    * bin-for-bin, which RfmPropertySpec proves executable over random
+    * logs; with ties the whole run lands in that one bin together
+    * (rank-splitting ties is exactly what a histogram cannot do). */
+  private[operators] def rfmHistogramBins(perUser0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col => c}
+    val perUser = perUser0.persist()
+    // histogram cut: key -> bin, computed over the DISTINCT-KEY frame
+    def cut(key: String, asc: Boolean, out: String) = {
+      val h = perUser.groupBy(c(key).as("k")).agg(count(lit(1)).as("cnt"))
+      val ord = if (asc) c("k").asc else c("k").desc
+      val cum = h.withColumn("cum", sum(c("cnt")).over(
+          Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(c("cnt")).over(Window.partitionBy(lit(1))))
+      cum.select(c("k").as(s"${out}_k"),
+        expr("CAST((3 * (cum - cnt)) div n AS INT) + 1").as(out))
+    }
+    perUser
+      .join(broadcast(cut("recency_days", asc = true, "r_bin")),
+        c("recency_days") === c("r_bin_k"))
+      .join(broadcast(cut("frequency", asc = false, "f_bin")),
+        c("frequency") === c("f_bin_k"))
+      .join(broadcast(cut("m_bucket", asc = false, "m_bin")),
+        c("m_bucket") === c("m_bin_k"))
+      .select(c("user_id"), c("recency_days"), c("frequency"), c("monetary_cents"),
+        c("r_bin"), c("f_bin"), c("m_bin"),
+        concat(c("r_bin"), c("f_bin"), c("m_bin")).as("segment"))
+      .orderBy(c("user_id"))
+  }
+
   val eventsRfm2Phase: Q = Q(
     "events_rfm_2phase",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.load(s, dir, "events")
-        .select($"user_id", $"ts", round($"value" * 100).cast("long").as("c"))
-      val ref = ev.agg(max($"ts").as("ref"))
-      val perUser = ev.groupBy($"user_id").agg(
-        max($"ts").as("last_ts"), count(lit(1)).as("frequency"),
-        sum($"c").as("monetary_cents"))
-        .crossJoin(broadcast(ref))
-        .select($"user_id",
-          expr("(unix_micros(ref) - unix_micros(last_ts)) div 86400000000L")
-            .as("recency_days"),
-          $"frequency", $"monetary_cents",
-          expr("monetary_cents div 10000").as("m_bucket"))
-        .persist()
-      // histogram cut: key -> bin, computed over the DISTINCT-KEY frame
-      def cut(key: String, asc: Boolean, out: String) = {
-        val h = perUser.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
-        val ord = if (asc) $"k".asc else $"k".desc
-        val cum = h.withColumn("cum", sum($"cnt").over(
-            Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("n", sum($"cnt").over(Window.partitionBy(lit(1))))
-        cum.select($"k".as(s"${out}_k"),
-          expr("CAST((3 * cum + n - 1) div n AS INT)").as(out))
-      }
-      perUser
-        .join(broadcast(cut("recency_days", asc = true, "r_bin")),
-          $"recency_days" === $"r_bin_k")
-        .join(broadcast(cut("frequency", asc = false, "f_bin")),
-          $"frequency" === $"f_bin_k")
-        .join(broadcast(cut("m_bucket", asc = false, "m_bin")),
-          $"m_bucket" === $"m_bin_k")
-        .select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
-          $"r_bin", $"f_bin", $"m_bin",
-          concat($"r_bin", $"f_bin", $"m_bin").as("segment"))
-        .orderBy($"user_id")
-    },
+    (s, dir) => rfmHistogramBins(rfmPerUser(s, dir)),
     Some("""
       WITH ev AS (
         SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) c
@@ -2096,20 +2114,20 @@ object Pipeline {
         GROUP BY user_id, ref
       ),
       rh AS (SELECT recency_days k, COUNT(*) cnt FROM u GROUP BY 1),
-      rc AS (SELECT k, SUM(cnt) OVER (ORDER BY k ASC
+      rc AS (SELECT k, cnt, SUM(cnt) OVER (ORDER BY k ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
                SUM(cnt) OVER () n FROM rh),
-      rb AS (SELECT k, CAST((3 * cum + n - 1) // n AS INT) r_bin FROM rc),
+      rb AS (SELECT k, CAST((3 * (cum - cnt)) // n AS INT) + 1 r_bin FROM rc),
       fh AS (SELECT frequency k, COUNT(*) cnt FROM u GROUP BY 1),
-      fc AS (SELECT k, SUM(cnt) OVER (ORDER BY k DESC
+      fc AS (SELECT k, cnt, SUM(cnt) OVER (ORDER BY k DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
                SUM(cnt) OVER () n FROM fh),
-      fb AS (SELECT k, CAST((3 * cum + n - 1) // n AS INT) f_bin FROM fc),
+      fb AS (SELECT k, CAST((3 * (cum - cnt)) // n AS INT) + 1 f_bin FROM fc),
       mh AS (SELECT m_bucket k, COUNT(*) cnt FROM u GROUP BY 1),
-      mc AS (SELECT k, SUM(cnt) OVER (ORDER BY k DESC
+      mc AS (SELECT k, cnt, SUM(cnt) OVER (ORDER BY k DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
                SUM(cnt) OVER () n FROM mh),
-      mb AS (SELECT k, CAST((3 * cum + n - 1) // n AS INT) m_bin FROM mc)
+      mb AS (SELECT k, CAST((3 * (cum - cnt)) // n AS INT) + 1 m_bin FROM mc)
       SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
              CAST(frequency AS BIGINT) AS frequency,
              CAST(monetary_cents AS BIGINT) AS monetary_cents,
