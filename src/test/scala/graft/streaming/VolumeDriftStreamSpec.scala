@@ -66,4 +66,50 @@ class VolumeDriftStreamSpec extends SparkSuite {
       new scala.reflect.io.Directory(scratch.toFile).deleteRecursively()
     }
   }
+
+  test("deadline form: silent strata fire 'gone' MID-INGEST; recovery re-reports") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(sec: Long) = new java.sql.Timestamp(t0 + sec * 1000L)
+    val baseline = Seq(("sA", "en", 2L), ("sB", "en", 2L), ("sC", "en", 3L))
+      .toDF("source", "lang", "c1")
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val src = input.toDS().toDF("source", "lang", "ts")
+      .withWatermark("ts", "1 second")
+    val q = VolumeDriftStream.monitorWithDeadline(src, baseline, t0, 60000L)
+      .writeStream.format("memory").queryName("vdrift_dl")
+      .outputMode("update").start()
+    def rows() = spark.table("vdrift_dl").collect().map(r =>
+      (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getString(6)))
+    try {
+      // batch 1: sA and sB arrive; sC never will
+      input.addData(("sA", "en", ts(10)), ("sA", "en", ts(10)),
+        ("sB", "en", ts(10)), ("sB", "en", ts(11)))
+      q.processAllAvailable()
+      assert(!rows().exists(_._6 == "gone"), "nothing is past its deadline yet")
+      // batch 2: only sA arrives, 2 minutes on — the watermark it
+      // advances passes sB's and sC's 60 s deadlines while the stream
+      // is still ingesting: both must fire WITHOUT any end-of-stream audit
+      input.addData(("sA", "en", ts(120)))
+      q.processAllAvailable()
+      val gones = rows().filter(_._6 == "gone")
+      assert(gones.exists(g => g._1 == "sB" && g._4 == 2L && g._5 == Some(0L)),
+        s"stopped-arriving stratum must fire mid-ingest: ${gones.toSeq}")
+      assert(gones.exists(g => g._1 == "sC" && g._4 == 0L && g._5 == Some(-1000000L)),
+        s"never-arrived stratum must fire from its registration: ${gones.toSeq}")
+      assert(!gones.exists(_._1 == "sA"), "the live stratum must not fire")
+      // batch 3: sB resumes — an ordinary report at a higher version
+      // (consumers keeping max-version see the recovery supersede 'gone')
+      input.addData(("sB", "en", ts(200)))
+      q.processAllAvailable()
+      val b = rows().filter(_._1 == "sB")
+      val goneV = b.filter(_._6 == "gone").map(_._2).max
+      val after = b.filter(x => x._2 > goneV)
+      assert(after.nonEmpty && after.forall(x => x._6 == "drift" && x._4 == 3L),
+        s"recovery must re-report past the gone version: ${b.toSeq}")
+    } finally q.stop()
+  }
 }
