@@ -26,6 +26,13 @@ import org.apache.spark.sql.SparkSession
   * headline "value" stays batch-only so it remains comparable across
   * rounds. A streaming failure reports rows_per_sec 0.0 and a
   * "streaming_failed" marker — loud, never silently absent.
+  *
+  * The RAG SERVING path is benched beside ingest (round 11): a paced
+  * query-vector stream through IVF probe → stream-static retrieve →
+  * per-query MMR re-rank, reported under "streaming_serve" (queries/s
+  * + batch latency percentiles at production nprobe=2); the
+  * state-partition/nprobe sweep lives in SCALING.md
+  * (tools.MmrServeSweep).
   */
 object Bench {
 
@@ -93,6 +100,16 @@ object Bench {
     def streamJson(r: graft.streaming.StreamBench.Result, ops: Long): String =
       f"""{"rows_per_sec":${r.rowsPerSec}%.0f,"input_rows":${r.inputRows},"applied_rows":${r.appliedRows},"emitted_rows":${r.emittedRows},"ops":$ops,"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"max_files_per_trigger":8,"state_partitions":4,"replicas":3}"""
     val failedStream = """{"rows_per_sec":0.0,"streaming_failed":true}"""
+    // Spark logs a benign stack-trace-bearing event during connector
+    // query construction (the run still succeeds) — and the driver's
+    // tail capture keeps only the LAST 2000 stdout chars, so one trace
+    // can push the JSON line out of the parse window (round-10 verdict
+    // item 7). log4j is silenced from here THROUGH process exit: the
+    // async ContextCleaner also logs localCheckpoint-unpersist warnings
+    // at GC-driven moments that can land after the JSON line. Real
+    // failures stay loud through our own stderr prints, the
+    // streaming_failed markers, n_failed, and the exit code.
+    spark.sparkContext.setLogLevel("OFF")
     val streaming =
       try { val (r, ops) = graft.streaming.StreamBench.bench(spark, sfDir, scratch); streamJson(r, ops) }
       catch { case e: Throwable =>
@@ -103,6 +120,17 @@ object Bench {
       try { val (r, ops) = graft.streaming.StreamBench.benchConnector(spark, sfDir, scratch); streamJson(r, ops) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] connector streaming failed: $e"); failedStream }
+    // the RAG serving path: paced query stream → IVF probe →
+    // stream-static retrieve → per-query MMR re-rank (queries/s + batch
+    // latency percentiles at the production nprobe)
+    val streamingServe =
+      try {
+        val r = graft.streaming.StreamBench.benchServe(spark, sfDir, scratch)
+        f"""{"queries_per_sec":${r.rowsPerSec}%.0f,"input_queries":${r.inputRows},"served_queries":${r.appliedRows},"hit_rows":${r.emittedRows},"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"nprobe":2,"fanout":4,"state_partitions":8}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] serve streaming failed: $e")
+        """{"queries_per_sec":0.0,"streaming_failed":true}"""
+      }
     scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
 
     // Full detail (cold per-query + both streaming result objects) goes to a
@@ -115,12 +143,13 @@ object Bench {
       m.map(_.group(1)).getOrElse("0.0")
     }
     val streamingFailed = streaming.contains("streaming_failed") ||
-      streamingConn.contains("streaming_failed")
+      streamingConn.contains("streaming_failed") ||
+      streamingServe.contains("streaming_failed")
     val allOk = nFailed == 0 && !streamingFailed
 
     val detailPath = "BENCH_DETAIL.json"
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$warmQs,"cold":$coldQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$warmQs,"cold":$coldQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"streaming_serve":$streamingServe,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -131,8 +160,12 @@ object Bench {
     // because the per-query map pushed the line's HEAD past that budget.
     // Inline the per-query numbers only while the whole line stays well
     // under the budget; they always live in the detail file regardless.
+    def qps(json: String): String = {
+      val m = """"queries_per_sec":([0-9.]+)""".r.findFirstMatchIn(json)
+      m.map(_.group(1)).getOrElse("0.0")
+    }
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$qs,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$qs,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"serve_queries_per_sec":${qps(streamingServe)},"detail":"$detailPath","sf":"$sfDir"}"""
     val full = line(warmQs)
     println(if (full.length <= 1600) full else line("{}"))
     spark.stop()

@@ -284,6 +284,79 @@ object StreamBench {
     (res, ops)
   }
 
+  /** SERVING-PATH meter: the RAG retrieve→MMR chain
+    * ([[MmrServeStream.serve]]) driven by a paced query-vector stream —
+    * the second axis a deployment actually ships beside CDC ingest:
+    * online ANN serving. Queries are the sf embeddings fanned out
+    * ×`fanout` with DISTINCT qids (duplicate qids inside one batch
+    * would pool their candidates and break the per-query kernel's
+    * k-window), written as `files` parquet files and admitted
+    * `maxFilesPerTrigger` at a time; every batch probes nprobe/C of the
+    * persisted static side, joins, and re-ranks per query. Reported:
+    * queries/s over the drain + per-micro-batch latency percentiles —
+    * the numbers an SLA conversation needs (the CDC meter's rows/s says
+    * nothing about serve latency). The static-side persist materializes
+    * in the FIRST batch, so p50 reflects steady state while max
+    * includes the cold fill (deliberate: that is what a rollout sees).
+    * `statePartitions` sizes the serve shuffle (stream-static join +
+    * per-query group exchange) exactly as the CDC meter sizes its state
+    * stores — the SCALING.md sweep dial. */
+  def benchServe(
+      spark: SparkSession,
+      sfDir: String,
+      scratch: String,
+      files: Int = 24,
+      fanout: Int = 4,
+      maxFilesPerTrigger: Int = 4,
+      nprobe: Int = 2,
+      statePartitions: Int = 8): Result = {
+    import spark.implicits._
+    val dirQ = s"$scratch/serve_queries"
+    val e = Tables.load(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val n = e.count()
+    val fanned = e.crossJoin(
+        broadcast((0 until fanout).toDF("rep")))
+      .select(($"vec_id" + $"rep".cast("long") * n).as("vec_id"), $"embedding")
+    fanned.repartition(files).write.mode("overwrite").parquet(dirQ)
+    withSessionConf(spark, Map(
+      "spark.sql.shuffle.partitions" -> statePartitions.toString,
+      "spark.sql.streaming.numRecentProgressUpdates" -> "10000")) {
+      val src = spark.readStream.schema(fanned.schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .parquet(dirQ)
+      val hits = MmrServeStream.serve(src, sfDir, nprobe = nprobe)
+      val hitRows = new java.util.concurrent.atomic.AtomicLong(0L)
+      val served = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val t0 = System.nanoTime()
+      val q = hits.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt_serve")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[MmrHit], _: Long) =>
+          val qids = b.select($"qid").distinct().as[Long].collect()
+          qids.foreach(served.add)
+          hitRows.addAndGet(b.count())
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val inputRows = progs.map(_.numInputRows).sum
+      val durs = progs.flatMap(p => Option(p.durationMs.get("triggerExecution")))
+        .map(_.longValue).sorted
+      Result(
+        inputRows = inputRows,
+        appliedRows = served.size().toLong,
+        emittedRows = hitRows.get(),
+        batches = progs.length,
+        elapsedSec = elapsed,
+        rowsPerSec = if (elapsed > 0) inputRows / elapsed else 0.0,
+        batchMsP50 = if (durs.nonEmpty) durs(durs.length / 2) else 0L,
+        batchMsMax = if (durs.nonEmpty) durs.last else 0L)
+    }
+  }
+
   /** Fixture + run in a scratch dir; returns the result and the op
     * count so callers can sanity-check emitted == ops. */
   def bench(

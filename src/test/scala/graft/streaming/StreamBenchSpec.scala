@@ -61,4 +61,26 @@ class StreamBenchSpec extends SparkSuite {
       ()
     }
   }
+
+  test("serve bench answers every fanned query under admission pacing") {
+    val scratch = Files.createTempDirectory("graft-sbench-serve").toFile.getAbsolutePath
+    try {
+      val r = StreamBench.benchServe(
+        spark, sf0001, scratch, files = 8, fanout = 2, maxFilesPerTrigger = 2)
+      val n = graft.Tables.load(spark, sf0001, "embeddings").count()
+      // every fanned query vector entered exactly once...
+      assert(r.inputRows == n * 2, s"input=${r.inputRows} n=$n")
+      // ...and every one of them was served (distinct qids answered)
+      assert(r.appliedRows == n * 2, s"served=${r.appliedRows}")
+      // 5 MMR steps per served query
+      assert(r.emittedRows == r.appliedRows * 5,
+        s"hits=${r.emittedRows} served=${r.appliedRows}")
+      // 8 files / 2 per trigger → admission actually paced the drain
+      assert(r.batches >= 3, s"batches=${r.batches}")
+      assert(r.rowsPerSec > 0 && r.batchMsP50 > 0)
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
+      ()
+    }
+  }
 }
