@@ -171,8 +171,8 @@ object SparkEntry {
     "vector_cell_profile", "pack_efficiency",
     // round 10: exact DAU/WAU engagement curves + the HLL WAU twin
     "events_active_users", "events_active_users_hll",
-    // round 11: the deterministic Lloyd-round centroid retrain and the
-    // first-fit-decreasing packing twin
-    "vector_ivf_retrain", "pack_ffd"
+    // round 11: the deterministic Lloyd-round centroid retrain, the
+    // first-fit-decreasing packing twin, and the union-schema CDC apply
+    "vector_ivf_retrain", "pack_ffd", "cdc_schema_evolution"
   )
 }

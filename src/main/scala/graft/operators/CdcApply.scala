@@ -113,7 +113,106 @@ object CdcApply {
     """)
   )
 
-  def queries: Seq[Q] = Seq(applyState, timeTravel)
+  /** The union-schema column-wise LWW fold, factored for CdcApplySpec:
+    * over a parsed change frame (user_id, event_id, ts_us, op, k, tag,
+    * meta_src) — per user, EACH FIELD independently takes the value of
+    * the newest change that CARRIES it (`max_by … FILTER (WHERE field
+    * IS NOT NULL)`), so a field the latest op omits retains its older
+    * value (MongoDB partial-update semantics) and a field the user
+    * never sent is an explicit NULL backfill; users whose newest op is
+    * a delete are absent. The clock is (ts_us, event_id) — Spark
+    * orders the struct natively, the oracle packs it into one HUGEINT
+    * (`ts_us·10⁹ + event_id`, exact while event_id < 10⁹). */
+  private[operators] def unionSchemaFold(parsed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    parsed.groupBy(c("user_id")).agg(
+      count(lit(1)).as("n_changes"),
+      sum(when(c("tag").isNotNull, 1L).otherwise(0L)).as("n_with_tag"),
+      expr("max_by(op, struct(ts_us, event_id))").as("last_op"),
+      max(c("ts_us")).as("last_ts_us"),
+      expr("max_by(k, struct(ts_us, event_id)) FILTER (WHERE k IS NOT NULL)").as("k"),
+      expr("max_by(tag, struct(ts_us, event_id)) FILTER (WHERE tag IS NOT NULL)").as("tag"),
+      expr("max_by(meta_src, struct(ts_us, event_id)) FILTER (WHERE meta_src IS NOT NULL)").as("meta_src"))
+      .filter(c("last_op") =!= "d")
+      .select(c("user_id"), c("n_changes"), c("n_with_tag"), c("last_op"),
+        c("last_ts_us"), c("k"), c("tag"), c("meta_src"))
+      .orderBy(c("user_id"))
+  }
+
+  /** SCHEMA-EVOLUTION APPLY (round-10 verdict item 8): materialize
+    * current state from a change log whose payload SCHEMA DRIFTS
+    * mid-stream — the apply side of what `cdc_payload_schema` /
+    * SchemaDriftStream only DETECT. The content-addressed
+    * heterogeneity view gives each change `{"k"}` / +`"tag"` /
+    * +nested `"meta"` by event_id mod 3, so every user's log gains and
+    * loses fields repeatedly; `from_json` parses with the UNION schema
+    * in PERMISSIVE mode (absent fields → null, never an error), and
+    * [[unionSchemaFold]] folds each field to its newest carried value.
+    *
+    * Scale shape: one stateless parse projection (codegen'd from_json
+    * — the union schema is declared once, no schema inference pass),
+    * then ONE user-keyed hash aggregation whose per-field max_by
+    * partials combine map-side; nothing wider than a user's folded row
+    * crosses the shuffle, and no second pass exists for the oracle to
+    * diverge on. */
+  val schemaEvolution: Q = Q(
+    "cdc_schema_evolution",
+    (s, dir) => {
+      import s.implicits._
+      val withP = CdcBatch.withHeterogeneousPayload(
+        Tables.load(s, dir, "events")
+          .select($"event_id", $"event_type", $"user_id", $"ts", $"props"))
+      val parsed = withP.select($"user_id", $"event_id",
+          unix_micros($"ts").as("ts_us"), opCol.as("op"),
+          from_json($"p", org.apache.spark.sql.types.StructType.fromDDL(
+            "k BIGINT, tag STRING, meta STRUCT<src: STRING>")).as("j"))
+        .select($"user_id", $"event_id", $"ts_us", $"op",
+          $"j.k".as("k"), $"j.tag".as("tag"), $"j.meta.src".as("meta_src"))
+      unionSchemaFold(parsed)
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'signup' THEN 'i'
+                    WHEN event_type = 'error' THEN 'd'
+                    ELSE 'u' END AS op,
+               CASE
+                 WHEN event_id % 3 = 1 THEN substring(props, 1, length(props) - 1)
+                   || ', "tag": "t' || CAST(user_id % 4 AS VARCHAR) || '"}'
+                 WHEN event_id % 3 = 2 THEN substring(props, 1, length(props) - 1)
+                   || ', "meta": {"src": "cdc"}}'
+                 ELSE props
+               END AS p
+        FROM events
+      ),
+      j AS (
+        SELECT user_id, event_id, ts_us, op,
+               CAST(json_extract(p, '$.k') AS BIGINT) AS k,
+               json_extract_string(p, '$.tag') AS tag,
+               json_extract_string(p, '$.meta.src') AS meta_src
+        FROM p
+      ),
+      a AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_changes,
+               CAST(SUM(CASE WHEN tag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_tag,
+               max_by(op, ts_us::HUGEINT * 1000000000 + event_id) AS last_op,
+               CAST(MAX(ts_us) AS BIGINT) AS last_ts_us,
+               max_by(k, ts_us::HUGEINT * 1000000000 + event_id)
+                 FILTER (WHERE k IS NOT NULL) AS k,
+               max_by(tag, ts_us::HUGEINT * 1000000000 + event_id)
+                 FILTER (WHERE tag IS NOT NULL) AS tag,
+               max_by(meta_src, ts_us::HUGEINT * 1000000000 + event_id)
+                 FILTER (WHERE meta_src IS NOT NULL) AS meta_src
+        FROM j GROUP BY 1
+      )
+      SELECT user_id, n_changes, n_with_tag, last_op, last_ts_us, k, tag, meta_src
+      FROM a WHERE last_op <> 'd'
+      ORDER BY user_id
+    """)
+  )
+
+  def queries: Seq[Q] = Seq(applyState, timeTravel, schemaEvolution)
 
   /** one live-state record per key. */
   final case class KeyState(

@@ -36,6 +36,39 @@ class CdcApplySpec extends SparkSuite {
     assert(got(3L) == ((7L, "u", 9.0)), "newest-by-(ts,seq) wins")
   }
 
+  test("schema evolution: a field appearing mid-log joins the union state and survives its loss") {
+    val s = spark
+    import s.implicits._
+    // parsed change frame (user_id, event_id, ts_us, op, k, tag, meta_src)
+    val parsed = Seq(
+      // uid 1: tag APPEARS at e2, the payload LOSES it again at e3 —
+      // union-schema fold keeps k from e3 and tag from e2
+      (1L, 1L, 1000L, "i", Some(1L), None: Option[String], None: Option[String]),
+      (1L, 2L, 2000L, "u", Some(2L), Some("a"), None),
+      (1L, 3L, 3000L, "u", Some(3L), None, None),
+      // uid 2: newest op is a delete → absent from state
+      (2L, 4L, 1000L, "i", Some(9L), Some("z"), None),
+      (2L, 5L, 2000L, "d", None, None, None),
+      // uid 3: never sent tag → explicit null backfill; nested meta
+      // appears mid-log and is retained
+      (3L, 6L, 1000L, "i", Some(5L), None, None),
+      (3L, 7L, 2000L, "u", None, None, Some("cdc")),
+      // uid 4: same-ts tie broken by event_id — e9's tag wins
+      (4L, 8L, 1000L, "i", None, Some("old"), None),
+      (4L, 9L, 1000L, "u", None, Some("new"), None)
+    ).toDF("user_id", "event_id", "ts_us", "op", "k", "tag", "meta_src")
+    val got = CdcApply.unionSchemaFold(parsed).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        Option(r.getString(6)), Option(r.getString(7))))).toMap
+    assert(got(1L) == ((3L, 1L, "u", Some(3L), Some("a"), None)),
+      s"mid-log field must survive its later absence: ${got(1L)}")
+    assert(!got.contains(2L), "deleted key must be absent")
+    assert(got(3L) == ((2L, 0L, "u", Some(5L), None, Some("cdc"))),
+      s"never-sent field is a null backfill; nested field retained: ${got(3L)}")
+    assert(got(4L)._5 == Some("new"), "same-ts tie resolves by event_id")
+  }
+
   test("streaming apply-state converges to the batch state on the real fixture") {
     implicit val s = spark
     import s.implicits._
