@@ -714,8 +714,8 @@ object Pipeline {
         .groupBy($"lang")
         .agg(sum(expr("(n_tokens + 511L) div 512L")).as("bins_big"),
           count(lit(1)).as("spanning_ffd"))
-      contig.join(ffdSmall, Seq("lang"), "left")
-        .join(big, Seq("lang"), "left")
+      contig.join(broadcast(ffdSmall), Seq("lang"), "left")
+        .join(broadcast(big), Seq("lang"), "left")
         .na.fill(0L, Seq("bins_small", "bins_big", "spanning_ffd"))
         .select($"lang", $"total_tokens", $"n_bins_contig",
           ($"bins_small" + $"bins_big").as("n_bins_ffd"),

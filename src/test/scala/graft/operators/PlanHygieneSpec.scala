@@ -485,4 +485,31 @@ class PlanHygieneSpec extends SparkSuite {
     assert(p.contains("partial_sum"), "regression moments must partial-aggregate map-side")
   }
 
+  test("vector_ivf_retrain: codebooks broadcast to both scans, argmin folds map-side") {
+    val p = plan("vector_ivf_retrain")
+    // the initial assignment AND the retrained re-assignment each scan
+    // a BROADCAST codebook — the corpus never shuffles for scoring
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      "both codebook scans must be broadcast scans")
+    assert(p.contains("partial_min"),
+      "argmin(score, cell) must partial-aggregate so <=1 row/vector crosses the shuffle")
+  }
+
+  test("pack_ffd: one lang window, per-stream fold is MapGroups, merges broadcast") {
+    val p = plan("pack_ffd")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      "exactly the contiguous layout's one lang-keyed window")
+    assert(p.contains("MapGroups"), "the FFD fold is the per-stream group walk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-lang result merges are lang-sized — must broadcast")
+  }
+
+  test("cdc_schema_evolution: per-field max_by partials combine map-side") {
+    val p = plan("cdc_schema_evolution")
+    assert(p.contains("partial_max_by"),
+      "union-schema fold must partial-aggregate — one folded row per user crosses")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "one keyed agg, no join anywhere")
+  }
+
 }
