@@ -155,21 +155,26 @@ object CdcApply {
     * partials combine map-side; nothing wider than a user's folded row
     * crosses the shuffle, and no second pass exists for the oracle to
     * diverge on. */
+  /** The shared union-schema parse over an events-shaped frame (batch
+    * table or staged stream): heterogeneity view + permissive
+    * `from_json`, emitting BOTH the µs clock (batch fold) and the
+    * Timestamp (streaming watermark tag). */
+  private[graft] def evolutionChanges(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    CdcBatch.withHeterogeneousPayload(
+      df.select(c("event_id"), c("event_type"), c("user_id"), c("ts"), c("props")))
+      .select(c("user_id"), c("event_id"), c("ts"),
+        unix_micros(c("ts")).as("ts_us"), opCol.as("op"),
+        from_json(c("p"), org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, tag STRING, meta STRUCT<src: STRING>")).as("j"))
+      .select(c("user_id"), c("event_id"), c("ts"), c("ts_us"), c("op"),
+        c("j.k").as("k"), c("j.tag").as("tag"), c("j.meta.src").as("meta_src"))
+  }
+
   val schemaEvolution: Q = Q(
     "cdc_schema_evolution",
-    (s, dir) => {
-      import s.implicits._
-      val withP = CdcBatch.withHeterogeneousPayload(
-        Tables.load(s, dir, "events")
-          .select($"event_id", $"event_type", $"user_id", $"ts", $"props"))
-      val parsed = withP.select($"user_id", $"event_id",
-          unix_micros($"ts").as("ts_us"), opCol.as("op"),
-          from_json($"p", org.apache.spark.sql.types.StructType.fromDDL(
-            "k BIGINT, tag STRING, meta STRUCT<src: STRING>")).as("j"))
-        .select($"user_id", $"event_id", $"ts_us", $"op",
-          $"j.k".as("k"), $"j.tag".as("tag"), $"j.meta.src".as("meta_src"))
-      unionSchemaFold(parsed)
-    },
+    (s, dir) => unionSchemaFold(
+      evolutionChanges(Tables.load(s, dir, "events")).drop("ts")),
     Some("""
       WITH p AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
