@@ -652,16 +652,21 @@ object Pipeline {
     * doc_id)) into cap-sized bins, each item into the LOWEST-indexed
     * bin with room, else a fresh bin. O(n·bins); per-group sequential
     * by nature — the oracle's recursive CTE replays it step-for-step. */
-  private[operators] def ffdRemainders(sizes: Iterable[Long], cap: Long): Seq[Long] = {
+  /** first-fit core returning (bin index per item in input order,
+    * remaining capacity per bin in creation order). */
+  private[operators] def ffdPack(sizes: Seq[Long], cap: Long): (Seq[Int], Seq[Long]) = {
     val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
-    sizes.foreach { sz =>
+    val bins = sizes.map { sz =>
       val i = rem.indexWhere(_ >= sz)
-      if (i < 0) rem += cap - sz else rem(i) -= sz
+      if (i < 0) { rem += cap - sz; rem.length - 1 } else { rem(i) -= sz; i }
     }
-    rem.toSeq
+    (bins, rem.toSeq)
   }
 
-  private[operators] def ffdBinCount(sizes: Iterable[Long], cap: Long): Long =
+  private[operators] def ffdRemainders(sizes: Seq[Long], cap: Long): Seq[Long] =
+    ffdPack(sizes, cap)._2
+
+  private[operators] def ffdBinCount(sizes: Seq[Long], cap: Long): Long =
     ffdRemainders(sizes, cap).length.toLong
 
   /** FIRST-FIT-DECREASING packing twin — the comparison
@@ -785,6 +790,108 @@ object Pipeline {
                        // ((COALESCE(bins_small, 0) + COALESCE(bins_big, 0)) * 512) END AS BIGINT) fill_ffd_ppm
       FROM contig c LEFT JOIN done USING (lang) LEFT JOIN big USING (lang)
       ORDER BY lang
+    """)
+  )
+
+  /** The PER-DOCUMENT first-fit-decreasing layout — the assignment
+    * table [[packFfd]]'s summary measures, in dataloader-consumable
+    * form (the FFD counterpart of [[packSequences]]): each in-cap doc's
+    * one bin (`bin_first == bin_last` — FFD never severs what fits),
+    * bins numbered in creation order per language; oversized docs
+    * (> 512) follow as dedicated ceil(n/512)-bin runs in
+    * (tokens DESC, doc_id) order; zero-token docs carry no training
+    * content and are absent (the contiguous layout keeps them only to
+    * preserve offsets).
+    *
+    * Scale shape: the same per-stream `mapGroups` fold as [[packFfd]] —
+    * one pass now also EMITS the assignment instead of just counting
+    * bins (the oracle's recursive CTE carries the chosen bin through
+    * each step); the oversized tail is a per-lang window over the
+    * rare > cap docs only, and the small-bin base offsets join back
+    * broadcast. At 100 TB the fold key is the sharded
+    * [[packSequencesSharded]] (lang, shard) key, exactly as there. */
+  val packFfdLayout: Q = Q(
+    "pack_ffd_layout",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cap = 512L
+      val t = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(TextFns.tokens($"text")).cast("long").as("n_tokens"))
+        .persist()
+      val smallAsg = t.filter($"n_tokens" >= 1L && $"n_tokens" <= cap)
+        .select($"lang", $"doc_id", $"n_tokens").as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (lang, it) =>
+          val docs = it.toArray.sortBy(d => (-d._3, d._2))
+          val bins = ffdPack(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            docs.map(_._3)), cap)._1
+          docs.iterator.zip(bins.iterator).map { case ((_, id, n), b) =>
+            (id, lang, n, b.toLong, b.toLong)
+          }
+        }
+        .toDF("doc_id", "lang", "n_tokens", "bin_first", "bin_last")
+      val bs = smallAsg.groupBy($"lang").agg((max($"bin_first") + 1L).as("bins_small"))
+      val wBig = Window.partitionBy($"lang").orderBy($"n_tokens".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val big = t.filter($"n_tokens" > cap)
+        .withColumn("runs", expr("(n_tokens + 511L) div 512L"))
+        .withColumn("cum_prev", coalesce(sum($"runs").over(wBig), lit(0L)))
+        .join(broadcast(bs), Seq("lang"), "left")
+        .na.fill(0L, Seq("bins_small"))
+        .select($"doc_id", $"lang", $"n_tokens",
+          ($"bins_small" + $"cum_prev").as("bin_first"),
+          ($"bins_small" + $"cum_prev" + $"runs" - 1L).as("bin_last"))
+      smallAsg.union(big).orderBy($"doc_id")
+    },
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+      ),
+      small AS (SELECT lang, doc_id, n_tokens,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) rn
+                FROM t WHERE n_tokens BETWEEN 1 AND 512),
+      nsm AS (SELECT lang, COUNT(*) n FROM small GROUP BY 1),
+      ffd AS (
+        SELECT lang, CAST(0 AS BIGINT) i, CAST([] AS BIGINT[]) rem,
+               CAST(NULL AS BIGINT) doc_id, CAST(NULL AS BIGINT) n_tokens,
+               CAST(NULL AS BIGINT) bin
+        FROM nsm
+        UNION ALL
+        SELECT lang, i + 1,
+               CASE WHEN idx IS NULL OR idx = 0 THEN list_append(rem, 512 - sz)
+                    ELSE list_concat(list_concat(rem[1:CAST(idx AS INT) - 1],
+                                                 [rem[CAST(idx AS INT)] - sz]),
+                                     rem[CAST(idx AS INT) + 1:CAST(len(rem) AS INT)])
+               END,
+               did, sz,
+               CAST(CASE WHEN idx IS NULL OR idx = 0 THEN len(rem)
+                    ELSE idx - 1 END AS BIGINT)
+        FROM (
+          SELECT f.lang, f.i, f.rem, s.n_tokens sz, s.doc_id did,
+                 list_position(list_transform(f.rem, r -> r >= s.n_tokens), true) idx
+          FROM ffd f JOIN small s ON s.lang = f.lang AND s.rn = f.i + 1
+        )
+      ),
+      asgn AS (SELECT lang, doc_id, n_tokens, bin FROM ffd WHERE doc_id IS NOT NULL),
+      bs AS (SELECT lang, MAX(bin) + 1 AS bins_small FROM asgn GROUP BY 1),
+      big0 AS (SELECT lang, doc_id, n_tokens, (n_tokens + 511) // 512 runs,
+                 COALESCE(SUM((n_tokens + 511) // 512) OVER (PARTITION BY lang
+                   ORDER BY n_tokens DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_prev
+               FROM t WHERE n_tokens > 512)
+      SELECT doc_id, lang, n_tokens,
+             CAST(bin AS BIGINT) bin_first, CAST(bin AS BIGINT) bin_last
+      FROM asgn
+      UNION ALL
+      SELECT b.doc_id, b.lang, b.n_tokens,
+             CAST(COALESCE(bs.bins_small, 0) + cum_prev AS BIGINT),
+             CAST(COALESCE(bs.bins_small, 0) + cum_prev + runs - 1 AS BIGINT)
+      FROM big0 b LEFT JOIN bs USING (lang)
+      ORDER BY doc_id
     """)
   )
 
@@ -2378,7 +2485,7 @@ object Pipeline {
 
   def queries: Seq[Q] =
     Seq(splitAssign, filteredTopK, tokenPercentiles, tokenPercentilesBinned, sampleStratified, sampleWeighted,
-      sourceCap, eventOutliers, funnel, packSequences, packEfficiency, packFfd, mixSample, mixUpsample,
+      sourceCap, eventOutliers, funnel, packSequences, packEfficiency, packFfd, packFfdLayout, mixSample, mixUpsample,
       curationE2e,
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, curateOrder, retention, eventsRfm, eventsRfm2Phase,

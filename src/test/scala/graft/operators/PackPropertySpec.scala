@@ -78,4 +78,15 @@ object PackPropertySpec extends Properties("PackLayout") {
       // bin's first item (< cap/2) would have fit the first bin
       Pipeline.ffdRemainders(sizes, Cap).count(_ > Cap / 2) <= 1
     }
+
+  property("ffd: assignment is dense, within-cap, and consistent with remainders") =
+    Prop.forAll(ffdGen) { sizes =>
+      val (bins, rem) = Pipeline.ffdPack(sizes, Cap)
+      val loads = bins.zip(sizes).groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      (sizes.isEmpty || bins.toSet == (0 until rem.length).toSet) &&  // dense ids
+        loads.values.forall(_ <= Cap) &&                              // never overfull
+        rem.zipWithIndex.forall { case (r, b) =>                      // rem = cap - load
+          r == Cap - loads.getOrElse(b, 0L)
+        }
+    }
 }

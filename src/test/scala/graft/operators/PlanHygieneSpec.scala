@@ -504,6 +504,13 @@ class PlanHygieneSpec extends SparkSuite {
       "the per-lang result merges are lang-sized — must broadcast")
   }
 
+  test("pack_ffd_layout: assignment via MapGroups, oversized tail window only over big docs") {
+    val p = plan("pack_ffd_layout")
+    assert(p.contains("MapGroups"), "the assignment fold is the per-stream group walk")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bins_small base offsets are lang-sized — must broadcast back")
+  }
+
   test("cdc_schema_evolution: per-field max_by partials combine map-side") {
     val p = plan("cdc_schema_evolution")
     assert(p.contains("partial_max_by"),
