@@ -63,6 +63,14 @@ object QuorumDedup {
     (st.copy(seen = seen, emitted = st.emitted || fire), fire)
   }
 
+  /** pure timeout-time decision (the reconfiguration re-check): the
+    * retained first copy to emit, if the CURRENT depth — possibly
+    * lower than the one the copies arrived under — is now satisfied
+    * and nothing fired before. QuorumPropertySpec composes this with
+    * [[step]] to prove exactly-once across random depth swaps. */
+  private[streaming] def timeoutFire(st: QuorumState, depth: Int): Option[OplogEntry] =
+    if (!st.emitted && st.seen >= depth) st.pending else None
+
   private def quorumFn(depth: Int)(
       h: Long,
       events: Iterator[OplogEntry],
@@ -76,9 +84,7 @@ object QuorumDedup {
       // first watermark advance past the op's event time, so recovery
       // latency is bounded by the lateness horizon.
       val st = state.getOption.getOrElse(QuorumState(0, emitted = false))
-      val out: Iterator[OplogEntry] =
-        if (!st.emitted && st.seen >= depth) st.pending.iterator
-        else Iterator.empty
+      val out = timeoutFire(st, depth).iterator
       state.remove()
       out
     } else {

@@ -32,4 +32,45 @@ object QuorumPropertySpec extends Properties("QuorumDedup") {
       val expected = copies.zipWithIndex.collect { case (c, k) if c >= depth => k.toLong }
       emitted.sorted == expected.sorted && emitted.distinct.size == emitted.size
     }
+
+  // ---- replica-set reconfiguration (round 11): depth swaps at restart ----
+
+  private def entry(host: String): graft.model.OplogEntry =
+    graft.model.OplogEntry(new java.sql.Timestamp(1700000000000L), 1, 1L,
+      "i", "t.c", None, "{}", None, host)
+
+  private val reconfGen = for {
+    copies <- Gen.choose(0, 6)      // copies arriving under the FIRST depth
+    depth1 <- Gen.choose(1, 5)      // discovery-time depth
+    depth2 <- Gen.choose(1, 5)      // depth at the post-restart timeout
+  } yield (copies, depth1, depth2)
+
+  property("reconfiguration: exactly-once across a depth swap, never a stuck emittable key") =
+    Prop.forAll(reconfGen) { case (copies, depth1, depth2) =>
+      // phase 1: `copies` replica copies arrive under depth1 (the real
+      // per-event path: retain the first copy while below quorum)
+      var st = QuorumDedup.QuorumState(0, emitted = false)
+      var fired = 0
+      (1 to copies).foreach { i =>
+        val e = entry(s"r$i")
+        if (!st.emitted && st.pending.isEmpty) st = st.copy(pending = Some(e))
+        val (next, fire) = QuorumDedup.step(st, depth1)
+        st = next
+        if (fire) fired += 1
+      }
+      if (st.emitted && st.pending.nonEmpty) st = st.copy(pending = None)
+      // restart swaps the depth; the first post-restart watermark
+      // advance fires the timeout with depth2 in scope
+      val late = QuorumDedup.timeoutFire(st, depth2)
+      val total = fired + late.size
+      val wantArrival = copies >= depth1
+      val wantLate = !wantArrival && copies >= depth2
+      val ok = total <= 1 &&
+        (total == 1) == (wantArrival || wantLate) &&
+        // a late emission carries the FIRST-arrived copy
+        late.forall(_.sourceHost == "r1")
+      if (!ok) println(s"[reconf] copies=$copies d1=$depth1 d2=$depth2 " +
+        s"fired=$fired late=${late.size}")
+      ok
+    }
 }
