@@ -41,5 +41,28 @@ class ShardedPipelineSpec extends SparkSuite {
       .reduce(_ unionByName _)
       .select($"data.h").as[Long].collect().sorted.toSeq
     assert(emitted == Seq(10L, 20L), s"got $emitted")
+
+    // ---- topology REDISCOVERY: member h3 leaves s0 → depth 3 → 2 ----
+    // The reference would deadlock h=11 (2 of the old 3 copies) forever
+    // (MongoOplogTailMapper.java:64 captures depth once). Here the
+    // re-parsed descriptor drives the restart, and the quorum state
+    // machine re-checks stuck keys against the NEW depth at their
+    // timeout — discovery (O2) wired directly into recovery.
+    val topology2 = Seq(
+      parseDescriptor("s0/h1:1,h2:2"),        // h3 gone → depth 2
+      parseDescriptor("s1/h4:4,h5:5"))
+    // fresh traffic from the surviving members advances s0's watermark
+    // past the stuck key's timeout (sec 50 − 10 s delay > sec 1)
+    Files.write(Paths.get(s"$root/src/s0/b1.json"), Seq(
+      line(12, "h1", 50), line(12, "h2", 51)
+    ).mkString("\n").getBytes("UTF-8"))
+    val queries2 = ShardedOplogPipeline.run(
+      spark, topology2, sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt")
+    try queries2.foreach(_.processAllAvailable()) finally queries2.foreach(_.stop())
+    val emitted2 = topology2.map(sh => spark.read.json(s"$root/index/${sh.shard}/oplog"))
+      .reduce(_ unionByName _)
+      .select($"data.h").as[Long].collect().sorted.toSeq
+    assert(emitted2 == Seq(10L, 11L, 12L, 20L),
+      s"stuck key must emit under the rediscovered depth: $emitted2")
   }
 }
