@@ -1556,7 +1556,14 @@ object VectorSearch {
     * `assigned` is localCheckpoint'd: it feeds the mean AND the
     * re-assign scan, and lineage truncation keeps CollapseProject from
     * re-inlining the quantization into both consumers. */
-  private[operators] def ivfRetrainProfile(s: SparkSession, assigned: DataFrame): DataFrame = {
+  /** One Lloyd round over `assigned` (vec_id, v, cell): returns the
+    * re-assignment (vec_id, cell) and the retrained codebook
+    * (cell, cvec — integer micro-unit means as exact doubles). Shared
+    * by [[ivfRetrainProfile]] (the balance report) and
+    * [[annIvfRetrained]] (the serve path that SWAPS the retrained
+    * codebook in). */
+  private[operators] def ivfRetrainAssign(
+      s: SparkSession, assigned: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     val eq = assigned.select($"vec_id", $"cell",
       expr("transform(v, x -> CAST(round(1000000 * x) AS BIGINT))").as("vq"))
@@ -1574,7 +1581,13 @@ object VectorSearch {
         dot_product($"cvec2", $"cvec2") - lit(2.0) * dot_product($"vd", $"cvec2"))
       .groupBy($"vec_id").agg(min(struct($"score", $"cell2")).as("b"))
       .select($"vec_id", $"b.cell2".as("cell"))
-    val before = eq.groupBy($"cell").agg(count(lit(1)).as("n_before"))
+    (best2, cents2.select($"cell2".as("cell"), $"cvec2".as("cvec")))
+  }
+
+  private[operators] def ivfRetrainProfile(s: SparkSession, assigned: DataFrame): DataFrame = {
+    import s.implicits._
+    val (best2, _) = ivfRetrainAssign(s, assigned)
+    val before = assigned.groupBy($"cell").agg(count(lit(1)).as("n_before"))
     val after = best2.groupBy($"cell").agg(count(lit(1)).as("n_after"))
     val tot = before.agg(sum($"n_before").as("total"), count(lit(1)).as("n_cells"))
     before.join(after, Seq("cell"), "full_outer")
@@ -1643,8 +1656,88 @@ object VectorSearch {
     """)
   )
 
+  /** ANN SERVE WITH THE RETRAINED CODEBOOK — the swap-in
+    * [[ivfRetrain]]'s scaladoc promises: one Lloyd round's centroids
+    * replace the content-addressed codebook, the corpus re-assigns, and
+    * the SAME probe→candidates→top-k serving shape as [[annIvfFlat]]
+    * answers the 8 fixture queries — the full loop (profile detects →
+    * retrain moves the centroids → serving actually uses them) as one
+    * deterministic, fully-oracled chain. Probe scores against the
+    * exact-integer retrained centroids keep the [[ivfRetrainProfile]]
+    * parity argument; candidate cosines are the raw-double
+    * [[annIvfFlat]] shape (identical fold both engines).
+    *
+    * Scale shape: [[annIvfFlat]]'s serve economics on top of
+    * [[ivfRetrainAssign]]'s one extra broadcast-codebook pass —
+    * nothing new shuffles. */
+  val annIvfRetrained: Q = Q(
+    "vector_ann_ivf_retrained",
+    (s, dir) => {
+      import s.implicits._
+      val e = normed(s, dir)
+      val (as2, cents2) = ivfRetrainAssign(s, ivfFlatAssign(s, dir)._1)
+      val assigned2 = e.join(as2, "vec_id")
+      val q = assigned2.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+      serveCandidates(s, assigned2, probeCells(s, q, cents2, 2), 10)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM n WHERE vec_id < 16),
+      sc AS (SELECT n.vec_id, cell,
+               list_reduce(list_transform(list_zip(cvec, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 - 2.0 * list_reduce(list_transform(list_zip(v, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 AS score
+             FROM n, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                   FROM sc) WHERE rn = 1),
+      vq AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(ROUND(1000000 * CAST(x AS DOUBLE)) AS BIGINT)) q
+             FROM embeddings),
+      xp AS (SELECT a.cell, unnest(q) x, generate_subscripts(q, 1) pos
+             FROM assign a JOIN vq USING (vec_id)),
+      cm AS (SELECT cell, pos, SUM(x) // COUNT(*) m FROM xp GROUP BY 1, 2),
+      c2 AS (SELECT cell, list(CAST(m AS DOUBLE) ORDER BY pos) cvec2 FROM cm GROUP BY 1),
+      vd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) dv FROM vq),
+      sc2 AS (SELECT v.vec_id, c.cell,
+                list_reduce(list_transform(list_zip(cvec2, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
+                  - 2.0 * list_reduce(list_transform(list_zip(dv, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
+                  AS score
+              FROM vd v, c2 c),
+      as2 AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                FROM sc2) WHERE rn = 1),
+      qs AS (SELECT vec_id qid, v qv, nrm qnrm FROM n WHERE vec_id < 8),
+      qsc AS (SELECT qid, qv, qnrm, cell,
+                list_reduce(list_transform(list_zip(cvec2, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
+                  - 2.0 * list_reduce(list_transform(list_zip(qv, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
+                  AS score
+              FROM qs, c2),
+      probes AS (SELECT qid, qv, qnrm, cell FROM (
+                   SELECT qid, qv, qnrm, cell,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score, cell) pr
+                   FROM qsc) WHERE pr <= 2),
+      cand AS (SELECT p.qid, a.vec_id,
+                 list_reduce(list_transform(list_zip(p.qv, n.v), s -> s[1]*s[2]), (x, y) -> x + y)
+                   / (p.qnrm * n.nrm) AS cos
+               FROM probes p JOIN as2 a USING (cell) JOIN n ON n.vec_id = a.vec_id
+               WHERE a.vec_id <> p.qid),
+      r AS (SELECT qid, vec_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
+            FROM cand)
+      SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 10 ORDER BY qid, rn
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
       pqAdc, annIvfPq, knnGraph, pageRank, coreset, recallEval, mmrRerank,
-      matryoshkaEval, centroidDrift, cellProfile, ivfRetrain)
+      matryoshkaEval, centroidDrift, cellProfile, ivfRetrain, annIvfRetrained)
 }
