@@ -70,4 +70,46 @@ class IvfBalanceStreamSpec extends SparkSuite {
       new scala.reflect.io.Directory(scratch.toFile).deleteRecursively()
     }
   }
+
+  test("cell counters survive a restart and keep accumulating") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfbal-resume")
+    java.nio.file.Files.createDirectory(root.resolve("in"))
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[CellLoad]()
+    def start() = {
+      val src = spark.readStream.schema(emb.schema)
+        .parquet(root.resolve("in").toString)
+      IvfBalanceStream.monitor(src, sf0001)
+        .writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[CellLoad], _: Long) =>
+          b.collect().foreach(emitted.add); ()
+        }
+        .start()
+    }
+    try {
+      val h = substring(md5($"vec_id".cast("string")), 1, 1)
+      stage(emb.filter(h < "8"), root.resolve("in"), root, "b0")
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      stage(emb.filter(h >= "8"), root.resolve("in"), root, "b1")
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      import scala.jdk.CollectionConverters._
+      val all = emitted.asScala.toArray
+      // version continuity proves the counters were RESTORED, not reset
+      assert(all.map(_.version).max == 2L, all.map(_.version).distinct.toSeq.toString)
+      val finalCounts = all.filter(_.version == 2L).map(r => r.cell -> r.n).toMap
+      val expected = graft.operators.VectorSearch.cellProfile.run(spark, sf0001)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(finalCounts == expected,
+        s"restored accumulation must equal the batch profile: $finalCounts")
+    } finally {
+      new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+      ()
+    }
+  }
 }
