@@ -150,10 +150,13 @@ object AttributionStream {
     * everything older than wm − 7d, and all but the latest of the
     * touches STRICTLY before wm (every admissible purchase sees all of
     * those, so only the max by (t_us, t_id) can be its last-touch).
-    * Touches AT the watermark survive uncollapsed: an event with ts
-    * equal to the watermark is not late in Spark, so a purchase at
-    * p_us == wmUs with an intermediate event_id may still arrive and
-    * its window tie-breaks on t_id among those boundary touches.
+    * Touches AT the watermark survive uncollapsed — defense-in-depth
+    * for a purchase at p_us == wmUs with an intermediate event_id,
+    * whose window tie-breaks on t_id among boundary touches. (On this
+    * Spark build such a purchase cannot actually arrive after wm
+    * reaches it: EventTimeTimeout's late filter drops rows with event
+    * time ≤ watermark — measured, spec-pinned — but the strict span is
+    * the safe side of that version-dependent predicate.)
     * `touches` is ascending (t_us, t_id); the result stays ascending. */
   private[streaming] def prune(touches: List[TouchRec], wmUs: Long): List[TouchRec] = {
     val (before, atOrAfter) = touches.span(_.t_us < wmUs)
@@ -262,9 +265,14 @@ object AttributionStream {
     val wmMs = state.getCurrentWatermarkMs()
     val wmUs = wmMs * 1000L
     // STRICT ripen: a purchase at exactly the watermark is finalized
-    // only once the watermark moves past it — an event (e.g. a touch
-    // with a smaller event_id at the same microsecond) timestamped AT
-    // the watermark is not late in Spark and may still arrive.
+    // only once the watermark moves past it. Defense-in-depth: on THIS
+    // Spark build, flatMapGroupsWithState under EventTimeTimeout drops
+    // input rows with event time <= watermark (measured empirically —
+    // AttributionWatermarkSpec pins it), so a same-microsecond touch
+    // can in fact never arrive after the watermark reaches the
+    // purchase; the strict comparison guards that version-dependent
+    // late-filter predicate (a `<`-filtering build would deliver such
+    // a touch) at the cost of one watermark advance of latency.
     val (ripe, hold) = pending.partition(_.p_us < wmUs)
     val out = ripe.sortBy(p => (p.p_us, p.p_id))
       .flatMap(p => credit(user, touches, p))

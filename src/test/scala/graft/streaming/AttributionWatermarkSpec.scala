@@ -43,6 +43,54 @@ class AttributionWatermarkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watermark-boundary semantics: strict hold at p_us == wm; boundary rows ARE late-filtered") {
+    // Round-11 empirical pin of the boundary tie the round-10 review
+    // raised. Two facts, both load-bearing:
+    //  1. a purchase at exactly the watermark is HELD (strict ripen
+    //     p_us < wm), finalizing only once the watermark moves past it;
+    //  2. on this Spark build, flatMapGroupsWithState under
+    //     EventTimeTimeout DROPS input rows with event time <= the
+    //     watermark — so a same-microsecond boundary touch never
+    //     reaches the operator, the admitted log excludes it, and the
+    //     finalized credit ('direct' here) IS the batch result over
+    //     the admitted rows. The strict ripen is defense-in-depth for
+    //     a build whose late filter uses `<` instead; this test breaks
+    //     loudly if that predicate ever changes (the touch would then
+    //     be credited and got would read 'click').
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = AttributionStream.attribute(src.toDF(), delay = "1 hour",
+        emitAtWatermark = true)
+      .writeStream.format("memory").queryName("attr_wm_tie")
+      .outputMode("append").start()
+    try {
+      // purchase at minute 600 (id 5); sentinel at 660 puts the
+      // watermark at EXACTLY 600 after this batch
+      src.addData(Ev(1L, at(600), 5L, "purchase", 5.0),
+        Ev(99L, at(660), 9L, "view", 1.0))
+      q.processAllAvailable()
+      // boundary touch (same microsecond, smaller event_id) while
+      // wm == 600; the purchase must still be HELD either way
+      // (strict ripen: 600 < 600 is false)
+      src.addData(Ev(1L, at(600), 3L, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("attr_wm_tie").isEmpty,
+        "purchase at p_us == wm finalized prematurely (inclusive ripen)")
+      // the watermark moves past the purchase → it finalizes
+      src.addData(Ev(99L, at(720), 11L, "view", 1.0))
+      q.processAllAvailable()
+      src.addData(Ev(99L, at(721), 12L, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_wm_tie").collect()
+        .map(r => (r.getLong(1), r.getString(3))).toMap
+      assert(got == Map(5L -> "direct"),
+        s"expected the admitted-log credit (boundary touch late-filtered); " +
+          s"a 'click' here means Spark's late predicate became strict " +
+          s"and the defense-in-depth path is now live: $got")
+    } finally q.stop()
+  }
+
   private def drainAndAggregate(model: org.apache.spark.sql.DataFrame =>
       org.apache.spark.sql.Dataset[PositionCredit], sinkName: String): Set[(String, Long, Long, Long)] = {
     import spark.implicits._
