@@ -765,8 +765,86 @@ object Quality {
     """)
   )
 
+  /** COHORT LTV CURVES: per signup cohort (the user's first signup
+    * day, TZ-free epoch-day integers — the [[graft.operators.Pipeline]]
+    * retention discipline) and post-signup age in days, the cohort's
+    * event revenue, its running cumulative revenue, and the cumulative
+    * LTV per cohort user in exact micro-cents — the
+    * lifetime-value staple every growth warehouse serves beside
+    * [[graft.operators.Pipeline]]'s retention triangle. Pre-signup
+    * events (age < 0) are excluded — they are acquisition-channel
+    * activity, not lifetime value. All integer: cents, epoch days,
+    * truncating micro division.
+    *
+    * Scale shape: one user-keyed agg builds the cohort frame (map-side
+    * combined), one user-keyed join carries the cohort day onto the
+    * log, then everything collapses to the (cohort, age) key space —
+    * bounded by the day span squared, never user- or event-sized; the
+    * cumulative window runs per cohort over that day-sized frame, and
+    * the cohort-size join broadcasts. */
+  val eventsCohortLtv: Q = Q(
+    "events_cohort_ltv",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", expr("unix_micros(ts) div 86400000000L").as("d"),
+          $"event_type", round($"value" * 100).cast("long").as("c"))
+      val cohort = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"d").as("cohort_day"))
+        .persist()   // joined onto the log AND aggregated for sizes
+      val sizes = cohort.groupBy($"cohort_day").agg(count(lit(1)).as("n_users"))
+      val byAge = ev.join(cohort, "user_id")
+        .select($"cohort_day", ($"d" - $"cohort_day").as("age"), $"c")
+        .filter($"age" >= 0L)
+        .groupBy($"cohort_day", $"age")
+        .agg(count(lit(1)).as("n_events"), sum($"c").as("rev_cents"))
+      byAge
+        .withColumn("cum_rev_cents", sum($"rev_cents").over(
+          Window.partitionBy($"cohort_day").orderBy($"age")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(sizes), "cohort_day")
+        .select($"cohort_day", $"age", $"n_users", $"n_events", $"rev_cents",
+          $"cum_rev_cents",
+          expr("(cum_rev_cents * 1000000L) div n_users").as("ltv_micro_cents"))
+        .orderBy($"cohort_day", $"age")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS d, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) c
+        FROM events
+      ),
+      cohort AS (
+        SELECT user_id, MIN(d) AS cohort_day
+        FROM ev WHERE event_type = 'signup' GROUP BY 1
+      ),
+      sizes AS (SELECT cohort_day, COUNT(*) n_users FROM cohort GROUP BY 1),
+      byage AS (
+        SELECT cohort_day, d - cohort_day AS age,
+               COUNT(*) n_events, SUM(c) rev_cents
+        FROM ev JOIN cohort USING (user_id)
+        WHERE d - cohort_day >= 0
+        GROUP BY 1, 2
+      ),
+      cum AS (
+        SELECT cohort_day, age, n_events, rev_cents,
+               SUM(rev_cents) OVER (PARTITION BY cohort_day ORDER BY age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_rev_cents
+        FROM byage
+      )
+      SELECT cohort_day, age, CAST(n_users AS BIGINT) n_users,
+             CAST(n_events AS BIGINT) n_events,
+             CAST(rev_cents AS BIGINT) rev_cents,
+             CAST(cum_rev_cents AS BIGINT) cum_rev_cents,
+             CAST((cum_rev_cents * 1000000) // n_users AS BIGINT) ltv_micro_cents
+      FROM cum JOIN sizes USING (cohort_day)
+      ORDER BY cohort_day, age
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(dqReferential, dqConstraints, dqVolumeDrift, eventsAttribution,
       eventsAttributionPosition, eventsAttributionTimeDecay,
-      eventsAbTest, eventsResample, eventsActiveUsers, eventsActiveUsersHll)
+      eventsAbTest, eventsResample, eventsActiveUsers, eventsActiveUsersHll,
+      eventsCohortLtv)
 }
