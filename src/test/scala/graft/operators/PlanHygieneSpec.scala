@@ -511,6 +511,14 @@ class PlanHygieneSpec extends SparkSuite {
       "the bins_small base offsets are lang-sized — must broadcast back")
   }
 
+  test("events_cohort_ltv: cumulative window is cohort-keyed, sizes broadcast") {
+    val p = plan("events_cohort_ltv")
+    assert(p.contains("windowspecdefinition(cohort_day"),
+      s"the LTV window must partition by cohort, never a global frame: ${p.take(400)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the cohort-size join is day-sized — must broadcast")
+  }
+
   test("cdc_schema_evolution: per-field max_by partials combine map-side") {
     val p = plan("cdc_schema_evolution")
     assert(p.contains("partial_max_by"),
