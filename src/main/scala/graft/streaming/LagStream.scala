@@ -35,6 +35,16 @@ object LagStream {
   /** whole-monitor state: per-member op count + newest op time (µs). */
   case class LagState(members: Map[String, (Long, Long)], version: Long)
 
+  /** pure state merge — count-sum + max-ts per member. A commutative
+    * monoid fold, so partitioning, batch boundaries, and arrival order
+    * can never change the report (LagPropertySpec proves it). */
+  private[streaming] def merge(members: Map[String, (Long, Long)],
+      incs: Iterable[(String, Long, Long)]): Map[String, (Long, Long)] =
+    incs.foldLeft(members) { case (m, (h, n, mx)) =>
+      val (pn, pmx) = m.getOrElse(h, (0L, Long.MinValue))
+      m.updated(h, (pn + n, math.max(pmx, mx)))
+    }
+
   def monitor(ops: Dataset[OplogEntry]): Dataset[LagReport] = {
     val spark = ops.sparkSession
     import spark.implicits._
@@ -53,10 +63,7 @@ object LagStream {
         (_: Int, incs: Iterator[(String, Long, Long)],
             state: GroupState[LagState]) =>
           val prior = state.getOption.getOrElse(LagState(Map.empty, 0L))
-          val members = incs.foldLeft(prior.members) { case (m, (h, n, mx)) =>
-            val (pn, pmx) = m.getOrElse(h, (0L, Long.MinValue))
-            m.updated(h, (pn + n, math.max(pmx, mx)))
-          }
+          val members = merge(prior.members, incs.toSeq)
           val next = LagState(members, prior.version + 1L)
           state.update(next)
           val newest = members.values.map(_._2).max
