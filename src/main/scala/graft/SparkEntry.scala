@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 174 of
-  * 176, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 175 of
+  * 177, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -174,6 +174,6 @@ object SparkEntry {
     // round 11: the deterministic Lloyd-round centroid retrain, the
     // first-fit-decreasing packing twin, and the union-schema CDC apply
     "vector_ivf_retrain", "vector_ann_ivf_retrained", "pack_ffd", "pack_ffd_layout", "cdc_schema_evolution",
-    "events_cohort_ltv"
+    "events_cohort_ltv", "vector_pq_retrain"
   )
 }

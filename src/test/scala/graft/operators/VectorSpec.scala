@@ -322,6 +322,16 @@ class VectorSpec extends SparkSuite {
       s"balance must improve: before ($lb0,$lb1) after ($la0,$la1)")
   }
 
+  test("pq retrain: quantization error strictly shrinks in every subspace") {
+    val rows = VectorSearch.pqRetrain.run(spark, sf0001).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (m, before, after) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      assert(after < before,
+        s"subspace $m: retrained SSE $after must beat the content-addressed $before")
+    }
+  }
+
   test("knnCells `auto` resolves to the oracle-pinned C=16 on the fixtures") {
     // the DuckDB oracles for knn_graph / pagerank / coreset pin C=16;
     // auto = max(16, n/1000) leaves 16 only while n < 17000. If a
