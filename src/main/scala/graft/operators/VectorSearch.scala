@@ -1153,6 +1153,236 @@ object VectorSearch {
     }
   )
 
+  /** ANN SERVE WITH THE RETRAINED CODEBOOK — the swap-in
+    * [[ivfRetrain]]'s scaladoc promises: one Lloyd round's centroids
+    * replace the content-addressed codebook, the corpus re-assigns, and
+    * the SAME probe→candidates→top-k serving shape as [[annIvfFlat]]
+    * answers the 8 fixture queries — the full loop (profile detects →
+    * retrain moves the centroids → serving actually uses them) as one
+    * deterministic, fully-oracled chain. Probe scores against the
+    * exact-integer retrained centroids keep the [[ivfRetrainProfile]]
+    * parity argument; candidate cosines are the raw-double
+    * [[annIvfFlat]] shape (identical fold both engines).
+    *
+    * THE MEASURED LESSON ([[recallEval]] carries this path as
+    * `ivf_retrained`): on the ISOTROPIC fixture the retrained serve's
+    * recall@10 is 212,500 µ vs the content-addressed codebook's
+    * 875,000 µ at the same nprobe=2 — rebalancing cell POPULATIONS
+    * (what the retrain optimizes) scatters true neighbors across more
+    * cells when the data has no cluster structure to find. Retraining
+    * is for load breaches on CLUSTERED drift; the recall row is the
+    * gate a deployment must pass before swapping the codebook in —
+    * which is exactly why the eval exists as a catalog query.
+    *
+    * Scale shape: [[annIvfFlat]]'s serve economics on top of
+    * [[ivfRetrainAssign]]'s one extra broadcast-codebook pass —
+    * nothing new shuffles. */
+  val annIvfRetrained: Q = Q(
+    "vector_ann_ivf_retrained",
+    (s, dir) => {
+      import s.implicits._
+      val e = normed(s, dir)
+      val (as2, cents2) = ivfRetrainAssign(s, ivfFlatAssign(s, dir)._1)
+      val assigned2 = e.join(as2, "vec_id")
+      val q = assigned2.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
+      serveCandidates(s, assigned2, probeCells(s, q, cents2, 2), 10)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM n WHERE vec_id < 16),
+      sc AS (SELECT n.vec_id, cell,
+               list_reduce(list_transform(list_zip(cvec, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 - 2.0 * list_reduce(list_transform(list_zip(v, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 AS score
+             FROM n, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                   FROM sc) WHERE rn = 1),
+      vq AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(ROUND(1000000 * CAST(x AS DOUBLE)) AS BIGINT)) q
+             FROM embeddings),
+      xp AS (SELECT a.cell, unnest(q) x, generate_subscripts(q, 1) pos
+             FROM assign a JOIN vq USING (vec_id)),
+      cm AS (SELECT cell, pos, SUM(x) // COUNT(*) m FROM xp GROUP BY 1, 2),
+      c2 AS (SELECT cell, list(CAST(m AS DOUBLE) ORDER BY pos) cvec2 FROM cm GROUP BY 1),
+      vd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) dv FROM vq),
+      sc2 AS (SELECT v.vec_id, c.cell,
+                list_reduce(list_transform(list_zip(cvec2, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
+                  - 2.0 * list_reduce(list_transform(list_zip(dv, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
+                  AS score
+              FROM vd v, c2 c),
+      as2 AS (SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                FROM sc2) WHERE rn = 1),
+      qs AS (SELECT vec_id qid, v qv, nrm qnrm FROM n WHERE vec_id < 8),
+      qsc AS (SELECT qid, qv, qnrm, cell,
+                list_reduce(list_transform(list_zip(cvec2, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
+                  - 2.0 * list_reduce(list_transform(list_zip(qv, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
+                  AS score
+              FROM qs, c2),
+      probes AS (SELECT qid, qv, qnrm, cell FROM (
+                   SELECT qid, qv, qnrm, cell,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score, cell) pr
+                   FROM qsc) WHERE pr <= 2),
+      cand AS (SELECT p.qid, a.vec_id,
+                 list_reduce(list_transform(list_zip(p.qv, n.v), s -> s[1]*s[2]), (x, y) -> x + y)
+                   / (p.qnrm * n.nrm) AS cos
+               FROM probes p JOIN as2 a USING (cell) JOIN n ON n.vec_id = a.vec_id
+               WHERE a.vec_id <> p.qid),
+      r AS (SELECT qid, vec_id, cos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
+            FROM cand)
+      SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 10 ORDER BY qid, rn
+    """)
+  )
+
+  /** PQ SUB-CODEBOOK RE-TRAIN — [[ivfRetrain]]'s discipline applied to
+    * the product quantizer: per subspace m (8 × 8-dim), the
+    * content-addressed sub-codebook (first-16 subvectors) is
+    * re-estimated as the truncating integer-micro mean of each code's
+    * assigned subvectors, everything re-encodes, and the report is the
+    * per-subspace QUANTIZATION ERROR the retrain exists to shrink —
+    * SSE in exact integer micro² (per-row ≤ 1.2·10¹⁵ in int64, corpus
+    * sums in decimal(38,0)/HUGEINT — the events_outliers 128-bit
+    * contract — then one truncating ÷10⁶ to a reportable BIGINT).
+    * Mean re-estimation cannot raise a fixed assignment's SSE and
+    * re-encoding only lowers it further, so sse_after ≤ sse_before up
+    * to the ±1-micro truncation wobble (VectorSpec asserts strict
+    * improvement on the fixture, every subspace).
+    *
+    * Scale shape: subvector slicing is stateless; both encodes are
+    * broadcast scans of 128-row sub-codebooks folded by per-(vec, m)
+    * min-struct partials; the retrained codebook is a
+    * (m, code, pos)-keyed partial agg over ≤ 8·16·8 groups; the final
+    * report is 8 rows. */
+  val pqRetrain: Q = Q(
+    "vector_pq_retrain",
+    (s, dir) => {
+      import s.implicits._
+      val eq = normed(s, dir).select($"vec_id",
+        expr("transform(v, x -> CAST(round(1000000 * x) AS BIGINT))").as("vq"))
+        .localCheckpoint()   // scanned by both encodes and the codebook build
+      // encode = collected-broadcast mapPartitions kernel, NOT a
+      // relational min(struct): Catalyst plans struct-min as
+      // SortAggregate with the interpreted zip_with distance inlined
+      // into the sort producer — the measured round-9 single-thread
+      // trap pqEncode documents. Arithmetic is exact Long; ties break
+      // to the lower code (ascending scan, strict <) — the oracle's
+      // ORDER BY d, code.
+      def encode(cbByM: Array[Array[(Int, Array[Long])]]): DataFrame = {
+        val bc = s.sparkContext.broadcast(cbByM)
+        eq.select($"vec_id", $"vq").as[(Long, Seq[Long])]
+          .mapPartitions { it =>
+            val cb = bc.value
+            it.flatMap { case (id, vSeq) =>
+              val v = vSeq.toArray
+              (0 until 8).iterator.map { m =>
+                val entries = cb(m)
+                var best = -1
+                var bestD = Long.MaxValue
+                var j = 0
+                while (j < entries.length) {
+                  val c = entries(j)._2
+                  var d = 0L
+                  var i = 0
+                  while (i < 8) { val x = v(m * 8 + i) - c(i); d += x * x; i += 1 }
+                  if (d < bestD) { bestD = d; best = entries(j)._1 }
+                  j += 1
+                }
+                (id, m, best, bestD)
+              }
+            }
+          }.toDF("vec_id", "m", "code", "d")
+      }
+      def collectCb(df: DataFrame): Array[Array[(Int, Array[Long])]] = {
+        val rows = df.select($"m", $"code", $"csv").as[(Int, Int, Seq[Long])]
+          .collect()
+        (0 until 8).map { m =>
+          rows.filter(_._1 == m).sortBy(_._2).map(r => (r._2, r._3.toArray)).toArray
+        }.toArray
+      }
+      val ms = (0 until 8).map(lit(_))
+      val sub = eq.select($"vec_id", explode(array(ms: _*)).as("m"), $"vq")
+        .select($"vec_id", $"m", expr("slice(vq, m * 8 + 1, 8)").as("sv"))
+      val cb0 = collectCb(sub.filter($"vec_id" < 16)
+        .select($"m", $"vec_id".cast("int").as("code"), $"sv".as("csv")))
+      val enc0 = encode(cb0).localCheckpoint()  // feeds the report AND cb1
+      val cb1 = collectCb(enc0.join(sub, Seq("vec_id", "m"))
+        .select($"m", $"code", posexplode($"sv").as(Seq("pos", "x")))
+        .groupBy($"m", $"code", $"pos")
+        .agg(expr("sum(x) div count(1)").as("c"))
+        .groupBy($"m", $"code")
+        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+        .select($"m", $"code", expr("transform(pc, p -> p.c)").as("csv")))
+      val enc1 = encode(cb1)
+      def report(enc: DataFrame, codesName: String, sseName: String) =
+        enc.groupBy($"m").agg(
+          countDistinct($"code").as(codesName),
+          expr("CAST(floor(sum(CAST(d AS DECIMAL(38,0))) / 1000000) AS BIGINT)")
+            .as(sseName))
+      report(enc0, "codes_before", "sse_before")
+        .join(report(enc1, "codes_after", "sse_after"), Seq("m"))
+        .select($"m".cast("long").as("m"), $"codes_before", $"codes_after",
+          $"sse_before", $"sse_after")
+        .orderBy($"m")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(ROUND(1000000 * CAST(x AS DOUBLE)) AS BIGINT)) vq
+                 FROM embeddings),
+      sub AS (SELECT vec_id, m, vq[m * 8 + 1 : m * 8 + 8] AS sv
+              FROM e, range(8) t(m)),
+      cb0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS csv
+              FROM sub WHERE vec_id < 16),
+      enc0 AS (
+        SELECT vec_id, m, code, d FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 list_reduce(list_transform(list_zip(s.sv, c.csv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) d,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(list_zip(s.sv, c.csv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b), c.code) rn
+          FROM sub s JOIN cb0 c USING (m))
+        WHERE rn = 1
+      ),
+      xp AS (SELECT e0.m, e0.code, unnest(s.sv) x, generate_subscripts(s.sv, 1) pos
+             FROM enc0 e0 JOIN sub s ON s.vec_id = e0.vec_id AND s.m = e0.m),
+      cm AS (SELECT m, code, pos, SUM(x) // COUNT(*) c FROM xp GROUP BY 1, 2, 3),
+      cb1 AS (SELECT m, code, list(c ORDER BY pos) AS csv FROM cm GROUP BY 1, 2),
+      enc1 AS (
+        SELECT vec_id, m, code, d FROM (
+          SELECT s.vec_id, s.m, c.code,
+                 list_reduce(list_transform(list_zip(s.sv, c.csv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) d,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                   list_reduce(list_transform(list_zip(s.sv, c.csv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b), c.code) rn
+          FROM sub s JOIN cb1 c USING (m))
+        WHERE rn = 1
+      ),
+      r0 AS (SELECT m, COUNT(DISTINCT code) codes_before,
+               CAST(SUM(CAST(d AS HUGEINT)) // 1000000 AS BIGINT) sse_before
+             FROM enc0 GROUP BY 1),
+      r1 AS (SELECT m, COUNT(DISTINCT code) codes_after,
+               CAST(SUM(CAST(d AS HUGEINT)) // 1000000 AS BIGINT) sse_after
+             FROM enc1 GROUP BY 1)
+      SELECT CAST(m AS BIGINT) m,
+             CAST(codes_before AS BIGINT) codes_before,
+             CAST(codes_after AS BIGINT) codes_after,
+             sse_before, sse_after
+      FROM r0 JOIN r1 USING (m)
+      ORDER BY m
+    """)
+  )
+
+
   /** ANN QUALITY EVALUATION as a first-class operator: recall@10 of
     * each approximate path (IVF-flat, multiprobe LSH) against the
     * exact brute-force answer, per method — "measure, don't guess" as
@@ -1186,8 +1416,8 @@ object VectorSearch {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      Seq("ivf_flat" -> annIvfFlat, "ivfpq" -> annIvfPq,
-          "lsh" -> annLsh, "pq_adc" -> pqAdc)
+      Seq("ivf_flat" -> annIvfFlat, "ivf_retrained" -> annIvfRetrained,
+          "ivfpq" -> annIvfPq, "lsh" -> annLsh, "pq_adc" -> pqAdc)
         .map { case (name, q) =>
           name -> Future(q.run(s, dir).select($"qid", $"vec_id").localCheckpoint())
         }
@@ -1204,6 +1434,7 @@ object VectorSearch {
     Some {
       val methods = Seq(
         "ivf_flat" -> annIvfFlat.oracle.get,
+        "ivf_retrained" -> annIvfRetrained.oracle.get,
         "ivfpq" -> annIvfPq.oracle.get,
         "lsh" -> annLshOracleSql,
         "pq_adc" -> pqAdc.oracle.get)
@@ -1653,225 +1884,6 @@ object VectorSearch {
              CAST((COALESCE(n_after, 0) * n_cells * 100) // total AS BIGINT) load_after_pct
       FROM bf FULL OUTER JOIN af USING (cell), tot
       ORDER BY cell
-    """)
-  )
-
-  /** ANN SERVE WITH THE RETRAINED CODEBOOK — the swap-in
-    * [[ivfRetrain]]'s scaladoc promises: one Lloyd round's centroids
-    * replace the content-addressed codebook, the corpus re-assigns, and
-    * the SAME probe→candidates→top-k serving shape as [[annIvfFlat]]
-    * answers the 8 fixture queries — the full loop (profile detects →
-    * retrain moves the centroids → serving actually uses them) as one
-    * deterministic, fully-oracled chain. Probe scores against the
-    * exact-integer retrained centroids keep the [[ivfRetrainProfile]]
-    * parity argument; candidate cosines are the raw-double
-    * [[annIvfFlat]] shape (identical fold both engines).
-    *
-    * Scale shape: [[annIvfFlat]]'s serve economics on top of
-    * [[ivfRetrainAssign]]'s one extra broadcast-codebook pass —
-    * nothing new shuffles. */
-  val annIvfRetrained: Q = Q(
-    "vector_ann_ivf_retrained",
-    (s, dir) => {
-      import s.implicits._
-      val e = normed(s, dir)
-      val (as2, cents2) = ivfRetrainAssign(s, ivfFlatAssign(s, dir)._1)
-      val assigned2 = e.join(as2, "vec_id")
-      val q = assigned2.filter($"vec_id" < 8)
-        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
-      serveCandidates(s, assigned2, probeCells(s, q, cents2, 2), 10)
-    },
-    Some("""
-      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-                 FROM embeddings),
-      n AS (SELECT vec_id, v,
-              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
-            FROM e),
-      cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM n WHERE vec_id < 16),
-      sc AS (SELECT n.vec_id, cell,
-               list_reduce(list_transform(list_zip(cvec, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
-                 - 2.0 * list_reduce(list_transform(list_zip(v, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
-                 AS score
-             FROM n, cents),
-      assign AS (SELECT vec_id, cell FROM (
-                   SELECT vec_id, cell,
-                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
-                   FROM sc) WHERE rn = 1),
-      vq AS (SELECT vec_id,
-               list_transform(embedding, x -> CAST(ROUND(1000000 * CAST(x AS DOUBLE)) AS BIGINT)) q
-             FROM embeddings),
-      xp AS (SELECT a.cell, unnest(q) x, generate_subscripts(q, 1) pos
-             FROM assign a JOIN vq USING (vec_id)),
-      cm AS (SELECT cell, pos, SUM(x) // COUNT(*) m FROM xp GROUP BY 1, 2),
-      c2 AS (SELECT cell, list(CAST(m AS DOUBLE) ORDER BY pos) cvec2 FROM cm GROUP BY 1),
-      vd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) dv FROM vq),
-      sc2 AS (SELECT v.vec_id, c.cell,
-                list_reduce(list_transform(list_zip(cvec2, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
-                  - 2.0 * list_reduce(list_transform(list_zip(dv, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
-                  AS score
-              FROM vd v, c2 c),
-      as2 AS (SELECT vec_id, cell FROM (
-                SELECT vec_id, cell,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
-                FROM sc2) WHERE rn = 1),
-      qs AS (SELECT vec_id qid, v qv, nrm qnrm FROM n WHERE vec_id < 8),
-      qsc AS (SELECT qid, qv, qnrm, cell,
-                list_reduce(list_transform(list_zip(cvec2, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
-                  - 2.0 * list_reduce(list_transform(list_zip(qv, cvec2), s -> s[1]*s[2]), (x, y) -> x + y)
-                  AS score
-              FROM qs, c2),
-      probes AS (SELECT qid, qv, qnrm, cell FROM (
-                   SELECT qid, qv, qnrm, cell,
-                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score, cell) pr
-                   FROM qsc) WHERE pr <= 2),
-      cand AS (SELECT p.qid, a.vec_id,
-                 list_reduce(list_transform(list_zip(p.qv, n.v), s -> s[1]*s[2]), (x, y) -> x + y)
-                   / (p.qnrm * n.nrm) AS cos
-               FROM probes p JOIN as2 a USING (cell) JOIN n ON n.vec_id = a.vec_id
-               WHERE a.vec_id <> p.qid),
-      r AS (SELECT qid, vec_id, cos,
-              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
-            FROM cand)
-      SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 10 ORDER BY qid, rn
-    """)
-  )
-
-  /** PQ SUB-CODEBOOK RE-TRAIN — [[ivfRetrain]]'s discipline applied to
-    * the product quantizer: per subspace m (8 × 8-dim), the
-    * content-addressed sub-codebook (first-16 subvectors) is
-    * re-estimated as the truncating integer-micro mean of each code's
-    * assigned subvectors, everything re-encodes, and the report is the
-    * per-subspace QUANTIZATION ERROR the retrain exists to shrink —
-    * SSE in exact integer micro² (per-row ≤ 1.2·10¹⁵ in int64, corpus
-    * sums in decimal(38,0)/HUGEINT — the events_outliers 128-bit
-    * contract — then one truncating ÷10⁶ to a reportable BIGINT).
-    * Mean re-estimation cannot raise a fixed assignment's SSE and
-    * re-encoding only lowers it further, so sse_after ≤ sse_before up
-    * to the ±1-micro truncation wobble (VectorSpec asserts strict
-    * improvement on the fixture, every subspace).
-    *
-    * Scale shape: subvector slicing is stateless; both encodes are
-    * broadcast scans of 128-row sub-codebooks folded by per-(vec, m)
-    * min-struct partials; the retrained codebook is a
-    * (m, code, pos)-keyed partial agg over ≤ 8·16·8 groups; the final
-    * report is 8 rows. */
-  val pqRetrain: Q = Q(
-    "vector_pq_retrain",
-    (s, dir) => {
-      import s.implicits._
-      val eq = normed(s, dir).select($"vec_id",
-        expr("transform(v, x -> CAST(round(1000000 * x) AS BIGINT))").as("vq"))
-        .localCheckpoint()   // scanned by both encodes and the codebook build
-      // encode = collected-broadcast mapPartitions kernel, NOT a
-      // relational min(struct): Catalyst plans struct-min as
-      // SortAggregate with the interpreted zip_with distance inlined
-      // into the sort producer — the measured round-9 single-thread
-      // trap pqEncode documents. Arithmetic is exact Long; ties break
-      // to the lower code (ascending scan, strict <) — the oracle's
-      // ORDER BY d, code.
-      def encode(cbByM: Array[Array[(Int, Array[Long])]]): DataFrame = {
-        val bc = s.sparkContext.broadcast(cbByM)
-        eq.select($"vec_id", $"vq").as[(Long, Seq[Long])]
-          .mapPartitions { it =>
-            val cb = bc.value
-            it.flatMap { case (id, vSeq) =>
-              val v = vSeq.toArray
-              (0 until 8).iterator.map { m =>
-                val entries = cb(m)
-                var best = -1
-                var bestD = Long.MaxValue
-                var j = 0
-                while (j < entries.length) {
-                  val c = entries(j)._2
-                  var d = 0L
-                  var i = 0
-                  while (i < 8) { val x = v(m * 8 + i) - c(i); d += x * x; i += 1 }
-                  if (d < bestD) { bestD = d; best = entries(j)._1 }
-                  j += 1
-                }
-                (id, m, best, bestD)
-              }
-            }
-          }.toDF("vec_id", "m", "code", "d")
-      }
-      def collectCb(df: DataFrame): Array[Array[(Int, Array[Long])]] = {
-        val rows = df.select($"m", $"code", $"csv").as[(Int, Int, Seq[Long])]
-          .collect()
-        (0 until 8).map { m =>
-          rows.filter(_._1 == m).sortBy(_._2).map(r => (r._2, r._3.toArray)).toArray
-        }.toArray
-      }
-      val ms = (0 until 8).map(lit(_))
-      val sub = eq.select($"vec_id", explode(array(ms: _*)).as("m"), $"vq")
-        .select($"vec_id", $"m", expr("slice(vq, m * 8 + 1, 8)").as("sv"))
-      val cb0 = collectCb(sub.filter($"vec_id" < 16)
-        .select($"m", $"vec_id".cast("int").as("code"), $"sv".as("csv")))
-      val enc0 = encode(cb0).localCheckpoint()  // feeds the report AND cb1
-      val cb1 = collectCb(enc0.join(sub, Seq("vec_id", "m"))
-        .select($"m", $"code", posexplode($"sv").as(Seq("pos", "x")))
-        .groupBy($"m", $"code", $"pos")
-        .agg(expr("sum(x) div count(1)").as("c"))
-        .groupBy($"m", $"code")
-        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
-        .select($"m", $"code", expr("transform(pc, p -> p.c)").as("csv")))
-      val enc1 = encode(cb1)
-      def report(enc: DataFrame, codesName: String, sseName: String) =
-        enc.groupBy($"m").agg(
-          countDistinct($"code").as(codesName),
-          expr("CAST(floor(sum(CAST(d AS DECIMAL(38,0))) / 1000000) AS BIGINT)")
-            .as(sseName))
-      report(enc0, "codes_before", "sse_before")
-        .join(report(enc1, "codes_after", "sse_after"), Seq("m"))
-        .select($"m".cast("long").as("m"), $"codes_before", $"codes_after",
-          $"sse_before", $"sse_after")
-        .orderBy($"m")
-    },
-    Some("""
-      WITH e AS (SELECT vec_id,
-                   list_transform(embedding, x -> CAST(ROUND(1000000 * CAST(x AS DOUBLE)) AS BIGINT)) vq
-                 FROM embeddings),
-      sub AS (SELECT vec_id, m, vq[m * 8 + 1 : m * 8 + 8] AS sv
-              FROM e, range(8) t(m)),
-      cb0 AS (SELECT m, CAST(vec_id AS INT) AS code, sv AS csv
-              FROM sub WHERE vec_id < 16),
-      enc0 AS (
-        SELECT vec_id, m, code, d FROM (
-          SELECT s.vec_id, s.m, c.code,
-                 list_reduce(list_transform(list_zip(s.sv, c.csv),
-                   p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) d,
-                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-                   list_reduce(list_transform(list_zip(s.sv, c.csv),
-                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b), c.code) rn
-          FROM sub s JOIN cb0 c USING (m))
-        WHERE rn = 1
-      ),
-      xp AS (SELECT e0.m, e0.code, unnest(s.sv) x, generate_subscripts(s.sv, 1) pos
-             FROM enc0 e0 JOIN sub s ON s.vec_id = e0.vec_id AND s.m = e0.m),
-      cm AS (SELECT m, code, pos, SUM(x) // COUNT(*) c FROM xp GROUP BY 1, 2, 3),
-      cb1 AS (SELECT m, code, list(c ORDER BY pos) AS csv FROM cm GROUP BY 1, 2),
-      enc1 AS (
-        SELECT vec_id, m, code, d FROM (
-          SELECT s.vec_id, s.m, c.code,
-                 list_reduce(list_transform(list_zip(s.sv, c.csv),
-                   p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) d,
-                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-                   list_reduce(list_transform(list_zip(s.sv, c.csv),
-                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b), c.code) rn
-          FROM sub s JOIN cb1 c USING (m))
-        WHERE rn = 1
-      ),
-      r0 AS (SELECT m, COUNT(DISTINCT code) codes_before,
-               CAST(SUM(CAST(d AS HUGEINT)) // 1000000 AS BIGINT) sse_before
-             FROM enc0 GROUP BY 1),
-      r1 AS (SELECT m, COUNT(DISTINCT code) codes_after,
-               CAST(SUM(CAST(d AS HUGEINT)) // 1000000 AS BIGINT) sse_after
-             FROM enc1 GROUP BY 1)
-      SELECT CAST(m AS BIGINT) m,
-             CAST(codes_before AS BIGINT) codes_before,
-             CAST(codes_after AS BIGINT) codes_after,
-             sse_before, sse_after
-      FROM r0 JOIN r1 USING (m)
-      ORDER BY m
     """)
   )
 

@@ -431,8 +431,11 @@ class VectorSpec extends SparkSuite {
     }
     val got = VectorSearch.recallEval.run(spark, sf0001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(got.keySet == Set("ivf_flat", "ivfpq", "lsh", "pq_adc"))
-    Seq("ivf_flat" -> VectorSearch.annIvfFlat, "ivfpq" -> VectorSearch.annIvfPq,
+    assert(got.keySet ==
+      Set("ivf_flat", "ivf_retrained", "ivfpq", "lsh", "pq_adc"))
+    Seq("ivf_flat" -> VectorSearch.annIvfFlat,
+      "ivf_retrained" -> VectorSearch.annIvfRetrained,
+      "ivfpq" -> VectorSearch.annIvfPq,
       "lsh" -> VectorSearch.annLsh, "pq_adc" -> VectorSearch.pqAdc)
       .foreach { case (name, q) =>
         val (hits, served) = hitsOf(q)
