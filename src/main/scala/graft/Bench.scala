@@ -5,12 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":...,"value":N,"unit":"sec",...}.
   *
-  * Each query is fully materialized via count(). Three timed runs per
-  * query: the COLD run (first execution: codegen, JIT, parquet footer
-  * reads) and two WARM runs of which the MINIMUM is reported (steady
-  * state — what a long-running cluster job sees; the min filters
-  * transient host-neighbor noise, which on this box inflates a run
-  * 3-5x at random). `queries`/`value` report warm seconds, comparable
+  * Each query is fully materialized via count(). Per query: the COLD
+  * run (first execution: codegen, JIT, parquet footer reads) and N
+  * WARM runs of which the MINIMUM is reported (steady state — what a
+  * long-running cluster job sees; the min filters transient
+  * host-neighbor noise, which on this box inflates a run 3-5x at
+  * random). N defaults to 2 and is raised with `--repeat N` (or
+  * SPARK_GRAFT_REPEAT) when co-tenancy is suspected; every raw warm
+  * value rides along in BENCH_DETAIL under "runs" so two runs of the
+  * same commit can be compared distribution-to-distribution, not
+  * min-to-min. `queries`/`value` report warm seconds, comparable
   * across rounds; the cold numbers ride along under "cold".
   *
   * A query that throws is reported at a loud 9999.0 s in the per-query
@@ -41,6 +45,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // warm-run count: --repeat N beats SPARK_GRAFT_REPEAT beats 2.
+    val repeat = {
+      val fromArgs = args.sliding(2).collectFirst {
+        case Array("--repeat", n) => n.toInt }
+      fromArgs.orElse(sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt))
+        .getOrElse(2).max(1)
+    }
     val spark = GraftSession.builderDefaults(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"), cpus)
       .getOrCreate()
@@ -66,31 +77,35 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    val results: Seq[(String, Double, Double, Boolean)] = SparkEntry.benchQueries.map { name =>
+    val results: Seq[(String, Double, Seq[Double], Boolean)] = SparkEntry.benchQueries.map { name =>
       val (cold, okCold) = timeOne(name)
-      val (warm1, okWarm1) = timeOne(name)
-      val (warm2, okWarm2) = timeOne(name)
-      (name, cold, math.min(warm1, warm2), okCold && okWarm1 && okWarm2)
+      val warms = Seq.fill(repeat)(timeOne(name))
+      (name, cold, warms.map(_._1), okCold && warms.forall(_._2))
     }
 
     def fmt(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
-    val warmQs = fmt(results.map { case (k, _, w, ok) => k -> (if (ok) w else FailedSentinelSec) })
+    val warmQs = fmt(results.map { case (k, _, w, ok) => k -> (if (ok) w.min else FailedSentinelSec) })
     val coldQs = fmt(results.map { case (k, c, _, ok) => k -> (if (ok) c else FailedSentinelSec) })
+    // every raw warm value (min-of-runs audit trail): two same-commit
+    // runs compare distributions instead of single points
+    val runsQs = results.map { case (k, _, w, _) =>
+      "\"" + k + "\":" + w.map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failed = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val nFailed = results.count(!_._4)
     // headline total = passing queries ONLY. Summing the 9999 s failure
     // sentinels made a broken round's total meaningless (r7: 120,076 s)
     // and wrecked round-over-round comparison; failures are reported
     // loudly instead via n_failed / failed / ok:false / exit code 1.
-    val total = results.collect { case (_, _, w, true) => w }.sum
+    val total = results.collect { case (_, _, w, true) => w.min }.sum
     // backward-compatible trend line (round-8 ADVICE): the pre-r8
     // semantics where a failure's 9999 s sentinel rides the total, so a
     // consumer diffing raw values across rounds still sees a broken run
     // as catastrophically slower even if it ignores ok/n_failed/rc
     val totalWithSentinels =
-      results.map { case (_, _, w, ok) => if (ok) w else FailedSentinelSec }.sum
+      results.map { case (_, _, w, ok) => if (ok) w.min else FailedSentinelSec }.sum
 
     // streaming throughput: one metered drain of the CDC chain
     spark.catalog.clearCache()
@@ -149,7 +164,7 @@ object Bench {
 
     val detailPath = "BENCH_DETAIL.json"
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$warmQs,"cold":$coldQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"streaming_serve":$streamingServe,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"repeat":$repeat,"queries":$warmQs,"cold":$coldQs,"runs":$runsQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"streaming_serve":$streamingServe,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }

@@ -2179,7 +2179,10 @@ object Pipeline {
   private[operators] def rfmHistogramBins(perUser0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col => c}
-    val perUser = perUser0.persist()
+    // localCheckpoint, not persist: repeated callers (RfmPropertySpec
+    // drives this ~10x per run) would otherwise accumulate pinned
+    // cache entries; checkpoint blocks are reclaimed with the RDD.
+    val perUser = perUser0.localCheckpoint()
     // histogram cut: key -> bin, computed over the DISTINCT-KEY frame
     def cut(key: String, asc: Boolean, out: String) = {
       val h = perUser.groupBy(c(key).as("k")).agg(count(lit(1)).as("cnt"))

@@ -40,9 +40,11 @@ object IvfBalanceStream {
       breachPct: Long = 200L): Dataset[CellLoad] = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val assigned: Dataset[ProbedQuery] =
-      VectorServeStream.probeWithCorpus(vectors, dir, nprobe = 1)._1
-    val nCells = 16   // the content-addressed codebook's size (ivfFlatAssign)
+    // nCells comes from the collected codebook itself, not a re-stated
+    // dial: if ivfFlatAssign's cell count ever changes, the load factor
+    // and breach rule scale with it instead of silently mis-scaling.
+    val (assigned: Dataset[ProbedQuery], _, nCells: Int) =
+      VectorServeStream.probeWithCorpus(vectors, dir, nprobe = 1)
     assigned
       .mapPartitions { it =>
         // stateless per-partition pre-reduce: <= C tiny rows cross

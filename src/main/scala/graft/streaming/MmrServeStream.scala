@@ -43,7 +43,7 @@ object MmrServeStream {
     val spark = queries.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
-    val (probed, corpus) = VectorServeStream.probeWithCorpus(queries, dir, nprobe)
+    val (probed, corpus, _) = VectorServeStream.probeWithCorpus(queries, dir, nprobe)
     val cand = probed.toDF()
       .join(corpus, Seq("cell"))
       .filter($"vec_id" =!= $"qid")

@@ -313,10 +313,13 @@ object StreamBench {
     import spark.implicits._
     val dirQ = s"$scratch/serve_queries"
     val e = Tables.load(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
-    val n = e.count()
+    // Stride by max(vec_id)+1, not count(): a sparse vec_id domain (max >= n)
+    // would otherwise collide replica qids, pooling their candidates across
+    // the per-query MMR k-window and silently under-reporting served queries.
+    val stride = e.agg(max($"vec_id").cast("long")).as[Long].head() + 1L
     val fanned = e.crossJoin(
         broadcast((0 until fanout).toDF("rep")))
-      .select(($"vec_id" + $"rep".cast("long") * n).as("vec_id"), $"embedding")
+      .select(($"vec_id" + $"rep".cast("long") * stride).as("vec_id"), $"embedding")
     fanned.repartition(files).write.mode("overwrite").parquet(dirQ)
     withSessionConf(spark, Map(
       "spark.sql.shuffle.partitions" -> statePartitions.toString,

@@ -39,7 +39,7 @@ object VectorServeStream {
     * nearest coarse cells (stateless mapPartitions over a collected,
     * driver-sized codebook — same float fold as the batch path). */
   private[streaming] def probeWithCorpus(queries: DataFrame, dir: String,
-      nprobe: Int): (Dataset[ProbedQuery], DataFrame) = {
+      nprobe: Int): (Dataset[ProbedQuery], DataFrame, Int) = {
     val spark = queries.sparkSession
     import spark.implicits._
     val (assigned, cents) = graft.operators.VectorSearch.ivfFlatAssign(spark, dir)
@@ -66,7 +66,10 @@ object VectorServeStream {
             .map { case (_, cell) => ProbedQuery(qid, qv, qnrm, cell) }
         }
       }
-    (probed, corpus)
+    // centArr.length is the authoritative cell count — consumers that
+    // scale by C (the balance monitor's load factor) must derive it here
+    // rather than re-stating the codebook-size dial.
+    (probed, corpus, centArr.length)
   }
 
   def serve(queries: DataFrame, dir: String, k: Int = 10,
@@ -74,7 +77,7 @@ object VectorServeStream {
     val spark = queries.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
-    val (probed, corpus) = probeWithCorpus(queries, dir, nprobe)
+    val (probed, corpus, _) = probeWithCorpus(queries, dir, nprobe)
     val cand = probed.toDF()
       .join(corpus, Seq("cell"))
       .filter($"vec_id" =!= $"qid")
