@@ -174,6 +174,10 @@ object SparkEntry {
     // round 11: the deterministic Lloyd-round centroid retrain, the
     // first-fit-decreasing packing twin, and the union-schema CDC apply
     "vector_ivf_retrain", "vector_ann_ivf_retrained", "pack_ffd", "pack_ffd_layout", "cdc_schema_evolution",
-    "events_cohort_ltv", "vector_pq_retrain"
+    "events_cohort_ltv", "vector_pq_retrain",
+    // round 12: the retrain decision gate (breach AND recall-retained),
+    // the k-round Lloyd iteration, and the streaming cohort-LTV twin's
+    // batch anchor is events_cohort_ltv above
+    "vector_retrain_gate", "vector_ivf_retrain_k"
   )
 }

@@ -1887,9 +1887,186 @@ object VectorSearch {
     """)
   )
 
+  /** MULTI-ROUND LLOYD (k=3): [[ivfRetrain]]'s one exact-integer round
+    * ITERATED, reported per round as (alive cells, max load factor,
+    * SSE) — the convergence trace a retrain job logs to decide when
+    * another round stops paying. Each round recomputes truncating
+    * integer-micro centroid means from the previous assignment and
+    * re-assigns (the [[ivfRetrainAssign]] kernel verbatim, so every
+    * product and partial sum stays an exactly-representable integer
+    * and the whole trace is hash-exact). SSE_r is measured AFTER both
+    * half-steps of round r — the textbook argument (means minimize SSE
+    * for a fixed assignment; re-assignment minimizes it for fixed
+    * centroids) makes the trace non-increasing, up to the ±1-micro
+    * truncation of the integer means; VectorSpec asserts the strict
+    * drop where the fixture moves and exact convergence after it.
+    * The DuckDB oracle unrolls the three rounds as CTE chains (the
+    * `vector_pagerank` discipline).
+    *
+    * Scale shape: per round, one posexplode + (cell,pos)-keyed partial
+    * agg (C·64 groups) + one broadcast-codebook scan — cost is LINEAR
+    * in rounds with no corpus shuffle anywhere (SCALING.md row);
+    * assignments are localCheckpoint'd so round r+1 reads a truncated
+    * lineage, not a growing plan. */
+  val ivfRetrainK: Q = Q(
+    "vector_ivf_retrain_k",
+    (s, dir) => {
+      import s.implicits._
+      val kRounds = 3
+      var assigned = ivfFlatAssign(s, dir)._1
+        .select($"vec_id", $"v", $"cell").localCheckpoint()
+      val base = assigned.select($"vec_id", $"v")
+      val reports = (1 to kRounds).map { r =>
+        val (best, cents) = ivfRetrainAssign(s, assigned)
+        val next = base.join(best, "vec_id").localCheckpoint()
+        // SSE against THIS round's codebook: ||vq − c||² = v·v − 2v·c
+        // + c·c over integer-valued doubles (all partial sums < 2⁵³)
+        val sse = next
+          .withColumn("vqd",
+            expr("transform(v, x -> CAST(CAST(round(1000000 * x) AS BIGINT) AS DOUBLE))"))
+          .join(broadcast(cents), "cell")
+          .select((dot_product($"vqd", $"vqd")
+            - lit(2.0) * dot_product($"vqd", $"cvec")
+            + dot_product($"cvec", $"cvec")).cast("long").as("d2"))
+          .agg(sum($"d2").as("sse"))
+        val per = next.groupBy($"cell").agg(count(lit(1)).as("n"))
+        val rep = per.agg(
+          lit(r.toLong).as("rnd"),
+          count(lit(1)).as("n_alive"),
+          expr("(max(n) * count(1) * 100L) div sum(n)").as("max_load_pct"))
+        assigned = next
+        rep.crossJoin(broadcast(sse))
+      }
+      reports.reduce(_ union _).orderBy($"rnd")
+    },
+    Some {
+      val rounds = (1 to 3).map { r =>
+        val prev = if (r == 1) "assign" else s"as${r - 1}"
+        s"""xp$r AS (SELECT a.cell, unnest(q) x, generate_subscripts(q, 1) pos
+           |        FROM $prev a JOIN vq USING (vec_id)),
+           |cm$r AS (SELECT cell, pos, SUM(x) // COUNT(*) m FROM xp$r GROUP BY 1, 2),
+           |c$r AS (SELECT cell, list(CAST(m AS DOUBLE) ORDER BY pos) cvec FROM cm$r GROUP BY 1),
+           |sc$r AS (SELECT v.vec_id, c.cell,
+           |          list_reduce(list_transform(list_zip(cvec, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+           |            - 2.0 * list_reduce(list_transform(list_zip(dv, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+           |            AS score
+           |        FROM vd v, c$r c),
+           |as$r AS (SELECT vec_id, cell FROM (
+           |          SELECT vec_id, cell,
+           |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+           |          FROM sc$r) WHERE rn = 1),
+           |per$r AS (SELECT cell, COUNT(*) n FROM as$r GROUP BY 1),
+           |rep$r AS (SELECT CAST($r AS BIGINT) rnd,
+           |                 CAST(COUNT(*) AS BIGINT) n_alive,
+           |                 CAST(MAX(n) * COUNT(*) * 100 // SUM(n) AS BIGINT) max_load_pct
+           |          FROM per$r),
+           |sse$r AS (SELECT CAST(SUM(CAST(
+           |            list_reduce(list_transform(list_zip(dv, cvec),
+           |              p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)
+           |            AS BIGINT)) AS BIGINT) sse
+           |          FROM as$r a JOIN vd v USING (vec_id) JOIN c$r c ON c.cell = a.cell)""".stripMargin
+      }.mkString(",\n      ")
+      val union = (1 to 3).map(r =>
+        s"SELECT rnd, n_alive, max_load_pct, sse FROM rep$r, sse$r")
+        .mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a, b) -> a + b)) nrm
+            FROM e),
+      cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM n WHERE vec_id < 16),
+      sc AS (SELECT n.vec_id, cell,
+               list_reduce(list_transform(list_zip(cvec, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 - 2.0 * list_reduce(list_transform(list_zip(v, cvec), s -> s[1]*s[2]), (x, y) -> x + y)
+                 AS score
+             FROM n, cents),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) rn
+                   FROM sc) WHERE rn = 1),
+      vq AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(ROUND(1000000 * CAST(x AS DOUBLE)) AS BIGINT)) q
+             FROM embeddings),
+      vd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) dv FROM vq),
+      $rounds
+      SELECT rnd, n_alive, max_load_pct, sse
+      FROM (
+        $union
+      )
+      ORDER BY rnd
+    """
+    }
+  )
+
+  /** The swap decision itself, factored for the spec: `profile` carries
+    * (cell, load_factor_pct) — [[cellProfile]]'s shape — and `recall`
+    * carries (ann_method, recall_micro) — [[recallEval]]'s. One row:
+    * swap = 1 iff ANY cell breaches `breachPct` AND the retrained
+    * serve path does not LOSE recall vs flat. Both legs ride along so
+    * a NO is attributable (which guard bound). */
+  private[operators] def retrainGateRow(
+      profile: DataFrame, recall: DataFrame, breachPct: Long = 200L): DataFrame = {
+    val p = profile.agg(
+      sum(when(col("load_factor_pct") > breachPct, 1L).otherwise(0L))
+        .as("breached_cells"),
+      max(col("load_factor_pct")).as("max_load_pct"))
+    val r = recall.agg(
+      max(when(col("ann_method") === "ivf_flat", col("recall_micro")))
+        .as("recall_flat_micro"),
+      max(when(col("ann_method") === "ivf_retrained", col("recall_micro")))
+        .as("recall_retrained_micro"))
+    p.crossJoin(broadcast(r)).select(
+      col("breached_cells"), col("max_load_pct"),
+      col("recall_flat_micro"), col("recall_retrained_micro"),
+      when(col("breached_cells") > 0L &&
+           col("recall_retrained_micro") >= col("recall_flat_micro"), 1L)
+        .otherwise(0L).as("swap"))
+  }
+
+  /** RETRAIN DECISION GATE: the round-11 measured lesson
+    * ("retraining DROPS recall on isotropic data — rebalance only on
+    * clustered drift") promoted from prose to ONE oracled decision
+    * row. Composes [[cellProfile]]'s load-factor breach flag with
+    * [[recallEval]]'s retained-vs-flat recall comparison:
+    * `swap` = 1 iff any cell's load factor breaches 200 (2× the
+    * balanced population — the [[graft.streaming.IvfBalanceStream]]
+    * rule) AND the retrained codebook's measured recall@10 is at
+    * least the flat codebook's. On the isotropic fixture BOTH guards
+    * bind (no breach; retrained 212,500µ < flat 875,000µ) so the row
+    * reads swap = 0 — exactly the don't-swap a pipeline should obey;
+    * VectorSpec proves the YES path on the skewed two-blob fixture
+    * where a blob-spanning mega-cell breaches at 393% and the
+    * retrained serve strictly improves recall.
+    *
+    * Scale shape: both inputs are already bounded (the profile is
+    * C rows; the recall comparison is top-k-sized semi-joins); the
+    * gate itself is two single-row aggregates crossed — nothing new
+    * touches the corpus. */
+  val retrainGate: Q = Q(
+    "vector_retrain_gate",
+    (s, dir) => retrainGateRow(cellProfile.run(s, dir), recallEval.run(s, dir)),
+    Some(s"""
+      WITH prof AS (${cellProfile.oracle.get}),
+      rec AS (${recallEval.oracle.get}),
+      p AS (SELECT SUM(CASE WHEN load_factor_pct > 200 THEN 1 ELSE 0 END) breached_cells,
+                   MAX(load_factor_pct) max_load_pct FROM prof),
+      r AS (SELECT MAX(CASE WHEN ann_method = 'ivf_flat' THEN recall_micro END) recall_flat_micro,
+                   MAX(CASE WHEN ann_method = 'ivf_retrained' THEN recall_micro END) recall_retrained_micro
+            FROM rec)
+      SELECT CAST(breached_cells AS BIGINT) breached_cells,
+             CAST(max_load_pct AS BIGINT) max_load_pct,
+             recall_flat_micro, recall_retrained_micro,
+             CAST(CASE WHEN breached_cells > 0
+                        AND recall_retrained_micro >= recall_flat_micro
+                  THEN 1 ELSE 0 END AS BIGINT) swap
+      FROM p, r
+    """)
+  )
+
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
       pqAdc, annIvfPq, knnGraph, pageRank, coreset, recallEval, mmrRerank,
       matryoshkaEval, centroidDrift, cellProfile, ivfRetrain, annIvfRetrained,
-      pqRetrain)
+      pqRetrain, retrainGate, ivfRetrainK)
 }

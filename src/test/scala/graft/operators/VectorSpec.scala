@@ -490,4 +490,102 @@ class VectorSpec extends SparkSuite {
     assert(mmrSet != top5, "MMR never deviated from pure relevance")
   }
 
+  test("k-round Lloyd: SSE strictly improves every round; round 1 = the shipped one-round op") {
+    val rows = VectorSearch.ivfRetrainK.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // no cell dies on the isotropic fixture
+    assert(rows.forall(_._2 == 16L), s"alive cells: ${rows.map(_._2).toSeq}")
+    // Lloyd's objective strictly improves while the assignment moves —
+    // and on this fixture it moves in all three rounds
+    val sses = rows.map(_._4).toSeq
+    assert(sses == sses.sorted.reverse && sses.distinct == sses,
+      s"SSE must strictly decrease: $sses")
+    // round 1 IS vector_ivf_retrain: same after-assignment, so the max
+    // load factor of the k-trace's first row equals the one-round
+    // profile's max load_after_pct
+    val oneRound = VectorSearch.ivfRetrain.run(spark, sf0001).collect()
+      .map(_.getLong(4)).max
+    assert(rows.head._3 == oneRound,
+      s"k-trace round 1 max load ${rows.head._3} vs one-round profile $oneRound")
+  }
+
+  test("retrain gate says NO on the isotropic fixture — both guards bind") {
+    val r = VectorSearch.retrainGate.run(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (breached, flat, retrained, swap) =
+      (row.getLong(0), row.getLong(2), row.getLong(3), row.getLong(4))
+    // no hot cell on isotropic data...
+    assert(breached == 0L, s"isotropic fixture must not breach: $breached cells")
+    // ...AND rebalancing scatters true neighbors (the round-11 measured
+    // lesson) — the recall guard would block the swap even if a cell
+    // breached, which is exactly why the gate carries both legs
+    assert(retrained < flat,
+      s"retrained recall $retrained must trail flat $flat on isotropic data")
+    assert(swap == 0L, "gate must refuse the swap")
+  }
+
+  test("retrain gate says YES on the skewed two-blob fixture") {
+    import spark.implicits._
+    // the ivfRetrainProfile proof fixture widened to FOUR initial
+    // centroids, all inside blob A (0, 0.001, 0.002, 0.003): cell 3
+    // captures A's tail PLUS the whole of blob B — a blob-spanning
+    // mega-cell at load factor 393, the breach cellProfile exists to
+    // catch
+    val a = (0 until 95).map(i => (100L + i, i * 0.001))
+    val b = (0 until 95).map(i => (200L + i, 10.0 + i * 0.001))
+    val pts = a ++ b
+    val cents0 = Seq(0.0, 0.001, 0.002, 0.003)
+    def nearest(x: Double, cs: Seq[Double]): Int =
+      cs.zipWithIndex.minBy { case (c, i) => (math.abs(x - c), i) }._2
+    val assigned = pts.map { case (id, x) =>
+      (id, Seq(x, 0.0, 0.0, 0.0), nearest(x, cents0))
+    }.toDF("vec_id", "v", "cell")
+    val prof = VectorSearch.ivfRetrainProfile(spark, assigned)
+      .select($"cell", $"load_before_pct".as("load_factor_pct"))
+    // serve replay on the driver, nprobe=1 k=10, queries = four
+    // mid-blob-A points whose exact top-10 straddles the cell-0/1/2
+    // singletons: the flat mega-cell misses them, the retrained
+    // assignment (A re-split across cells 0-2, B alone in 3) recovers
+    // all but the two outside the probed cell
+    val byId = pts.toMap
+    val centsAfter = {
+      // integer-micro truncating means per retrained cell, mirroring
+      // ivfRetrainAssign's exact arithmetic
+      val members = pts.groupBy { case (_, x) => nearest(x, cents0) }
+      (0 to 3).map { c =>
+        val q = members(c).map { case (_, x) => math.round(1e6 * x) }
+        (q.sum / q.length) / 1e6
+      }
+    }
+    def recallMicro(cs: Seq[Double], assign: Map[Long, Int]): Long = {
+      val qids = Seq(104L, 105L, 106L, 107L)
+      val perQ = qids.map { q =>
+        val exact = pts.filter(_._1 != q)
+          .sortBy { case (id, x) => (math.abs(x - byId(q)), id) }
+          .take(10).map(_._1).toSet
+        val probe = nearest(byId(q), cs)
+        val cand = assign.collect { case (id, c) if c == probe && id != q => id }.toSet
+        (exact intersect cand).size
+      }
+      1000000L * perQ.sum / (10 * qids.length)
+    }
+    val flatAssign = pts.map { case (id, x) => id -> nearest(x, cents0) }.toMap
+    val retrAssign = pts.map { case (id, x) => id -> nearest(x, centsAfter) }.toMap
+    val flat = recallMicro(cents0, flatAssign)
+    val retrained = recallMicro(centsAfter, retrAssign)
+    info(s"skewed fixture: flat recall $flat, retrained $retrained")
+    assert(retrained > flat,
+      s"retrain must STRICTLY improve recall here: $retrained vs $flat")
+    val recall = Seq(("ivf_flat", flat), ("ivf_retrained", retrained))
+      .toDF("ann_method", "recall_micro")
+    val row = VectorSearch.retrainGateRow(prof, recall).collect().head
+    assert(row.getLong(0) >= 1L, "the mega-cell must breach")
+    assert(row.getLong(1) == 393L,
+      s"mega-cell load factor: got ${row.getLong(1)}, want 187*400/190 = 393")
+    assert(row.getLong(4) == 1L, "gate must approve the swap")
+  }
+
 }
