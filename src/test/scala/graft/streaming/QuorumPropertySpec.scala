@@ -73,4 +73,42 @@ object QuorumPropertySpec extends Properties("QuorumDedup") {
         s"fired=$fired late=${late.size}")
       ok
     }
+
+  // ---- LIVE reconfiguration (round 12): depth swaps BETWEEN copies ----
+
+  private val liveGen = for {
+    n <- Gen.choose(0, 7)
+    depths <- Gen.listOfN(n, Gen.choose(1, 5)) // depth in force at each arrival
+    depthT <- Gen.choose(1, 5)                 // depth at the watermark advance
+  } yield (depths, depthT)
+
+  property("live reconfiguration: exactly-once across random IN-FLIGHT depth swaps") =
+    Prop.forAll(liveGen) { case (depths, depthT) =>
+      // the applyLive path: each arrival decides at ITS carried depth;
+      // the timeout hands the retained copy to the post-stage, which
+      // admits iff seen >= the depth in force at that batch — modeled
+      // here by timeoutFire at depthT (the identical predicate)
+      var st = QuorumDedup.QuorumState(0, emitted = false)
+      var fired = 0
+      depths.zipWithIndex.foreach { case (d, i) =>
+        val e = entry(s"r${i + 1}")
+        if (!st.emitted && st.pending.isEmpty) st = st.copy(pending = Some(e))
+        val (next, fire) = QuorumDedup.step(st, d)
+        st = next
+        if (fire) fired += 1
+      }
+      if (st.emitted && st.pending.nonEmpty) st = st.copy(pending = None)
+      val late = QuorumDedup.timeoutFire(st, depthT)
+      val total = fired + late.size
+      // independent restatement of "emits under the depth in force at
+      // its decision time": arrival i (1-based seen = i+1) satisfies
+      // its own in-force depth, or the final re-check satisfies depthT
+      val arrivalFire = depths.zipWithIndex.exists { case (d, i) => i + 1 >= d }
+      val lateFire = !arrivalFire && depths.length >= depthT
+      val ok = total <= 1 &&
+        (total == 1) == (arrivalFire || lateFire) &&
+        late.forall(_.sourceHost == "r1")
+      if (!ok) println(s"[live] depths=$depths dT=$depthT fired=$fired late=${late.size}")
+      ok
+    }
 }
