@@ -652,14 +652,22 @@ object Pipeline {
     * doc_id)) into cap-sized bins, each item into the LOWEST-indexed
     * bin with room, else a fresh bin. O(n·bins); per-group sequential
     * by nature — the oracle's recursive CTE replays it step-for-step. */
+  /** ONE first-fit placement against open-bin remainders `rem`
+    * (mutated in place; a fresh bin is appended when nothing fits).
+    * Shared verbatim by the batch fold below and the streaming form
+    * ([[graft.streaming.FfdPackStream]]) — stream ≡ batch is
+    * structural, not re-implemented. */
+  private[graft] def ffdPlace(
+      rem: scala.collection.mutable.ArrayBuffer[Long], sz: Long, cap: Long): Int = {
+    val i = rem.indexWhere(_ >= sz)
+    if (i < 0) { rem += cap - sz; rem.length - 1 } else { rem(i) -= sz; i }
+  }
+
   /** first-fit core returning (bin index per item in input order,
     * remaining capacity per bin in creation order). */
   private[operators] def ffdPack(sizes: Seq[Long], cap: Long): (Seq[Int], Seq[Long]) = {
     val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val bins = sizes.map { sz =>
-      val i = rem.indexWhere(_ >= sz)
-      if (i < 0) { rem += cap - sz; rem.length - 1 } else { rem(i) -= sz; i }
-    }
+    val bins = sizes.map(sz => ffdPlace(rem, sz, cap))
     (bins, rem.toSeq)
   }
 
