@@ -820,15 +820,25 @@ object Pipeline {
     * [[packSequencesSharded]] (lang, shard) key, exactly as there. */
   val packFfdLayout: Q = Q(
     "pack_ffd_layout",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val cap = 512L
-      val t = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"lang",
-          size(TextFns.tokens($"text")).cast("long").as("n_tokens"))
-        .persist()
-      val smallAsg = t.filter($"n_tokens" >= 1L && $"n_tokens" <= cap)
+    (s, dir) =>
+      packFfdLayoutFrom(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))),
+    packFfdLayoutOracle
+  )
+
+  /** the layout body over a prepared (doc_id, lang, n_tokens) frame —
+    * split out so the composed ingest→serve chain
+    * ([[graft.streaming.PipelineE2E]]) can replay the batch layout over
+    * the ADMITTED manifest, not just the full documents table. */
+  private[graft] def packFfdLayoutFrom(t0: DataFrame): DataFrame = {
+    val s = t0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = 512L
+    val t = t0.localCheckpoint()   // two consumers: small fold + big tail
+    val smallAsg = t.filter($"n_tokens" >= 1L && $"n_tokens" <= cap)
         .select($"lang", $"doc_id", $"n_tokens").as[(String, Long, Long)]
         .groupByKey(_._1)
         .flatMapGroups { (lang, it) =>
@@ -851,8 +861,12 @@ object Pipeline {
         .select($"doc_id", $"lang", $"n_tokens",
           ($"bins_small" + $"cum_prev").as("bin_first"),
           ($"bins_small" + $"cum_prev" + $"runs" - 1L).as("bin_last"))
-      smallAsg.union(big).orderBy($"doc_id")
-    },
+    smallAsg.union(big).orderBy($"doc_id")
+  }
+
+  // def, not val: referenced by packFfdLayout ABOVE its own definition
+  // point — a val here would still be null during object init
+  private def packFfdLayoutOracle: Option[String] =
     Some("""
       WITH RECURSIVE t AS (
         SELECT doc_id, lang,
@@ -901,7 +915,6 @@ object Pipeline {
       FROM big0 b LEFT JOIN bs USING (lang)
       ORDER BY doc_id
     """)
-  )
 
   /** Mixture-weight downsampling (the pretraining "data mixing" step):
     * each source keeps a configured fraction of its documents —
@@ -1760,10 +1773,17 @@ object Pipeline {
     * integer lexical-diversity rank. Stateless projection — also the
     * per-arrival projection of the STREAMING admission form
     * ([[graft.streaming.TokenBudgetStream]]). */
-  private[graft] def budgetBase(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def budgetBase(s: SparkSession, dir: String): DataFrame =
+    budgetBaseFrom(Tables.load(s, dir, "documents"))
+
+  /** the same spine over any (doc_id, lang, text) frame — the composed
+    * ingest→serve chain ([[graft.streaming.PipelineE2E]]) builds its
+    * admission histogram from the CURATED corpus, not the full table. */
+  private[graft] def budgetBaseFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val toks = TextFns.tokens($"text")
-    Tables.load(s, dir, "documents")
+    docs
       .select($"doc_id", $"lang",
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"))

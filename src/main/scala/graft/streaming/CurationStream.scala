@@ -14,6 +14,16 @@ case class CurationDoc(doc_id: Long, source: String, lang: String,
 case class CurationOut(doc_id: Long, source: String, lang: String,
                        n_tokens: Long, split: String)
 
+/** [[CurationDoc]] with the text carried through — the live-chain
+  * projection ([[CurationStream.curateWithText]]). */
+case class CurationDocT(doc_id: Long, source: String, lang: String,
+                        n_tokens: Long, fp: String, mh: String, text: String)
+
+/** Curated-manifest row CARRYING text — what the live composed chain
+  * hands straight to budget admission (no store re-probe). */
+case class CurationFull(doc_id: Long, source: String, lang: String,
+                        n_tokens: Long, split: String, text: String)
+
 /** The composed STREAMING curation pass: quality gate → watermarked
   * exact content dedup → per-source stateful cap → split assignment,
   * all inside ONE streaming query — the ingest-side form of the batch
@@ -76,9 +86,54 @@ object CurationStream {
     val picked = rows.toSeq.sortBy(d => (d.mh, d.doc_id)).take(room)
     state.update(used + picked.length)
     picked.iterator.map { d =>
-      val h2 = d.mh.substring(0, 2)
-      val split = if (h2 < "cd") "train" else if (h2 < "e6") "val" else "test"
-      CurationOut(d.doc_id, d.source, d.lang, d.n_tokens, split)
+      CurationOut(d.doc_id, d.source, d.lang, d.n_tokens, splitOf(d.mh))
+    }
+  }
+
+  private def splitOf(mh: String): String = {
+    val h2 = mh.substring(0, 2)
+    if (h2 < "cd") "train" else if (h2 < "e6") "val" else "test"
+  }
+
+  /** [[curate]] with the TEXT carried through the manifest — the LIVE
+    * composed chain's form ([[PipelineE2E]]): downstream budget
+    * admission re-ranks from text, and in a fully-live chain the
+    * document store is still being written while the manifest flows,
+    * so a store re-probe (the sequential chain's stream-static join)
+    * would race its own upstream. Carrying text is the standard
+    * hot-path bandwidth trade: pay manifest width, skip a store read —
+    * both shapes ship, a deployment picks per corpus. Same stages,
+    * same state, same semantics as [[curate]]. */
+  def curateWithText(src: DataFrame, cap: Int = 10,
+      delay: String = "1 hour"): Dataset[CurationFull] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val gated = src
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        md5(col("doc_id").cast("string")).as("mh"),
+        col("text"),
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L).as("ets"))
+      .filter(col("n_tokens") >= QualityMinTokens)
+      .withWatermark("ets", delay)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_tokens"), col("fp"), col("mh"), col("text"))
+      .as[CurationDocT]
+    gated.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        capGroupT(cap) _)
+  }
+
+  private def capGroupT(cap: Int)(source: String, rows: Iterator[CurationDocT],
+      state: GroupState[Long]): Iterator[CurationFull] = {
+    val used = state.getOption.getOrElse(0L)
+    val room = math.max(cap - used, 0L).toInt
+    val picked = rows.toSeq.sortBy(d => (d.mh, d.doc_id)).take(room)
+    state.update(used + picked.length)
+    picked.iterator.map { d =>
+      CurationFull(d.doc_id, d.source, d.lang, d.n_tokens, splitOf(d.mh), d.text)
     }
   }
 }

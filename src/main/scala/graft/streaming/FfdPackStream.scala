@@ -61,11 +61,20 @@ object FfdPackStream {
   def pack(src: DataFrame, cap: Long = 512L): Dataset[FfdAssign] = {
     val spark = src.sparkSession
     import spark.implicits._
-    val docs = src
-      .select(col("doc_id"), col("lang"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-      .filter(col("n_tokens") > 0L)
-      .as[FfdDoc]
+    packCounted(
+      src.select(col("doc_id"), col("lang"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0L)
+        .as[FfdDoc],
+      cap)
+  }
+
+  /** the stateful half over an already-counted stream — the composed
+    * chain ([[PipelineE2E]]) feeds the ADMITTED manifest, which carries
+    * `n_tokens`, so re-tokenizing (and re-reading text) would be waste. */
+  def packCounted(docs: Dataset[FfdDoc], cap: Long = 512L): Dataset[FfdAssign] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs.groupByKey(_.lang)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         packGroup(cap) _)

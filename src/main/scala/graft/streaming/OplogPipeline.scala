@@ -76,11 +76,12 @@ object OplogPipeline {
     * Readers list the tree as a partitioned text/json table; `batch`
     * rides along as partition metadata. Pinned by
     * CheckpointResumeSpec's kill-between-write-and-commit case. */
-  def writeIndexBatch(df: DataFrame, indexDir: String, batchId: Long): Unit =
+  def writeIndexBatch(df: DataFrame, indexDir: String, batchId: Long,
+      table: String = "oplog"): Unit =
     indexProjection(df)
       .withColumnRenamed("line", "value")   // the connector's declared schema
       .write.format("graft.sources.IndexSinkProvider")
-      .option("path", s"$indexDir/oplog")
+      .option("path", s"$indexDir/$table")
       .option("epoch", batchId.toString)
       .mode("append").save()
 

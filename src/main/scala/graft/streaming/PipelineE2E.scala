@@ -1,0 +1,441 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.OplogEntry
+import graft.streaming.ShardTopology.ShardSet
+
+/** THE COMPOSED INGEST→SERVE CHAIN — every stage of the engine run as
+  * ONE system, the flagship end-to-end probe the per-stage specs and
+  * benches only exercise in isolation:
+  *
+  *   sharded CDC ingest (O1/O2/O7/O9: per-shard tailable source →
+  *   static filter → replica-quorum dedup → idempotent index sink)
+  *     → APPLY (the oplog index read back as a stream, LWW-folded into
+  *       the materialized document store)
+  *     → STREAMING CURATION (gate → content dedup → per-source cap →
+  *       split, [[CurationStream]])
+  *     → BUDGET ADMISSION (broadcast histogram/cut static side from
+  *       the curated snapshot, stream-static text rehydration,
+  *       [[TokenBudgetStream]])
+  *     → FFD PACKING ([[FfdPackStream]] over the admitted manifest)
+  *     → the packed LAYOUT published through the exactly-once DSv2
+  *       index sink ([[graft.sources.IndexSinkProvider]])
+  *     → VECTOR SERVE (retrieve→MMR re-rank, [[MmrServeStream]] —
+  *       the serving side of the corpus the chain curates).
+  *
+  * Handoffs are DIRECTORIES — the storage layer is the rendezvous,
+  * exactly as deployed (each stage is an independent streaming query
+  * with its own checkpoint, backpressure and restart, the same reason
+  * [[ShardedOplogPipeline]] runs one query per shard). [[run]] drives
+  * the stages to quiescence in topological order and reports per-stage
+  * wall-clock + rows; a live deployment starts the same queries
+  * concurrently and the file sources pick upstream output up as it
+  * lands.
+  *
+  * Exactness: every stateful kernel in the chain sorts its micro-batch
+  * by the batch operator's fold key (doc_id / (mh, doc_id) /
+  * (in-cap, tokens desc, doc_id)), so when a stage drains its input in
+  * one micro-batch — which [[run]]'s stage sequencing guarantees, since
+  * each stage starts after its upstream finished and file sources take
+  * all available files in the first trigger — the streamed output is
+  * ROW-IDENTICAL to the batch twin over the same input
+  * (PipelineE2ESpec pins every terminal table; multi-batch arrival
+  * semantics are each stage's own spec's subject).
+  *
+  * Scale shape at 100 TB: no stage adds a shuffle beyond its own keyed
+  * exchange; the budget static side is histogram-sized (broadcast);
+  * text rehydration probes the document store in place via the curated
+  * manifest (broadcast-ranked, never shuffling the store); the serve
+  * stage scans nprobe/C of the embedding corpus per batch. The chain's
+  * aggregate cost is the SUM of its stages' audited costs — no
+  * composition-only hotspot exists, which is precisely what this probe
+  * demonstrates (SCALING.md "composed chain" rows, 1× vs 20×).
+  */
+object PipelineE2E {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("lang", StringType), StructField("text", StringType)))
+
+  val curatedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("lang", StringType), StructField("n_tokens", LongType),
+    StructField("split", StringType)))
+
+  val admitSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("n_tokens", LongType), StructField("rank_key", LongType),
+    StructField("cum_tokens", LongType)))
+
+  final case class Stage(name: String, seconds: Double, rowsOut: Long)
+
+  /** the two-shard heterogeneous-depth topology every sharded spec
+    * uses: s0 at depth 3, s1 at depth 2. */
+  def defaultTopology: Seq[ShardSet] = Seq(
+    ShardTopology.parseDescriptor("s0/h1:27017,h2:27017,h3:27017"),
+    ShardTopology.parseDescriptor("s1/h4:27017,h5:27017"))
+
+  /** default shard key: doc_id mod #shards. */
+  def shardByDocId(n: Int): org.apache.spark.sql.Column =
+    pmod(col("doc_id"), lit(n)).cast("int")
+
+  /** lang-hash shard key — a collection sharded on language. The LIVE
+    * chain's spec uses it: with each language confined to one shard,
+    * every budget group's rows ride ONE index epoch per wave, so
+    * per-group arrival order survives the shards' independent (and
+    * concurrently-triggering) pipelines. Under doc_id-mod sharding a
+    * group MIXES shards and the apply stage may materialize the two
+    * epochs in separate micro-batches in either order — greedy
+    * admission then legitimately deviates from the batch prefix (the
+    * documented streaming-cap caveat), which is a property of the
+    * SHARD KEY, not of the chain. */
+  def shardByLang(n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("lang")), lit(n.toLong)).cast("int")
+
+  /** Stage 0 (fixture): a documents frame rendered as the CLUSTER'S
+    * OPLOGS — each doc an insert op, present once per replica member of
+    * its shard, ts a synthetic clock off doc_id. Returns the op-line
+    * count (docs × their shard's depth). */
+  private def opsFrame(spark: SparkSession, docs: DataFrame,
+      topology: Seq[ShardSet], shardKey: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    val memberDf = broadcast(
+      topology.zipWithIndex.flatMap { case (sh, i) =>
+        sh.members.map(m => (i, sh.shard, m.host))
+      }.toDF("sidx", "shard", "sourceHost"))
+    docs
+      .withColumn("sidx", shardKey)
+      .join(memberDf, "sidx")
+      .select(
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L).as("ts"),
+        lit(1).as("tsInc"),
+        col("doc_id").as("h"),
+        lit("i").as("op"),
+        lit("graft.documents").as("ns"),
+        to_json(struct(col("doc_id").as("_id"), col("doc_id"),
+          col("source"), col("lang"), col("text"))).as("o"),
+        lit(null).cast("string").as("o2"),
+        col("sourceHost"), col("shard"))
+  }
+
+  def writeOplogFixture(spark: SparkSession, docs: DataFrame, root: String,
+      topology: Seq[ShardSet], filesPerShard: Int = 2): Long = {
+    val ops = opsFrame(spark, docs, topology,
+      shardByDocId(topology.size)).localCheckpoint()
+    topology.foreach { sh =>
+      ops.filter(col("shard") === sh.shard).drop("shard")
+        .repartition(filesPerShard)
+        .write.mode("overwrite").json(s"$root/src/${sh.shard}")
+    }
+    ops.count()
+  }
+
+  /** Live-mode wave writer: one more tranche of oplog traffic ADDED to
+    * already-tailed source dirs (a tailable source can't be
+    * overwritten under its reader) — rendered to scratch, part files
+    * moved in under wave-unique names. */
+  def writeOplogWave(spark: SparkSession, docs: DataFrame, root: String,
+      topology: Seq[ShardSet], wave: String,
+      shardKey: Option[org.apache.spark.sql.Column] = None): Long = {
+    val ops = opsFrame(spark, docs, topology,
+      shardKey.getOrElse(shardByDocId(topology.size))).localCheckpoint()
+    topology.foreach { sh =>
+      val scratch = java.nio.file.Files.createTempDirectory(s"graft-wave-$wave")
+      val tmp = scratch.resolve("out")
+      ops.filter(col("shard") === sh.shard).drop("shard")
+        .coalesce(1).write.json(tmp.toString)
+      val dst = java.nio.file.Paths.get(s"$root/src/${sh.shard}")
+      java.nio.file.Files.createDirectories(dst)
+      tmp.toFile.listFiles.filter(_.getName.endsWith(".json"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath, dst.resolve(s"$wave-$i.json"))
+        }
+      new scala.reflect.io.Directory(scratch.toFile).deleteRecursively()
+    }
+    ops.count()
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Stage 1: per-shard ingest pipelines (filter → quorum dedup at the
+    * shard's own depth → index sink), drained to quiescence. */
+  def runIngest(spark: SparkSession, topology: Seq[ShardSet], root: String,
+      watermark: String = "10 seconds"): Unit = {
+    val qs = ShardedOplogPipeline.run(spark, topology,
+      sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt/ingest", watermark)
+    try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+  }
+
+  /** Stage 2: the oplog INDEX read back as a json-lines stream (the
+    * storage-layer union of all shards — O9 at the handoff), LWW-folded
+    * into the materialized document store. */
+  def runApply(spark: SparkSession, root: String,
+      watermark: String = "10 seconds"): Unit = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val lineSchema = StructType(Seq(StructField("data", OplogEntry.schema)))
+    val ops = spark.readStream.schema(lineSchema)
+      .json(s"$root/index/*/oplog/batch=*")
+      .select("data.*").as[OplogEntry]
+    val q = OplogApply.currentState(ops, watermark)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt/apply")
+      .foreachBatch(writeDocsBatch(root) _)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** materialized-store publish, the index sink's epoch discipline:
+    * each micro-batch STAGES its complete parquet output under `_tmp/`
+    * and takes `batch=<id>` with ONE directory rename — a concurrent
+    * lister (the curation stage tails this store live) sees a whole
+    * epoch or none of it, never a partial (Spark's own commit moves
+    * part files one at a time — a partial listing would split a
+    * downstream group's rows across micro-batches out of fold order,
+    * observed as a rare live-chain admission flake); a replayed batch
+    * REPLACES its own possibly-partial epoch instead of appending
+    * duplicates. Readers glob `docs/batch=*`. Residual window, stated
+    * honestly: a replay rewrites identical content under fresh part
+    * names, so a downstream that consumed the first attempt BEFORE the
+    * crash would re-read the epoch — closing that too is what the full
+    * [[graft.sources.IndexSinkProvider]] protocol is for (the layout
+    * terminal uses it). */
+  private def writeDocsBatch(root: String)(
+      b: Dataset[OplogApply.DocState], batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get(s"$root/docs/_tmp/batch=$batchId-${java.util.UUID.randomUUID()}")
+    b.filter(col("op") =!= "d")
+      .select(from_json(col("doc"), docSchema).as("d")).select("d.*")
+      .write.mode("overwrite").parquet(stage.toString)
+    val target = Paths.get(s"$root/docs/batch=$batchId")
+    if (Files.exists(target))
+      new scala.reflect.io.Directory(target.toFile).deleteRecursively()
+    Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** the materialized document store, both read shapes. */
+  def docsGlob(root: String): String = s"$root/docs/batch=*"
+
+  /** Stage 3: streaming curation over the materialized store. */
+  def runCuration(spark: SparkSession, root: String, cap: Int): Unit = {
+    val src = spark.readStream.schema(docSchema).parquet(docsGlob(root))
+    val q = CurationStream.curate(src, cap = cap)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt/curate")
+      .format("parquet").option("path", s"$root/curated")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Stage 4: budget admission — histogram/cut static side computed in
+    * batch from the CURATED snapshot (the "previous corpus snapshot" of
+    * the deployed form), arriving manifest rows rehydrated with text
+    * from the document store by a stream-static join. */
+  def runBudget(spark: SparkSession, root: String, budget: Long): Unit = {
+    val docsStatic = spark.read.schema(docSchema).parquet(docsGlob(root))
+      .select(col("doc_id"), col("text"))
+    val curatedStatic = spark.read.schema(curatedSchema).parquet(s"$root/curated")
+    val base = graft.operators.Pipeline.budgetBaseFrom(
+        curatedStatic.select(col("doc_id"), col("lang")).join(docsStatic, "doc_id"))
+      .localCheckpoint()   // two consumers: histogram and cut table
+    val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, budget)
+    val src = spark.readStream.schema(curatedSchema).parquet(s"$root/curated")
+      .select(col("doc_id"), col("lang"))
+      .join(docsStatic, "doc_id")
+    val q = TokenBudgetStream.admit(src, hist, cuts)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt/budget")
+      .format("parquet").option("path", s"$root/admitted")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Stage 5: FFD packing over the admitted manifest (already counted —
+    * no re-tokenize, no text re-read), the per-doc layout published
+    * through the exactly-once DSv2 index sink. */
+  def runPack(spark: SparkSession, root: String, binCap: Long = 512L): Unit = {
+    import spark.implicits._
+    val admitted = spark.readStream.schema(admitSchema).parquet(s"$root/admitted")
+      .select(col("doc_id"), col("lang"), col("n_tokens")).as[FfdDoc]
+    val q = FfdPackStream.packCounted(admitted, binCap)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt/pack")
+      .foreachBatch { (b: Dataset[FfdAssign], batchId: Long) =>
+        OplogPipeline.writeIndexBatch(b.toDF(), s"$root/layout", batchId, "ffd")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Stage 6: the serving side — arriving query vectors answered
+    * retrieve→MMR against the embedding corpus. Queries are the staged
+    * `vec_id < 8` set (the batch `vector_mmr_rerank` query set, so the
+    * spec can pin stream ≡ batch). */
+  def runServe(spark: SparkSession, root: String, vecDir: String,
+      nprobe: Int): Unit = {
+    spark.read.parquet(s"$vecDir/embeddings.parquet")
+      .filter(col("vec_id") < 8).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/queries")
+    val stream = graft.Tables.loadStream(
+      spark, s"$root/queries", "embeddings", s"$vecDir/embeddings.parquet")
+    val q = MmrServeStream.serve(stream, vecDir, nprobe = nprobe)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt/serve")
+      .format("parquet").option("path", s"$root/served")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  // -------------------------------------------------------------------
+  // LIVE mode: all stages up CONCURRENTLY, data cascading through the
+  // directory handoffs as it lands.
+  // -------------------------------------------------------------------
+
+  val curatedFullSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("lang", StringType), StructField("n_tokens", LongType),
+    StructField("split", StringType), StructField("text", StringType)))
+
+  /** handle over the concurrently-running stage queries, in topological
+    * order. One [[drain]] pass flushes everything currently published
+    * end to end (each stage fully drains before its consumer is asked
+    * to), so `drop files → drain() → read terminals` measures the
+    * chain's FRESHNESS — op landed to doc packed. */
+  final case class LiveChain(queries: Seq[org.apache.spark.sql.streaming.StreamingQuery]) {
+    def drain(): Unit = queries.foreach(_.processAllAvailable())
+    def stop(): Unit = queries.reverse.foreach(_.stop())
+  }
+
+  /** Start EVERY stage as a live concurrent query — the deployment
+    * shape the sequential [[run]] drains one stage at a time. Two
+    * differences from the sequential chain, both deployment-true:
+    *
+    *  - curation carries TEXT through the manifest
+    *    ([[CurationStream.curateWithText]]): in a fully-live chain the
+    *    document store is still being written while the manifest
+    *    flows, so the sequential form's stream-static store re-probe
+    *    would race its own upstream. Carrying text is the standard
+    *    hot-path bandwidth trade; both shapes ship.
+    *  - the admission histogram/cuts are PARAMETERS (computed in batch
+    *    from the previous corpus snapshot, exactly as deployed) rather
+    *    than derived mid-run from the not-yet-final curated corpus.
+    *
+    * Restart-safe: every stage checkpoints under `$root/ckpt/...`, so
+    * calling startLive again on the same root resumes all stages —
+    * PipelineE2ELiveSpec kills and restarts the WHOLE chain between
+    * waves and the terminal tables still come out exact (per-stage
+    * exactly-once composes: checkpointed state + file-source path
+    * tracking + the sink-metadata handoff + idempotent epoch publish). */
+  def startLive(spark: SparkSession, root: String,
+      hist: DataFrame, cuts: DataFrame,
+      cap: Int = 18, binCap: Long = 512L,
+      topology: Seq[ShardSet] = defaultTopology,
+      watermark: String = "10 seconds",
+      applyLateness: String = "1 hour",
+      curationDelay: String = "1 hour"): LiveChain = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    // pre-create the handoff dirs so every file source can resolve its
+    // path before its upstream has published anything (the index glob
+    // needs one epoch-shaped dir to match; an empty one is harmless —
+    // a real epoch 0 commit REPLACES it wholesale)
+    topology.foreach { sh =>
+      new java.io.File(s"$root/index/${sh.shard}/oplog/batch=0").mkdirs()
+      new java.io.File(s"$root/src/${sh.shard}").mkdirs()
+    }
+    Seq("docs/batch=0", "curated", "admitted").foreach(d => new java.io.File(s"$root/$d").mkdirs())
+
+    val ingest = ShardedOplogPipeline.run(spark, topology,
+      sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt/ingest", watermark)
+
+    val lineSchema = StructType(Seq(StructField("data", OplogEntry.schema)))
+    // applyLateness, NOT the per-shard ingest watermark: the apply
+    // stage UNIONS every shard's epochs into one query, and an
+    // event-time-stateful operator drops input at/below its watermark
+    // (empirically pinned, AttributionWatermarkSpec) — so its horizon
+    // must cover CROSS-PUBLISHER skew: one shard's epoch can land a
+    // full publication cycle of event time behind another's (observed
+    // live: the second shard's whole wave arriving "late" under a 10 s
+    // horizon and silently vanishing from the store). Per-shard
+    // quorum queries don't have this problem; the union stage does.
+    val apply = OplogApply.currentState(
+        spark.readStream.schema(lineSchema)
+          .json(s"$root/index/*/oplog/batch=*")
+          .select("data.*").as[OplogEntry],
+        applyLateness)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt/apply")
+      .foreachBatch(writeDocsBatch(root) _)
+      .start()
+
+    val curate = CurationStream.curateWithText(
+        spark.readStream.schema(docSchema).parquet(docsGlob(root)),
+        cap = cap, delay = curationDelay)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt/curate")
+      .format("parquet").option("path", s"$root/curated")
+      .start()
+
+    val budget = TokenBudgetStream.admit(
+        spark.readStream.schema(curatedFullSchema).parquet(s"$root/curated")
+          .select(col("doc_id"), col("lang"), col("text")),
+        hist, cuts)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt/budget")
+      .format("parquet").option("path", s"$root/admitted")
+      .start()
+
+    val pack = FfdPackStream.packCounted(
+        spark.readStream.schema(admitSchema).parquet(s"$root/admitted")
+          .select(col("doc_id"), col("lang"), col("n_tokens")).as[FfdDoc],
+        binCap)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt/pack")
+      .foreachBatch { (b: Dataset[FfdAssign], batchId: Long) =>
+        OplogPipeline.writeIndexBatch(b.toDF(), s"$root/layout", batchId, "ffd")
+        ()
+      }
+      .start()
+
+    LiveChain(ingest ++ Seq(apply, curate, budget, pack))
+  }
+
+  /** The whole chain, stage-timed. `docs` is the corpus entering CDC;
+    * `vecDir` the sf directory whose embeddings the serve stage answers
+    * against. Row counts are read back AFTER each stage's clock stops,
+    * so timings are pure stage wall-clock. */
+  def run(spark: SparkSession, docs: DataFrame, root: String, vecDir: String,
+      cap: Int = 18, budget: Long = 2000L, nprobe: Int = 16,
+      topology: Seq[ShardSet] = defaultTopology): Seq[Stage] = {
+    val stages = Seq.newBuilder[Stage]
+    val (nOps, tFix) = timed(writeOplogFixture(spark, docs, root, topology))
+    stages += Stage("fixture", tFix, nOps)
+    val (_, tIngest) = timed(runIngest(spark, topology, root))
+    stages += Stage("ingest", tIngest,
+      topology.map(sh => spark.read.json(s"$root/index/${sh.shard}/oplog").count()).sum)
+    val (_, tApply) = timed(runApply(spark, root))
+    stages += Stage("apply", tApply,
+      spark.read.schema(docSchema).parquet(docsGlob(root)).count())
+    val (_, tCur) = timed(runCuration(spark, root, cap))
+    stages += Stage("curate", tCur,
+      spark.read.schema(curatedSchema).parquet(s"$root/curated").count())
+    val (_, tBud) = timed(runBudget(spark, root, budget))
+    stages += Stage("budget", tBud,
+      spark.read.schema(admitSchema).parquet(s"$root/admitted").count())
+    val (_, tPack) = timed(runPack(spark, root))
+    stages += Stage("pack", tPack,
+      spark.read.json(s"$root/layout/ffd").count())
+    val (_, tServe) = timed(runServe(spark, root, vecDir, nprobe))
+    stages += Stage("serve", tServe,
+      spark.read.parquet(s"$root/served").count())
+    stages.result()
+  }
+}

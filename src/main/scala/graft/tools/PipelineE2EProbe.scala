@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.PipelineE2E
+
+/** SCALING probe for the composed ingest→serve chain ([[PipelineE2E]]):
+  * runs the WHOLE system — sharded CDC ingest → apply → curation →
+  * budget admission → FFD layout → index publish → vector serve — at
+  * 1× and R× the sf corpus and prints one JSON line per run with
+  * per-stage seconds + rows and the end-to-end docs/s. The question it
+  * answers for SCALING.md: does composing the audited stages introduce
+  * any super-linear term the per-stage probes can't see? (Expected: no —
+  * each handoff is a directory, each stage's cost is its own audited
+  * cost.)
+  *
+  * Replication keeps text content DISTINCT per replica (a trailing
+  * ` rN` marker) so the curation dedup stage doesn't collapse the
+  * scale-up corpus back to 1×; caps and budget scale with R so every
+  * stage keeps a proportional survivor stream.
+  *
+  * Usage: `runMain graft.tools.PipelineE2EProbe [live] [reps...]`
+  * (default `1 20`), sf dir from SPARK_GRAFT_SF_DIR (default sf0.001).
+  * `live` switches to the concurrent-chain FRESHNESS measurement:
+  * all stages up, one burst wave, clock = wave-landed → all-packed.
+  */
+object PipelineE2EProbe {
+
+  private def replicate(docs: DataFrame, k: Int): DataFrame =
+    if (k == 1) docs
+    else {
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      docs.select(col("doc_id"), col("source"), col("lang"), col("text"),
+          explode(sequence(lit(0), lit(k - 1))).as("rep"))
+        .select((col("doc_id") + col("rep") * stride).as("doc_id"),
+          col("source"), col("lang"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" r"), col("rep"))).as("text"))
+    }
+
+  /** LIVE freshness run for one replication factor: every stage up
+    * concurrently, the whole corpus dropped as ONE oplog wave, and the
+    * clock measures wave-landed → everything-packed (the end-to-end
+    * freshness a live deployment cares about, vs the sequential mode's
+    * per-stage drain cost). */
+  private def liveOnce(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, root: String, budget: Long): (Double, Long, Long) = {
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val horizon = s"${maxId + 60L} seconds"   // covers cross-publisher skew
+    val gated = docs.filter(
+      size(graft.functions.TextFns.tokens(col("text"))) >= graft.streaming.CurationStream.QualityMinTokens)
+    val base = graft.operators.Pipeline.budgetBaseFrom(
+      gated.select(col("doc_id"), col("lang"), col("text"))).localCheckpoint()
+    val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, budget)
+    val chain = PipelineE2E.startLive(spark, root,
+      hist.localCheckpoint(), cuts.localCheckpoint(),
+      cap = Int.MaxValue / 2,
+      applyLateness = horizon, curationDelay = horizon)
+    try {
+      PipelineE2E.writeOplogWave(spark, docs, root, PipelineE2E.defaultTopology,
+        "w1", shardKey = Some(PipelineE2E.shardByLang(2)))
+      val t0 = System.nanoTime()
+      chain.drain()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val admitted = spark.read.schema(PipelineE2E.admitSchema)
+        .parquet(s"$root/admitted").count()
+      val packed = spark.read.json(s"$root/layout/ffd").count()
+      (sec, admitted, packed)
+    } finally chain.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val live = args.headOption.contains("live")
+    val repArgs = if (live) args.drop(1) else args
+    val reps = if (repArgs.nonEmpty) repArgs.map(_.toInt).toSeq else Seq(1, 20)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = graft.GraftSession.local()
+    try {
+      val base = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      if (live) {
+        reps.foreach { k =>
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft-e2e-live-x$k").toFile.getAbsolutePath
+          try {
+            val docs = replicate(base, k).localCheckpoint()
+            val n = docs.count()
+            val (sec, admitted, packed) = liveOnce(spark, docs, root, 2000L * k)
+            println(s"""{"probe":"pipeline_e2e_live","rep":$k,"docs":$n,""" +
+              s""""freshness_sec":${f"$sec%.2f"},"docs_per_sec":${f"${n / sec}%.1f"},""" +
+              s""""admitted":$admitted,"packed":$packed}""")
+          } finally {
+            new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+          }
+        }
+      } else reps.foreach { k =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-e2e-x$k").toFile.getAbsolutePath
+        try {
+          val docs = replicate(base, k).localCheckpoint()
+          val n = docs.count()
+          val stages = PipelineE2E.run(spark, docs, root, sfDir,
+            cap = 18 * k, budget = 2000L * k, nprobe = 2)
+          val total = stages.map(_.seconds).sum
+          val chain = stages.filter(_.name != "fixture").map(_.seconds).sum
+          val detail = stages.map(s =>
+            s""""${s.name}":{"sec":${f"${s.seconds}%.2f"},"rows":${s.rowsOut}}""").mkString(",")
+          println(s"""{"probe":"pipeline_e2e","rep":$k,"docs":$n,""" +
+            s""""chain_sec":${f"$chain%.2f"},"total_sec":${f"$total%.2f"},""" +
+            s""""docs_per_sec":${f"${n / chain}%.1f"},$detail}""")
+        } finally {
+          new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+        }
+      }
+    } finally spark.stop()
+  }
+}
