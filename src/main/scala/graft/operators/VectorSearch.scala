@@ -1401,36 +1401,45 @@ object VectorSearch {
     * economics. At production scale the exact side comes from a held-
     * out query sample, which is exactly the fixture's shape (8 probe
     * queries). */
+  /** the eval body over an explicit member list — each member's
+    * recall row is independent (hits vs the same exact frame), so a
+    * SUBSET computes values identical to the full eval's rows for
+    * those members; [[retrainGate]] uses this to price only the two
+    * methods its decision reads instead of re-running all five. */
+  private def recallEvalMembers(s: SparkSession, dir: String,
+      members: Seq[(String, Q)]): DataFrame = {
+    import s.implicits._
+    val exact = topK.run(s, dir).select($"qid", $"vec_id").localCheckpoint()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    // the searches are independent jobs — submit them CONCURRENTLY
+    // (Spark schedules jobs from multiple threads onto the same
+    // executors); they serialized on their localCheckpoint barriers
+    // before, ~4 s of pure queueing at fixture scale. The result is
+    // order-fixed by the method sequence, so the union is
+    // deterministic regardless of completion order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    members
+      .map { case (name, q) =>
+        name -> Future(q.run(s, dir).select($"qid", $"vec_id").localCheckpoint())
+      }
+      .map { case (name, f) =>
+        val approx = Await.result(f, Duration.Inf)
+        val served = approx.agg(count(lit(1)).as("served"))
+        val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        hits.crossJoin(served).crossJoin(nExact)
+          .select(lit(name).as("ann_method"), $"hits", $"served",
+            expr("(1000000 * hits) div n_exact").as("recall_micro"))
+      }.reduce(_ union _).orderBy($"ann_method")
+  }
+
   val recallEval: Q = Q(
     "vector_recall_eval",
-    (s, dir) => {
-      import s.implicits._
-      val exact = topK.run(s, dir).select($"qid", $"vec_id").localCheckpoint()
-      val nExact = exact.agg(count(lit(1)).as("n_exact"))
-      // the four searches are independent jobs — submit them
-      // CONCURRENTLY (Spark schedules jobs from multiple threads onto
-      // the same executors); they serialized on their localCheckpoint
-      // barriers before, ~4 s of pure queueing at fixture scale. The
-      // result is order-fixed by the method sequence, so the union is
-      // deterministic regardless of completion order.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+    (s, dir) => recallEvalMembers(s, dir,
       Seq("ivf_flat" -> annIvfFlat, "ivf_retrained" -> annIvfRetrained,
-          "ivfpq" -> annIvfPq, "lsh" -> annLsh, "pq_adc" -> pqAdc)
-        .map { case (name, q) =>
-          name -> Future(q.run(s, dir).select($"qid", $"vec_id").localCheckpoint())
-        }
-        .map { case (name, f) =>
-          val approx = Await.result(f, Duration.Inf)
-          val served = approx.agg(count(lit(1)).as("served"))
-          val hits = approx.join(exact, Seq("qid", "vec_id"), "left_semi")
-            .agg(count(lit(1)).as("hits"))
-          hits.crossJoin(served).crossJoin(nExact)
-            .select(lit(name).as("ann_method"), $"hits", $"served",
-              expr("(1000000 * hits) div n_exact").as("recall_micro"))
-        }.reduce(_ union _).orderBy($"ann_method")
-    },
+          "ivfpq" -> annIvfPq, "lsh" -> annLsh, "pq_adc" -> pqAdc)),
     Some {
       val methods = Seq(
         "ivf_flat" -> annIvfFlat.oracle.get,
@@ -2045,7 +2054,11 @@ object VectorSearch {
     * touches the corpus. */
   val retrainGate: Q = Q(
     "vector_retrain_gate",
-    (s, dir) => retrainGateRow(cellProfile.run(s, dir), recallEval.run(s, dir)),
+    (s, dir) => retrainGateRow(cellProfile.run(s, dir),
+      // only the two methods the decision reads — a member subset's
+      // rows are identical to the full eval's (independent per member)
+      recallEvalMembers(s, dir,
+        Seq("ivf_flat" -> annIvfFlat, "ivf_retrained" -> annIvfRetrained))),
     Some(s"""
       WITH prof AS (${cellProfile.oracle.get}),
       rec AS (${recallEval.oracle.get}),
