@@ -29,7 +29,7 @@ object Dedup {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
   /** MinHash sketch width (64 hashes = 16 bands × 4 rows). */
-  private val MinHashK = 64
+  private[graft] val MinHashK = 64
   private val MinHashSeeds: Array[Long] =
     Array.tabulate(MinHashK)(i => 0x9e3779b97f4a7c15L * (i + 1))
 
@@ -55,7 +55,7 @@ object Dedup {
     * Must shingle exactly like [[TextFns.shingleSet]] (space-tokenize,
     * drop empties, space-join 3-grams) so candidate verification and
     * the exact oracle agree on the underlying sets. */
-  private def sketchText(text: String): Option[Array[Long]] = {
+  private[graft] def sketchText(text: String): Option[Array[Long]] = {
     if (text == null) return None   // match string_split(NULL) row-drop
     val toks = text.split(' ').filter(_.nonEmpty)
     if (toks.length < 3) return None
