@@ -146,6 +146,16 @@ object Bench {
         System.err.println(s"[bench] serve streaming failed: $e")
         """{"queries_per_sec":0.0,"streaming_failed":true}"""
       }
+    // the ingest-side near-dup admission gate: documents/s through
+    // sketch → band explode → bucket-state rendezvous → verdict fold
+    val streamingNearDup =
+      try {
+        val r = graft.streaming.StreamBench.benchNearDup(spark, sfDir, scratch)
+        f"""{"docs_per_sec":${r.rowsPerSec}%.0f,"input_docs":${r.inputRows},"flagged_docs":${r.appliedRows},"band_rows":${r.emittedRows},"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"state_partitions":8}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] neardup streaming failed: $e")
+        """{"docs_per_sec":0.0,"streaming_failed":true}"""
+      }
     scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
 
     // Full detail (cold per-query + both streaming result objects) goes to a
@@ -159,12 +169,13 @@ object Bench {
     }
     val streamingFailed = streaming.contains("streaming_failed") ||
       streamingConn.contains("streaming_failed") ||
-      streamingServe.contains("streaming_failed")
+      streamingServe.contains("streaming_failed") ||
+      streamingNearDup.contains("streaming_failed")
     val allOk = nFailed == 0 && !streamingFailed
 
     val detailPath = "BENCH_DETAIL.json"
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"repeat":$repeat,"queries":$warmQs,"cold":$coldQs,"runs":$runsQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"streaming_serve":$streamingServe,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"repeat":$repeat,"queries":$warmQs,"cold":$coldQs,"runs":$runsQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"streaming_serve":$streamingServe,"streaming_neardup":$streamingNearDup,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -179,8 +190,12 @@ object Bench {
       val m = """"queries_per_sec":([0-9.]+)""".r.findFirstMatchIn(json)
       m.map(_.group(1)).getOrElse("0.0")
     }
+    def dps(json: String): String = {
+      val m = """"docs_per_sec":([0-9.]+)""".r.findFirstMatchIn(json)
+      m.map(_.group(1)).getOrElse("0.0")
+    }
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$qs,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"serve_queries_per_sec":${qps(streamingServe)},"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$qs,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"serve_queries_per_sec":${qps(streamingServe)},"neardup_docs_per_sec":${dps(streamingNearDup)},"detail":"$detailPath","sf":"$sfDir"}"""
     val full = line(warmQs)
     println(if (full.length <= 1600) full else line("{}"))
     spark.stop()

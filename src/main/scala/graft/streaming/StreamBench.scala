@@ -360,6 +360,66 @@ object StreamBench {
     }
   }
 
+  /** NEAR-DUP ADMISSION meter: the live MinHash-LSH gate
+    * ([[NearDupStream.flag]]) fed the sf documents corpus as a paced
+    * file stream — the ingest-side dedup axis beside the CDC chain and
+    * the serve path. Reported: documents/s over the drain (sketch +
+    * band explode + bucket-state rendezvous + per-batch verdict fold
+    * all inside the meter), flagged count (the corpus's real near-dup
+    * mass — sanity: > 0, planted pairs exist at every sf), and batch
+    * latency percentiles. `statePartitions` sizes the (band, band-hash)
+    * keyed exchange — the same dial the CDC meter sweeps. */
+  def benchNearDup(
+      spark: SparkSession,
+      sfDir: String,
+      scratch: String,
+      files: Int = 16,
+      maxFilesPerTrigger: Int = 4,
+      statePartitions: Int = 8): Result = {
+    import spark.implicits._
+    val dirD = s"$scratch/neardup_docs"
+    val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
+    docs.repartition(files).write.mode("overwrite").parquet(dirD)
+    withSessionConf(spark, Map(
+      "spark.sql.shuffle.partitions" -> statePartitions.toString,
+      "spark.sql.streaming.numRecentProgressUpdates" -> "10000")) {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .parquet(dirD)
+      val flagged = new java.util.concurrent.atomic.AtomicLong(0L)
+      val bandRows = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val q = NearDupStream.flag(src)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt_neardup")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[NearDupBand], _: Long) =>
+          val v = NearDupStream.fold(b.toDF()).cache()
+          flagged.addAndGet(v.filter(col("dup_of").isNotNull).count())
+          bandRows.addAndGet(b.count())
+          v.unpersist()
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val inputRows = progs.map(_.numInputRows).sum
+      val durs = progs.flatMap(p => Option(p.durationMs.get("triggerExecution")))
+        .map(_.longValue).sorted
+      Result(
+        inputRows = inputRows,
+        appliedRows = flagged.get(),
+        emittedRows = bandRows.get(),
+        batches = progs.length,
+        elapsedSec = elapsed,
+        rowsPerSec = if (elapsed > 0) inputRows / elapsed else 0.0,
+        batchMsP50 = if (durs.nonEmpty) durs(durs.length / 2) else 0L,
+        batchMsMax = if (durs.nonEmpty) durs.last else 0L)
+    }
+  }
+
   /** Fixture + run in a scratch dir; returns the result and the op
     * count so callers can sanity-check emitted == ops. */
   def bench(

@@ -83,4 +83,27 @@ class StreamBenchSpec extends SparkSuite {
       ()
     }
   }
+
+  test("near-dup gate bench sketches every doc and flags the planted mass") {
+    val scratch = Files.createTempDirectory("graft-sbench-neardup").toFile.getAbsolutePath
+    try {
+      val r = StreamBench.benchNearDup(
+        spark, sf0001, scratch, files = 8, maxFilesPerTrigger = 2)
+      val n = graft.Tables.load(spark, sf0001, "documents").count()
+      // every document entered exactly once
+      assert(r.inputRows == n, s"input=${r.inputRows} n=$n")
+      // sketchable docs emit 16 band rows each (short/null docs drop)
+      assert(r.emittedRows > 0 && r.emittedRows % 16 == 0 &&
+        r.emittedRows <= n * 16, s"band_rows=${r.emittedRows}")
+      // the corpus's planted near-dups get flagged, but not everything
+      assert(r.appliedRows > 0 && r.appliedRows < n,
+        s"flagged=${r.appliedRows} of $n")
+      // 8 files / 2 per trigger → admission actually paced the drain
+      assert(r.batches >= 3, s"batches=${r.batches}")
+      assert(r.rowsPerSec > 0 && r.batchMsP50 > 0)
+    } finally {
+      scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
+      ()
+    }
+  }
 }
