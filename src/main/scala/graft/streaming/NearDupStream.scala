@@ -142,4 +142,83 @@ object NearDupStream {
     bandRows.groupBy(col("doc_id")).agg(
       min(col("dup_of")).as("dup_of"),
       max(col("sim64")).as("sim64"))
+
+  // -------------------------------------------------------------------
+  // Bounded-state form: idle buckets expire.
+  // -------------------------------------------------------------------
+
+  case class BandArrivalT(doc_id: Long, b: Int, bh: Long, mh: Seq[Long],
+                          ets: java.sql.Timestamp)
+
+  /** [[flag]] with BOUNDED state — the 100 TB dial made real instead
+    * of prose: a bucket that receives no arrival for `ttl` of EVENT
+    * time is dropped whole (event-time timeout, armed per bucket at
+    * `max(watermark, batch max ets) + ttl`), so state holds only the
+    * buckets touched inside the sliding ttl window — the deployment
+    * trade stated plainly: a near-dup arriving AFTER its class has
+    * been idle past the horizon re-claims fresh buckets and is
+    * ADMITTED (dedup recall bounded by the horizon, exactly like the
+    * batch incremental family bounds it by the persisted index's
+    * vintage). Within the horizon, verdicts are identical to
+    * [[flag]]'s. `src` carries (doc_id, text, ets); `delay` is the
+    * ordinary lateness watermark. */
+  def flagExpiring(src: DataFrame, ttlMs: Long,
+      delay: String = "10 seconds",
+      tau64: Int = DefaultTau64): Dataset[NearDupBand] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val sigs = src.select(col("doc_id"), col("text"), col("ets"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, text, ets) =>
+        graft.operators.Dedup.sketchText(text).map(mh => (id, mh.toSeq, ets))
+      })
+      .toDF("doc_id", "mh", "ets")
+      .withWatermark("ets", delay)
+    val bandStructs = (0 until 16).map { b =>
+      struct(lit(b).as("b"),
+        xxhash64(element_at(col("mh"), 4 * b + 1), element_at(col("mh"), 4 * b + 2),
+          element_at(col("mh"), 4 * b + 3), element_at(col("mh"), 4 * b + 4)).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), col("mh"), col("ets"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"),
+        col("mh"), col("ets"))
+      .as[BandArrivalT]
+      .groupByKey(r => (r.b, r.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        expiringGroup(tau64, ttlMs) _)
+  }
+
+  private def expiringGroup(tau64: Int, ttlMs: Long)(key: (Int, Long),
+      rows: Iterator[BandArrivalT],
+      state: GroupState[BucketState]): Iterator[NearDupBand] = {
+    if (state.hasTimedOut) {
+      // idle past the horizon: the bucket's claimants age out whole —
+      // nothing to emit, the next arrival re-claims fresh
+      state.remove()
+      Iterator.empty
+    } else {
+      var claimants = state.getOption.map(_.claimants).getOrElse(Seq.empty)
+      val out = Seq.newBuilder[NearDupBand]
+      var maxEts = Long.MinValue
+      rows.toSeq.sortBy(_.doc_id).foreach { a =>
+        maxEts = math.max(maxEts, a.ets.getTime)
+        claimants.find(c => sim64(c.sig, a.mh) >= tau64) match {
+          case Some(c) =>
+            out += NearDupBand(a.doc_id, a.b, Some(c.id), sim64(c.sig, a.mh))
+          case None =>
+            val best =
+              if (claimants.isEmpty) 0
+              else claimants.iterator.map(c => sim64(c.sig, a.mh)).max
+            claimants = claimants :+ Claimant(a.doc_id, a.mh)
+            out += NearDupBand(a.doc_id, a.b, None, best)
+        }
+      }
+      state.update(BucketState(claimants))
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(wm, maxEts) + ttlMs)
+      out.result().iterator
+    }
+  }
 }

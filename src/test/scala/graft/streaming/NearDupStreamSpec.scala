@@ -143,4 +143,77 @@ class NearDupStreamSpec extends SparkSuite {
       rm(root.toFile)
     }
   }
+
+  test("bounded state: idle buckets expire, fresh claims still gate") {
+    import spark.implicits._
+    // class A = identical text (est-sim 64); docs 50/51 unrelated
+    // traffic that advances the watermark past A's bucket deadlines
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words about spark catalyst optimizer internals"
+    // clock offset off epoch: under EventTimeTimeout this build drops
+    // rows at ts <= watermark, and the initial watermark IS the epoch
+    // (AttributionWatermarkSpec's pin) — an ets of 0 s would vanish
+    def wave(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("doc_id", "text", "s")
+        .select($"doc_id", $"text",
+          timestamp_seconds($"s" + 86400L).as("ets"))
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup-ttl")
+    java.nio.file.Files.createDirectory(root.resolve("in"))
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = root.resolve(s"scr-$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, root.resolve(s"in/$name.parquet"))
+      ()
+    }
+    val schema = wave(Seq((0L, a, 0L))).schema
+    def drive(ttlMs: Option[Long], ckpt: String): Map[Long, Option[Long]] = {
+      val verdicts = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long])]()
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(root.resolve("in").toString)
+      val flagged = ttlMs match {
+        case Some(t) => NearDupStream.flagExpiring(src, t)
+        case None    => NearDupStream.flag(src.drop("ets"))
+      }
+      val q = flagged.writeStream
+        .option("checkpointLocation", root.resolve(ckpt).toString)
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[NearDupBand], _: Long) =>
+          NearDupStream.fold(b.toDF())
+            .as[(Long, Option[Long], Int)].collect()
+            .foreach(r => verdicts.add((r._1, r._2)))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      verdicts.toArray(Array.empty[(Long, Option[Long])]).toMap
+    }
+    try {
+      // one file per trigger, in name order: b1 claims, b2 advances the
+      // watermark, b3 fires the timeouts, b4 re-tests the class
+      addFile(wave(Seq((1L, a, 0L), (2L, a, 10L))), "b1")
+      addFile(wave(Seq((50L, other, 2000L))), "b2")
+      addFile(wave(Seq((51L, other + " more", 2005L))), "b3")
+      addFile(wave(Seq((3L, a, 2100L), (4L, a, 2110L))), "b4")
+
+      val ttl = drive(ttlMs = Some(600000L), "ckpt_ttl")
+      assert(ttl(2L).contains(1L), s"in-horizon dup not flagged: ${ttl.get(2L)}")
+      // the expiry trade, stated by the scaladoc: class A idle past the
+      // horizon → doc 3 is ADMITTED and re-claims
+      assert(ttl(3L).isEmpty, s"doc 3 should be admitted after expiry: ${ttl.get(3L)}")
+      // ...and the fresh claim gates again within the same batch
+      assert(ttl(4L).contains(3L), s"post-expiry claim did not gate: ${ttl.get(4L)}")
+
+      // contrast: the unbounded gate flags doc 3 against the original claimant
+      val unbounded = drive(ttlMs = None, "ckpt_unbounded")
+      assert(unbounded(3L).contains(1L),
+        s"unbounded gate should remember doc 1: ${unbounded.get(3L)}")
+      assert(unbounded(4L).contains(1L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
 }
