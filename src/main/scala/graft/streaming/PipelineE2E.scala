@@ -340,7 +340,8 @@ object PipelineE2E {
       topology: Seq[ShardSet] = defaultTopology,
       watermark: String = "10 seconds",
       applyLateness: String = "1 hour",
-      curationDelay: String = "1 hour"): LiveChain = {
+      curationDelay: String = "1 hour",
+      nearDup: Boolean = false): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     // pre-create the handoff dirs so every file source can resolve its
@@ -352,6 +353,7 @@ object PipelineE2E {
       new java.io.File(s"$root/src/${sh.shard}").mkdirs()
     }
     Seq("docs/batch=0", "curated", "admitted").foreach(d => new java.io.File(s"$root/$d").mkdirs())
+    if (nearDup) new java.io.File(s"$root/dedup/neardup/batch=0").mkdirs()
 
     val ingest = ShardedOplogPipeline.run(spark, topology,
       sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt/ingest", watermark)
@@ -384,10 +386,45 @@ object PipelineE2E {
       .format("parquet").option("path", s"$root/curated")
       .start()
 
-    val budget = TokenBudgetStream.admit(
+    // OPTIONAL near-dup admission between curation and budget
+    // ([[NearDupStream]]): the gate's stateful kernel sees (doc_id,
+    // text) band rows; the per-batch verdict fold semi-joins the
+    // SURVIVORS back against the curated store (rows are durable —
+    // file-sink metadata commits before the gate's source lists them)
+    // and publishes them through the exactly-once index-sink epoch
+    // discipline, so a foreachBatch replay replaces its own epoch
+    // instead of duplicating survivors. Budget then admits from the
+    // deduped manifest.
+    val gate =
+      if (!nearDup) Seq.empty[org.apache.spark.sql.streaming.StreamingQuery]
+      else Seq(
+        NearDupStream.flag(
+            spark.readStream.schema(curatedFullSchema).parquet(s"$root/curated")
+              .select(col("doc_id"), col("text")))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt/neardup")
+          .foreachBatch { (b: Dataset[NearDupBand], batchId: Long) =>
+            val admitted = NearDupStream.fold(b.toDF())
+              .filter(col("dup_of").isNull).select(col("doc_id"))
+            val survivors = spark.read.schema(curatedFullSchema)
+              .parquet(s"$root/curated")
+              .join(admitted, Seq("doc_id"), "left_semi")
+            OplogPipeline.writeIndexBatch(survivors, s"$root/dedup", batchId, "neardup")
+            ()
+          }
+          .start())
+
+    val dedupLineSchema = StructType(Seq(StructField("data", curatedFullSchema)))
+    val budgetSrc =
+      if (!nearDup)
         spark.readStream.schema(curatedFullSchema).parquet(s"$root/curated")
-          .select(col("doc_id"), col("lang"), col("text")),
-        hist, cuts)
+          .select(col("doc_id"), col("lang"), col("text"))
+      else
+        spark.readStream.schema(dedupLineSchema)
+          .json(s"$root/dedup/neardup/batch=*")
+          .select(col("data.doc_id").as("doc_id"),
+            col("data.lang").as("lang"), col("data.text").as("text"))
+    val budget = TokenBudgetStream.admit(budgetSrc, hist, cuts)
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt/budget")
       .format("parquet").option("path", s"$root/admitted")
@@ -405,7 +442,7 @@ object PipelineE2E {
       }
       .start()
 
-    LiveChain(ingest ++ Seq(apply, curate, budget, pack))
+    LiveChain(ingest ++ Seq(apply, curate) ++ gate ++ Seq(budget, pack))
   }
 
   /** The whole chain, stage-timed. `docs` is the corpus entering CDC;

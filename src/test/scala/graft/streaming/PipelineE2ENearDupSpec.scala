@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** The live chain WITH the near-dup admission stage
+  * ([[PipelineE2E.startLive]] `nearDup = true`): curation's exact
+  * content dedup passes fp-distinct near-duplicates through — the
+  * fixture carries 18 such pairs among its fp-unique docs — and the
+  * gate stage collapses each class to its canonical before budget
+  * admission ever sees it. Pinned end to end: the deduped manifest
+  * equals the batch curation replay MINUS the batch
+  * `dedup_minhash_lsh` components' non-canonicals (restricted to the
+  * curated corpus), and the admitted manifest equals the batch
+  * two-phase budget selection over that DEDUPED corpus. */
+class PipelineE2ENearDupSpec extends SparkSuite {
+
+  private val Budget = 2000L
+
+  private def uniqueDocs: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Tables.load(spark, sf0001, "documents")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(TextFns.fingerprint(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+  }
+
+  test("near-dup classes collapse to canonicals before budget admission") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-neardup")
+      .toFile.getAbsolutePath
+    try {
+      val docs = uniqueDocs.localCheckpoint()
+      val cap = docs.groupBy($"source").count().agg(max($"count"))
+        .head().getLong(0).toInt + 1
+      // batch replay of curation under the uncapping cap: gate + split
+      val gated = docs.select($"doc_id", $"source", $"lang", $"text",
+          size(TextFns.tokens($"text")).cast("long").as("n_tokens"),
+          md5($"doc_id".cast("string")).as("mh"))
+        .filter($"n_tokens" >= CurationStream.QualityMinTokens)
+        .withColumn("h2", substring($"mh", 1, 2))
+        .withColumn("split", when($"h2" < "cd", "train")
+          .when($"h2" < "e6", "val").otherwise("test"))
+        .localCheckpoint()
+      val curatedIds = gated.select($"doc_id").as[Long].collect().toSet
+
+      // expected survivors: union-find over the batch operator's
+      // verified pairs, RESTRICTED to the curated corpus (the gate only
+      // ever sees curated rows)
+      val pairs = graft.operators.Dedup.minhashLsh.run(spark, sf0001)
+        .select($"d1", $"d2").as[(Long, Long)].collect()
+        .filter(p => curatedIds(p._1) && curatedIds(p._2))
+      assert(pairs.nonEmpty, "fixture lost its fp-distinct near-dup pairs")
+      val parent = mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nonCanonical = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+        .filter(d => find(d) != d)
+      val dedupedGated = gated.filter(!$"doc_id".isin(nonCanonical.toSeq: _*))
+
+      // admission statics from the DEDUPED snapshot — what a deployed
+      // previous-corpus snapshot would contain once the gate runs
+      val base = graft.operators.Pipeline.budgetBaseFrom(
+        dedupedGated.select($"doc_id", $"lang", $"text")).localCheckpoint()
+      val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, Budget)
+
+      // SINGLE-shard topology: the planted near-dup classes cross
+      // LANGUAGES, so any sharding splits a class across shards and the
+      // claim order (hence which member survives) becomes whichever
+      // shard's epoch lands first — the documented cross-publisher
+      // arrival caveat, a property of the shard key, not the gate. One
+      // shard ⇒ one epoch ⇒ claim order is doc_id order ⇒ canonical =
+      // the class minimum, the batch operator's choice.
+      val topo = Seq(ShardTopology.parseDescriptor("s0/h1:27017,h2:27017,h3:27017"))
+      val chain = PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
+        topology = topo,
+        applyLateness = "6 hours", curationDelay = "6 hours",
+        nearDup = true)
+      try {
+        PipelineE2E.writeOplogWave(spark, docs, root, topo, "w1")
+        chain.drain()
+      } finally chain.stop()
+
+      // ---- deduped manifest == batch curation minus non-canonicals ----
+      val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("data", PipelineE2E.curatedFullSchema)))
+      val deduped = spark.read.schema(lineSchema)
+        .json(s"$root/dedup/neardup/batch=*")
+        .select($"data.doc_id".as("doc_id"), $"data.source".as("source"),
+          $"data.lang".as("lang"), $"data.n_tokens".as("n_tokens"),
+          $"data.split".as("split"), $"data.text".as("text"))
+      val wantDeduped = dedupedGated.select($"doc_id", $"source", $"lang",
+        $"n_tokens", $"split", $"text")
+      assert(deduped.exceptAll(wantDeduped).isEmpty &&
+        wantDeduped.exceptAll(deduped).isEmpty,
+        "deduped manifest != batch curation minus non-canonicals")
+      // the stage actually dropped something
+      assert(nonCanonical.nonEmpty &&
+        deduped.count() == gated.count() - nonCanonical.size)
+
+      // ---- admitted == batch 2-phase selection over the DEDUPED corpus ----
+      val admitted = spark.read.schema(PipelineE2E.admitSchema)
+        .parquet(s"$root/admitted")
+      val wantAdmit = graft.operators.Pipeline.budgetSelect2Phase(base, Budget)
+      assert(admitted.exceptAll(wantAdmit).isEmpty &&
+        wantAdmit.exceptAll(admitted).isEmpty,
+        "admitted manifest != batch budgetSelect2Phase over the deduped corpus")
+      // no non-canonical leaked past the gate into admission
+      assert(admitted.filter($"doc_id".isin(nonCanonical.toSeq: _*)).isEmpty)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+}
