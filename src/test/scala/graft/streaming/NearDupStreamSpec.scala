@@ -144,6 +144,19 @@ class NearDupStreamSpec extends SparkSuite {
     }
   }
 
+  test("gate plan: one keyed exchange, no joins, no corpus rescan") {
+    // batch execution of the same Dataset program (state empty, one
+    // pass) exposes the physical shape the streaming planner inherits:
+    // sketch + band explode are narrow, the ONLY shuffle is the
+    // (band, band-hash) keyed exchange into the stateful operator, and
+    // nothing joins — the kernel never rescans the corpus, which is
+    // the whole point vs the batch candidate self-join
+    val p = NearDupStream.flag(corpus).queryExecution.executedPlan.toString
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 keyed exchange, plan:\n${p.take(600)}")
+    assert(!p.contains("Join"), s"gate must not join:\n${p.take(600)}")
+  }
+
   test("bounded state: idle buckets expire, fresh claims still gate") {
     import spark.implicits._
     // class A = identical text (est-sim 64); docs 50/51 unrelated
