@@ -394,7 +394,12 @@ object PipelineE2E {
     // and publishes them through the exactly-once index-sink epoch
     // discipline, so a foreachBatch replay replaces its own epoch
     // instead of duplicating survivors. Budget then admits from the
-    // deduped manifest.
+    // deduped manifest. Scale note, stated honestly: the survivor
+    // semi-join re-lists the curated store per batch — at 100 TB the
+    // store must be doc_id-bucketed/sorted so the broadcast semi-join
+    // prunes to row-group stats (the batch's ids are trigger-bounded),
+    // or the manifest schema widened to carry the payload through the
+    // fold — the same width-vs-reread trade curateWithText documents.
     val gate =
       if (!nearDup) Seq.empty[org.apache.spark.sql.streaming.StreamingQuery]
       else Seq(

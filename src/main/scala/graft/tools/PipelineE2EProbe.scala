@@ -44,7 +44,8 @@ object PipelineE2EProbe {
     * freshness a live deployment cares about, vs the sequential mode's
     * per-stage drain cost). */
   private def liveOnce(spark: org.apache.spark.sql.SparkSession,
-      docs: DataFrame, root: String, budget: Long): (Double, Long, Long) = {
+      docs: DataFrame, root: String, budget: Long,
+      nearDup: Boolean = false): (Double, Long, Long) = {
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val horizon = s"${maxId + 60L} seconds"   // covers cross-publisher skew
     val gated = docs.filter(
@@ -55,7 +56,8 @@ object PipelineE2EProbe {
     val chain = PipelineE2E.startLive(spark, root,
       hist.localCheckpoint(), cuts.localCheckpoint(),
       cap = Int.MaxValue / 2,
-      applyLateness = horizon, curationDelay = horizon)
+      applyLateness = horizon, curationDelay = horizon,
+      nearDup = nearDup)
     try {
       PipelineE2E.writeOplogWave(spark, docs, root, PipelineE2E.defaultTopology,
         "w1", shardKey = Some(PipelineE2E.shardByLang(2)))
@@ -70,7 +72,8 @@ object PipelineE2EProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val live = args.headOption.contains("live")
+    val liveDup = args.headOption.contains("livedup")
+    val live = liveDup || args.headOption.contains("live")
     val repArgs = if (live) args.drop(1) else args
     val reps = if (repArgs.nonEmpty) repArgs.map(_.toInt).toSeq else Seq(1, 20)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -85,8 +88,9 @@ object PipelineE2EProbe {
           try {
             val docs = replicate(base, k).localCheckpoint()
             val n = docs.count()
-            val (sec, admitted, packed) = liveOnce(spark, docs, root, 2000L * k)
-            println(s"""{"probe":"pipeline_e2e_live","rep":$k,"docs":$n,""" +
+            val (sec, admitted, packed) = liveOnce(spark, docs, root, 2000L * k,
+              nearDup = liveDup)
+            println(s"""{"probe":"pipeline_e2e_live${if (liveDup) "_neardup" else ""}","rep":$k,"docs":$n,""" +
               s""""freshness_sec":${f"$sec%.2f"},"docs_per_sec":${f"${n / sec}%.1f"},""" +
               s""""admitted":$admitted,"packed":$packed}""")
           } finally {
