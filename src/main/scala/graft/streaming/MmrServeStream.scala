@@ -39,11 +39,36 @@ case class MmrHit(qid: Long, step: Int, vec_id: Long, mmr_score: Long)
 object MmrServeStream {
 
   def serve(queries: DataFrame, dir: String, kCand: Int = 20, kOut: Int = 5,
-      nprobe: Int = 2): Dataset[MmrHit] = {
+      nprobe: Int = 2): Dataset[MmrHit] =
+    serveRestricted(queries, dir, None, kCand, kOut, nprobe)
+
+  /** [[serve]] over a RESTRICTED corpus: candidates come only from
+    * vectors whose id appears in `corpusIds` (one `vec_id` column) —
+    * the shape the composed chain serves with, where the servable
+    * corpus is the ADMITTED manifest, not the raw embedding table:
+    * a query must never retrieve a document the curation/dedup/budget
+    * stages rejected. The restriction is a semi-join applied BEFORE
+    * the cell-keyed candidate join, so the per-batch scan shrinks to
+    * the admitted fraction — at 100 TB the admitted manifest IS the
+    * index's content set, and the IVF codebook stays the full-corpus
+    * one (cell geometry doesn't change because membership did). */
+  def serveCorpus(queries: DataFrame, dir: String, corpusIds: DataFrame,
+      kCand: Int = 20, kOut: Int = 5, nprobe: Int = 2): Dataset[MmrHit] =
+    serveRestricted(queries, dir, Some(corpusIds), kCand, kOut, nprobe)
+
+  private def serveRestricted(queries: DataFrame, dir: String,
+      corpusIds: Option[DataFrame], kCand: Int, kOut: Int,
+      nprobe: Int): Dataset[MmrHit] = {
     val spark = queries.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
-    val (probed, corpus, _) = VectorServeStream.probeWithCorpus(queries, dir, nprobe)
+    val (probed, corpus0, _) = VectorServeStream.probeWithCorpus(queries, dir, nprobe)
+    val corpus = corpusIds match {
+      case Some(ids) =>
+        corpus0.join(broadcast(ids.select($"vec_id").distinct()),
+          Seq("vec_id"), "left_semi")
+      case None => corpus0
+    }
     val cand = probed.toDF()
       .join(corpus, Seq("cell"))
       .filter($"vec_id" =!= $"qid")

@@ -276,9 +276,16 @@ object PipelineE2E {
   }
 
   /** Stage 6: the serving side — arriving query vectors answered
-    * retrieve→MMR against the embedding corpus. Queries are the staged
-    * `vec_id < 8` set (the batch `vector_mmr_rerank` query set, so the
-    * spec can pin stream ≡ batch). */
+    * retrieve→MMR against THE CORPUS THE CHAIN ADMITTED (the fixture's
+    * vec_id ≡ doc_id linkage): a query must never retrieve a document
+    * the curation/dedup/budget stages rejected, so the static side is
+    * semi-joined down to the admitted manifest before the cell-keyed
+    * candidate join ([[MmrServeStream.serveCorpus]]) — the loop the
+    * chain exists to close, curate → admit → index → serve over ONE
+    * content set. Queries are the staged `vec_id < 8` set (the batch
+    * `vector_mmr_rerank` query set); PipelineE2ESpec pins the served
+    * table against a driver replay of the exact MMR kernel over the
+    * admitted vectors. */
   def runServe(spark: SparkSession, root: String, vecDir: String,
       nprobe: Int): Unit = {
     spark.read.parquet(s"$vecDir/embeddings.parquet")
@@ -286,7 +293,9 @@ object PipelineE2E {
       .write.mode("overwrite").parquet(s"$root/queries")
     val stream = graft.Tables.loadStream(
       spark, s"$root/queries", "embeddings", s"$vecDir/embeddings.parquet")
-    val q = MmrServeStream.serve(stream, vecDir, nprobe = nprobe)
+    val admittedIds = spark.read.schema(admitSchema).parquet(s"$root/admitted")
+      .select(col("doc_id").as("vec_id"))
+    val q = MmrServeStream.serveCorpus(stream, vecDir, admittedIds, nprobe = nprobe)
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt/serve")
       .format("parquet").option("path", s"$root/served")

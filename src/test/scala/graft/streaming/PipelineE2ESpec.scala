@@ -104,14 +104,38 @@ class PipelineE2ESpec extends SparkSuite {
         batchLayout.exceptAll(layout).isEmpty,
         "published FFD layout != batch packFfdLayout over the admitted set")
 
-      // ---- serve: streamed retrieve→MMR == batch vector_mmr_rerank ----
+      // ---- serve: retrieve→MMR over THE ADMITTED CORPUS — the loop the
+      // chain closes. nprobe = 16 = C covers every cell, so the driver
+      // replay is brute force over the admitted vectors through the
+      // exact streamed kernel (same fold order, same HALF_UP micros) ----
       val served = spark.read.parquet(s"$root/served")
         .select($"qid", $"step", $"vec_id", $"mmr_score")
-      val batchServe = graft.operators.VectorSearch.mmrRerank.run(spark, sf0001)
-        .select($"qid", $"step", $"vec_id", $"mmr_score")
-      assert(served.exceptAll(batchServe).isEmpty &&
-        batchServe.exceptAll(served).isEmpty,
-        "served MMR selection != batch vector_mmr_rerank")
+      val vecs: Map[Long, Array[Double]] =
+        graft.Tables.load(spark, sf0001, "embeddings")
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+          .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+      def nrm(v: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      val admittedIds = admitted.select($"doc_id").as[Long].collect().toSet
+      val wantServe = (0L until 8L).flatMap { qid =>
+        val qv = vecs(qid); val qn = nrm(qv)
+        val cands = admittedIds.toSeq.filter(_ != qid).sorted.map { id =>
+          val v = vecs(id); val n = nrm(v)
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += qv(i) * v(i); i += 1 }
+          MmrCand(qid, id, s / (qn * n), v, n)
+        }
+        MmrServeStream.rerank(qid, cands.iterator, 20, 5)
+      }.map(h => (h.qid, h.step, h.vec_id, h.mmr_score))
+        .toDF("qid", "step", "vec_id", "mmr_score")
+      assert(served.exceptAll(wantServe).isEmpty &&
+        wantServe.exceptAll(served).isEmpty,
+        "served MMR selection != kernel replay over the admitted corpus")
+      // nothing outside the admitted corpus is ever served
+      assert(served.filter(!$"vec_id".isin(admittedIds.toSeq: _*)).isEmpty)
     } finally {
       new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
     }
