@@ -71,17 +71,70 @@ object PipelineE2EProbe {
     } finally chain.stop()
   }
 
+  /** Co-tenancy run: the live chain drains an oplog wave WHILE the
+    * serve-path bench answers queries in the same JVM — the number a
+    * deployment actually cares about ("what happens to serve p50 when
+    * ingest bursts?") that neither meter shows alone. Prints the
+    * under-load serve row, then a solo serve row from the same warm
+    * JVM for the delta. */
+  private def cotenantOnce(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, root: String, sfDir: String, budget: Long): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val horizon = s"${maxId + 60L} seconds"
+    val gated = docs.filter(
+      size(graft.functions.TextFns.tokens(col("text"))) >= graft.streaming.CurationStream.QualityMinTokens)
+    val base = graft.operators.Pipeline.budgetBaseFrom(
+      gated.select(col("doc_id"), col("lang"), col("text"))).localCheckpoint()
+    val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, budget)
+    val chain = PipelineE2E.startLive(spark, root,
+      hist.localCheckpoint(), cuts.localCheckpoint(),
+      cap = Int.MaxValue / 2,
+      applyLateness = horizon, curationDelay = horizon)
+    try {
+      PipelineE2E.writeOplogWave(spark, docs, root, PipelineE2E.defaultTopology,
+        "w1", shardKey = Some(PipelineE2E.shardByLang(2)))
+      val t0 = System.nanoTime()
+      val drain = Future { chain.drain(); (System.nanoTime() - t0) / 1e9 }
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-cotenant-serve").toFile.getAbsolutePath
+      val under = graft.streaming.StreamBench.benchServe(spark, sfDir, scratch)
+      val freshness = Await.result(drain, Duration.Inf)
+      println(f"""{"probe":"pipeline_e2e_cotenant","docs":${docs.count()},"chain_freshness_sec":$freshness%.2f,"serve_under_load":{"queries_per_sec":${under.rowsPerSec}%.0f,"batch_ms_p50":${under.batchMsP50},"batch_ms_max":${under.batchMsMax}}}""")
+      // solo baseline from the same warm JVM, chain idle
+      val scratch2 = java.nio.file.Files
+        .createTempDirectory("graft-solo-serve").toFile.getAbsolutePath
+      val solo = graft.streaming.StreamBench.benchServe(spark, sfDir, scratch2)
+      println(f"""{"probe":"pipeline_e2e_cotenant_solo","serve_solo":{"queries_per_sec":${solo.rowsPerSec}%.0f,"batch_ms_p50":${solo.batchMsP50},"batch_ms_max":${solo.batchMsMax}}}""")
+      Seq(scratch, scratch2).foreach(d =>
+        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+    } finally chain.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    val cotenant = args.headOption.contains("cotenant")
     val liveDup = args.headOption.contains("livedup")
     val live = liveDup || args.headOption.contains("live")
-    val repArgs = if (live) args.drop(1) else args
+    val repArgs = if (live || cotenant) args.drop(1) else args
     val reps = if (repArgs.nonEmpty) repArgs.map(_.toInt).toSeq else Seq(1, 20)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.GraftSession.local()
     try {
       val base = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      if (live) {
+      if (cotenant) {
+        reps.foreach { k =>
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft-e2e-cot-x$k").toFile.getAbsolutePath
+          try cotenantOnce(spark, replicate(base, k).localCheckpoint(),
+            root, sfDir, 2000L * k)
+          finally {
+            new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+          }
+        }
+      } else if (live) {
         reps.foreach { k =>
           val root = java.nio.file.Files
             .createTempDirectory(s"graft-e2e-live-x$k").toFile.getAbsolutePath
