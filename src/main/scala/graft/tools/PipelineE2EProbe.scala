@@ -78,7 +78,8 @@ object PipelineE2EProbe {
     * under-load serve row, then a solo serve row from the same warm
     * JVM for the delta. */
   private def cotenantOnce(spark: org.apache.spark.sql.SparkSession,
-      docs: DataFrame, root: String, sfDir: String, budget: Long): Unit = {
+      docs: DataFrame, root: String, sfDir: String, budget: Long,
+      fair: Boolean = false): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -89,10 +90,19 @@ object PipelineE2EProbe {
     val base = graft.operators.Pipeline.budgetBaseFrom(
       gated.select(col("doc_id"), col("lang"), col("text"))).localCheckpoint()
     val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, budget)
+    // FAIR isolation: a streaming query's jobs run in the scheduler
+    // pool named by the spark.scheduler.pool LOCAL property of the
+    // thread that STARTED it (local properties are inheritable and
+    // captured by the micro-batch thread) — so the chain's queries go
+    // in an 'ingest' pool and the serve bench's query in a 'serve'
+    // pool; under FAIR mode each pool gets an equal core share instead
+    // of FIFO head-of-line
+    if (fair) spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ingest")
     val chain = PipelineE2E.startLive(spark, root,
       hist.localCheckpoint(), cuts.localCheckpoint(),
       cap = Int.MaxValue / 2,
       applyLateness = horizon, curationDelay = horizon)
+    if (fair) spark.sparkContext.setLocalProperty("spark.scheduler.pool", "serve")
     try {
       PipelineE2E.writeOplogWave(spark, docs, root, PipelineE2E.defaultTopology,
         "w1", shardKey = Some(PipelineE2E.shardByLang(2)))
@@ -102,7 +112,8 @@ object PipelineE2EProbe {
         .createTempDirectory("graft-cotenant-serve").toFile.getAbsolutePath
       val under = graft.streaming.StreamBench.benchServe(spark, sfDir, scratch)
       val freshness = Await.result(drain, Duration.Inf)
-      println(f"""{"probe":"pipeline_e2e_cotenant","docs":${docs.count()},"chain_freshness_sec":$freshness%.2f,"serve_under_load":{"queries_per_sec":${under.rowsPerSec}%.0f,"batch_ms_p50":${under.batchMsP50},"batch_ms_max":${under.batchMsMax}}}""")
+      val tag = if (fair) "_fair" else ""
+      println(f"""{"probe":"pipeline_e2e_cotenant$tag","docs":${docs.count()},"chain_freshness_sec":$freshness%.2f,"serve_under_load":{"queries_per_sec":${under.rowsPerSec}%.0f,"batch_ms_p50":${under.batchMsP50},"batch_ms_max":${under.batchMsMax}}}""")
       // solo baseline from the same warm JVM, chain idle
       val scratch2 = java.nio.file.Files
         .createTempDirectory("graft-solo-serve").toFile.getAbsolutePath
@@ -114,13 +125,27 @@ object PipelineE2EProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val cotenant = args.headOption.contains("cotenant")
+    val fair = args.headOption.contains("cotenantfair")
+    val cotenant = fair || args.headOption.contains("cotenant")
     val liveDup = args.headOption.contains("livedup")
     val live = liveDup || args.headOption.contains("live")
     val repArgs = if (live || cotenant) args.drop(1) else args
     val reps = if (repArgs.nonEmpty) repArgs.map(_.toInt).toSeq else Seq(1, 20)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = graft.GraftSession.local()
+    val cores = Runtime.getRuntime.availableProcessors()
+    // scheduler mode is a context-creation conf — the fair variant needs
+    // its own session (pools get equal weight-1 shares, no alloc file)
+    val spark =
+      if (!fair) graft.GraftSession.local()
+      else {
+        val s = graft.GraftSession.builderDefaults(
+            org.apache.spark.sql.SparkSession.builder()
+              .master(s"local[$cores]").appName("graft-fair"), cores)
+          .config("spark.scheduler.mode", "FAIR")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        s
+      }
     try {
       val base = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
@@ -129,7 +154,7 @@ object PipelineE2EProbe {
           val root = java.nio.file.Files
             .createTempDirectory(s"graft-e2e-cot-x$k").toFile.getAbsolutePath
           try cotenantOnce(spark, replicate(base, k).localCheckpoint(),
-            root, sfDir, 2000L * k)
+            root, sfDir, 2000L * k, fair = fair)
           finally {
             new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
           }
