@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
@@ -377,8 +377,23 @@ object StreamBench {
       maxFilesPerTrigger: Int = 4,
       statePartitions: Int = 8): Result = {
     import spark.implicits._
+    benchNearDupDocs(spark,
+      Tables.load(spark, sfDir, "documents").select($"doc_id", $"text"),
+      scratch, files, maxFilesPerTrigger, statePartitions)
+  }
+
+  /** [[benchNearDup]] over an explicit corpus frame — the scale probe
+    * feeds replica corpora with per-replica-distinct shingles. */
+  def benchNearDupDocs(
+      spark: SparkSession,
+      docs0: DataFrame,
+      scratch: String,
+      files: Int = 16,
+      maxFilesPerTrigger: Int = 4,
+      statePartitions: Int = 8): Result = {
+    import spark.implicits._
     val dirD = s"$scratch/neardup_docs"
-    val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
+    val docs = docs0.select($"doc_id", $"text")
     docs.repartition(files).write.mode("overwrite").parquet(dirD)
     withSessionConf(spark, Map(
       "spark.sql.shuffle.partitions" -> statePartitions.toString,
