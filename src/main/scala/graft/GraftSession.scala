@@ -12,17 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * shuffling the fact table.
   *
   * Streaming state-store provider dial (NOT defaulted here — it is a
-  * per-job choice): the default HDFSBackedStateStoreProvider keeps each
-  * store as a JVM-heap map and re-snapshots the WHOLE store every
-  * commit — fastest while keys-per-store stays small (≤ ~25k measured),
-  * superlinear beyond. Past that, set
-  * `spark.sql.streaming.stateStore.providerClass` to
+  * per-job choice, and a WORKLOAD-shaped one): the default
+  * HDFSBackedStateStoreProvider keeps each store as a JVM-heap map; the
+  * alternative is `spark.sql.streaming.stateStore.providerClass` =
   * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
   * with `spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
-  * .enabled=true`, which commits only each batch's delta: measured 3.9×
-  * faster ingest and 3.1× faster restart-drain at 1M in-flight keys,
-  * near-linear to 4M (SCALING.md "provider crossover";
-  * `tools.StateResumeProbe <keys> <parts> <hdfs|rocksdb>` re-measures).
+  * .enabled=true` (commits ship only each batch's delta). Which wins
+  * depends on what dominates, both measured (SCALING.md):
+  *  - RESIDENT state that must be serialized across commits/restarts
+  *    (quorum dedup parking keys over long watermarks): RocksDB wins
+  *    3.9× ingest / 3.1× resume at 1M in-flight keys, near-linear to
+  *    4M; crossover ~25k keys/store
+  *    (`tools.StateResumeProbe <keys> <parts> <hdfs|rocksdb>`).
+  *  - CHURN — every batch inserting fresh keys it rarely re-reads (the
+  *    LSH near-dup gate): HDFSBacked wins 1.4–1.8× at EVERY measured
+  *    size through 2.56M occupied buckets (320k keys/store, 13× past
+  *    the resume crossover), flat per-doc cost; RocksDB's fixed
+  *    JNI/changelog/compaction fee per batch never earns itself back
+  *    (`tools.NearDupScaleProbe <hdfs|rocksdb> <reps...>`). Switch
+  *    there only when resident BYTES per store threaten executor heap —
+  *    RocksDB's off-heap capacity, not its commit speed.
   */
 object GraftSession {
   def builderDefaults(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
@@ -43,6 +52,41 @@ object GraftSession {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** [[local]] with the FAIR scheduler — the serve/ingest isolation
+    * dial, measured (SCALING.md round-12 co-tenant probe: +40% serve
+    * capacity, tail halved, chain freshness −25% vs FIFO while a 50k-doc
+    * oplog wave drains in the same JVM). Scheduler mode is a
+    * CONTEXT-creation conf, so this is a separate entry point, not a
+    * flag on [[local]]; pools spring into existence on first use with
+    * equal weight-1 shares (no allocation file needed). Assign work to
+    * pools with [[inPool]].
+    */
+  def localFair(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builderDefaults(
+        SparkSession.builder().master(s"local[$cores]").appName("graft-fair"), cores)
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Runs `body` with the calling thread's scheduler pool set to `pool`,
+    * restoring the previous value after. The pool is a thread-LOCAL
+    * Spark property: a STREAMING query started inside `body` inherits it
+    * onto its micro-batch thread for the query's whole lifetime, so
+    * `inPool(s, "ingest") { chain.start() }` + `inPool(s, "serve")
+    * { serveQuery.start() }` is the complete wiring of the isolation
+    * dial (under [[localFair]]; under FIFO the property is carried but
+    * ignored by the scheduler). SchedulerPoolSpec pins the inheritance —
+    * the behavior the SCALING.md co-tenant numbers rest on.
+    */
+  def inPool[T](spark: SparkSession, pool: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try body finally sc.setLocalProperty("spark.scheduler.pool", prev)
   }
 }
 

@@ -90,19 +90,19 @@ object PipelineE2EProbe {
     val base = graft.operators.Pipeline.budgetBaseFrom(
       gated.select(col("doc_id"), col("lang"), col("text"))).localCheckpoint()
     val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, budget)
-    // FAIR isolation: a streaming query's jobs run in the scheduler
-    // pool named by the spark.scheduler.pool LOCAL property of the
-    // thread that STARTED it (local properties are inheritable and
-    // captured by the micro-batch thread) — so the chain's queries go
-    // in an 'ingest' pool and the serve bench's query in a 'serve'
-    // pool; under FAIR mode each pool gets an equal core share instead
-    // of FIFO head-of-line
-    if (fair) spark.sparkContext.setLocalProperty("spark.scheduler.pool", "ingest")
-    val chain = PipelineE2E.startLive(spark, root,
-      hist.localCheckpoint(), cuts.localCheckpoint(),
-      cap = Int.MaxValue / 2,
-      applyLateness = horizon, curationDelay = horizon)
-    if (fair) spark.sparkContext.setLocalProperty("spark.scheduler.pool", "serve")
+    // FAIR isolation: the chain's queries start in an 'ingest' pool and
+    // the serve bench's query in a 'serve' pool (GraftSession.inPool —
+    // the micro-batch thread inherits the pool of the thread that
+    // STARTED the query); under FAIR mode each pool gets an equal core
+    // share instead of FIFO head-of-line
+    def inPoolIf[T](pool: String)(body: => T): T =
+      if (fair) graft.GraftSession.inPool(spark, pool)(body) else body
+    val chain = inPoolIf("ingest") {
+      PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(),
+        cap = Int.MaxValue / 2,
+        applyLateness = horizon, curationDelay = horizon)
+    }
     try {
       PipelineE2E.writeOplogWave(spark, docs, root, PipelineE2E.defaultTopology,
         "w1", shardKey = Some(PipelineE2E.shardByLang(2)))
@@ -110,14 +110,16 @@ object PipelineE2EProbe {
       val drain = Future { chain.drain(); (System.nanoTime() - t0) / 1e9 }
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-cotenant-serve").toFile.getAbsolutePath
-      val under = graft.streaming.StreamBench.benchServe(spark, sfDir, scratch)
+      val under = inPoolIf("serve") {
+        graft.streaming.StreamBench.benchServe(spark, sfDir, scratch) }
       val freshness = Await.result(drain, Duration.Inf)
       val tag = if (fair) "_fair" else ""
       println(f"""{"probe":"pipeline_e2e_cotenant$tag","docs":${docs.count()},"chain_freshness_sec":$freshness%.2f,"serve_under_load":{"queries_per_sec":${under.rowsPerSec}%.0f,"batch_ms_p50":${under.batchMsP50},"batch_ms_max":${under.batchMsMax}}}""")
       // solo baseline from the same warm JVM, chain idle
       val scratch2 = java.nio.file.Files
         .createTempDirectory("graft-solo-serve").toFile.getAbsolutePath
-      val solo = graft.streaming.StreamBench.benchServe(spark, sfDir, scratch2)
+      val solo = inPoolIf("serve") {
+        graft.streaming.StreamBench.benchServe(spark, sfDir, scratch2) }
       println(f"""{"probe":"pipeline_e2e_cotenant_solo","serve_solo":{"queries_per_sec":${solo.rowsPerSec}%.0f,"batch_ms_p50":${solo.batchMsP50},"batch_ms_max":${solo.batchMsMax}}}""")
       Seq(scratch, scratch2).foreach(d =>
         new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
@@ -132,20 +134,8 @@ object PipelineE2EProbe {
     val repArgs = if (live || cotenant) args.drop(1) else args
     val reps = if (repArgs.nonEmpty) repArgs.map(_.toInt).toSeq else Seq(1, 20)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val cores = Runtime.getRuntime.availableProcessors()
-    // scheduler mode is a context-creation conf — the fair variant needs
-    // its own session (pools get equal weight-1 shares, no alloc file)
     val spark =
-      if (!fair) graft.GraftSession.local()
-      else {
-        val s = graft.GraftSession.builderDefaults(
-            org.apache.spark.sql.SparkSession.builder()
-              .master(s"local[$cores]").appName("graft-fair"), cores)
-          .config("spark.scheduler.mode", "FAIR")
-          .getOrCreate()
-        s.sparkContext.setLogLevel("WARN")
-        s
-      }
+      if (fair) graft.GraftSession.localFair() else graft.GraftSession.local()
     try {
       val base = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
