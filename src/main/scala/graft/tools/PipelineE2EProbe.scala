@@ -126,12 +126,86 @@ object PipelineE2EProbe {
     } finally chain.stop()
   }
 
+  /** SUSTAINED-rate stability: the live chain (near-dup gate ON — the
+    * full production shape) fed `waves` successive equal waves of
+    * FRESH content (per-wave doc-id offset + per-wave token prefix, so
+    * nothing dedups across waves and every stage's corpus-linear state
+    * actually grows), each wave drained to quiescence before the next.
+    * Two questions a single-burst freshness number can't answer:
+    *
+    *  1. STABILITY — is per-wave drain time flat in wave count, or
+    *     does accumulated state (LWW registers, gate buckets, curation
+    *     dedup keys — all corpus-linear by design) leak into per-batch
+    *     cost (the HDFSBacked store re-serializes resident state per
+    *     commit, so corpus-linear state means wave-linear freshness
+    *     UNLESS per-wave deltas dominate)?
+    *  2. WHO grows — per-stage state rows/bytes straight from each
+    *     query's `lastProgress.stateOperators` after every wave: the
+    *     measured growth ledger (which stages are corpus-linear, which
+    *     are O(streams) flat).
+    *
+    * One JSON line per wave: freshness, per-wave admitted/packed
+    * deltas, and the per-stage state ledger. */
+  private def sustainOnce(spark: org.apache.spark.sql.SparkSession,
+      template: DataFrame, root: String, waves: Int, budget: Long): Unit = {
+    val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    def waveDocs(w: Int): DataFrame =
+      template.select((col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
+        col("source"), col("lang"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(lit(s"w${w}_"), t)), " ").as("text"))
+    // lateness must cover within-wave cross-publisher skew (ids span
+    // `stride` seconds of event time per wave); waves only move event
+    // time forward so cross-wave needs nothing extra
+    val horizon = s"${stride + 60L} seconds"
+    val gated = template.filter(
+      size(graft.functions.TextFns.tokens(col("text"))) >= graft.streaming.CurationStream.QualityMinTokens)
+    val base = graft.operators.Pipeline.budgetBaseFrom(
+      gated.select(col("doc_id"), col("lang"), col("text"))).localCheckpoint()
+    // cuts from the TEMPLATE distribution (deployment-true: parameters
+    // from the previous snapshot); above-cut docs admit unboundedly, so
+    // every wave admits the same mass under fixed cuts
+    val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, budget)
+    val chain = PipelineE2E.startLive(spark, root,
+      hist.localCheckpoint(), cuts.localCheckpoint(),
+      cap = Int.MaxValue / 2,
+      applyLateness = horizon, curationDelay = horizon,
+      nearDup = true)
+    val nShards = PipelineE2E.defaultTopology.size
+    val labels = (0 until nShards).map(i => s"ingest$i") ++
+      Seq("apply", "curate", "neardup", "budget", "pack")
+    try {
+      var prevAdmitted = 0L
+      var prevPacked = 0L
+      (1 to waves).foreach { w =>
+        val docs = waveDocs(w).localCheckpoint()
+        val n = docs.count()
+        PipelineE2E.writeOplogWave(spark, docs, root, PipelineE2E.defaultTopology,
+          s"w$w", shardKey = Some(PipelineE2E.shardByLang(2)))
+        val t0 = System.nanoTime()
+        chain.drain()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val admitted = spark.read.schema(PipelineE2E.admitSchema)
+          .parquet(s"$root/admitted").count()
+        val packed = spark.read.json(s"$root/layout/ffd").count()
+        val state = chain.queries.zip(labels).map { case (q, l) =>
+          val ops = Option(q.lastProgress).map(_.stateOperators.toSeq).getOrElse(Seq.empty)
+          s""""$l":{"rows":${ops.map(_.numRowsTotal).sum},"bytes":${ops.map(_.memoryUsedBytes).sum}}"""
+        }.mkString(",")
+        println(f"""{"probe":"chain_sustain","wave":$w,"docs":$n,"freshness_sec":$sec%.2f,"admitted_wave":${admitted - prevAdmitted},"packed_wave":${packed - prevPacked},"state":{$state}}""")
+        prevAdmitted = admitted
+        prevPacked = packed
+      }
+    } finally chain.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val fair = args.headOption.contains("cotenantfair")
     val cotenant = fair || args.headOption.contains("cotenant")
+    val sustain = args.headOption.contains("sustain")
     val liveDup = args.headOption.contains("livedup")
     val live = liveDup || args.headOption.contains("live")
-    val repArgs = if (live || cotenant) args.drop(1) else args
+    val repArgs = if (live || cotenant || sustain) args.drop(1) else args
     val reps = if (repArgs.nonEmpty) repArgs.map(_.toInt).toSeq else Seq(1, 20)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark =
@@ -139,7 +213,18 @@ object PipelineE2EProbe {
     try {
       val base = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      if (cotenant) {
+      if (sustain) {
+        // args after 'sustain': [waves] [rep] (default 8 waves at 4×)
+        val waves = repArgs.headOption.map(_.toInt).getOrElse(8)
+        val rep = repArgs.drop(1).headOption.map(_.toInt).getOrElse(4)
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-e2e-sustain").toFile.getAbsolutePath
+        try sustainOnce(spark, replicate(base, rep).localCheckpoint(),
+          root, waves, 2000L * rep)
+        finally {
+          new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+        }
+      } else if (cotenant) {
         reps.foreach { k =>
           val root = java.nio.file.Files
             .createTempDirectory(s"graft-e2e-cot-x$k").toFile.getAbsolutePath
