@@ -88,6 +88,45 @@ object GraftSession {
     sc.setLocalProperty("spark.scheduler.pool", pool)
     try body finally sc.setLocalProperty("spark.scheduler.pool", prev)
   }
+
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  private val ChangelogConf =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+  /** Per-STAGE state-store provider selection: sets the provider confs
+    * for the duration of `body`, restoring the previous values after. A
+    * streaming query pins its session conf AT START (MicroBatchExecution
+    * clones the session), so wrapping just one stage's `.start()` gives
+    * THAT query the provider while the rest of the chain keeps the
+    * session default — the dial the scaladoc table above implies is per
+    * WORKLOAD, wired per QUERY: resident-state stages (the LWW apply
+    * store, corpus-linear by contract) take RocksDB at heap pressure
+    * while churn stages (the LSH gate) keep HDFSBacked. `provider` is
+    * `"hdfs"` or `"rocksdb"` (with changelog checkpointing on).
+    * Exercised end-to-end by `PipelineE2EProbe sustain ... rocksapply`
+    * (own JVM — the RocksDB JNI has a known benign teardown race at
+    * JVM exit, so it stays out of the shared test JVM);
+    * StateProviderSpec pins the conf scoping semantics. */
+  def withStateProvider[T](spark: SparkSession, provider: String)(body: => T): T = {
+    val wanted: Map[String, String] = provider match {
+      case "rocksdb" => Map(
+        ProviderConf ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        ChangelogConf -> "true")
+      case "hdfs" => Map(
+        ProviderConf ->
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      case other => throw new IllegalArgumentException(
+        s"unknown state-store provider '$other' (hdfs|rocksdb)")
+    }
+    val prev = wanted.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    wanted.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).

@@ -350,7 +350,8 @@ object PipelineE2E {
       watermark: String = "10 seconds",
       applyLateness: String = "1 hour",
       curationDelay: String = "1 hour",
-      nearDup: Boolean = false): LiveChain = {
+      nearDup: Boolean = false,
+      applyProvider: Option[String] = None): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     // pre-create the handoff dirs so every file source can resolve its
@@ -377,7 +378,12 @@ object PipelineE2E {
     // live: the second shard's whole wave arriving "late" under a 10 s
     // horizon and silently vanishing from the store). Per-shard
     // quorum queries don't have this problem; the union stage does.
-    val apply = OplogApply.currentState(
+    // the apply stage's LWW registers are the chain's one
+    // corpus-linear-by-contract store (sustain-probe growth ledger) —
+    // `applyProvider = Some("rocksdb")` moves JUST this query's state
+    // off-heap (conf pinned per query at start; the other stages keep
+    // the session default per the churn-vs-resident dial)
+    def startApply() = OplogApply.currentState(
         spark.readStream.schema(lineSchema)
           .json(s"$root/index/*/oplog/batch=*")
           .select("data.*").as[OplogEntry],
@@ -386,6 +392,8 @@ object PipelineE2E {
       .option("checkpointLocation", s"$root/ckpt/apply")
       .foreachBatch(writeDocsBatch(root) _)
       .start()
+    val apply = applyProvider.fold(startApply())(p =>
+      graft.GraftSession.withStateProvider(spark, p)(startApply()))
 
     val curate = CurationStream.curateWithText(
         spark.readStream.schema(docSchema).parquet(docsGlob(root)),

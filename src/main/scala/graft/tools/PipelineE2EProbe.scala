@@ -147,7 +147,8 @@ object PipelineE2EProbe {
     * One JSON line per wave: freshness, per-wave admitted/packed
     * deltas, and the per-stage state ledger. */
   private def sustainOnce(spark: org.apache.spark.sql.SparkSession,
-      template: DataFrame, root: String, waves: Int, budget: Long): Unit = {
+      template: DataFrame, root: String, waves: Int, budget: Long,
+      applyProvider: Option[String] = None): Unit = {
     val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
     def waveDocs(w: Int): DataFrame =
       template.select((col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
@@ -170,7 +171,7 @@ object PipelineE2EProbe {
       hist.localCheckpoint(), cuts.localCheckpoint(),
       cap = Int.MaxValue / 2,
       applyLateness = horizon, curationDelay = horizon,
-      nearDup = true)
+      nearDup = true, applyProvider = applyProvider)
     val nShards = PipelineE2E.defaultTopology.size
     val labels = (0 until nShards).map(i => s"ingest$i") ++
       Seq("apply", "curate", "neardup", "budget", "pack")
@@ -192,7 +193,8 @@ object PipelineE2EProbe {
           val ops = Option(q.lastProgress).map(_.stateOperators.toSeq).getOrElse(Seq.empty)
           s""""$l":{"rows":${ops.map(_.numRowsTotal).sum},"bytes":${ops.map(_.memoryUsedBytes).sum}}"""
         }.mkString(",")
-        println(f"""{"probe":"chain_sustain","wave":$w,"docs":$n,"freshness_sec":$sec%.2f,"admitted_wave":${admitted - prevAdmitted},"packed_wave":${packed - prevPacked},"state":{$state}}""")
+        val prov = applyProvider.getOrElse("hdfs")
+        println(f"""{"probe":"chain_sustain","apply_provider":"$prov","wave":$w,"docs":$n,"freshness_sec":$sec%.2f,"admitted_wave":${admitted - prevAdmitted},"packed_wave":${packed - prevPacked},"state":{$state}}""")
         prevAdmitted = admitted
         prevPacked = packed
       }
@@ -206,7 +208,8 @@ object PipelineE2EProbe {
     val liveDup = args.headOption.contains("livedup")
     val live = liveDup || args.headOption.contains("live")
     val repArgs = if (live || cotenant || sustain) args.drop(1) else args
-    val reps = if (repArgs.nonEmpty) repArgs.map(_.toInt).toSeq else Seq(1, 20)
+    val numArgs = repArgs.filter(_.forall(_.isDigit))
+    val reps = if (numArgs.nonEmpty) numArgs.map(_.toInt).toSeq else Seq(1, 20)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark =
       if (fair) graft.GraftSession.localFair() else graft.GraftSession.local()
@@ -214,13 +217,17 @@ object PipelineE2EProbe {
       val base = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
       if (sustain) {
-        // args after 'sustain': [waves] [rep] (default 8 waves at 4×)
-        val waves = repArgs.headOption.map(_.toInt).getOrElse(8)
-        val rep = repArgs.drop(1).headOption.map(_.toInt).getOrElse(4)
+        // args after 'sustain': [waves] [rep] [rocksapply]
+        // (default 8 waves at 4×, apply on the session default store)
+        val sArgs = repArgs.filterNot(_ == "rocksapply")
+        val applyProv =
+          if (repArgs.contains("rocksapply")) Some("rocksdb") else None
+        val waves = sArgs.headOption.map(_.toInt).getOrElse(8)
+        val rep = sArgs.drop(1).headOption.map(_.toInt).getOrElse(4)
         val root = java.nio.file.Files
           .createTempDirectory(s"graft-e2e-sustain").toFile.getAbsolutePath
         try sustainOnce(spark, replicate(base, rep).localCheckpoint(),
-          root, waves, 2000L * rep)
+          root, waves, 2000L * rep, applyProvider = applyProv)
         finally {
           new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         }
