@@ -351,7 +351,8 @@ object PipelineE2E {
       applyLateness: String = "1 hour",
       curationDelay: String = "1 hour",
       nearDup: Boolean = false,
-      applyProvider: Option[String] = None): LiveChain = {
+      applyProvider: Option[String] = None,
+      nearDupTtlMs: Option[Long] = None): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     // pre-create the handoff dirs so every file source can resolve its
@@ -417,12 +418,27 @@ object PipelineE2E {
     // prunes to row-group stats (the batch's ids are trigger-bounded),
     // or the manifest schema widened to carry the payload through the
     // fold — the same width-vs-reread trade curateWithText documents.
+    // `nearDupTtlMs` switches the gate to its BOUNDED-state form
+    // ([[NearDupStream.flagExpiring]]): buckets idle past the ttl of
+    // EVENT time expire whole, capping gate state at the ttl window's
+    // distinct corpus instead of growing corpus-linear (verdicts are
+    // identical within the horizon). Event time here is the synthetic
+    // corpus's op clock (doc_id seconds, the same formula the oplog
+    // fixture writes); a deployment would carry the op ts through the
+    // curated manifest instead. The gate's lateness horizon is
+    // `curationDelay`, same as the stage it consumes.
+    def gateBands(src: DataFrame) = nearDupTtlMs match {
+      case Some(ttl) => NearDupStream.flagExpiring(
+        src.select(col("doc_id"), col("text"),
+          timestamp_micros((col("doc_id") + 86400L) * 1000000L).as("ets")),
+        ttl, delay = curationDelay)
+      case None => NearDupStream.flag(src.select(col("doc_id"), col("text")))
+    }
     val gate =
       if (!nearDup) Seq.empty[org.apache.spark.sql.streaming.StreamingQuery]
       else Seq(
-        NearDupStream.flag(
-            spark.readStream.schema(curatedFullSchema).parquet(s"$root/curated")
-              .select(col("doc_id"), col("text")))
+        gateBands(
+            spark.readStream.schema(curatedFullSchema).parquet(s"$root/curated"))
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$root/ckpt/neardup")
           .foreachBatch { (b: Dataset[NearDupBand], batchId: Long) =>

@@ -148,7 +148,8 @@ object PipelineE2EProbe {
     * deltas, and the per-stage state ledger. */
   private def sustainOnce(spark: org.apache.spark.sql.SparkSession,
       template: DataFrame, root: String, waves: Int, budget: Long,
-      applyProvider: Option[String] = None): Unit = {
+      applyProvider: Option[String] = None,
+      gateTtl: Boolean = false): Unit = {
     val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
     def waveDocs(w: Int): DataFrame =
       template.select((col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
@@ -171,7 +172,11 @@ object PipelineE2EProbe {
       hist.localCheckpoint(), cuts.localCheckpoint(),
       cap = Int.MaxValue / 2,
       applyLateness = horizon, curationDelay = horizon,
-      nearDup = true, applyProvider = applyProvider)
+      nearDup = true, applyProvider = applyProvider,
+      // ttl = 2 waves of event time (ids span `stride` seconds/wave):
+      // buckets idle ≥ 2 waves expire, so gate state should PLATEAU at
+      // the ttl window's corpus instead of growing wave-linear
+      nearDupTtlMs = if (gateTtl) Some(2L * stride * 1000L) else None)
     val nShards = PipelineE2E.defaultTopology.size
     val labels = (0 until nShards).map(i => s"ingest$i") ++
       Seq("apply", "curate", "neardup", "budget", "pack")
@@ -194,7 +199,7 @@ object PipelineE2EProbe {
           s""""$l":{"rows":${ops.map(_.numRowsTotal).sum},"bytes":${ops.map(_.memoryUsedBytes).sum}}"""
         }.mkString(",")
         val prov = applyProvider.getOrElse("hdfs")
-        println(f"""{"probe":"chain_sustain","apply_provider":"$prov","wave":$w,"docs":$n,"freshness_sec":$sec%.2f,"admitted_wave":${admitted - prevAdmitted},"packed_wave":${packed - prevPacked},"state":{$state}}""")
+        println(f"""{"probe":"chain_sustain","apply_provider":"$prov","gate_ttl":$gateTtl,"wave":$w,"docs":$n,"freshness_sec":$sec%.2f,"admitted_wave":${admitted - prevAdmitted},"packed_wave":${packed - prevPacked},"state":{$state}}""")
         prevAdmitted = admitted
         prevPacked = packed
       }
@@ -217,9 +222,10 @@ object PipelineE2EProbe {
       val base = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
       if (sustain) {
-        // args after 'sustain': [waves] [rep] [rocksapply]
-        // (default 8 waves at 4×, apply on the session default store)
-        val sArgs = repArgs.filterNot(_ == "rocksapply")
+        // args after 'sustain': [waves] [rep] [rocksapply] [ttl]
+        // (default 8 waves at 4×, apply on the session default store,
+        // gate unbounded)
+        val sArgs = repArgs.filterNot(Set("rocksapply", "ttl"))
         val applyProv =
           if (repArgs.contains("rocksapply")) Some("rocksdb") else None
         val waves = sArgs.headOption.map(_.toInt).getOrElse(8)
@@ -227,7 +233,8 @@ object PipelineE2EProbe {
         val root = java.nio.file.Files
           .createTempDirectory(s"graft-e2e-sustain").toFile.getAbsolutePath
         try sustainOnce(spark, replicate(base, rep).localCheckpoint(),
-          root, waves, 2000L * rep, applyProvider = applyProv)
+          root, waves, 2000L * rep, applyProvider = applyProv,
+          gateTtl = repArgs.contains("ttl"))
         finally {
           new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         }

@@ -30,6 +30,19 @@ class PipelineE2ENearDupSpec extends SparkSuite {
   }
 
   test("near-dup classes collapse to canonicals before budget admission") {
+    runCase(ttlMs = None)
+  }
+
+  test("TTL-bounded gate form: identical terminals within the horizon") {
+    // a ttl far beyond the corpus's event span (~500 s) never expires a
+    // bucket, and within the horizon flagExpiring's verdicts are
+    // flag's ([[NearDupStream.flagExpiring]] scaladoc, kernel-spec'd in
+    // NearDupStreamSpec) — so the WHOLE ttl-gated chain must produce
+    // the same terminals the unbounded gate does
+    runCase(ttlMs = Some(30L * 86400L * 1000L))
+  }
+
+  private def runCase(ttlMs: Option[Long]): Unit = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-e2e-neardup")
       .toFile.getAbsolutePath
@@ -86,7 +99,7 @@ class PipelineE2ENearDupSpec extends SparkSuite {
         hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
         topology = topo,
         applyLateness = "6 hours", curationDelay = "6 hours",
-        nearDup = true)
+        nearDup = true, nearDupTtlMs = ttlMs)
       try {
         PipelineE2E.writeOplogWave(spark, docs, root, topo, "w1")
         chain.drain()
