@@ -149,7 +149,9 @@ object PipelineE2EProbe {
   private def sustainOnce(spark: org.apache.spark.sql.SparkSession,
       template: DataFrame, root: String, waves: Int, budget: Long,
       applyProvider: Option[String] = None,
-      gateTtl: Boolean = false): Unit = {
+      gateTtl: Boolean = false,
+      serve: Boolean = false, fair: Boolean = false,
+      sfDir: String = ""): Unit = {
     val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
     def waveDocs(w: Int): DataFrame =
       template.select((col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
@@ -168,15 +170,19 @@ object PipelineE2EProbe {
     // from the previous snapshot); above-cut docs admit unboundedly, so
     // every wave admits the same mass under fixed cuts
     val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, budget)
-    val chain = PipelineE2E.startLive(spark, root,
-      hist.localCheckpoint(), cuts.localCheckpoint(),
-      cap = Int.MaxValue / 2,
-      applyLateness = horizon, curationDelay = horizon,
-      nearDup = true, applyProvider = applyProvider,
-      // ttl = 2 waves of event time (ids span `stride` seconds/wave):
-      // buckets idle ≥ 2 waves expire, so gate state should PLATEAU at
-      // the ttl window's corpus instead of growing wave-linear
-      nearDupTtlMs = if (gateTtl) Some(2L * stride * 1000L) else None)
+    def inPoolIf[T](pool: String)(body: => T): T =
+      if (fair) graft.GraftSession.inPool(spark, pool)(body) else body
+    val chain = inPoolIf("ingest") {
+      PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(),
+        cap = Int.MaxValue / 2,
+        applyLateness = horizon, curationDelay = horizon,
+        nearDup = true, applyProvider = applyProvider,
+        // ttl = 2 waves of event time (ids span `stride` seconds/wave):
+        // buckets idle ≥ 2 waves expire, so gate state should PLATEAU at
+        // the ttl window's corpus instead of growing wave-linear
+        nearDupTtlMs = if (gateTtl) Some(2L * stride * 1000L) else None)
+    }
     val nShards = PipelineE2E.defaultTopology.size
     val labels = (0 until nShards).map(i => s"ingest$i") ++
       Seq("apply", "curate", "neardup", "budget", "pack")
@@ -189,8 +195,25 @@ object PipelineE2EProbe {
         PipelineE2E.writeOplogWave(spark, docs, root, PipelineE2E.defaultTopology,
           s"w$w", shardKey = Some(PipelineE2E.shardByLang(2)))
         val t0 = System.nanoTime()
-        chain.drain()
-        val sec = (System.nanoTime() - t0) / 1e9
+        // co-tenant form: the serve bench answers queries WHILE this
+        // wave drains (drain on a Future, serve in its own pool) —
+        // per-wave serve q/s under STEADY ingest, not a one-off burst
+        val (sec, serveRow) =
+          if (!serve) { chain.drain(); ((System.nanoTime() - t0) / 1e9, "") }
+          else {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val drainF = Future { chain.drain(); (System.nanoTime() - t0) / 1e9 }
+            val scratch = java.nio.file.Files
+              .createTempDirectory(s"graft-sustain-serve-$w").toFile.getAbsolutePath
+            val r = inPoolIf("serve") {
+              graft.streaming.StreamBench.benchServe(spark, sfDir, scratch) }
+            val freshness = Await.result(drainF, Duration.Inf)
+            new scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
+            (freshness,
+              f""","serve":{"queries_per_sec":${r.rowsPerSec}%.0f,"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax}}""")
+          }
         val admitted = spark.read.schema(PipelineE2E.admitSchema)
           .parquet(s"$root/admitted").count()
         val packed = spark.read.json(s"$root/layout/ffd").count()
@@ -199,7 +222,7 @@ object PipelineE2EProbe {
           s""""$l":{"rows":${ops.map(_.numRowsTotal).sum},"bytes":${ops.map(_.memoryUsedBytes).sum}}"""
         }.mkString(",")
         val prov = applyProvider.getOrElse("hdfs")
-        println(f"""{"probe":"chain_sustain","apply_provider":"$prov","gate_ttl":$gateTtl,"wave":$w,"docs":$n,"freshness_sec":$sec%.2f,"admitted_wave":${admitted - prevAdmitted},"packed_wave":${packed - prevPacked},"state":{$state}}""")
+        println(f"""{"probe":"chain_sustain","apply_provider":"$prov","gate_ttl":$gateTtl,"fair":$fair,"wave":$w,"docs":$n,"freshness_sec":$sec%.2f,"admitted_wave":${admitted - prevAdmitted},"packed_wave":${packed - prevPacked},"state":{$state}$serveRow}""")
         prevAdmitted = admitted
         prevPacked = packed
       }
@@ -207,9 +230,11 @@ object PipelineE2EProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val fair = args.headOption.contains("cotenantfair")
-    val cotenant = fair || args.headOption.contains("cotenant")
     val sustain = args.headOption.contains("sustain")
+    val fair = args.headOption.contains("cotenantfair") ||
+      (sustain && args.contains("fair"))
+    val cotenant = args.headOption.contains("cotenantfair") ||
+      args.headOption.contains("cotenant")
     val liveDup = args.headOption.contains("livedup")
     val live = liveDup || args.headOption.contains("live")
     val repArgs = if (live || cotenant || sustain) args.drop(1) else args
@@ -223,9 +248,9 @@ object PipelineE2EProbe {
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
       if (sustain) {
         // args after 'sustain': [waves] [rep] [rocksapply] [ttl]
-        // (default 8 waves at 4×, apply on the session default store,
-        // gate unbounded)
-        val sArgs = repArgs.filterNot(Set("rocksapply", "ttl"))
+        // [serve] [fair] (default 8 waves at 4×, apply on the session
+        // default store, gate unbounded, no co-tenant serve, FIFO)
+        val sArgs = repArgs.filterNot(Set("rocksapply", "ttl", "serve", "fair"))
         val applyProv =
           if (repArgs.contains("rocksapply")) Some("rocksdb") else None
         val waves = sArgs.headOption.map(_.toInt).getOrElse(8)
@@ -234,7 +259,8 @@ object PipelineE2EProbe {
           .createTempDirectory(s"graft-e2e-sustain").toFile.getAbsolutePath
         try sustainOnce(spark, replicate(base, rep).localCheckpoint(),
           root, waves, 2000L * rep, applyProvider = applyProv,
-          gateTtl = repArgs.contains("ttl"))
+          gateTtl = repArgs.contains("ttl"),
+          serve = repArgs.contains("serve"), fair = fair, sfDir = sfDir)
         finally {
           new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         }
