@@ -229,6 +229,84 @@ object PipelineE2EProbe {
     } finally chain.stop()
   }
 
+  /** OPEN-LOOP stability (the λ < μ measurement the drain-clocked
+    * sustain mode can't make): waves injected on a FIXED wall-clock
+    * cadence with no drain barrier — the chain's continuous
+    * micro-batches pipeline across stages — while a poller snapshots
+    * the packed layout every ~2 s. Post-hoc, each wave's LAG =
+    * first-poll-where-its-packed-count-reached-final − its injection
+    * time. A stable system (arrival rate under capacity) shows flat
+    * lag; past capacity, lag grows wave over wave — the knee is the
+    * chain's sustainable throughput in deployment (open-loop) terms. */
+  private def rateOnce(spark: org.apache.spark.sql.SparkSession,
+      template: DataFrame, root: String, waves: Int, periodSec: Int,
+      budget: Long): Unit = {
+    val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    def waveDocs(w: Int): DataFrame =
+      template.select((col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
+        col("source"), col("lang"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(lit(s"w${w}_"), t)), " ").as("text"))
+    val horizon = s"${stride + 60L} seconds"
+    val gated = template.filter(
+      size(graft.functions.TextFns.tokens(col("text"))) >= graft.streaming.CurationStream.QualityMinTokens)
+    val base = graft.operators.Pipeline.budgetBaseFrom(
+      gated.select(col("doc_id"), col("lang"), col("text"))).localCheckpoint()
+    val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, budget)
+    val chain = PipelineE2E.startLive(spark, root,
+      hist.localCheckpoint(), cuts.localCheckpoint(),
+      cap = Int.MaxValue / 2,
+      applyLateness = horizon, curationDelay = horizon,
+      nearDup = true)
+    try {
+      // pre-render every wave so injection cost is one directory move
+      val rendered = (1 to waves).map(w => w -> waveDocs(w).localCheckpoint())
+      def packedPerWave(): Map[Long, Long] =
+        scala.util.Try {
+          spark.read.json(s"$root/layout/ffd")
+            .select((col("data.doc_id") / stride).cast("long").as("w"))
+            .groupBy("w").count()
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }.getOrElse(Map.empty)
+      val t0 = System.nanoTime()
+      def now() = (System.nanoTime() - t0) / 1e9
+      val snaps = Seq.newBuilder[(Double, Map[Long, Long])]
+      val injected = scala.collection.mutable.Map.empty[Int, Double]
+      var next = 0
+      // inject on cadence; poll between injections; then settle
+      while (next < waves || {
+          // settled = ~12 s of identical snapshots after the last injection
+          val s = snaps.result(); s.length < 8 ||
+            s.takeRight(8).map(_._2).distinct.size > 1
+        }) {
+        if (next < waves && now() >= next.toDouble * periodSec) {
+          val w = next + 1
+          PipelineE2E.writeOplogWave(spark, rendered(next)._2, root,
+            PipelineE2E.defaultTopology, s"w$w",
+            shardKey = Some(PipelineE2E.shardByLang(2)))
+          injected(w) = now()
+          next += 1
+        }
+        snaps += ((now(), packedPerWave()))
+        Thread.sleep(1500)
+      }
+      // ground truth: a full drain after the quiet period — if it adds
+      // rows, the quiet window lied and the affected waves get the
+      // post-drain time as their (pessimistic) completion
+      chain.drain()
+      snaps += ((now(), packedPerWave()))
+      val all = snaps.result()
+      val fin = all.last._2
+      (1 to waves).foreach { w =>
+        val target = fin.getOrElse(w.toLong, 0L)
+        val done = all.find { case (_, m) => m.getOrElse(w.toLong, 0L) >= target }
+          .map(_._1).getOrElse(Double.NaN)
+        val lag = done - injected(w)
+        println(f"""{"probe":"chain_rate","period_sec":$periodSec,"wave":$w,"injected_at":${injected(w)}%.1f,"packed":$target,"lag_sec":$lag%.1f}""")
+      }
+    } finally chain.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sustain = args.headOption.contains("sustain")
     val fair = args.headOption.contains("cotenantfair") ||
@@ -237,7 +315,9 @@ object PipelineE2EProbe {
       args.headOption.contains("cotenant")
     val liveDup = args.headOption.contains("livedup")
     val live = liveDup || args.headOption.contains("live")
-    val repArgs = if (live || cotenant || sustain) args.drop(1) else args
+    val repArgs =
+      if (live || cotenant || sustain || args.headOption.contains("rate"))
+        args.drop(1) else args
     val numArgs = repArgs.filter(_.forall(_.isDigit))
     val reps = if (numArgs.nonEmpty) numArgs.map(_.toInt).toSeq else Seq(1, 20)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -246,7 +326,19 @@ object PipelineE2EProbe {
     try {
       val base = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      if (sustain) {
+      if (args.headOption.contains("rate")) {
+        // args after 'rate': [periodSec] [waves] [rep] (default 20 8 4)
+        val period = repArgs.lift(0).map(_.toInt).getOrElse(20)
+        val nWaves = repArgs.lift(1).map(_.toInt).getOrElse(8)
+        val rep = repArgs.lift(2).map(_.toInt).getOrElse(4)
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-e2e-rate").toFile.getAbsolutePath
+        try rateOnce(spark, replicate(base, rep).localCheckpoint(),
+          root, nWaves, period, 2000L * rep)
+        finally {
+          new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+        }
+      } else if (sustain) {
         // args after 'sustain': [waves] [rep] [rocksapply] [ttl]
         // [serve] [fair] (default 8 waves at 4×, apply on the session
         // default store, gate unbounded, no co-tenant serve, FIFO)
