@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** [[ManagedServe]] — the serve-refresh discipline as a component:
+  * admissions landing while the serve runs trigger a query bounce over
+  * a re-read manifest, new queries then retrieve the new admissions,
+  * and queries answered BEFORE the bounce are never re-served (the
+  * one-checkpoint-across-bounces exactly-once contract). */
+class ManagedServeSpec extends SparkSuite {
+
+  test("admissions become servable after the automatic bounce; no re-serves") {
+    import spark.implicits._
+    val admitted = java.nio.file.Files.createTempDirectory("graft-mserve-adm")
+    val in = java.nio.file.Files.createTempDirectory("graft-mserve-q")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-mserve-scr")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mserve-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft-mserve-out")
+    def admit(ids: Seq[Long], name: String): Unit = {
+      val tmp = scratch.resolve(name)
+      ids.toDF("doc_id").coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, admitted.resolve(s"$name.parquet"))
+      ()
+    }
+    def addQueries(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = scratch.resolve(name)
+      spark.read.parquet(s"$sf0001/embeddings.parquet").filter(pred)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+      ()
+    }
+    def served() = spark.read.parquet(out.toString)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+
+    val setA = (100L until 120L)
+    val setB = (200L until 300L)
+    admit(setA, "a")
+    val h = ManagedServe.start(spark, in.toString,
+      s"$sf0001/embeddings.parquet", sf0001,
+      admitted.toString, ckpt.toString, out.toString,
+      nprobe = 16, pollMs = 300L)
+    try {
+      addQueries(col("vec_id") < 4, "q1")
+      h.drain()
+      val phase1 = served()
+      assert(phase1.nonEmpty && phase1.map(_._2).toSet.subsetOf(setA.toSet),
+        "pre-bounce hits must come from snapshot A")
+
+      admit(setB, "b")
+      assert(h.awaitBounces(1), "manager must bounce on manifest growth")
+      addQueries(col("vec_id") >= 4 && col("vec_id") < 8, "q2")
+      h.drain()
+      val phase2 = served()
+
+      // q2 (post-bounce) retrieves from A ∪ B and actually reaches B
+      val q2Hits = phase2.filter(p => p._1 >= 4 && p._1 < 8).map(_._2).toSet
+      assert(q2Hits.subsetOf(setA.toSet ++ setB.toSet))
+      assert(q2Hits.intersect(setB.toSet).nonEmpty,
+        "post-bounce queries must retrieve the new admissions")
+      // q1's answers are NOT re-served or changed by the bounce
+      val q1Before = phase1.filter(_._1 < 4).sorted.toSeq
+      val q1After = phase2.filter(_._1 < 4).sorted.toSeq
+      assert(q1After == q1Before,
+        s"bounce re-served or mutated pre-bounce answers: before=$q1Before after=$q1After")
+    } finally {
+      h.stop()
+      Seq(admitted, in, scratch, ckpt, out).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
+}
