@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Prices [[graft.streaming.ManagedServe]]'s freshness dial: the wall
+  * time from an ADMISSION landing to the first answer that retrieves
+  * it. Protocol per round: queries stream steadily (one file per
+  * second, pre-bounce corpus A already warm), a new admission set B
+  * lands, and the clock stops at the first served hit with a B vec_id.
+  * The measured number decomposes as poll-detection (≤ pollMs) +
+  * serve-query cold restart + one micro-batch — the restart being the
+  * dominant term is the expected read, and the reason a deployment
+  * sizes pollMs well under its freshness SLA and keeps the serve
+  * query's static side small (the admitted manifest, not the corpus).
+  *
+  * Usage: `runMain graft.tools.ServeRefreshProbe [rounds]` (default 5).
+  */
+object ServeRefreshProbe {
+
+  def main(args: Array[String]): Unit = {
+    val rounds = args.headOption.map(_.toInt).getOrElse(5)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    (1 to rounds).foreach { round =>
+      val admitted = java.nio.file.Files.createTempDirectory(s"graft-srp-adm$round")
+      val in = java.nio.file.Files.createTempDirectory(s"graft-srp-q$round")
+      val scratch = java.nio.file.Files.createTempDirectory(s"graft-srp-scr$round")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-srp-ck$round")
+      val out = java.nio.file.Files.createTempDirectory(s"graft-srp-out$round")
+      def admit(ids: Seq[Long], name: String): Unit = {
+        val tmp = scratch.resolve(name)
+        ids.toDF("doc_id").coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath, admitted.resolve(s"$name.parquet"))
+        ()
+      }
+      def addQueries(pred: org.apache.spark.sql.Column, name: String): Unit = {
+        val tmp = scratch.resolve(name)
+        spark.read.parquet(s"$sfDir/embeddings.parquet").filter(pred)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+        ()
+      }
+      val setA = (100L until 120L)
+      val setB = (200L until 300L)
+      admit(setA, "a")
+      val h = graft.streaming.ManagedServe.start(spark, in.toString,
+        s"$sfDir/embeddings.parquet", sfDir,
+        admitted.toString, ckpt.toString, out.toString,
+        nprobe = 16, pollMs = 250L)
+      try {
+        // warm: one answered query against snapshot A
+        addQueries(col("vec_id") < 2, "q1")
+        h.drain()
+        // the measured event: B lands, queries keep arriving, clock
+        // stops at the first B hit in the output
+        val t0 = System.nanoTime()
+        admit(setB, "b")
+        var servedB = false
+        var qn = 0
+        while (!servedB && (System.nanoTime() - t0) < 120L * 1000000000L) {
+          qn += 1
+          addQueries(col("vec_id") === (1 + qn % 7).toLong, s"qb$qn")
+          h.drain()
+          servedB = scala.util.Try {
+            spark.read.parquet(out.toString)
+              .filter($"vec_id".isin(setB: _*)).limit(1).count() > 0
+          }.getOrElse(false)
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"serve_refresh","round":$round,"admit_to_served_sec":$sec%.2f,"bounces":${h.bounces},"probe_queries":$qn}""")
+      } finally {
+        h.stop()
+        Seq(admitted, in, scratch, ckpt, out).foreach(d =>
+          new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+      }
+    }
+    spark.stop()
+  }
+}
