@@ -61,6 +61,22 @@ object MmrServeStream {
       nprobe: Int): Dataset[MmrHit] = {
     val spark = queries.sparkSession
     import spark.implicits._
+    candidates(queries, dir, corpusIds, nprobe)
+      .groupByKey(_.qid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[MmrCand], _: GroupState[Long]) =>
+          rerank(qid, rows, kCand, kOut)
+      }
+  }
+
+  /** The retrieve half, shared verbatim by the streaming and batch
+    * forms — works on either kind of `queries` frame (probing is a
+    * mapPartitions over broadcast centroids; the corpus side is
+    * static). */
+  private def candidates(queries: DataFrame, dir: String,
+      corpusIds: Option[DataFrame], nprobe: Int): Dataset[MmrCand] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
     val (probed, corpus0, _) = VectorServeStream.probeWithCorpus(queries, dir, nprobe)
     val corpus = corpusIds match {
@@ -69,19 +85,56 @@ object MmrServeStream {
           Seq("vec_id"), "left_semi")
       case None => corpus0
     }
-    val cand = probed.toDF()
+    probed.toDF()
       .join(corpus, Seq("cell"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id",
         (dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"),
         $"v", $"nrm")
       .as[MmrCand]
-    cand.groupByKey(_.qid)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (qid: Long, rows: Iterator[MmrCand], _: GroupState[Long]) =>
-          rerank(qid, rows, kCand, kOut)
-      }
   }
+
+  /** BATCH twin of [[serveCorpus]] — the same candidate build and the
+    * same rerank kernel, folded with plain `flatMapGroups` (legal
+    * because the serve is stateless per query: every query's
+    * candidates live in one frame). Exists so the refreshed form below
+    * can run the whole serve INSIDE foreachBatch. */
+  def serveBatch(queries: DataFrame, dir: String, corpusIds: Option[DataFrame],
+      kCand: Int = 20, kOut: Int = 5, nprobe: Int = 2): Dataset[MmrHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    candidates(queries, dir, corpusIds, nprobe)
+      .groupByKey(_.qid)
+      .flatMapGroups((qid: Long, rows: Iterator[MmrCand]) =>
+        rerank(qid, rows, kCand, kOut))
+  }
+
+  /** BOUNCE-FREE refreshed serve — the [[ManagedServe]] restart fee
+    * removed: because the serve is stateless per micro-batch, the
+    * admitted-manifest read moves INSIDE `foreachBatch`, where creating
+    * the DataFrame anew each batch re-lists the directory — every
+    * micro-batch serves against the manifest in force WHEN IT RUNS, so
+    * admission-to-servable freshness is one trigger interval, no query
+    * restart, no cold-start fee (`tools.ServeRefreshProbe live`
+    * prices it vs the bounce). Hits publish through the exactly-once
+    * index-sink epoch discipline (a replayed batch REPLACES its epoch,
+    * never duplicates — the chain's own idempotence pattern), landing
+    * as `{"data": hit}` json lines under `$outRoot/serve/batch=*`. */
+  def serveRefreshed(queries: DataFrame, dir: String, admittedDir: String,
+      checkpoint: String, outRoot: String,
+      kCand: Int = 20, kOut: Int = 5,
+      nprobe: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val admitted = spark.read.parquet(admittedDir)
+          .select(col("doc_id").as("vec_id"))
+        val hits = serveBatch(batch, dir, Some(admitted), kCand, kOut, nprobe)
+        OplogPipeline.writeIndexBatch(hits.toDF(), outRoot, batchId, "serve")
+        ()
+      }
+      .start()
 
   /** Spark `round(1e6 * x)`: BigDecimal HALF_UP on the double value. */
   private def micro(x: Double): Long =

@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
   * sizes pollMs well under its freshness SLA and keeps the serve
   * query's static side small (the admitted manifest, not the corpus).
   *
-  * Usage: `runMain graft.tools.ServeRefreshProbe [rounds]` (default 5).
+  * Usage: `runMain graft.tools.ServeRefreshProbe [rounds] [live]`
+  * (default 5 bounce-mode rounds; `live` switches to
+  * [[graft.streaming.MmrServeStream.serveRefreshed]], the bounce-free
+  * per-batch-manifest form, same protocol — the delta between the two
+  * numbers IS the bounce fee).
   */
 object ServeRefreshProbe {
 
   def main(args: Array[String]): Unit = {
-    val rounds = args.headOption.map(_.toInt).getOrElse(5)
+    val live = args.contains("live")
+    val rounds = args.filterNot(_ == "live").headOption.map(_.toInt).getOrElse(5)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,14 +52,36 @@ object ServeRefreshProbe {
       val setA = (100L until 120L)
       val setB = (200L until 300L)
       admit(setA, "a")
-      val h = graft.streaming.ManagedServe.start(spark, in.toString,
-        s"$sfDir/embeddings.parquet", sfDir,
-        admitted.toString, ckpt.toString, out.toString,
-        nprobe = 16, pollMs = 250L)
+      // two serve forms, one protocol: bounce (ManagedServe) vs
+      // per-batch manifest re-read (serveRefreshed)
+      val (drain, servedHasB, stop, bounces) =
+        if (!live) {
+          val h = graft.streaming.ManagedServe.start(spark, in.toString,
+            s"$sfDir/embeddings.parquet", sfDir,
+            admitted.toString, ckpt.toString, out.toString,
+            nprobe = 16, pollMs = 250L)
+          (() => h.drain(),
+            () => scala.util.Try {
+              spark.read.parquet(out.toString)
+                .filter($"vec_id".isin(setB: _*)).limit(1).count() > 0
+            }.getOrElse(false),
+            () => h.stop(), () => h.bounces)
+        } else {
+          val stream = graft.Tables.loadStream(
+            spark, in.toString, "embeddings", s"$sfDir/embeddings.parquet")
+          val q = graft.streaming.MmrServeStream.serveRefreshed(stream, sfDir,
+            admitted.toString, ckpt.toString, out.toString, nprobe = 16)
+          (() => q.processAllAvailable(),
+            () => scala.util.Try {
+              spark.read.json(s"$out/serve/batch=*")
+                .filter(col("data.vec_id").isin(setB: _*)).limit(1).count() > 0
+            }.getOrElse(false),
+            () => q.stop(), () => 0)
+        }
       try {
         // warm: one answered query against snapshot A
         addQueries(col("vec_id") < 2, "q1")
-        h.drain()
+        drain()
         // the measured event: B lands, queries keep arriving, clock
         // stops at the first B hit in the output
         val t0 = System.nanoTime()
@@ -64,16 +91,14 @@ object ServeRefreshProbe {
         while (!servedB && (System.nanoTime() - t0) < 120L * 1000000000L) {
           qn += 1
           addQueries(col("vec_id") === (1 + qn % 7).toLong, s"qb$qn")
-          h.drain()
-          servedB = scala.util.Try {
-            spark.read.parquet(out.toString)
-              .filter($"vec_id".isin(setB: _*)).limit(1).count() > 0
-          }.getOrElse(false)
+          drain()
+          servedB = servedHasB()
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"probe":"serve_refresh","round":$round,"admit_to_served_sec":$sec%.2f,"bounces":${h.bounces},"probe_queries":$qn}""")
+        val mode = if (live) "refreshed" else "bounce"
+        println(f"""{"probe":"serve_refresh","mode":"$mode","round":$round,"admit_to_served_sec":$sec%.2f,"bounces":${bounces()},"probe_queries":$qn}""")
       } finally {
-        h.stop()
+        stop()
         Seq(admitted, in, scratch, ckpt, out).foreach(d =>
           new scala.reflect.io.Directory(d.toFile).deleteRecursively())
       }
