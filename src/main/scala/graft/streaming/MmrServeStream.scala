@@ -128,8 +128,12 @@ object MmrServeStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val admitted = spark.read.parquet(admittedDir)
-          .select(col("doc_id").as("vec_id"))
+        // an empty/not-yet-written manifest means NOTHING is admitted
+        // yet — serve nothing rather than fail schema inference (the
+        // live chain pre-creates the handoff dir before any admission)
+        val admitted = scala.util.Try(
+            spark.read.parquet(admittedDir).select(col("doc_id").as("vec_id")))
+          .getOrElse(spark.range(0).select(col("id").as("vec_id")))
         val hits = serveBatch(batch, dir, Some(admitted), kCand, kOut, nprobe)
         OplogPipeline.writeIndexBatch(hits.toDF(), outRoot, batchId, "serve")
         ()

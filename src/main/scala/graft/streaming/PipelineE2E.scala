@@ -352,7 +352,9 @@ object PipelineE2E {
       curationDelay: String = "1 hour",
       nearDup: Boolean = false,
       applyProvider: Option[String] = None,
-      nearDupTtlMs: Option[Long] = None): LiveChain = {
+      nearDupTtlMs: Option[Long] = None,
+      serveVecDir: Option[String] = None,
+      serveNprobe: Int = 2): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     // pre-create the handoff dirs so every file source can resolve its
@@ -365,6 +367,7 @@ object PipelineE2E {
     }
     Seq("docs/batch=0", "curated", "admitted").foreach(d => new java.io.File(s"$root/$d").mkdirs())
     if (nearDup) new java.io.File(s"$root/dedup/neardup/batch=0").mkdirs()
+    serveVecDir.foreach(_ => new java.io.File(s"$root/queries").mkdirs())
 
     val ingest = ShardedOplogPipeline.run(spark, topology,
       sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt/ingest", watermark)
@@ -480,7 +483,25 @@ object PipelineE2E {
       }
       .start()
 
-    LiveChain(ingest ++ Seq(apply, curate) ++ gate ++ Seq(budget, pack))
+    // OPTIONAL live SERVE stage — the chain closed end to end IN one
+    // concurrent run: query vectors stream from `$root/queries`, the
+    // candidate corpus is `serveVecDir`'s embeddings restricted to the
+    // CURRENT admitted manifest per micro-batch
+    // ([[MmrServeStream.serveRefreshed]] re-reads `$root/admitted`
+    // inside foreachBatch, so a query served after wave w retrieves
+    // wave w's admissions with no restart), hits publish as
+    // exactly-once epochs under `$root/serve/batch=*`. Only possible
+    // with the refreshed form: a static-manifest serve would pin the
+    // admission snapshot at chain start, before anything was admitted.
+    val serve = serveVecDir.toSeq.map { vd =>
+      MmrServeStream.serveRefreshed(
+        graft.Tables.loadStream(spark, s"$root/queries", "embeddings",
+          s"$vd/embeddings.parquet"),
+        vd, s"$root/admitted", s"$root/ckpt/serve", root,
+        nprobe = serveNprobe)
+    }
+
+    LiveChain(ingest ++ Seq(apply, curate) ++ gate ++ Seq(budget, pack) ++ serve)
   }
 
   /** The whole chain, stage-timed. `docs` is the corpus entering CDC;
