@@ -139,22 +139,47 @@ object PipelineE2E {
   def writeOplogWave(spark: SparkSession, docs: DataFrame, root: String,
       topology: Seq[ShardSet], wave: String,
       shardKey: Option[org.apache.spark.sql.Column] = None): Long = {
+    val staged = renderOplogWave(spark, docs, topology, wave, shardKey)
+    injectStagedWave(staged, root, topology, wave)
+  }
+
+  /** Render one wave's per-shard json to a staging dir WITHOUT
+    * touching the live source dirs — [[injectStagedWave]] later moves
+    * the files in with pure filesystem ops. Split out so an open-loop
+    * injector can pre-render every wave and hold its cadence without
+    * competing with the chain for Spark cores. Returns (stagingDir,
+    * opCount). */
+  def renderOplogWave(spark: SparkSession, docs: DataFrame,
+      topology: Seq[ShardSet], wave: String,
+      shardKey: Option[org.apache.spark.sql.Column] = None): (String, Long) = {
     val ops = opsFrame(spark, docs, topology,
       shardKey.getOrElse(shardByDocId(topology.size))).localCheckpoint()
+    val scratch = java.nio.file.Files.createTempDirectory(s"graft-wave-$wave")
     topology.foreach { sh =>
-      val scratch = java.nio.file.Files.createTempDirectory(s"graft-wave-$wave")
-      val tmp = scratch.resolve("out")
       ops.filter(col("shard") === sh.shard).drop("shard")
-        .coalesce(1).write.json(tmp.toString)
+        .coalesce(1).write.json(scratch.resolve(sh.shard).toString)
+    }
+    (scratch.toString, ops.count())
+  }
+
+  /** Move a [[renderOplogWave]] staging dir into the live source dirs
+    * (a tailable source can't be overwritten under its reader; files
+    * get wave-unique names). Pure file moves — safe to call from a
+    * cadence thread. Deletes the staging dir. */
+  def injectStagedWave(staged: (String, Long), root: String,
+      topology: Seq[ShardSet], wave: String): Long = {
+    topology.foreach { sh =>
+      val src = java.nio.file.Paths.get(staged._1, sh.shard)
       val dst = java.nio.file.Paths.get(s"$root/src/${sh.shard}")
       java.nio.file.Files.createDirectories(dst)
-      tmp.toFile.listFiles.filter(_.getName.endsWith(".json"))
+      src.toFile.listFiles.filter(_.getName.endsWith(".json"))
         .zipWithIndex.foreach { case (f, i) =>
           java.nio.file.Files.move(f.toPath, dst.resolve(s"$wave-$i.json"))
+          ()
         }
-      new scala.reflect.io.Directory(scratch.toFile).deleteRecursively()
     }
-    ops.count()
+    new scala.reflect.io.Directory(new java.io.File(staged._1)).deleteRecursively()
+    staged._2
   }
 
   private def timed[A](body: => A): (A, Double) = {

@@ -259,8 +259,14 @@ object PipelineE2EProbe {
       applyLateness = horizon, curationDelay = horizon,
       nearDup = true)
     try {
-      // pre-render every wave so injection cost is one directory move
-      val rendered = (1 to waves).map(w => w -> waveDocs(w).localCheckpoint())
+      // pre-render every wave TO DISK so injection is a pure file move —
+      // the injector holds its cadence instead of competing with the
+      // chain for Spark cores (the round-12 first-measurement confound)
+      val rendered = (1 to waves).map { w =>
+        w -> PipelineE2E.renderOplogWave(spark, waveDocs(w),
+          PipelineE2E.defaultTopology, s"w$w",
+          shardKey = Some(PipelineE2E.shardByLang(2)))
+      }.toMap
       def packedPerWave(): Map[Long, Long] =
         scala.util.Try {
           spark.read.json(s"$root/layout/ffd")
@@ -281,9 +287,8 @@ object PipelineE2EProbe {
         }) {
         if (next < waves && now() >= next.toDouble * periodSec) {
           val w = next + 1
-          PipelineE2E.writeOplogWave(spark, rendered(next)._2, root,
-            PipelineE2E.defaultTopology, s"w$w",
-            shardKey = Some(PipelineE2E.shardByLang(2)))
+          PipelineE2E.injectStagedWave(rendered(w), root,
+            PipelineE2E.defaultTopology, s"w$w")
           injected(w) = now()
           next += 1
         }
