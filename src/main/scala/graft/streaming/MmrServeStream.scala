@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -128,17 +128,36 @@ object MmrServeStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // an empty/not-yet-written manifest means NOTHING is admitted
-        // yet — serve nothing rather than fail schema inference (the
-        // live chain pre-creates the handoff dir before any admission)
-        val admitted = scala.util.Try(
-            spark.read.parquet(admittedDir).select(col("doc_id").as("vec_id")))
-          .getOrElse(spark.range(0).select(col("id").as("vec_id")))
+        val admitted = readAdmittedIds(spark, admittedDir)
         val hits = serveBatch(batch, dir, Some(admitted), kCand, kOut, nprobe)
         OplogPipeline.writeIndexBatch(hits.toDF(), outRoot, batchId, "serve")
         ()
       }
       .start()
+
+  /** Read the admitted manifest as a one-column `vec_id` frame, with
+    * the serve-nothing fallback NARROWED to the genuinely-empty case:
+    * only a missing directory or one holding no parquet data files
+    * means "nothing admitted yet" (the live chain pre-creates the
+    * handoff dir before any admission lands). Any OTHER failure —
+    * transient IO, a corrupt or partially-visible file, permissions —
+    * PROPAGATES so the streaming micro-batch fails and is retried;
+    * the previous broad `Try(...).getOrElse(empty)` would instead
+    * commit an empty serve epoch and advance the checkpoint past
+    * those query vectors forever (silent query loss on a transient
+    * fault). The existence probe is one FileSystem listing — at
+    * cluster scale the same check is an epoch-pointer read. */
+  private[streaming] def readAdmittedIds(spark: SparkSession,
+      admittedDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(admittedDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(path) && fs.listStatus(path).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (hasData)
+      spark.read.parquet(admittedDir).select(col("doc_id").as("vec_id"))
+    else
+      spark.range(0).select(col("id").as("vec_id"))
+  }
 
   /** Spark `round(1e6 * x)`: BigDecimal HALF_UP on the double value. */
   private def micro(x: Double): Long =
