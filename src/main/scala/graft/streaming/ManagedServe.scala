@@ -3,7 +3,6 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Self-refreshing restricted serve — the ServeFreshnessSpec pin made
@@ -21,9 +20,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * purpose at every refresh).
   *
   * The refresh CADENCE is the freshness dial: admissions become
-  * servable within one poll interval plus one query cold-start. At
-  * cluster scale the poll is an epoch-pointer read (the IndexSink
-  * manifest pattern), not a directory listing.
+  * servable within one poll interval plus one query cold-start. The
+  * poll is [[MmrServeStream.manifestVersion]] — for a sink-written
+  * manifest that IS an epoch-pointer read (one small commit-log
+  * listing, independent of data size), and only plain dirs fall back
+  * to a file-signature walk.
   */
 object ManagedServe {
 
@@ -36,18 +37,34 @@ object ManagedServe {
       pollMs: Long) {
     private val nBounces = new AtomicInteger(0)
     @volatile private var running = true
-    @volatile private var current: StreamingQuery = restart()
+    @volatile private var bouncing = false
+    // signature BEFORE the first start: admissions landing between the
+    // two would otherwise be baked into `sig` but invisible to the
+    // started query's static listing — never bounced for, unservable
+    // until some later manifest change. Captured first, such a landing
+    // reads as a signature change on the next poll and bounces
+    // normally (the same pre-restart capture order every bounce uses:
+    // `s` is read before its restart, so a mid-restart landing costs
+    // at most one spurious extra bounce, never a blind spot).
     @volatile private var sig: String = signature()
+    @volatile private var current: StreamingQuery = restart()
 
     private val monitor = new Thread(() => {
       while (running) {
         Thread.sleep(pollMs)
         val s = signature()
         if (running && s != sig) synchronized {
-          current.stop()
-          current = restart()
-          sig = s
-          nBounces.incrementAndGet()
+          // flag BEFORE stop(): a drain()'s processAllAvailable can
+          // throw the moment stop() lands, before nBounces increments
+          // — without the flag that window rethrows as a spurious
+          // hard failure
+          bouncing = true
+          try {
+            current.stop()
+            current = restart()
+            sig = s
+            nBounces.incrementAndGet()
+          } finally bouncing = false
           ()
         }
       }
@@ -63,14 +80,24 @@ object ManagedServe {
       * force when its batch ran. */
     def drain(): Unit = {
       var settledAt = -1
-      while (settledAt != nBounces.get()) {
+      // `|| bouncing`: a swallowed mid-settle exception can reach the
+      // re-check BEFORE the monitor increments nBounces — without the
+      // flag the count looks settled and drain would return with the
+      // replacement query never settled
+      while (settledAt != nBounces.get() || bouncing) {
+        while (bouncing) Thread.sleep(10)
         settledAt = nBounces.get()
         val q = synchronized(current)
         // a bounce may stop `q` mid-settle: swallow only that race (the
         // loop re-settles on the replacement); real failures re-throw
-        // from the replacement's own settle
+        // from the replacement's own settle. `bouncing` covers the
+        // stop→restart window BEFORE nBounces increments — an
+        // exception landing there is still the bounce race, not a
+        // hard failure (the flag is raised before stop() is called)
         try q.processAllAvailable()
-        catch { case _: Exception if nBounces.get() != settledAt => () }
+        catch {
+          case _: Exception if bouncing || nBounces.get() != settledAt => ()
+        }
       }
     }
 
@@ -96,17 +123,16 @@ object ManagedServe {
   def start(spark: SparkSession, queryStreamDir: String, schemaFrom: String,
       vecDir: String, admittedDir: String, checkpoint: String, outDir: String,
       nprobe: Int = 2, pollMs: Long = 1000L): Handle = {
-    def signature(): String = {
-      val d = new java.io.File(admittedDir)
-      Option(d.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
-        .map(f => s"${f.getName}:${f.length}").sorted.mkString(","))
-        .getOrElse("")
-    }
+    def signature(): String =
+      MmrServeStream.manifestVersion(spark, admittedDir)
     def restart(): StreamingQuery = {
       val queries = graft.Tables.loadStream(
         spark, queryStreamDir, "embeddings", schemaFrom)
-      val admitted = spark.read.parquet(admittedDir)
-        .select(col("doc_id").as("vec_id"))
+      // the guarded read, shared with the refreshed serve: before the
+      // first admission (missing/empty dir) the query STARTS and
+      // serves nothing instead of dying on schema inference; real
+      // faults still propagate (no silent empty-corpus serve)
+      val admitted = MmrServeStream.readAdmittedIds(spark, admittedDir)
       MmrServeStream.serveCorpus(queries, vecDir, admitted, nprobe = nprobe)
         .writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)

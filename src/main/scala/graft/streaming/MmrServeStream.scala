@@ -135,28 +135,141 @@ object MmrServeStream {
       }
       .start()
 
+  /** [[serveRefreshed]] with the per-batch re-list+re-plan replaced by
+    * an EPOCH-POINTER swap — the sub-second-freshness form SURVEY's
+    * sizing rule calls for. `serveRefreshed` re-creates the admitted
+    * DataFrame every micro-batch, paying a directory re-list plus plan
+    * re-analysis per trigger whether or not anything changed
+    * (`tools.ServeRefreshProbe` priced the residual at 1.6–3.4 s of
+    * probe cadence). Here each batch instead reads ONE version pointer
+    * ([[manifestVersion]] — for a sink-written manifest that is a
+    * small commit-log listing, the IndexSink epoch pattern) and
+    * re-plans ONLY when the pointer moved: unchanged epochs reuse the
+    * held DataFrame, whose file listing is PINNED at creation (the
+    * ServeFreshnessSpec static-snapshot semantics, here load-bearing
+    * on purpose — same version ⇒ same files ⇒ the pinned plan is the
+    * current manifest). Freshness stays one trigger interval; the
+    * steady-state per-batch overhead drops to the pointer read.
+    * Failure semantics are [[readAdmittedIds]]'s: genuinely-empty
+    * serves nothing, everything else fails the query and a restart
+    * replays from the checkpoint (the held cache dies with the query,
+    * so a restart re-reads — no staleness across failures). */
+  def serveEpochRefreshed(queries: DataFrame, dir: String,
+      admittedDir: String, checkpoint: String, outRoot: String,
+      kCand: Int = 20, kOut: Int = 5,
+      nprobe: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    // held epoch, confined to the stream's single micro-batch
+    // execution thread (foreachBatch bodies of one query never run
+    // concurrently)
+    var heldVersion: String = null
+    var heldAdmitted: DataFrame = null
+    queries.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val v = manifestVersion(spark, admittedDir)
+        if (heldAdmitted == null || v != heldVersion) {
+          heldAdmitted = readAdmittedIds(spark, admittedDir)
+          heldVersion = v
+        }
+        val hits = serveBatch(batch, dir, Some(heldAdmitted), kCand, kOut, nprobe)
+        OplogPipeline.writeIndexBatch(hits.toDF(), outRoot, batchId, "serve")
+        ()
+      }
+      .start()
+  }
+
   /** Read the admitted manifest as a one-column `vec_id` frame, with
     * the serve-nothing fallback NARROWED to the genuinely-empty case:
-    * only a missing directory or one holding no parquet data files
-    * means "nothing admitted yet" (the live chain pre-creates the
-    * handoff dir before any admission lands). Any OTHER failure —
+    * only a missing directory or one holding no committed parquet data
+    * files means "nothing admitted yet" (the live chain pre-creates
+    * the handoff dir before any admission lands). Any OTHER failure —
     * transient IO, a corrupt or partially-visible file, permissions —
-    * PROPAGATES so the streaming micro-batch fails and is retried;
-    * the previous broad `Try(...).getOrElse(empty)` would instead
-    * commit an empty serve epoch and advance the checkpoint past
-    * those query vectors forever (silent query loss on a transient
-    * fault). The existence probe is one FileSystem listing — at
-    * cluster scale the same check is an epoch-pointer read. */
+    * PROPAGATES, which FAILS the streaming query (a foreachBatch
+    * exception terminates it); a restart replays the batch from the
+    * checkpoint, so no query vector is ever silently skipped — the
+    * previous broad `Try(...).getOrElse(empty)` would instead commit
+    * an empty serve epoch and advance the checkpoint past those query
+    * vectors forever (silent query loss on a transient fault). The
+    * expected supervisor policy is restart-from-checkpoint, the same
+    * contract every other stage of the chain runs under.
+    *
+    * Emptiness is judged from the SAME source of truth the read uses:
+    *  - a dir written by a streaming FILE SINK (`_spark_metadata`
+    *    present): the read's file index is the sink's commit log, so
+    *    a raw listing can disagree with it in both directions (an
+    *    orphaned uncommitted part file is NOT data; zero committed
+    *    files must serve empty, not fail schema inference). Passing
+    *    the explicit one-column schema bypasses inference — zero
+    *    committed files yields an empty frame, orphans are ignored by
+    *    the log-driven index, and a corrupt COMMITTED file still
+    *    fails the scan loudly.
+    *  - a plain dir: a recursive probe for `*.parquet` data files,
+    *    skipping hidden (`_`/`.`-prefixed) entries at every depth, so
+    *    a partitioned layout (`lang=…` dirs holding `part-….parquet`)
+    *    counts as data instead of silently serving nothing.
+    * At cluster scale the same check is an epoch-pointer read
+    * ([[serveEpochRefreshed]] does exactly that). */
   private[streaming] def readAdmittedIds(spark: SparkSession,
       admittedDir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(admittedDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val hasData = fs.exists(path) && fs.listStatus(path).exists(st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet"))
-    if (hasData)
+    val empty = spark.range(0).select(col("id").as("vec_id"))
+    if (!fs.exists(path)) return empty
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_spark_metadata")))
+      spark.read.schema("doc_id LONG").parquet(admittedDir)
+        .select(col("doc_id").as("vec_id"))
+    else if (hasParquetData(fs, path))
       spark.read.parquet(admittedDir).select(col("doc_id").as("vec_id"))
-    else
-      spark.range(0).select(col("id").as("vec_id"))
+    else empty
+  }
+
+  /** Cheap manifest VERSION probe — the driver-side epoch pointer.
+    * For a dir written by a streaming file sink the commit log under
+    * `_spark_metadata` IS the pointer: one small-dir listing of batch
+    * files (a handful of names, independent of data size) changes
+    * exactly when an epoch commits. For a plain dir the version is
+    * the recursive visible-data-file signature (name:length, sorted)
+    * — same layout tolerance as [[readAdmittedIds]], so a partitioned
+    * manifest never reads as permanently unchanged. Missing dir →
+    * `""` (sorts before any real version, so the first epoch is a
+    * change). */
+  private[streaming] def manifestVersion(spark: SparkSession,
+      dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return ""
+    val meta = new org.apache.hadoop.fs.Path(path, "_spark_metadata")
+    if (fs.exists(meta))
+      fs.listStatus(meta).map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).sorted.mkString(",")
+    else {
+      val acc = Seq.newBuilder[String]
+      def walk(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            if (st.isFile && n.endsWith(".parquet"))
+              acc += s"$n:${st.getLen}"
+            else if (st.isDirectory) walk(st.getPath)
+          }
+        }
+      walk(path)
+      acc.result().sorted.mkString(",")
+    }
+  }
+
+  /** Depth-unbounded probe for visible `*.parquet` data files under
+    * `p`, skipping hidden entries (the `_`/`.` prefix convention the
+    * parquet reader itself applies) at every level. */
+  private def hasParquetData(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val visible = fs.listStatus(p).filterNot { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    visible.exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+      visible.exists(st => st.isDirectory && hasParquetData(fs, st.getPath))
   }
 
   /** Spark `round(1e6 * x)`: BigDecimal HALF_UP on the double value. */

@@ -19,7 +19,13 @@ import org.apache.spark.sql.streaming.Trigger
   * Usage: `runMain graft.tools.GateTtlProbe [ttlSec...]` (default
   * 60 120 240 480 960; Δ fixed at 600 s; sf dir from
   * SPARK_GRAFT_SF_DIR, default sf0.001).
-  */
+  *
+  * `base_corpus_flags` counts ORIGINALS the gate flagged — on a
+  * corpus seeded with planted near-dup pairs those are CORRECT
+  * verdicts (originals banding with other originals), not false
+  * positives; the field exists so a reader can separate the base
+  * corpus's own dup mass from the planted-late-dup recall the sweep
+  * is pricing. */
 object GateTtlProbe {
 
   private val DeltaSec = 600L
@@ -84,7 +90,7 @@ object GateTtlProbe {
             .start()
           try q.awaitTermination() finally q.stop()
           val caught = flaggedCopies.get()
-          println(f"""{"probe":"gate_ttl","ttl_sec":$ttl,"delta_sec":$DeltaSec,"late_dups":$nCopies,"flagged":$caught,"admitted":${nCopies - caught},"recall_pct":${100.0 * caught / nCopies}%.1f,"false_orig_flags":${flaggedOrig.get()}}""")
+          println(f"""{"probe":"gate_ttl","ttl_sec":$ttl,"delta_sec":$DeltaSec,"late_dups":$nCopies,"flagged":$caught,"admitted":${nCopies - caught},"recall_pct":${100.0 * caught / nCopies}%.1f,"base_corpus_flags":${flaggedOrig.get()}}""")
         } finally {
           scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
           ()

@@ -71,4 +71,62 @@ class ManagedServeSpec extends SparkSuite {
         new scala.reflect.io.Directory(d.toFile).deleteRecursively())
     }
   }
+
+  test("starts BEFORE the first admission: serves nothing, then bounces servable") {
+    import spark.implicits._
+    val admitted = java.nio.file.Files.createTempDirectory("graft-mserve0-adm")
+    val in = java.nio.file.Files.createTempDirectory("graft-mserve0-q")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-mserve0-scr")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mserve0-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft-mserve0-out")
+    def admit(ids: Seq[Long], name: String): Unit = {
+      val tmp = scratch.resolve(name)
+      ids.toDF("doc_id").coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, admitted.resolve(s"$name.parquet"))
+      ()
+    }
+    def addQueries(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = scratch.resolve(name)
+      spark.read.parquet(s"$sf0001/embeddings.parquet").filter(pred)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+      ()
+    }
+    // explicit schema: before anything is served the sink dir has a
+    // commit log but zero committed files — inference would fail
+    def served() = spark.read
+      .schema("qid LONG, step INT, vec_id LONG, mmr_score LONG")
+      .parquet(out.toString)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+
+    // the round-12/13 defect: start() over a pre-admission (empty)
+    // manifest used to die on schema inference — the manager could
+    // not be brought up before the first admission landed
+    val h = ManagedServe.start(spark, in.toString,
+      s"$sf0001/embeddings.parquet", sf0001,
+      admitted.toString, ckpt.toString, out.toString,
+      nprobe = 16, pollMs = 300L)
+    try {
+      // a query arriving pre-admission is answered with the empty
+      // corpus: zero hits, by design (serve-nothing, not a crash)
+      addQueries(col("vec_id") < 2, "q0")
+      h.drain()
+      assert(served().isEmpty, "pre-admission serve must emit no hits")
+
+      val setA = (100L until 120L)
+      admit(setA, "a")
+      assert(h.awaitBounces(1), "first admission must bounce the cold manager")
+      addQueries(col("vec_id") >= 2 && col("vec_id") < 4, "q1")
+      h.drain()
+      val hits = served().filter(p => p._1 >= 2 && p._1 < 4).map(_._2).toSet
+      assert(hits.nonEmpty && hits.subsetOf(setA.toSet),
+        "post-bounce queries must retrieve the first admission")
+    } finally {
+      h.stop()
+      Seq(admitted, in, scratch, ckpt, out).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
 }
