@@ -22,8 +22,10 @@ import org.apache.spark.sql.SparkSession
   * queries only (sentinels would drown it), with "ok":false,
   * "n_failed", and a nonzero exit code marking the broken run.
   *
-  * After the batch queries, the STREAMING path is benched once (see
-  * [[graft.streaming.StreamBench]]): the events corpus fanned out ×3
+  * After the batch queries, the STREAMING path is benched BEST-of-N
+  * (same `--repeat` dial as the batch min-of-N — a single-shot meter
+  * produced three rounds of phantom regressions on this co-tenant
+  * host; see [[graft.streaming.StreamBench]]): the events corpus fanned out ×3
   * replicas, driven as a file stream with maxFilesPerTrigger admission
   * through O3 filter → quorum dedup → apply. Reported under the
   * "streaming" key (source rows/s + per-micro-batch latency); the
@@ -107,13 +109,38 @@ object Bench {
     val totalWithSentinels =
       results.map { case (_, _, w, ok) => if (ok) w.min else FailedSentinelSec }.sum
 
-    // streaming throughput: one metered drain of the CDC chain
+    // streaming throughput meters. Like the batch queries these are
+    // BEST-of-N (N = the same --repeat dial): a single-shot meter on
+    // this host produced three consecutive rounds of phantom
+    // regressions (r11 file-mode, r12 connector, r13 serve 201 q/s vs
+    // 957 same-code re-run) that each cost an adjudication — the max
+    // rate over N fresh runs filters the same co-tenant noise the
+    // batch min-of-N does, and every raw rate rides in the detail
+    // file's "runs" so distributions stay comparable. Each attempt
+    // gets a FRESH scratch dir (a reused checkpoint would resume into
+    // a no-op "run").
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    val scratch = java.nio.file.Files.createTempDirectory("graft-streambench")
-      .toFile.getAbsolutePath
-    def streamJson(r: graft.streaming.StreamBench.Result, ops: Long): String =
-      f"""{"rows_per_sec":${r.rowsPerSec}%.0f,"input_rows":${r.inputRows},"applied_rows":${r.appliedRows},"emitted_rows":${r.emittedRows},"ops":$ops,"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"max_files_per_trigger":8,"state_partitions":4,"replicas":3}"""
+    def meterBest[A](label: String, failJson: String)(rate: A => Double)(
+        run: String => A)(jsonOf: (A, Seq[Double]) => String): String = {
+      val rs = (1 to repeat).flatMap { i =>
+        val scr = java.nio.file.Files.createTempDirectory("graft-streambench")
+          .toFile.getAbsolutePath
+        try Some(run(scr))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $label attempt $i failed: $e"); None }
+        finally {
+          scala.reflect.io.Directory(new java.io.File(scr)).deleteRecursively()
+          ()
+        }
+      }
+      if (rs.isEmpty) failJson else jsonOf(rs.maxBy(rate), rs.map(rate))
+    }
+    def runsArr(rates: Seq[Double]): String =
+      rates.map(v => f"$v%.0f").mkString("[", ",", "]")
+    def streamJson(r: graft.streaming.StreamBench.Result, ops: Long,
+        rates: Seq[Double]): String =
+      f"""{"rows_per_sec":${r.rowsPerSec}%.0f,"runs":${runsArr(rates)},"input_rows":${r.inputRows},"applied_rows":${r.appliedRows},"emitted_rows":${r.emittedRows},"ops":$ops,"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"max_files_per_trigger":8,"state_partitions":4,"replicas":3}"""
     val failedStream = """{"rows_per_sec":0.0,"streaming_failed":true}"""
     // Spark logs a benign stack-trace-bearing event during connector
     // query construction (the run still succeeds) — and the driver's
@@ -126,37 +153,38 @@ object Bench {
     // streaming_failed markers, n_failed, and the exit code.
     spark.sparkContext.setLogLevel("OFF")
     val streaming =
-      try { val (r, ops) = graft.streaming.StreamBench.bench(spark, sfDir, scratch); streamJson(r, ops) }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] streaming failed: $e"); failedStream }
+      meterBest("streaming", failedStream)(
+        (p: (graft.streaming.StreamBench.Result, Long)) => p._1.rowsPerSec)(
+        scr => graft.streaming.StreamBench.bench(spark, sfDir, scr)) {
+        case ((r, ops), rates) => streamJson(r, ops, rates) }
     // same chain through the native DSv2 connector (one InputPartition
     // per replica member; copies of an op cross micro-batches)
     val streamingConn =
-      try { val (r, ops) = graft.streaming.StreamBench.benchConnector(spark, sfDir, scratch); streamJson(r, ops) }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] connector streaming failed: $e"); failedStream }
+      meterBest("connector streaming", failedStream)(
+        (p: (graft.streaming.StreamBench.Result, Long)) => p._1.rowsPerSec)(
+        scr => graft.streaming.StreamBench.benchConnector(spark, sfDir, scr)) {
+        case ((r, ops), rates) => streamJson(r, ops, rates) }
     // the RAG serving path: paced query stream → IVF probe →
     // stream-static retrieve → per-query MMR re-rank (queries/s + batch
     // latency percentiles at the production nprobe)
     val streamingServe =
-      try {
-        val r = graft.streaming.StreamBench.benchServe(spark, sfDir, scratch)
-        f"""{"queries_per_sec":${r.rowsPerSec}%.0f,"input_queries":${r.inputRows},"served_queries":${r.appliedRows},"hit_rows":${r.emittedRows},"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"nprobe":2,"fanout":4,"state_partitions":8}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] serve streaming failed: $e")
-        """{"queries_per_sec":0.0,"streaming_failed":true}"""
+      meterBest("serve streaming",
+        """{"queries_per_sec":0.0,"streaming_failed":true}""")(
+        (r: graft.streaming.StreamBench.Result) => r.rowsPerSec)(
+        scr => graft.streaming.StreamBench.benchServe(spark, sfDir, scr)) {
+        (r, rates) =>
+          f"""{"queries_per_sec":${r.rowsPerSec}%.0f,"runs":${runsArr(rates)},"input_queries":${r.inputRows},"served_queries":${r.appliedRows},"hit_rows":${r.emittedRows},"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"nprobe":2,"fanout":4,"state_partitions":8}"""
       }
     // the ingest-side near-dup admission gate: documents/s through
     // sketch → band explode → bucket-state rendezvous → verdict fold
     val streamingNearDup =
-      try {
-        val r = graft.streaming.StreamBench.benchNearDup(spark, sfDir, scratch)
-        f"""{"docs_per_sec":${r.rowsPerSec}%.0f,"input_docs":${r.inputRows},"flagged_docs":${r.appliedRows},"band_rows":${r.emittedRows},"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"state_partitions":8}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] neardup streaming failed: $e")
-        """{"docs_per_sec":0.0,"streaming_failed":true}"""
+      meterBest("neardup streaming",
+        """{"docs_per_sec":0.0,"streaming_failed":true}""")(
+        (r: graft.streaming.StreamBench.Result) => r.rowsPerSec)(
+        scr => graft.streaming.StreamBench.benchNearDup(spark, sfDir, scr)) {
+        (r, rates) =>
+          f"""{"docs_per_sec":${r.rowsPerSec}%.0f,"runs":${runsArr(rates)},"input_docs":${r.inputRows},"flagged_docs":${r.appliedRows},"band_rows":${r.emittedRows},"batches":${r.batches},"batch_ms_p50":${r.batchMsP50},"batch_ms_max":${r.batchMsMax},"elapsed_sec":${r.elapsedSec}%.3f,"state_partitions":8}"""
       }
-    scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
 
     // Full detail (cold per-query + both streaming result objects) goes to a
     // FILE: round 5 showed the driver's stdout tail capture clips a one-line

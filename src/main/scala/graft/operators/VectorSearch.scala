@@ -32,7 +32,7 @@ object VectorSearch {
   /** any frame carrying an `embedding` column → double vectors `v` +
     * precomputed L2 norms, keeping every other column. Shared by the
     * in-file search paths and [[Pipeline.filteredTopK]]. */
-  private[operators] def withNorms(df: DataFrame): DataFrame = {
+  private[graft] def withNorms(df: DataFrame): DataFrame = {
     val keep = df.columns.filterNot(_ == "embedding").map(col)
     df.select(keep :+ expr("transform(embedding, x -> cast(x as double))").as("v"): _*)
       .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))

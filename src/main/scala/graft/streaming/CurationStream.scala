@@ -24,6 +24,19 @@ case class CurationDocT(doc_id: Long, source: String, lang: String,
 case class CurationFull(doc_id: Long, source: String, lang: String,
                         n_tokens: Long, split: String, text: String)
 
+/** [[CurationDocT]] additionally carrying the document's embedding —
+  * the serve-from-chain projection
+  * ([[CurationStream.curateWithEmbedding]]). */
+case class CurationDocE(doc_id: Long, source: String, lang: String,
+                        n_tokens: Long, fp: String, mh: String,
+                        text: String, embedding: Array[Double])
+
+/** Curated-manifest row carrying text AND embedding — what makes the
+  * chain's own vectors servable ([[MmrServeStream.serveChainRefreshed]]). */
+case class CurationFullE(doc_id: Long, source: String, lang: String,
+                         n_tokens: Long, split: String, text: String,
+                         embedding: Array[Double])
+
 /** The composed STREAMING curation pass: quality gate → watermarked
   * exact content dedup → per-source stateful cap → split assignment,
   * all inside ONE streaming query — the ingest-side form of the batch
@@ -134,6 +147,55 @@ object CurationStream {
     state.update(used + picked.length)
     picked.iterator.map { d =>
       CurationFull(d.doc_id, d.source, d.lang, d.n_tokens, splitOf(d.mh), d.text)
+    }
+  }
+
+  /** [[curateWithText]] additionally carrying the document's EMBEDDING
+    * through the curated manifest — the schema extension that makes
+    * the chain's OWN vectors servable end to end: with it, the serve
+    * stage's candidate corpus is the chain-curated store
+    * ([[MmrServeStream.serveChainRefreshed]] reads embeddings the
+    * ingest payload delivered and the apply stage materialized),
+    * instead of restricting a pre-existing fixture vector table. Same
+    * stages, same state, same kernels as [[curate]]/[[curateWithText]]
+    * — the embedding is pure carried payload: it never enters a fold
+    * key, so verdicts and caps are identical column-for-column. The
+    * width trade is [[curateWithText]]'s, one step further: a 64-dim
+    * double vector adds ~512 B/row of manifest bandwidth; at 100 TB a
+    * deployment stores vectors fixed-point-quantized or routes them
+    * around the dedup stage (only doc_id/fp/mh enter state either
+    * way — state size is unchanged by the carry). */
+  def curateWithEmbedding(src: DataFrame, cap: Int = 10,
+      delay: String = "1 hour"): Dataset[CurationFullE] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val gated = src
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        md5(col("doc_id").cast("string")).as("mh"),
+        col("text"), col("embedding"),
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L).as("ets"))
+      .filter(col("n_tokens") >= QualityMinTokens)
+      .withWatermark("ets", delay)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_tokens"), col("fp"), col("mh"), col("text"), col("embedding"))
+      .as[CurationDocE]
+    gated.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        capGroupE(cap) _)
+  }
+
+  private def capGroupE(cap: Int)(source: String, rows: Iterator[CurationDocE],
+      state: GroupState[Long]): Iterator[CurationFullE] = {
+    val used = state.getOption.getOrElse(0L)
+    val room = math.max(cap - used, 0L).toInt
+    val picked = rows.toSeq.sortBy(d => (d.mh, d.doc_id)).take(room)
+    state.update(used + picked.length)
+    picked.iterator.map { d =>
+      CurationFullE(d.doc_id, d.source, d.lang, d.n_tokens, splitOf(d.mh),
+        d.text, d.embedding)
     }
   }
 }

@@ -179,6 +179,136 @@ object MmrServeStream {
       .start()
   }
 
+  /** One held serve epoch of the CHAIN-CORPUS serve: the admitted
+    * manifest version it was built from, the epoch's content-addressed
+    * codebook, and the persisted cell-assigned corpus (unpersisted on
+    * epoch swap). */
+  private final case class ChainEpoch(version: String,
+      centArr: Array[(Int, Array[Double])],
+      corpus: DataFrame)
+
+  /** CHAIN-CORPUS serve — the serve stage with NO fixture vector
+    * table: candidates are the embeddings the chain itself produced
+    * (ingest payload → apply → [[CurationStream.curateWithEmbedding]]
+    * manifest), restricted to the currently-admitted ids. Closes the
+    * round-13 gap "chain-derived embeddings are not servable": every
+    * retrieved vector rode the oplog through the full pipeline.
+    *
+    * Epoch discipline is [[serveEpochRefreshed]]'s pointer swap: per
+    * micro-batch ONE [[manifestVersion]] probe on the admitted dir;
+    * only when the pointer moved does the serve rebuild its static
+    * side — admitted ids semi-join the curated store's (doc_id,
+    * embedding) projection, the epoch's coarse codebook is re-derived
+    * content-addressed (the `nCells` lowest admitted vec_ids — the
+    * `vector_ann_ivf_flat` random-sample-init discipline, here fully
+    * chain-derived so no fixture table survives anywhere in the serve
+    * path), cells are assigned by the same argmin float fold the
+    * query probe uses, and the result is PERSISTED for the epoch
+    * (previous epoch unpersisted). Queries probe `nprobe` cells and
+    * re-rank through the shared MMR kernel; hits publish as
+    * exactly-once index-sink epochs under `outRoot/serve/batch=*`.
+    *
+    * Pre-admission the serve answers with the EMPTY corpus (zero
+    * probes, zero hits — by design, not a crash); faults in either
+    * store read propagate per [[readAdmittedIds]]'s contract. At
+    * 100 TB the per-epoch rebuild is the honest cost statement: a
+    * deployment assigns the cell AT ADMISSION (one stateless map over
+    * trigger-bounded rows against the broadcast codebook, written
+    * into the manifest) and the epoch build becomes a pruned
+    * cell-keyed read; the codebook itself refreshes on drift through
+    * the retrain loop (`vector_ivf_retrain` / `vector_retrain_gate`),
+    * not per epoch. */
+  def serveChainRefreshed(queries: DataFrame, curatedDir: String,
+      admittedDir: String, checkpoint: String, outRoot: String,
+      kCand: Int = 20, kOut: Int = 5, nprobe: Int = 2,
+      nCells: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    // held epoch, confined to the stream's single micro-batch thread
+    var held: ChainEpoch = null
+    queries.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val v = manifestVersion(spark, admittedDir)
+        if (held == null || held.version != v) {
+          val prev = held
+          held = buildChainEpoch(spark, curatedDir, admittedDir, v, nCells)
+          if (prev != null) { prev.corpus.unpersist(); () }
+        }
+        val probed = VectorServeStream.probeQueries(batch, held.centArr, nprobe)
+        val cand = probed.toDF()
+          .join(held.corpus, Seq("cell"))
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id",
+            (org.apache.spark.sql.graftexpr.VectorFunctions
+              .dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"),
+            $"v", $"nrm")
+          .as[MmrCand]
+        val hits = cand.groupByKey(_.qid)
+          .flatMapGroups((qid: Long, rows: Iterator[MmrCand]) =>
+            rerank(qid, rows, kCand, kOut))
+        OplogPipeline.writeIndexBatch(hits.toDF(), outRoot, batchId, "serve")
+        ()
+      }
+      .start()
+  }
+
+  /** Build one serve epoch from the chain's own stores. Loud failure
+    * modes: a curated store NOT carrying embeddings (chain started
+    * without the embedding carry) is a require() failure naming the
+    * fix, never a silent empty serve. */
+  private def buildChainEpoch(spark: SparkSession, curatedDir: String,
+      admittedDir: String, version: String, nCells: Int): ChainEpoch = {
+    import spark.implicits._
+    val ids = readAdmittedIds(spark, admittedDir)
+    val curatedPath = new org.apache.hadoop.fs.Path(curatedDir)
+    val fs = curatedPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val curatedHasData = fs.exists(curatedPath) &&
+      (fs.exists(new org.apache.hadoop.fs.Path(curatedPath, "_spark_metadata")) ||
+        hasParquetData(fs, curatedPath))
+    val emptyCorpus = spark.emptyDataset[(Int, Long, Array[Double], Double)]
+      .toDF("cell", "vec_id", "v", "nrm")
+    if (!curatedHasData)
+      return ChainEpoch(version, Array.empty, emptyCorpus)
+    // schema probe per epoch (footer-read-sized): mis-wiring against a
+    // text-only curated store must fail loudly, not serve nothing
+    require(spark.read.parquet(curatedDir).schema.fieldNames.contains("embedding"),
+      s"curated store at $curatedDir carries no 'embedding' column — " +
+        "start the chain with the embedding carry (curateWithEmbedding / " +
+        "startLive(serveFromChain)) to serve chain-derived vectors")
+    val curated = spark.read.schema("doc_id LONG, embedding ARRAY<DOUBLE>")
+      .parquet(curatedDir)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val admittedVecs = curated
+      .join(broadcast(ids.select($"vec_id").distinct()), Seq("vec_id"), "left_semi")
+    val corpus0 = graft.operators.VectorSearch.withNorms(admittedVecs)
+      .select($"vec_id", $"v", $"nrm").as[(Long, Array[Double], Double)]
+    // content-addressed codebook: the nCells lowest ADMITTED vec_ids
+    // (driver-sized by construction — TakeOrdered, never a full sort)
+    val centArr: Array[(Int, Array[Double])] =
+      corpus0.orderBy($"vec_id").limit(nCells)
+        .select($"vec_id", $"v").as[(Long, Array[Double])].collect()
+        .sortBy(_._1).map(_._2).zipWithIndex.map { case (c, i) => (i, c) }
+    // cell assignment: the same argmin float fold as the query probe
+    // (ties to the lower cell), so probe and corpus agree on geometry
+    val corpus = corpus0.mapPartitions { it =>
+      it.map { case (id, vec, nrm) =>
+        var bestCell = -1
+        var bestScore = Double.MaxValue
+        centArr.foreach { case (cell, c) =>
+          var cc = 0.0
+          var vc = 0.0
+          var j = 0
+          while (j < c.length) { cc += c(j) * c(j); vc += vec(j) * c(j); j += 1 }
+          val score = cc - 2.0 * vc
+          if (score < bestScore) { bestScore = score; bestCell = cell }
+        }
+        (bestCell, id, vec, nrm)
+      }
+    }.toDF("cell", "vec_id", "v", "nrm").persist()
+    ChainEpoch(version, centArr, corpus)
+  }
+
   /** Read the admitted manifest as a one-column `vec_id` frame, with
     * the serve-nothing fallback NARROWED to the genuinely-empty case:
     * only a missing directory or one holding no committed parquet data

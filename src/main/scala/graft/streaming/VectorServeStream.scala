@@ -46,7 +46,26 @@ object VectorServeStream {
     val corpus = assigned.select($"cell", $"vec_id", $"v", $"nrm").persist()
     val centArr: Array[(Int, Array[Double])] = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    val probed: Dataset[ProbedQuery] = queries
+    // centArr.length is the authoritative cell count — consumers that
+    // scale by C (the balance monitor's load factor) must derive it here
+    // rather than re-stating the codebook-size dial.
+    (probeQueries(queries, centArr, nprobe), corpus, centArr.length)
+  }
+
+  /** Route arriving query vectors to their `nprobe` nearest coarse
+    * cells: a stateless mapPartitions over the broadcast-by-closure
+    * driver-sized codebook, the same sequential float fold as the
+    * `dot_product` expression (scores agree bitwise with the batch
+    * path). Shared by the fixture-corpus serves (via
+    * [[probeWithCorpus]]) and the chain-corpus serve
+    * ([[MmrServeStream.serveChainRefreshed]], whose codebook is
+    * re-derived per admitted epoch). */
+  private[streaming] def probeQueries(queries: DataFrame,
+      centArr: Array[(Int, Array[Double])],
+      nprobe: Int): Dataset[ProbedQuery] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
       .select($"vec_id",
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .as[(Long, Array[Double])]
@@ -66,10 +85,6 @@ object VectorServeStream {
             .map { case (_, cell) => ProbedQuery(qid, qv, qnrm, cell) }
         }
       }
-    // centArr.length is the authoritative cell count — consumers that
-    // scale by C (the balance monitor's load factor) must derive it here
-    // rather than re-stating the codebook-size dial.
-    (probed, corpus, centArr.length)
   }
 
   def serve(queries: DataFrame, dir: String, k: Int = 10,
