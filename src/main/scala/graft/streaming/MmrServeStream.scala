@@ -261,15 +261,16 @@ object MmrServeStream {
       admittedDir: String, version: String, nCells: Int): ChainEpoch = {
     import spark.implicits._
     val ids = readAdmittedIds(spark, admittedDir)
-    val curatedPath = new org.apache.hadoop.fs.Path(curatedDir)
-    val fs = curatedPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val curatedHasData = fs.exists(curatedPath) &&
-      (fs.exists(new org.apache.hadoop.fs.Path(curatedPath, "_spark_metadata")) ||
-        hasParquetData(fs, curatedPath))
-    val emptyCorpus = spark.emptyDataset[(Int, Long, Array[Double], Double)]
-      .toDF("cell", "vec_id", "v", "nrm")
-    if (!curatedHasData)
-      return ChainEpoch(version, Array.empty, emptyCorpus)
+    // pre-admission: serve the empty corpus WITHOUT touching the
+    // curated store (its sink log can exist with zero commits, where
+    // schema inference would fail persistently). Once anything is
+    // admitted, its curated row is durable upstream by the chain's
+    // ordering (budget's source IS the curated store), so the reads
+    // below may fail only on real faults — which propagate.
+    if (ids.isEmpty)
+      return ChainEpoch(version, Array.empty,
+        spark.emptyDataset[(Int, Long, Array[Double], Double)]
+          .toDF("cell", "vec_id", "v", "nrm"))
     // schema probe per epoch (footer-read-sized): mis-wiring against a
     // text-only curated store must fail loudly, not serve nothing
     require(spark.read.parquet(curatedDir).schema.fieldNames.contains("embedding"),

@@ -59,6 +59,17 @@ object PipelineE2E {
     StructField("doc_id", LongType), StructField("source", StringType),
     StructField("lang", StringType), StructField("text", StringType)))
 
+  /** [[docSchema]] + the document's embedding — the payload shape the
+    * serve-from-chain mode ingests, materializes and curates so the
+    * serve stage answers from vectors the chain itself produced. The
+    * vector rides the oplog payload as a JSON double array (exact:
+    * Java's shortest-round-trip double formatting re-parses to the
+    * same bits); at 100 TB a deployment would carry it as a packed
+    * binary field — the column's PATH through the stages is identical
+    * either way. */
+  val docSchemaE: StructType = StructType(
+    docSchema.fields :+ StructField("embedding", ArrayType(DoubleType)))
+
   val curatedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("source", StringType),
     StructField("lang", StringType), StructField("n_tokens", LongType),
@@ -114,8 +125,11 @@ object PipelineE2E {
         col("doc_id").as("h"),
         lit("i").as("op"),
         lit("graft.documents").as("ns"),
-        to_json(struct(col("doc_id").as("_id"), col("doc_id"),
-          col("source"), col("lang"), col("text"))).as("o"),
+        // payload = EVERY column of the docs frame (so an embedding
+        // column rides the oplog automatically in serve-from-chain
+        // mode; the 4-column shape is byte-identical to before)
+        to_json(struct(col("doc_id").as("_id") +:
+          docs.columns.toSeq.map(col): _*)).as("o"),
         lit(null).cast("string").as("o2"),
         col("sourceHost"), col("shard"))
   }
@@ -231,12 +245,13 @@ object PipelineE2E {
     * crash would re-read the epoch — closing that too is what the full
     * [[graft.sources.IndexSinkProvider]] protocol is for (the layout
     * terminal uses it). */
-  private def writeDocsBatch(root: String)(
+  private def writeDocsBatch(root: String,
+      schema: StructType = docSchema)(
       b: Dataset[OplogApply.DocState], batchId: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val stage = Paths.get(s"$root/docs/_tmp/batch=$batchId-${java.util.UUID.randomUUID()}")
     b.filter(col("op") =!= "d")
-      .select(from_json(col("doc"), docSchema).as("d")).select("d.*")
+      .select(from_json(col("doc"), schema).as("d")).select("d.*")
       .write.mode("overwrite").parquet(stage.toString)
     val target = Paths.get(s"$root/docs/batch=$batchId")
     if (Files.exists(target))
@@ -379,9 +394,15 @@ object PipelineE2E {
       applyProvider: Option[String] = None,
       nearDupTtlMs: Option[Long] = None,
       serveVecDir: Option[String] = None,
-      serveNprobe: Int = 2): LiveChain = {
+      serveNprobe: Int = 2,
+      serveFromChain: Option[String] = None): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
+    // the two serve modes share the queries dir and checkpoint — one
+    // chain serves from ONE corpus definition
+    require(serveVecDir.isEmpty || serveFromChain.isEmpty,
+      "serveVecDir (fixture-corpus serve) and serveFromChain " +
+        "(chain-corpus serve) are mutually exclusive")
     // pre-create the handoff dirs so every file source can resolve its
     // path before its upstream has published anything (the index glob
     // needs one epoch-shaped dir to match; an empty one is harmless —
@@ -392,7 +413,11 @@ object PipelineE2E {
     }
     Seq("docs/batch=0", "curated", "admitted").foreach(d => new java.io.File(s"$root/$d").mkdirs())
     if (nearDup) new java.io.File(s"$root/dedup/neardup/batch=0").mkdirs()
-    serveVecDir.foreach(_ => new java.io.File(s"$root/queries").mkdirs())
+    (serveVecDir.toSeq ++ serveFromChain.toSeq).headOption
+      .foreach(_ => new java.io.File(s"$root/queries").mkdirs())
+    // serve-from-chain: the payload, store, and curated manifest all
+    // carry the embedding column
+    val chainDocSchema = if (serveFromChain.isDefined) docSchemaE else docSchema
 
     val ingest = ShardedOplogPipeline.run(spark, topology,
       sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt/ingest", watermark)
@@ -419,14 +444,25 @@ object PipelineE2E {
         applyLateness)
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt/apply")
-      .foreachBatch(writeDocsBatch(root) _)
+      .foreachBatch(writeDocsBatch(root, chainDocSchema) _)
       .start()
     val apply = applyProvider.fold(startApply())(p =>
       graft.GraftSession.withStateProvider(spark, p)(startApply()))
 
-    val curate = CurationStream.curateWithText(
-        spark.readStream.schema(docSchema).parquet(docsGlob(root)),
-        cap = cap, delay = curationDelay)
+    // serve-from-chain widens the curated manifest by the embedding
+    // column (pure carried payload — same kernels, same state, same
+    // verdicts; downstream readers project their own narrower schemas
+    // over the wider files)
+    val curateSink =
+      (if (serveFromChain.isDefined)
+        CurationStream.curateWithEmbedding(
+          spark.readStream.schema(docSchemaE).parquet(docsGlob(root)),
+          cap = cap, delay = curationDelay).toDF()
+      else
+        CurationStream.curateWithText(
+          spark.readStream.schema(docSchema).parquet(docsGlob(root)),
+          cap = cap, delay = curationDelay).toDF())
+    val curate = curateSink
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt/curate")
       .format("parquet").option("path", s"$root/curated")
@@ -526,7 +562,22 @@ object PipelineE2E {
         nprobe = serveNprobe)
     }
 
-    LiveChain(ingest ++ Seq(apply, curate) ++ gate ++ Seq(budget, pack) ++ serve)
+    // CHAIN-CORPUS serve: no fixture vector table anywhere — the
+    // candidate corpus is the curated store's own embedding column
+    // restricted to the admitted manifest, rebuilt per admitted EPOCH
+    // (pointer-probed each micro-batch), codebook re-derived
+    // content-addressed from the admitted ids. `serveFromChain` names
+    // the parquet whose schema shapes the QUERY stream (queries are
+    // external input either way).
+    val serveChain = serveFromChain.toSeq.map { schemaFrom =>
+      MmrServeStream.serveChainRefreshed(
+        graft.Tables.loadStream(spark, s"$root/queries", "embeddings", schemaFrom),
+        s"$root/curated", s"$root/admitted", s"$root/ckpt/serve", root,
+        nprobe = serveNprobe)
+    }
+
+    LiveChain(ingest ++ Seq(apply, curate) ++ gate ++ Seq(budget, pack) ++
+      serve ++ serveChain)
   }
 
   /** The whole chain, stage-timed. `docs` is the corpus entering CDC;

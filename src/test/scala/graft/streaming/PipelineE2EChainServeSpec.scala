@@ -1,0 +1,152 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SERVE-FROM-CHAIN, live in one concurrent run
+  * ([[PipelineE2E.startLive]] `serveFromChain`): the embedding rides
+  * the OPLOG PAYLOAD through ingest, the apply stage materializes it,
+  * curation carries it through the manifest
+  * ([[CurationStream.curateWithEmbedding]]), and the serve stage's
+  * candidate corpus is the chain's own curated store restricted to the
+  * admitted manifest ([[MmrServeStream.serveChainRefreshed]]) — NO
+  * fixture vector table anywhere in the serve path, closing the
+  * round-13 gap "chain-derived embeddings are not servable".
+  *
+  * Pinned: (1) between-wave queries serve EXACTLY a driver kernel
+  * replay over the wave-1 admitted ids using the ORIGINAL embedding
+  * table values — which simultaneously proves the carried vectors
+  * survived the JSON payload round-trip bit-exactly (a single ULP of
+  * drift would flip cosines and change picks); (2) post-wave-2
+  * queries serve exactly the grown corpus (epoch-pointer rebuild, no
+  * restart); (3) wave-1 serve epochs are immutable. */
+class PipelineE2EChainServeSpec extends SparkSuite {
+
+  private val Budget = 2000L
+  private val WaveSplit = 250L
+
+  /** fp-unique docs JOINED with their embeddings (cast to double —
+    * the payload carries doubles end to end). */
+  private def uniqueDocsE: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(TextFns.fingerprint(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    docs.join(vecs, "doc_id")
+  }
+
+  /** brute-force replay of the exact streamed kernel over one admitted
+    * snapshot (nprobe = nCells in the chain ⇒ probes cover every
+    * cell ⇒ candidates are ALL admitted vectors). */
+  private def replay(qids: Seq[Long], admittedIds: Set[Long],
+      vecs: Map[Long, Array[Double]]): Set[(Long, Int, Long, Long)] = {
+    def nrm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    qids.flatMap { qid =>
+      val qv = vecs(qid); val qn = nrm(qv)
+      val cands = admittedIds.toSeq.filter(_ != qid).sorted.map { id =>
+        val v = vecs(id); val n = nrm(v)
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += qv(i) * v(i); i += 1 }
+        MmrCand(qid, id, s / (qn * n), v, n)
+      }
+      MmrServeStream.rerank(qid, cands.iterator, 20, 5)
+    }.map(h => (h.qid, h.step, h.vec_id, h.mmr_score)).toSet
+  }
+
+  test("the chain serves the vectors it produced: exact vs replay, fresh per epoch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-chainserve")
+      .toFile.getAbsolutePath
+    val scratch = java.nio.file.Files.createTempDirectory("graft-e2e-csq")
+    try {
+      val docs = uniqueDocsE.localCheckpoint()
+      val cap = docs.groupBy($"source").count().agg(max($"count"))
+        .head().getLong(0).toInt + 1
+      val gated = docs.filter(
+        size(TextFns.tokens($"text")) >= CurationStream.QualityMinTokens)
+      val base = graft.operators.Pipeline.budgetBaseFrom(
+        gated.select($"doc_id", $"lang", $"text")).localCheckpoint()
+      val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, Budget)
+      val vecs: Map[Long, Array[Double]] =
+        graft.Tables.load(spark, sf0001, "embeddings")
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+          .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+      def addQueries(pred: org.apache.spark.sql.Column, name: String): Unit = {
+        val tmp = scratch.resolve(name)
+        spark.read.parquet(s"$sf0001/embeddings.parquet").filter(pred)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$root/queries/$name.parquet"))
+        ()
+      }
+      def served() = spark.read.json(s"$root/serve/batch=*")
+        .select($"data.qid".as("qid"), $"data.step".cast("int").as("step"),
+          $"data.vec_id".as("vec_id"), $"data.mmr_score".as("mmr_score"))
+        .as[(Long, Int, Long, Long)].collect()
+      def admittedIds() = spark.read.schema(PipelineE2E.admitSchema)
+        .parquet(s"$root/admitted").select($"doc_id").as[Long].collect().toSet
+
+      val chain = PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
+        applyLateness = "6 hours", curationDelay = "6 hours",
+        serveNprobe = 16, serveFromChain = Some(s"$sf0001/embeddings.parquet"))
+      try {
+        // ---- wave 1 → drain → queries 0..3 serve the W1 corpus ----
+        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" < WaveSplit),
+          root, PipelineE2E.defaultTopology, "w1",
+          shardKey = Some(PipelineE2E.shardByLang(2)))
+        chain.drain()
+        val admitW1 = admittedIds()
+        assert(admitW1.nonEmpty)
+        // the chain store, not the fixture, carries the vectors
+        val curatedVecIds = spark.read
+          .schema("doc_id LONG, embedding ARRAY<DOUBLE>")
+          .parquet(s"$root/curated").filter($"embedding".isNotNull)
+          .select($"doc_id").as[Long].collect().toSet
+        assert(admitW1.subsetOf(curatedVecIds),
+          "every admitted doc must carry its embedding through curation")
+        addQueries(col("vec_id") < 4, "qa")
+        chain.drain()
+        val phase1 = served()
+        assert(phase1.map(t => (t._1, t._2, t._3, t._4)).toSet ==
+          replay(0L until 4L, admitW1, vecs),
+          "between-wave queries must serve exactly the wave-1 admitted " +
+            "corpus from chain-carried vectors")
+
+        // ---- wave 2 → drain → queries 4..7 serve the GROWN corpus ----
+        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" >= WaveSplit),
+          root, PipelineE2E.defaultTopology, "w2",
+          shardKey = Some(PipelineE2E.shardByLang(2)))
+        chain.drain()
+        val admitW2 = admittedIds()
+        assert(admitW2.size > admitW1.size, "wave 2 must admit more")
+        addQueries(col("vec_id") >= 4 && col("vec_id") < 8, "qb")
+        chain.drain()
+        val phase2 = served()
+        val bHits = phase2.filter(t => t._1 >= 4 && t._1 < 8)
+          .map(t => (t._1, t._2, t._3, t._4)).toSet
+        assert(bHits == replay(4L until 8L, admitW2, vecs),
+          "post-wave-2 queries must serve exactly the grown admitted corpus")
+        // wave-1 answers immutable (epochs never rewritten)
+        val aBefore = phase1.filter(_._1 < 4).sorted.toSeq
+        val aAfter = phase2.filter(_._1 < 4).sorted.toSeq
+        assert(aAfter == aBefore, "a wave-1 serve epoch changed after wave 2")
+      } finally chain.stop()
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      new scala.reflect.io.Directory(scratch.toFile).deleteRecursively()
+    }
+  }
+}
