@@ -8,8 +8,8 @@ import graft.operators.Catalog
   * `queries` is the full operator inventory (SURVEY.md §2): the
   * reference's CDC surface as batch analogs, the relational coverage
   * checklist, and the LLM-data-pipeline extension operators. Every
-  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 175 of
-  * 177, including simhash (md5-based signature reproduced in SQL), LSH
+  * SQL-expressible query carries a DuckDB oracle in `oracleSql` — 179 of
+  * 181, including simhash (md5-based signature reproduced in SQL), LSH
   * ANN (literal hyperplanes), the multimodal decode/resize paths and
   * the substring-granularity dedup; only the two inherently
   * engine-specific ops (q23's HLL++ sketch state, IVF KMeans cells) are
@@ -178,6 +178,10 @@ object SparkEntry {
     // round 12: the retrain decision gate (breach AND recall-retained),
     // the k-round Lloyd iteration, and the streaming cohort-LTV twin's
     // batch anchor is events_cohort_ltv above
-    "vector_retrain_gate", "vector_ivf_retrain_k"
+    "vector_retrain_gate", "vector_ivf_retrain_k",
+    // round 14: the admitted-restricted MMR (batch twin of the
+    // chain-restricted serves) and the vector payload round-trip
+    // (the serve-from-chain carriage discipline, oracled)
+    "vector_mmr_admitted", "cdc_payload_embedding"
   )
 }

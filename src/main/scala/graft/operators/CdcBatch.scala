@@ -445,9 +445,72 @@ object CdcBatch {
     """)
   )
 
+  /** VECTOR PAYLOAD ROUND-TRIP — the serve-from-chain carriage
+    * discipline ([[graft.streaming.PipelineE2E]] `serveFromChain`:
+    * embedding rides the oplog JSON payload through ingest → apply →
+    * curation) as one ORACLED batch query. Each document's embedding
+    * is serialized into an oplog-shaped JSON payload (`to_json`) and
+    * parsed back (`from_json`), and the per-lang report — doc count,
+    * micro-summed first dimension, micro-summed squared norm — is
+    * computed FROM THE PARSED VECTORS, while the oracle computes the
+    * same report from the raw embeddings table: hash equality pins the
+    * JSON round-trip bit-exact (one ULP of serialize/parse drift
+    * flips a micro-rounded sum). Norms use the engine's sequential
+    * `dot_product` fold; DuckDB's `list_reduce` mirror is the
+    * established parity shape (vector_mmr_rerank's oracle). Micro-
+    * rounding BEFORE the sum keeps the aggregate integer-exact and
+    * order-independent, so the group-by parallelizes freely.
+    *
+    * Scale shape: one stateless serialize+parse projection (codegen'd
+    * JSON expressions, no UDFs) + one partial-aggregated exchange on
+    * the lang key — payload carriage costs a map pass, never a
+    * shuffle of its own. Ref: the reference ships whole BSON documents
+    * through its pipeline the same way (MongoDBOplogSource.java:82
+    * `document.toJson()`). */
+  val payloadEmbedding: Q = Q(
+    "cdc_payload_embedding",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"lang")
+      val vecs = Tables.load(s, dir, "embeddings")
+        .select($"vec_id".as("doc_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+      val payload = docs.join(vecs, "doc_id")
+        .select($"lang",
+          to_json(struct($"doc_id".as("_id"), $"doc_id", $"lang", $"embedding"))
+            .as("o"))
+      val parsed = payload.select($"lang",
+        from_json($"o", org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, embedding ARRAY<DOUBLE>"))
+          .getField("embedding").as("pe"))
+      parsed.groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(round(lit(1e6) * element_at($"pe", 1)).cast("long"))
+            .as("sum_dim1_micro"),
+          sum(round(lit(1e6) * dot_product($"pe", $"pe")).cast("long"))
+            .as("sum_norm2_micro"))
+        .select($"lang", $"n_docs",
+          $"sum_dim1_micro", $"sum_norm2_micro")
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id AS doc_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      j AS (SELECT d.lang, e.v FROM documents d JOIN e USING (doc_id))
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(ROUND(1e6 * v[1]) AS BIGINT)) AS BIGINT) AS sum_dim1_micro,
+             CAST(SUM(CAST(ROUND(1e6 *
+               list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]),
+                           (a, b) -> a + b)) AS BIGINT)) AS BIGINT) AS sum_norm2_micro
+      FROM j GROUP BY lang ORDER BY lang
+    """)
+  )
+
   def queries: Seq[Q] = Seq(
     filterPushdown, resumeRange, sortLimit, quorumBatch, offsets,
     unionFanIn, esProjection, pseudonymize, scd2, payloadRedact,
-    payloadSchema, lagReport
+    payloadSchema, lagReport, payloadEmbedding
   )
 }

@@ -1481,13 +1481,39 @@ object VectorSearch {
     * corpus is touched once, by the candidate search itself); each of
     * the 5 unrolled steps is a selected×remaining join + one
     * qid-partitioned argmax window over ≤20-row groups. */
-  val mmrRerank: Q = Q(
-    "vector_mmr_rerank",
+  val mmrRerank: Q = mmrQ("vector_mmr_rerank", None, None)
+
+  /** MMR over an ADMITTED-RESTRICTED corpus — the batch twin of the
+    * chain-restricted serves ([[graft.streaming.MmrServeStream]]
+    * `serveCorpus` / `serveChainRefreshed`): candidates come only from
+    * vectors whose id is in the admitted manifest, so a query can
+    * never retrieve a document curation/dedup/budget rejected. The
+    * manifest here is the content-addressed synthetic `vec_id % 3 = 0`
+    * (deterministic, so the restriction DISCIPLINE is fully oracled:
+    * the queries stay the full-table set while only admitted ids may
+    * appear in any step, and scores re-rank over the restricted
+    * candidate pool — different picks than the unrestricted operator,
+    * not a post-filter of them). Scale shape unchanged: the
+    * restriction is a filter BEFORE the top-k candidate build, so the
+    * per-query frames shrink to the admitted fraction — exactly the
+    * semi-join placement the streaming serves use. */
+  val mmrAdmitted: Q = mmrQ("vector_mmr_admitted",
+    Some(org.apache.spark.sql.functions.col("vec_id") % 3 === 0),
+    Some("AND (vec_id % 3 = 0)"))
+
+  /** the MMR diversity re-rank, parameterized by an optional
+    * admitted-corpus restriction on the CANDIDATE side (queries always
+    * come from the full table). */
+  private def mmrQ(name: String,
+      restrictSpark: Option[org.apache.spark.sql.Column],
+      restrictSql: Option[String]): Q = Q(
+    name,
     (s, dir) => {
       import s.implicits._
       val e = normed(s, dir)
+      val eCand = restrictSpark.fold(e)(e.filter)
       val cand20 = rankTopK(s,
-        e.join(broadcast(
+        eCand.join(broadcast(
           e.filter($"vec_id" < 8)
             .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))),
           $"vec_id" =!= $"qid")
@@ -1561,7 +1587,7 @@ object VectorSearch {
       p AS (SELECT qid, vec_id,
               list_reduce(list_transform(list_zip(qv, v), s -> s[1]*s[2]), (x, y) -> x + y)
                 / (qnrm * nrm) AS cos
-            FROM qs, n WHERE vec_id <> qid),
+            FROM qs, n WHERE vec_id <> qid ${restrictSql.getOrElse("")}),
       c20 AS (SELECT qid, vec_id, CAST(ROUND(1e6 * cos) AS BIGINT) rel FROM (
                 SELECT qid, vec_id, cos,
                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
@@ -2080,6 +2106,7 @@ object VectorSearch {
   def queries: Seq[Q] =
     Seq(topK, annLsh, annIvf, annIvfFlat, labelCentroids, quantize, negatives, oodFilter,
       pqAdc, annIvfPq, knnGraph, pageRank, coreset, recallEval, mmrRerank,
+      mmrAdmitted,
       matryoshkaEval, centroidDrift, cellProfile, ivfRetrain, annIvfRetrained,
       pqRetrain, retrainGate, ivfRetrainK)
 }

@@ -13,17 +13,33 @@ import org.apache.spark.sql.functions._
   * sizes pollMs well under its freshness SLA and keeps the serve
   * query's static side small (the admitted manifest, not the corpus).
   *
-  * Usage: `runMain graft.tools.ServeRefreshProbe [rounds] [live]`
+  * Usage: `runMain graft.tools.ServeRefreshProbe [rounds] [live|epoch]`
   * (default 5 bounce-mode rounds; `live` switches to
   * [[graft.streaming.MmrServeStream.serveRefreshed]], the bounce-free
   * per-batch-manifest form, same protocol — the delta between the two
-  * numbers IS the bounce fee).
+  * numbers IS the bounce fee; `epoch` switches to
+  * [[graft.streaming.MmrServeStream.serveEpochRefreshed]], the
+  * pointer-swap form — same freshness, and the `steady_cycle_sec`
+  * delta vs `live` IS the per-batch re-list+re-plan fee the pointer
+  * removes). Every round also reports `steady_cycle_sec`: the mean
+  * wall time of a query→drain cycle with NO admission in flight
+  * (steady state), the number a per-batch overhead actually shows
+  * up in.
   */
 object ServeRefreshProbe {
 
   def main(args: Array[String]): Unit = {
     val live = args.contains("live")
-    val rounds = args.filterNot(_ == "live").headOption.map(_.toInt).getOrElse(5)
+    val epoch = args.contains("epoch")
+    // frag=N: pre-admit the warm corpus as N single-id manifest files
+    // — the "many small epochs" layout a long-running chain produces,
+    // where the per-batch re-list+re-plan fee actually lives (at 1-2
+    // manifest files it is below host noise; see SCALING.md)
+    val frag = args.collectFirst { case a if a.startsWith("frag=") =>
+      a.stripPrefix("frag=").toInt }.getOrElse(1)
+    val rounds = args.filterNot(a =>
+        a == "live" || a == "epoch" || a.startsWith("frag="))
+      .headOption.map(_.toInt).getOrElse(5)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,11 +67,32 @@ object ServeRefreshProbe {
       }
       val setA = (100L until 120L)
       val setB = (200L until 300L)
-      admit(setA, "a")
+      if (frag <= 1) admit(setA, "a")
+      else {
+        // fragmented warm manifest: extra single-id files beyond setA
+        admit(setA, "a")
+        (0 until (frag - 1)).foreach(i => admit(Seq(400L + i), f"fa$i%04d"))
+      }
       // two serve forms, one protocol: bounce (ManagedServe) vs
       // per-batch manifest re-read (serveRefreshed)
       val (drain, servedHasB, stop, bounces) =
-        if (!live) {
+        if (live || epoch) {
+          val stream = graft.Tables.loadStream(
+            spark, in.toString, "embeddings", s"$sfDir/embeddings.parquet")
+          val q =
+            if (epoch)
+              graft.streaming.MmrServeStream.serveEpochRefreshed(stream, sfDir,
+                admitted.toString, ckpt.toString, out.toString, nprobe = 16)
+            else
+              graft.streaming.MmrServeStream.serveRefreshed(stream, sfDir,
+                admitted.toString, ckpt.toString, out.toString, nprobe = 16)
+          (() => q.processAllAvailable(),
+            () => scala.util.Try {
+              spark.read.json(s"$out/serve/batch=*")
+                .filter(col("data.vec_id").isin(setB: _*)).limit(1).count() > 0
+            }.getOrElse(false),
+            () => q.stop(), () => 0)
+        } else {
           val h = graft.streaming.ManagedServe.start(spark, in.toString,
             s"$sfDir/embeddings.parquet", sfDir,
             admitted.toString, ckpt.toString, out.toString,
@@ -66,17 +103,6 @@ object ServeRefreshProbe {
                 .filter($"vec_id".isin(setB: _*)).limit(1).count() > 0
             }.getOrElse(false),
             () => h.stop(), () => h.bounces)
-        } else {
-          val stream = graft.Tables.loadStream(
-            spark, in.toString, "embeddings", s"$sfDir/embeddings.parquet")
-          val q = graft.streaming.MmrServeStream.serveRefreshed(stream, sfDir,
-            admitted.toString, ckpt.toString, out.toString, nprobe = 16)
-          (() => q.processAllAvailable(),
-            () => scala.util.Try {
-              spark.read.json(s"$out/serve/batch=*")
-                .filter(col("data.vec_id").isin(setB: _*)).limit(1).count() > 0
-            }.getOrElse(false),
-            () => q.stop(), () => 0)
         }
       try {
         // warm: one answered query against snapshot A
@@ -95,8 +121,18 @@ object ServeRefreshProbe {
           servedB = servedHasB()
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        val mode = if (live) "refreshed" else "bounce"
-        println(f"""{"probe":"serve_refresh","mode":"$mode","round":$round,"admit_to_served_sec":$sec%.2f,"bounces":${bounces()},"probe_queries":$qn}""")
+        // steady state: query→drain cycles with NO admission in
+        // flight — where a per-batch re-list/re-plan fee lives
+        val steadyN = 10
+        val tS = System.nanoTime()
+        (1 to steadyN).foreach { i =>
+          addQueries(col("vec_id") === (1 + i % 7).toLong, s"qs$i")
+          drain()
+        }
+        val steadySec = (System.nanoTime() - tS) / 1e9 / steadyN
+        val mode =
+          if (epoch) "epoch" else if (live) "refreshed" else "bounce"
+        println(f"""{"probe":"serve_refresh","mode":"$mode","round":$round,"admit_to_served_sec":$sec%.2f,"steady_cycle_sec":$steadySec%.3f,"bounces":${bounces()},"probe_queries":$qn}""")
       } finally {
         stop()
         Seq(admitted, in, scratch, ckpt, out).foreach(d =>
