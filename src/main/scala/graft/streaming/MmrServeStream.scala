@@ -294,20 +294,84 @@ object MmrServeStream {
     // (ties to the lower cell), so probe and corpus agree on geometry
     val corpus = corpus0.mapPartitions { it =>
       it.map { case (id, vec, nrm) =>
-        var bestCell = -1
-        var bestScore = Double.MaxValue
-        centArr.foreach { case (cell, c) =>
-          var cc = 0.0
-          var vc = 0.0
-          var j = 0
-          while (j < c.length) { cc += c(j) * c(j); vc += vec(j) * c(j); j += 1 }
-          val score = cc - 2.0 * vc
-          if (score < bestScore) { bestScore = score; bestCell = cell }
-        }
-        (bestCell, id, vec, nrm)
+        (VectorServeStream.cellOf(centArr, vec), id, vec, nrm)
       }
     }.toDF("cell", "vec_id", "v", "nrm").persist()
     ChainEpoch(version, centArr, corpus)
+  }
+
+  /** ADMIT-TIME-INDEXED serve — the 100 TB form of
+    * [[serveChainRefreshed]]: the admitted manifest itself is the ANN
+    * index. The chain assigns each admitted row's coarse cell AT
+    * ADMISSION ([[PipelineE2E]] `serveIndexedAdmit`: one stateless map
+    * over trigger-bounded rows against the broadcast codebook, inside
+    * the budget query), so the manifest lands cell-keyed with vector
+    * and norm already computed — this serve does NO store re-read and
+    * NO per-epoch corpus rebuild: per micro-batch one
+    * [[manifestVersion]] pointer probe, and a moved pointer only
+    * re-creates the manifest READ (a pinned listing, no computation);
+    * candidates come from the cell equi-join, scanning nprobe/C of
+    * the manifest per batch. The codebook is a PARAMETER (the
+    * previous snapshot's, exactly as deployed — cell geometry doesn't
+    * change because membership did; refresh on drift is the retrain
+    * loop's job) and MUST be the one the chain assigned with, or
+    * probe and index disagree on geometry — pass the same array to
+    * both. Empty/missing manifest serves nothing; real faults
+    * propagate ([[readAdmittedIds]] contract). */
+  def serveIndexedRefreshed(queries: DataFrame, admittedDir: String,
+      centArr: Array[(Int, Array[Double])], checkpoint: String,
+      outRoot: String, kCand: Int = 20, kOut: Int = 5,
+      nprobe: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    // held epoch, confined to the stream's single micro-batch thread
+    var heldVersion: String = null
+    var heldCorpus: DataFrame = null
+    queries.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val v = manifestVersion(spark, admittedDir)
+        if (heldCorpus == null || v != heldVersion) {
+          heldCorpus = readAdmittedIndex(spark, admittedDir)
+          heldVersion = v
+        }
+        val probed = VectorServeStream.probeQueries(batch, centArr, nprobe)
+        val cand = probed.toDF()
+          .join(heldCorpus, Seq("cell"))
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id",
+            (org.apache.spark.sql.graftexpr.VectorFunctions
+              .dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"),
+            $"v", $"nrm")
+          .as[MmrCand]
+        val hits = cand.groupByKey(_.qid)
+          .flatMapGroups((qid: Long, rows: Iterator[MmrCand]) =>
+            rerank(qid, rows, kCand, kOut))
+        OplogPipeline.writeIndexBatch(hits.toDF(), outRoot, batchId, "serve")
+        ()
+      }
+      .start()
+  }
+
+  /** Read the cell-keyed admitted index as (cell, vec_id, v, nrm) —
+    * same emptiness/failure discipline as [[readAdmittedIds]], with
+    * the index columns projected by explicit schema. */
+  private[streaming] def readAdmittedIndex(spark: SparkSession,
+      admittedDir: String): DataFrame = {
+    val ddl = "doc_id LONG, cell INT, nrm DOUBLE, embedding ARRAY<DOUBLE>"
+    val project = (df: DataFrame) => df.select(col("cell"),
+      col("doc_id").as("vec_id"), col("embedding").as("v"), col("nrm"))
+    val path = new org.apache.hadoop.fs.Path(admittedDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    def empty = project(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+    if (!fs.exists(path)) empty
+    else if (fs.exists(new org.apache.hadoop.fs.Path(path, "_spark_metadata")))
+      project(spark.read.schema(ddl).parquet(admittedDir))
+    else if (hasParquetData(fs, path))
+      project(spark.read.schema(ddl).parquet(admittedDir))
+    else empty
   }
 
   /** Read the admitted manifest as a one-column `vec_id` frame, with

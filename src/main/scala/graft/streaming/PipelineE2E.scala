@@ -353,6 +353,21 @@ object PipelineE2E {
     StructField("lang", StringType), StructField("n_tokens", LongType),
     StructField("split", StringType), StructField("text", StringType)))
 
+  /** [[curatedFullSchema]] + the carried embedding — what
+    * [[CurationStream.curateWithEmbedding]] writes (serve-from-chain
+    * modes). */
+  val curatedFullSchemaE: StructType = StructType(
+    curatedFullSchema.fields :+ StructField("embedding", ArrayType(DoubleType)))
+
+  /** [[admitSchema]] + the index columns the admit-time-indexed mode
+    * writes: coarse `cell`, precomputed `nrm`, and the vector itself —
+    * the admitted manifest AS the serve index
+    * ([[MmrServeStream.serveIndexedRefreshed]]). */
+  val admitSchemaE: StructType = StructType(
+    admitSchema.fields ++ Seq(
+      StructField("cell", IntegerType), StructField("nrm", DoubleType),
+      StructField("embedding", ArrayType(DoubleType))))
+
   /** handle over the concurrently-running stage queries, in topological
     * order. One [[drain]] pass flushes everything currently published
     * end to end (each stage fully drains before its consumer is asked
@@ -395,7 +410,8 @@ object PipelineE2E {
       nearDupTtlMs: Option[Long] = None,
       serveVecDir: Option[String] = None,
       serveNprobe: Int = 2,
-      serveFromChain: Option[String] = None): LiveChain = {
+      serveFromChain: Option[String] = None,
+      serveIndexedAdmit: Boolean = false): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     // the two serve modes share the queries dir and checkpoint — one
@@ -403,6 +419,17 @@ object PipelineE2E {
     require(serveVecDir.isEmpty || serveFromChain.isEmpty,
       "serveVecDir (fixture-corpus serve) and serveFromChain " +
         "(chain-corpus serve) are mutually exclusive")
+    require(!serveIndexedAdmit || serveFromChain.isDefined,
+      "serveIndexedAdmit needs serveFromChain (the embedding carry AND " +
+        "the codebook/query-schema source)")
+    // admit-time indexing: the codebook is a START-TIME PARAMETER (the
+    // previous snapshot's — cell geometry doesn't change because
+    // membership did), shared verbatim by the budget stage's assigner
+    // and the serve stage's prober
+    val codebook: Array[(Int, Array[Double])] =
+      if (serveIndexedAdmit)
+        VectorServeStream.codebookFrom(spark, serveFromChain.get)
+      else Array.empty
     // pre-create the handoff dirs so every file source can resolve its
     // path before its upstream has published anything (the index glob
     // needs one epoch-shaped dir to match; an empty one is harmless —
@@ -418,6 +445,8 @@ object PipelineE2E {
     // serve-from-chain: the payload, store, and curated manifest all
     // carry the embedding column
     val chainDocSchema = if (serveFromChain.isDefined) docSchemaE else docSchema
+    val curatedLiveSchema =
+      if (serveFromChain.isDefined) curatedFullSchemaE else curatedFullSchema
 
     val ingest = ShardedOplogPipeline.run(spark, topology,
       sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt/ingest", watermark)
@@ -508,7 +537,7 @@ object PipelineE2E {
           .foreachBatch { (b: Dataset[NearDupBand], batchId: Long) =>
             val admitted = NearDupStream.fold(b.toDF())
               .filter(col("dup_of").isNull).select(col("doc_id"))
-            val survivors = spark.read.schema(curatedFullSchema)
+            val survivors = spark.read.schema(curatedLiveSchema)
               .parquet(s"$root/curated")
               .join(admitted, Seq("doc_id"), "left_semi")
             OplogPipeline.writeIndexBatch(survivors, s"$root/dedup", batchId, "neardup")
@@ -516,17 +545,40 @@ object PipelineE2E {
           }
           .start())
 
-    val dedupLineSchema = StructType(Seq(StructField("data", curatedFullSchema)))
+    val dedupLineSchema = StructType(Seq(StructField("data", curatedLiveSchema)))
+    // the indexed mode additionally pulls the carried embedding into
+    // the budget stage (admitCarry — pure carried payload, identical
+    // verdicts), then assigns the coarse cell in a STATELESS map inside
+    // the same query: the admitted manifest lands cell-keyed with
+    // vector and norm, exactly-once via the file sink's own commit
+    // log — the manifest IS the serve index, built incrementally at
+    // trigger-bounded cost (never a corpus rescan)
+    val budgetCols =
+      if (serveIndexedAdmit) Seq("doc_id", "lang", "text", "embedding")
+      else Seq("doc_id", "lang", "text")
     val budgetSrc =
       if (!nearDup)
-        spark.readStream.schema(curatedFullSchema).parquet(s"$root/curated")
-          .select(col("doc_id"), col("lang"), col("text"))
+        spark.readStream.schema(curatedLiveSchema).parquet(s"$root/curated")
+          .select(budgetCols.map(col): _*)
       else
         spark.readStream.schema(dedupLineSchema)
           .json(s"$root/dedup/neardup/batch=*")
-          .select(col("data.doc_id").as("doc_id"),
-            col("data.lang").as("lang"), col("data.text").as("text"))
-    val budget = TokenBudgetStream.admit(budgetSrc, hist, cuts)
+          .select(budgetCols.map(c => col(s"data.$c").as(c)): _*)
+    val budgetSink =
+      if (serveIndexedAdmit) {
+        val cb = codebook
+        TokenBudgetStream.admitCarry(budgetSrc, hist, cuts)
+          .mapPartitions { it =>
+            it.map { a =>
+              (a.doc_id, a.lang, a.n_tokens, a.rank_key, a.cum_tokens,
+                VectorServeStream.cellOf(cb, a.embedding),
+                VectorServeStream.normOf(a.embedding), a.embedding)
+            }
+          }
+          .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
+            "cell", "nrm", "embedding")
+      } else TokenBudgetStream.admit(budgetSrc, hist, cuts).toDF()
+    val budget = budgetSink
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt/budget")
       .format("parquet").option("path", s"$root/admitted")
@@ -570,10 +622,18 @@ object PipelineE2E {
     // the parquet whose schema shapes the QUERY stream (queries are
     // external input either way).
     val serveChain = serveFromChain.toSeq.map { schemaFrom =>
-      MmrServeStream.serveChainRefreshed(
-        graft.Tables.loadStream(spark, s"$root/queries", "embeddings", schemaFrom),
-        s"$root/curated", s"$root/admitted", s"$root/ckpt/serve", root,
-        nprobe = serveNprobe)
+      val queries = graft.Tables.loadStream(
+        spark, s"$root/queries", "embeddings", schemaFrom)
+      if (serveIndexedAdmit)
+        // ADMIT-TIME-INDEXED: the manifest is the index — no store
+        // re-read, no per-epoch rebuild; prober uses the SAME codebook
+        // the budget stage assigned with
+        MmrServeStream.serveIndexedRefreshed(queries, s"$root/admitted",
+          codebook, s"$root/ckpt/serve", root, nprobe = serveNprobe)
+      else
+        MmrServeStream.serveChainRefreshed(queries,
+          s"$root/curated", s"$root/admitted", s"$root/ckpt/serve", root,
+          nprobe = serveNprobe)
     }
 
     LiveChain(ingest ++ Seq(apply, curate) ++ gate ++ Seq(budget, pack) ++

@@ -18,6 +18,18 @@ case class BudgetRow(doc_id: Long, lang: String, n_tokens: Long,
 case class BudgetAdmit(doc_id: Long, lang: String, n_tokens: Long,
                        rank_key: Long, cum_tokens: Long)
 
+/** [[BudgetRow]] with the embedding carried through
+  * ([[TokenBudgetStream.admitCarry]]). */
+case class BudgetRowE(doc_id: Long, lang: String, n_tokens: Long,
+                      rank_key: Long, before: Long, limit: Long,
+                      embedding: Array[Double])
+
+/** [[BudgetAdmit]] carrying the embedding — the row the indexed
+  * admitted manifest is built from. */
+case class BudgetAdmitE(doc_id: Long, lang: String, n_tokens: Long,
+                        rank_key: Long, cum_tokens: Long,
+                        embedding: Array[Double])
+
 /** STREAMING token-budget admission — the ingest-side form of
   * `corpus_token_budget_2phase` (Pipeline.scala `tokenBudget2Phase`),
   * completing the streaming-curation composition with the final
@@ -96,6 +108,59 @@ object TokenBudgetStream {
       cum += r.n_tokens
       if (cum <= r.limit)
         out += BudgetAdmit(r.doc_id, r.lang, r.n_tokens, r.rank_key, r.before + cum)
+    }
+    state.update(cum)
+    out.result().iterator
+  }
+
+  /** [[admit]] with the document's EMBEDDING carried through the
+    * admission kernel — the projection that lets the chain write its
+    * admitted manifest AS the serve index
+    * ([[graft.streaming.PipelineE2E]] `serveIndexedAdmit`: a stateless
+    * cell-assignment map follows this operator inside the SAME
+    * streaming query, so every admitted row lands cell-keyed with its
+    * vector and norm, and the serve scans nprobe/C of the manifest
+    * with no store re-read and no per-epoch rebuild). Pure carried
+    * payload: the embedding never enters the rank projection, the cut
+    * join, or the cumsum state — admission verdicts and positions are
+    * column-for-column identical to [[admit]]'s. */
+  def admitCarry(src: DataFrame, hist: DataFrame,
+      cuts: DataFrame): Dataset[BudgetAdmitE] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val toks = TextFns.tokens(col("text"))
+    val ranked = src
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        col("embedding"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("rank_key", expr("(n_distinct * 1000000L) div n_tokens"))
+    val gated = ranked
+      .join(broadcast(cuts), Seq("lang"))
+      .filter(col("rank_key") >= col("cut_key"))
+      .join(broadcast(hist.select(col("lang"), col("rank_key"), col("before"))),
+        Seq("lang", "rank_key"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("rank_key"),
+        col("before"),
+        when(col("rank_key") > col("cut_key"), lit(Long.MaxValue))
+          .otherwise(col("residual")).as("limit"),
+        col("embedding"))
+      .as[BudgetRowE]
+    gated.groupByKey(r => (r.lang, r.rank_key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        admitGroupE _)
+  }
+
+  private def admitGroupE(key: (String, Long), rows: Iterator[BudgetRowE],
+      state: GroupState[Long]): Iterator[BudgetAdmitE] = {
+    var cum = state.getOption.getOrElse(0L)
+    val out = Seq.newBuilder[BudgetAdmitE]
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      cum += r.n_tokens
+      if (cum <= r.limit)
+        out += BudgetAdmitE(r.doc_id, r.lang, r.n_tokens, r.rank_key,
+          r.before + cum, r.embedding)
     }
     state.update(cum)
     out.result().iterator

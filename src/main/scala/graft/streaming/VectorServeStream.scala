@@ -87,6 +87,51 @@ object VectorServeStream {
       }
   }
 
+  /** L2 norm, the probe/kernel sequential fold. */
+  private[streaming] def normOf(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Nearest coarse cell of `v` under `centArr` — argmin of
+    * c·c − 2·v·c with ties to the LOWER cell, the same float fold and
+    * tie rule as [[probeQueries]] (probe and corpus must agree on
+    * geometry). Returns −1 on an empty codebook. */
+  private[streaming] def cellOf(centArr: Array[(Int, Array[Double])],
+      v: Array[Double]): Int = {
+    var bestCell = -1
+    var bestScore = Double.MaxValue
+    centArr.foreach { case (cell, c) =>
+      var cc = 0.0
+      var vc = 0.0
+      var j = 0
+      while (j < c.length) { cc += c(j) * c(j); vc += v(j) * c(j); j += 1 }
+      val score = cc - 2.0 * vc
+      if (score < bestScore) { bestScore = score; bestCell = cell }
+    }
+    bestCell
+  }
+
+  /** Content-addressed coarse codebook COLLECTED from a parquet
+    * embeddings table: the `nCells` lowest vec_ids (the
+    * `vector_ann_ivf_flat` random-sample-init discipline) — the
+    * driver-sized PARAMETER form the admit-time-indexed chain takes at
+    * start, exactly as a deployment ships the previous snapshot's
+    * codebook (refresh on drift is the retrain loop's job, not the
+    * ingest path's). */
+  private[streaming] def codebookFrom(spark: SparkSession, path: String,
+      nCells: Int = 16): Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .orderBy($"vec_id").limit(nCells)
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1).map(_._2).zipWithIndex.map { case (c, i) => (i, c) }
+  }
+
   def serve(queries: DataFrame, dir: String, k: Int = 10,
       nprobe: Int = 2): Dataset[ServedHit] = {
     val spark = queries.sparkSession

@@ -65,6 +65,17 @@ class PipelineE2EChainServeSpec extends SparkSuite {
   }
 
   test("the chain serves the vectors it produced: exact vs replay, fresh per epoch") {
+    runChainServe(indexed = false)
+  }
+
+  test("admit-time-indexed: the manifest IS the index, same exact serve") {
+    runChainServe(indexed = true)
+  }
+
+  /** the shared two-wave protocol; `indexed` switches the serve to the
+    * admit-time-indexed form (cell assigned in the budget stage, serve
+    * reads the manifest as the index — no curated-store re-read). */
+  private def runChainServe(indexed: Boolean): Unit = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-e2e-chainserve")
       .toFile.getAbsolutePath
@@ -101,7 +112,8 @@ class PipelineE2EChainServeSpec extends SparkSuite {
       val chain = PipelineE2E.startLive(spark, root,
         hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
         applyLateness = "6 hours", curationDelay = "6 hours",
-        serveNprobe = 16, serveFromChain = Some(s"$sf0001/embeddings.parquet"))
+        serveNprobe = 16, serveFromChain = Some(s"$sf0001/embeddings.parquet"),
+        serveIndexedAdmit = indexed)
       try {
         // ---- wave 1 → drain → queries 0..3 serve the W1 corpus ----
         PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" < WaveSplit),
@@ -117,6 +129,24 @@ class PipelineE2EChainServeSpec extends SparkSuite {
           .select($"doc_id").as[Long].collect().toSet
         assert(admitW1.subsetOf(curatedVecIds),
           "every admitted doc must carry its embedding through curation")
+        if (indexed) {
+          // the manifest is the index: every admitted row landed with
+          // the cell/norm the budget stage assigned — recompute both
+          // in the driver with the same codebook and kernels
+          val cb = VectorServeStream.codebookFrom(
+            spark, s"$sf0001/embeddings.parquet")
+          val idx = spark.read.schema(PipelineE2E.admitSchemaE)
+            .parquet(s"$root/admitted")
+            .select($"doc_id", $"cell", $"nrm", $"embedding")
+            .as[(Long, Int, Double, Array[Double])].collect()
+          assert(idx.nonEmpty)
+          idx.foreach { case (id, cell, nrm, emb) =>
+            assert(cell == VectorServeStream.cellOf(cb, emb),
+              s"doc $id landed in cell $cell, kernel says ${VectorServeStream.cellOf(cb, emb)}")
+            assert(nrm == VectorServeStream.normOf(emb),
+              s"doc $id norm mismatch")
+          }
+        }
         addQueries(col("vec_id") < 4, "qa")
         chain.drain()
         val phase1 = served()
