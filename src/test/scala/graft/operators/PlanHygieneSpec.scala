@@ -527,4 +527,16 @@ class PlanHygieneSpec extends SparkSuite {
       "one keyed agg, no join anywhere")
   }
 
+  test("cdc_payload_embedding: hash-aggregated micro sums, no sort-based fallback") {
+    val p = plan("cdc_payload_embedding")
+    assert(p.contains("HashAggregate"),
+      "the per-lang report must hash-aggregate with map-side partials")
+    assert(!p.contains("SortAggregate"),
+      "micro-round-before-sum exists precisely so the aggregate stays " +
+        "hash-based (a sort-based fallback would also inline the " +
+        s"serialize/parse into the sorter): ${p.take(400)}")
+    assert(!p.contains("CartesianProduct"),
+      "documents-embeddings is a keyed equi-join")
+  }
+
 }
