@@ -329,49 +329,187 @@ object MmrServeStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
         val v = manifestVersion(spark, admittedDir)
         if (heldCorpus == null || v != heldVersion) {
           heldCorpus = readAdmittedIndex(spark, admittedDir)
           heldVersion = v
         }
-        val probed = VectorServeStream.probeQueries(batch, centArr, nprobe)
-        val cand = probed.toDF()
-          .join(heldCorpus, Seq("cell"))
-          .filter($"vec_id" =!= $"qid")
-          .select($"qid", $"vec_id",
-            (org.apache.spark.sql.graftexpr.VectorFunctions
-              .dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"),
-            $"v", $"nrm")
-          .as[MmrCand]
-        val hits = cand.groupByKey(_.qid)
-          .flatMapGroups((qid: Long, rows: Iterator[MmrCand]) =>
-            rerank(qid, rows, kCand, kOut))
-        OplogPipeline.writeIndexBatch(hits.toDF(), outRoot, batchId, "serve")
-        ()
+        indexServeBatch(batch, heldCorpus, centArr, kCand, kOut, nprobe,
+          outRoot, batchId)
       }
       .start()
+  }
+
+  // ------------------------------------------------------------------
+  // REINDEX + POINTER SWAP — codebook retrain support for the indexed
+  // manifest. A codebook change invalidates the manifest's cell
+  // column; the deployment move is an OFFLINE reindex (one batch pass
+  // re-assigning cells under the new geometry, written as a NEW
+  // manifest version with its codebook riding along under the hidden
+  // `_codebook` subdir — manifest and geometry travel together, the
+  // index is self-describing) followed by ONE atomic pointer flip.
+  // The pointer serve re-reads manifest + codebook only when the
+  // pointer (or the pointed manifest's own version) moves — a running
+  // serve picks up the retrained index with NO restart, and the
+  // invariant the spec pins: at full probe a reindex NEVER changes
+  // answers (geometry moves candidates between cells, not in or out
+  // of the corpus).
+  // ------------------------------------------------------------------
+
+  /** Persist a driver-sized codebook under `dir/_codebook` (hidden —
+    * skipped by data listings, the version walk, and the manifest
+    * read). */
+  private[streaming] def writeCodebook(spark: SparkSession, dir: String,
+      centArr: Array[(Int, Array[Double])]): Unit = {
+    import spark.implicits._
+    centArr.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_codebook")
+  }
+
+  /** Collect the codebook a manifest carries (driver-sized). */
+  private[streaming] def readCodebook(spark: SparkSession,
+      dir: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$dir/_codebook")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Re-assign every manifest row's cell and norm under `centArr` and
+    * write the result as a new self-describing manifest version at
+    * `toDir` (data + `_codebook`). One stateless batch pass — at
+    * 100 TB this is a map-only job over the manifest, embarrassingly
+    * parallel, never touching the document store. Returns the row
+    * count (sanity: a reindex must carry every row). */
+  def reindexAdmitted(spark: SparkSession, fromDir: String,
+      centArr: Array[(Int, Array[Double])], toDir: String): Long = {
+    import spark.implicits._
+    val ddl = "doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
+      "cum_tokens LONG, embedding ARRAY<DOUBLE>"
+    val re = spark.read.schema(ddl).parquet(fromDir)
+      .as[(Long, String, Long, Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, lang, nt, rk, ct, emb) =>
+          (id, lang, nt, rk, ct,
+            VectorServeStream.cellOf(centArr, emb),
+            VectorServeStream.normOf(emb), emb)
+        }
+      }
+      .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
+        "cell", "nrm", "embedding")
+    re.write.mode("overwrite").parquet(toDir)
+    writeCodebook(spark, toDir, centArr)
+    spark.read.schema(ddl).parquet(toDir).count()
+  }
+
+  /** Atomically advance the index pointer: the file's content is the
+    * current manifest dir. Temp-write + rename — a reader sees the old
+    * version or the new, never a partial. */
+  def advancePointer(pointerFile: String, dir: String): Unit = {
+    val target = java.nio.file.Paths.get(pointerFile)
+    Option(target.getParent).foreach(p => java.nio.file.Files.createDirectories(p))
+    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
+    java.nio.file.Files.write(tmp, dir.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def readPointer(pointerFile: String): Option[String] = {
+    val p = java.nio.file.Paths.get(pointerFile)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  /** [[serveIndexedRefreshed]] behind a POINTER: per micro-batch one
+    * pointer read (+ the pointed manifest's own version probe); a
+    * flip re-reads manifest AND codebook (the manifest's `_codebook`
+    * — geometry travels with the index, so the prober can never
+    * disagree with the cells it scans). This is the serve that rides
+    * through a codebook RETRAIN without restart: offline
+    * [[reindexAdmitted]] to a new version dir, [[advancePointer]],
+    * and the next micro-batch answers under the new geometry. No
+    * pointer yet → serve nothing (by design); faults propagate. */
+  def serveIndexedPointer(queries: DataFrame, pointerFile: String,
+      checkpoint: String, outRoot: String,
+      kCand: Int = 20, kOut: Int = 5,
+      nprobe: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
+    // held epoch, confined to the stream's single micro-batch thread
+    var heldVersion: String = null
+    var heldCorpus: DataFrame = null
+    var heldCents: Array[(Int, Array[Double])] = Array.empty
+    queries.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val ptr = readPointer(pointerFile)
+        val v = ptr.fold("")(d => s"$d@${manifestVersion(spark, d)}")
+        if (heldCorpus == null || v != heldVersion) {
+          ptr match {
+            case Some(d) =>
+              heldCorpus = readAdmittedIndex(spark, d)
+              heldCents = readCodebook(spark, d)
+            case None =>
+              heldCorpus = emptyIndex(spark)
+              heldCents = Array.empty
+          }
+          heldVersion = v
+        }
+        indexServeBatch(batch, heldCorpus, heldCents, kCand, kOut, nprobe,
+          outRoot, batchId)
+      }
+      .start()
+  }
+
+  /** shared per-batch body of the indexed serves: probe → cell
+    * equi-join → MMR re-rank → exactly-once epoch publish. */
+  private def indexServeBatch(batch: DataFrame, corpus: DataFrame,
+      centArr: Array[(Int, Array[Double])], kCand: Int, kOut: Int,
+      nprobe: Int, outRoot: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val probed = VectorServeStream.probeQueries(batch, centArr, nprobe)
+    val cand = probed.toDF()
+      .join(corpus, Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        (org.apache.spark.sql.graftexpr.VectorFunctions
+          .dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"),
+        $"v", $"nrm")
+      .as[MmrCand]
+    val hits = cand.groupByKey(_.qid)
+      .flatMapGroups((qid: Long, rows: Iterator[MmrCand]) =>
+        rerank(qid, rows, kCand, kOut))
+    OplogPipeline.writeIndexBatch(hits.toDF(), outRoot, batchId, "serve")
+    ()
   }
 
   /** Read the cell-keyed admitted index as (cell, vec_id, v, nrm) —
     * same emptiness/failure discipline as [[readAdmittedIds]], with
     * the index columns projected by explicit schema. */
+  private val IndexDdl = "doc_id LONG, cell INT, nrm DOUBLE, embedding ARRAY<DOUBLE>"
+
+  private def projectIndex(df: DataFrame): DataFrame = df.select(col("cell"),
+    col("doc_id").as("vec_id"), col("embedding").as("v"), col("nrm"))
+
+  /** the (cell, vec_id, v, nrm) frame with zero rows — what a missing
+    * index serves against. */
+  private[streaming] def emptyIndex(spark: SparkSession): DataFrame =
+    projectIndex(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(IndexDdl)))
+
   private[streaming] def readAdmittedIndex(spark: SparkSession,
       admittedDir: String): DataFrame = {
-    val ddl = "doc_id LONG, cell INT, nrm DOUBLE, embedding ARRAY<DOUBLE>"
-    val project = (df: DataFrame) => df.select(col("cell"),
-      col("doc_id").as("vec_id"), col("embedding").as("v"), col("nrm"))
     val path = new org.apache.hadoop.fs.Path(admittedDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    def empty = project(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ddl)))
-    if (!fs.exists(path)) empty
-    else if (fs.exists(new org.apache.hadoop.fs.Path(path, "_spark_metadata")))
-      project(spark.read.schema(ddl).parquet(admittedDir))
-    else if (hasParquetData(fs, path))
-      project(spark.read.schema(ddl).parquet(admittedDir))
-    else empty
+    if (!fs.exists(path)) emptyIndex(spark)
+    else if (fs.exists(new org.apache.hadoop.fs.Path(path, "_spark_metadata")) ||
+        hasParquetData(fs, path))
+      projectIndex(spark.read.schema(IndexDdl).parquet(admittedDir))
+    else emptyIndex(spark)
   }
 
   /** Read the admitted manifest as a one-column `vec_id` frame, with

@@ -430,6 +430,13 @@ object PipelineE2E {
       if (serveIndexedAdmit)
         VectorServeStream.codebookFrom(spark, serveFromChain.get)
       else Array.empty
+    // persist the geometry WITH the manifest (hidden `_codebook`
+    // subdir — the index is self-describing, which is what the
+    // offline reindex/pointer tooling reads as the "old" codebook)
+    if (serveIndexedAdmit) {
+      new java.io.File(s"$root/admitted").mkdirs()
+      MmrServeStream.writeCodebook(spark, s"$root/admitted", codebook)
+    }
     // pre-create the handoff dirs so every file source can resolve its
     // path before its upstream has published anything (the index glob
     // needs one epoch-shaped dir to match; an empty one is harmless —
