@@ -1,0 +1,192 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** [[ManagedIndex]] — the drift loop's trigger wiring as a component.
+  * Pinned: (1) manifest growth rolls an immutable index version behind
+  * the pointer and a running pointer serve answers the exact kernel
+  * replay; (2) a planted blob breaches the load-factor rule and fires
+  * a retrain whose new codebook EQUALS the driver-replayed
+  * integer-micro Lloyd round (deterministic arithmetic); (3) answers
+  * remain exact after the automatic retrain+reflip (the full-probe
+  * reindex invariant, now exercised end to end by the loop);
+  * (4) the retrain gate is consulted — a rejecting gate keeps the
+  * codebook while versions still roll. */
+class ManagedIndexSpec extends SparkSuite {
+
+  private def vecsMap(): Map[Long, Array[Double]] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+  }
+
+  private def replay(qids: Seq[Long], corpusIds: Set[Long],
+      vecs: Map[Long, Array[Double]]): Set[(Long, Int, Long, Long)] = {
+    def nrm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    qids.flatMap { qid =>
+      val qv = vecs(qid); val qn = nrm(qv)
+      val cands = corpusIds.toSeq.filter(_ != qid).sorted.map { id =>
+        val v = vecs(id); val n = nrm(v)
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += qv(i) * v(i); i += 1 }
+        MmrCand(qid, id, s / (qn * n), v, n)
+      }
+      MmrServeStream.rerank(qid, cands.iterator, 20, 5)
+    }.map(h => (h.qid, h.step, h.vec_id, h.mmr_score)).toSet
+  }
+
+  /** stage admitted-shaped rows and MOVE one file into the manifest
+    * (atomic appearance — the monitor never sees a partial wave). */
+  private def dropWave(manifest: java.nio.file.Path,
+      scratch: java.nio.file.Path, name: String,
+      rows: Seq[(Long, Array[Double])]): Unit = {
+    import spark.implicits._
+    val tmp = scratch.resolve(name)
+    rows.map { case (id, v) => (id, "en", 10L, 0L, 0L, v.toSeq) }
+      .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens", "embedding")
+      .coalesce(1).write.parquet(tmp.toString)
+    val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, manifest.resolve(s"$name.parquet"))
+    ()
+  }
+
+  test("growth rolls versions; a blob breaches, retrains exactly, answers stay exact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-midx")
+      .toFile.getAbsolutePath
+    val manifest = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "admitted"))
+    val in = java.nio.file.Files.createTempDirectory("graft-midx-q")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-midx-scr")
+    try {
+      val vecs = vecsMap()
+      val cb0: Array[(Int, Array[Double])] =
+        (100L until 116L).map(vecs).zipWithIndex.map { case (v, i) => (i, v) }.toArray
+      val waveA = (100L until 251L).toSeq
+      // deterministic no-breach threshold for wave A: one above its
+      // own (fixed, content-addressed) load factor
+      val countsA = waveA.map(id => VectorServeStream.cellOf(cb0, vecs(id)))
+        .groupBy(identity).map(_._2.size)
+      val loadA = countsA.max.toLong * cb0.length * 100L / waveA.size
+      val breach = loadA + 1
+
+      val h = ManagedIndex.start(spark, manifest.toString,
+        s"$root/versions", s"$root/POINTER", cb0,
+        pollMs = 300L, breachPct = breach)
+      try {
+        dropWave(manifest, scratch, "wa", waveA.map(id => (id, vecs(id))))
+        assert(h.awaitVersions(1), "wave A must roll v1")
+        assert(h.retrains == 0 && h.loadPct == loadA,
+          s"wave A must not breach (load ${h.loadPct} vs computed $loadA)")
+
+        // running pointer serve answers exactly
+        def addQueries(pred: org.apache.spark.sql.Column, name: String): Unit = {
+          val tmp = scratch.resolve(name)
+          spark.read.parquet(s"$sf0001/embeddings.parquet").filter(pred)
+            .coalesce(1).write.parquet(tmp.toString)
+          val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+          ()
+        }
+        def served() = spark.read.json(s"$root/serve/batch=*")
+          .select($"data.qid".as("qid"), $"data.step".cast("int").as("step"),
+            $"data.vec_id".as("vec_id"), $"data.mmr_score".as("mmr_score"))
+          .as[(Long, Int, Long, Long)].collect()
+        val stream = graft.Tables.loadStream(
+          spark, in.toString, "embeddings", s"$sf0001/embeddings.parquet")
+        val q = MmrServeStream.serveIndexedPointer(stream, s"$root/POINTER",
+          s"$root/ckpt", root, nprobe = 16)
+        try {
+          addQueries(col("vec_id") < 4, "qa")
+          q.processAllAvailable()
+          assert(served().map(t => (t._1, t._2, t._3, t._4)).toSet ==
+            replay(0L until 4L, waveA.toSet, vecs),
+            "v1 pointer serve must answer the exact replay")
+
+          // identical-copy blob: lands in ONE cell, guaranteed breach
+          val blobIds = (1000L until 1150L).toSeq
+          val allVecs = vecs ++ blobIds.map(_ -> vecs(130L))
+          dropWave(manifest, scratch, "wb", blobIds.map(id => (id, vecs(130L))))
+          assert(h.awaitVersions(3), "wave B must roll v2 (breached) then v3")
+          assert(h.retrains == 1, "the breach must fire exactly one retrain")
+          assert(h.loadPct > breach, "the recorded load must be the breach")
+
+          // the retrained codebook equals the driver-replayed
+          // integer-micro Lloyd round over v2's assignment
+          val allIds = waveA ++ blobIds
+          val assign = allIds.map(id => id -> VectorServeStream.cellOf(cb0, allVecs(id)))
+          val expect = cb0.map { case (cell, cvec) =>
+            val members = assign.filter(_._2 == cell).map(a => allVecs(a._1))
+            if (members.isEmpty) (cell, cvec)
+            else {
+              val dim = cvec.length
+              val c = cvec.clone()
+              (0 until dim).foreach { p =>
+                val s = members.map(v => math.round(1e6 * v(p))).sum
+                c(p) = (s / members.size).toDouble / 1e6
+              }
+              (cell, c)
+            }
+          }
+          val got = MmrServeStream.readCodebook(spark, s"$root/versions/v3")
+          assert(got.length == expect.length &&
+            got.zip(expect).forall { case ((gc, gv), (ec, ev)) =>
+              gc == ec && gv.sameElements(ev) },
+            "retrained codebook must equal the exact integer-micro replay")
+
+          // answers remain exact under the retrained geometry
+          addQueries(col("vec_id") >= 4 && col("vec_id") < 8, "qb")
+          q.processAllAvailable()
+          val bHits = served().filter(t => t._1 >= 4 && t._1 < 8)
+            .map(t => (t._1, t._2, t._3, t._4)).toSet
+          assert(bHits == replay(4L until 8L, allIds.toSet, allVecs),
+            "post-retrain pointer serve must still answer the exact replay")
+        } finally q.stop()
+      } finally h.stop()
+    } finally {
+      Seq(java.nio.file.Paths.get(root), in, scratch).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
+
+  test("a rejecting retrain gate keeps the codebook; versions still roll") {
+    val root = java.nio.file.Files.createTempDirectory("graft-midx-gate")
+      .toFile.getAbsolutePath
+    val manifest = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "admitted"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-midx-gscr")
+    try {
+      val vecs = vecsMap()
+      val cb0: Array[(Int, Array[Double])] =
+        (100L until 116L).map(vecs).zipWithIndex.map { case (v, i) => (i, v) }.toArray
+      var consulted = 0
+      val h = ManagedIndex.start(spark, manifest.toString,
+        s"$root/versions", s"$root/POINTER", cb0,
+        pollMs = 300L, breachPct = 100L,
+        retrainGate = (_, _) => { consulted += 1; false })
+      try {
+        // everything lands in ONE cell — immediate breach
+        dropWave(manifest, scratch, "w",
+          (1000L until 1100L).map(id => (id, vecs(130L))))
+        assert(h.awaitVersions(1), "the wave must roll v1")
+        Thread.sleep(800)  // no second cycle without a manifest change
+        assert(h.versions == 1, "a rejected retrain must not roll v2")
+        assert(consulted == 1 && h.retrains == 0,
+          "the gate must be consulted exactly once and reject")
+        assert(MmrServeStream.readCodebook(spark, s"$root/versions/v1")
+          .zip(cb0).forall { case ((gc, gv), (ec, ev)) =>
+            gc == ec && gv.sameElements(ev) },
+          "a rejected retrain must keep the current codebook")
+      } finally h.stop()
+    } finally {
+      Seq(java.nio.file.Paths.get(root), scratch).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
+}
