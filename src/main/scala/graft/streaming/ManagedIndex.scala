@@ -56,10 +56,16 @@ object ManagedIndex {
     private val monitor = new Thread(() => {
       while (running) {
         Thread.sleep(pollMs)
-        val s = signature()
+        val s = try signature() catch { case _: Exception => sig }
         if (running && s != sig && s.nonEmpty) {
-          sig = s
-          step()
+          // sig advances only on SUCCESS: a failed cycle (transient
+          // IO, a throwing gate) is retried on the next poll instead
+          // of silently killing the monitor thread and stranding the
+          // manifest change forever
+          try { step(); sig = s }
+          catch { case e: Exception =>
+            System.err.println(s"[managed-index] cycle failed, will retry: $e")
+          }
         }
       }
     }, "managed-index-monitor")

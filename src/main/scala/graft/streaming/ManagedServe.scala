@@ -52,18 +52,24 @@ object ManagedServe {
     private val monitor = new Thread(() => {
       while (running) {
         Thread.sleep(pollMs)
-        val s = signature()
+        val s = try signature() catch { case _: Exception => sig }
         if (running && s != sig) synchronized {
           // flag BEFORE stop(): a drain()'s processAllAvailable can
           // throw the moment stop() lands, before nBounces increments
           // — without the flag that window rethrows as a spurious
-          // hard failure
+          // hard failure. `sig` advances only on a SUCCESSFUL bounce:
+          // a restart that throws (transient fault) leaves sig stale,
+          // so the next poll retries the bounce instead of the
+          // monitor thread dying with the serve stopped.
           bouncing = true
           try {
             current.stop()
             current = restart()
             sig = s
             nBounces.incrementAndGet()
+            ()
+          } catch { case e: Exception =>
+            System.err.println(s"[managed-serve] bounce failed, will retry: $e")
           } finally bouncing = false
           ()
         }

@@ -387,6 +387,11 @@ object MmrServeStream {
     val ddl = "doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
       "cum_tokens LONG, embedding ARRAY<DOUBLE>"
     val re = spark.read.schema(ddl).parquet(fromDir)
+      // a cell-partitioned source (re-reindexing an existing version)
+      // appends its partition column to the user schema — project the
+      // six carried fields explicitly
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("rank_key"), col("cum_tokens"), col("embedding"))
       .as[(Long, String, Long, Long, Long, Array[Double])]
       .mapPartitions { it =>
         it.map { case (id, lang, nt, rk, ct, emb) =>
@@ -397,7 +402,13 @@ object MmrServeStream {
       }
       .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
         "cell", "nrm", "embedding")
-    re.write.mode("overwrite").parquet(toDir)
+    // PARTITIONED BY CELL: the layout that makes the serve's
+    // per-batch scan term genuinely nprobe/C — the probed-cell filter
+    // ([[indexServeBatch]]) prunes whole partitions instead of
+    // post-filtering a full manifest scan (measured: without this the
+    // indexed steady cycle LOSES to the memory-pinned chain corpus at
+    // 320k rows; with it the scan touches only probed directories)
+    re.write.mode("overwrite").partitionBy("cell").parquet(toDir)
     writeCodebook(spark, toDir, centArr)
     spark.read.schema(ddl).parquet(toDir).count()
   }
@@ -470,20 +481,34 @@ object MmrServeStream {
       nprobe: Int, outRoot: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // probe once (persisted for the batch — reused by the cell list
+    // AND the candidate join, unpersisted before return so a
+    // long-running serve never accumulates blocks), then PRUNE the
+    // manifest scan to the probed cells: the list is driver-sized
+    // (≤ queries × nprobe ints) and, with the cell-partitioned index
+    // layout, the isin filter prunes whole partitions — the per-batch
+    // scan term is nprobe/C of the manifest, not a full scan
+    // post-filtered by the join
     val probed = VectorServeStream.probeQueries(batch, centArr, nprobe)
-    val cand = probed.toDF()
-      .join(corpus, Seq("cell"))
-      .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id",
-        (org.apache.spark.sql.graftexpr.VectorFunctions
-          .dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"),
-        $"v", $"nrm")
-      .as[MmrCand]
-    val hits = cand.groupByKey(_.qid)
-      .flatMapGroups((qid: Long, rows: Iterator[MmrCand]) =>
-        rerank(qid, rows, kCand, kOut))
-    OplogPipeline.writeIndexBatch(hits.toDF(), outRoot, batchId, "serve")
-    ()
+      .toDF().persist()
+    try {
+      val cells = probed.select($"cell").distinct().as[Int].collect()
+      val cand = probed
+        .join(corpus.filter($"cell".isin(cells.map(Int.box): _*)), Seq("cell"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id",
+          (org.apache.spark.sql.graftexpr.VectorFunctions
+            .dot_product($"qv", $"v") / ($"qnrm" * $"nrm")).as("cos"),
+          $"v", $"nrm")
+        .as[MmrCand]
+      val hits = cand.groupByKey(_.qid)
+        .flatMapGroups((qid: Long, rows: Iterator[MmrCand]) =>
+          rerank(qid, rows, kCand, kOut))
+      OplogPipeline.writeIndexBatch(hits.toDF(), outRoot, batchId, "serve")
+    } finally {
+      probed.unpersist()
+      ()
+    }
   }
 
   /** Read the cell-keyed admitted index as (cell, vec_id, v, nrm) —

@@ -121,7 +121,7 @@ object VectorServeStream {
     * start, exactly as a deployment ships the previous snapshot's
     * codebook (refresh on drift is the retrain loop's job, not the
     * ingest path's). */
-  private[streaming] def codebookFrom(spark: SparkSession, path: String,
+  private[graft] def codebookFrom(spark: SparkSession, path: String,
       nCells: Int = 16): Array[(Int, Array[Double])] = {
     import spark.implicits._
     spark.read.parquet(path)

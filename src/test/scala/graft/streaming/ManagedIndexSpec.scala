@@ -155,6 +155,40 @@ class ManagedIndexSpec extends SparkSuite {
     }
   }
 
+  test("a throwing cycle is retried on the next poll, not fatal to the monitor") {
+    val root = java.nio.file.Files.createTempDirectory("graft-midx-retry")
+      .toFile.getAbsolutePath
+    val manifest = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "admitted"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-midx-rscr")
+    try {
+      val vecs = vecsMap()
+      val cb0: Array[(Int, Array[Double])] =
+        (100L until 116L).map(vecs).zipWithIndex.map { case (v, i) => (i, v) }.toArray
+      val consulted = new java.util.concurrent.atomic.AtomicInteger(0)
+      val h = ManagedIndex.start(spark, manifest.toString,
+        s"$root/versions", s"$root/POINTER", cb0,
+        pollMs = 300L, breachPct = 100L,
+        retrainGate = (_, _) => {
+          // first cycle dies mid-step (a transient fault); the retry
+          // must find the manifest change still pending
+          if (consulted.incrementAndGet() == 1) sys.error("transient")
+          true
+        })
+      try {
+        dropWave(manifest, scratch, "w",
+          (1000L until 1100L).map(id => (id, vecs(130L))))
+        assert(h.awaitVersions(2, timeoutMs = 60000),
+          "the failed cycle must be retried and complete (v1 + retrained v2)")
+        assert(h.retrains == 1 && consulted.get() == 2,
+          s"gate consulted ${consulted.get()} times, retrains ${h.retrains}")
+      } finally h.stop()
+    } finally {
+      Seq(java.nio.file.Paths.get(root), scratch).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
+
   test("a rejecting retrain gate keeps the codebook; versions still roll") {
     val root = java.nio.file.Files.createTempDirectory("graft-midx-gate")
       .toFile.getAbsolutePath
