@@ -39,6 +39,54 @@ class MmrServeIndexPointerSpec extends SparkSuite {
     }.map(h => (h.qid, h.step, h.vec_id, h.mmr_score)).toSet
   }
 
+  test("reindexAdmitted over a sink-written, wider (chain-shaped) manifest") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-idxsink")
+      .toFile.getAbsolutePath
+    try {
+      val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+        .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+      val cb = (100L until 116L).map(vecs).zipWithIndex
+        .map { case (v, i) => (i, v) }.toArray
+      // the LIVE chain's manifest shape: admitSchemaE columns (incl.
+      // its own cell/nrm) written by a streaming FILE SINK — the
+      // reindex must project the carried fields through the commit
+      // log and ignore the stale index columns
+      val src = s"$root/src"
+      (100L until 160L).map(id => (id, "en", 10L, 0L, 0L,
+          VectorServeStream.cellOf(cb, vecs(id)),
+          VectorServeStream.normOf(vecs(id)), vecs(id).toSeq))
+        .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
+          "cell", "nrm", "embedding")
+        .coalesce(1).write.parquet(src)
+      val q = spark.readStream
+        .schema(PipelineE2E.admitSchemaE).parquet(src)
+        .writeStream.format("parquet").option("path", s"$root/admitted")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+
+      val cb2 = (120L until 136L).map(vecs).zipWithIndex
+        .map { case (v, i) => (i, v) }.toArray
+      val n = MmrServeStream.reindexAdmitted(spark, s"$root/admitted",
+        cb2, s"$root/v1")
+      assert(n == 60, s"reindex over the sink manifest carried $n of 60 rows")
+      spark.read.parquet(s"$root/v1")
+        .select($"doc_id", $"cell", $"embedding")
+        .as[(Long, Int, Array[Double])].collect()
+        .foreach { case (id, cell, emb) =>
+          assert(cell == VectorServeStream.cellOf(cb2, emb),
+            s"doc $id not re-assigned under the new codebook")
+        }
+      ()
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      ()
+    }
+  }
+
   test("reindex under a new codebook + pointer flip: same answers, no restart") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-idxptr")
