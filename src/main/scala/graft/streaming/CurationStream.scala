@@ -24,18 +24,19 @@ case class CurationDocT(doc_id: Long, source: String, lang: String,
 case class CurationFull(doc_id: Long, source: String, lang: String,
                         n_tokens: Long, split: String, text: String)
 
-/** [[CurationDocT]] additionally carrying the document's embedding —
-  * the serve-from-chain projection
+/** [[CurationDocT]] additionally carrying the document's embedding and
+  * LWW version — the serve-from-chain projection
   * ([[CurationStream.curateWithEmbedding]]). */
 case class CurationDocE(doc_id: Long, source: String, lang: String,
                         n_tokens: Long, fp: String, mh: String,
-                        text: String, embedding: Array[Double])
+                        text: String, embedding: Array[Double], ver: Long)
 
-/** Curated-manifest row carrying text AND embedding — what makes the
-  * chain's own vectors servable ([[MmrServeStream.serveChainRefreshed]]). */
+/** Curated-manifest row carrying text, embedding AND the LWW version —
+  * what makes the chain's own vectors servable NEWEST-FIRST
+  * ([[MmrServeStream.serveChainRefreshed]] dedups by `ver`). */
 case class CurationFullE(doc_id: Long, source: String, lang: String,
                          n_tokens: Long, split: String, text: String,
-                         embedding: Array[Double])
+                         embedding: Array[Double], ver: Long)
 
 /** The composed STREAMING curation pass: quality gate → watermarked
   * exact content dedup → per-source stateful cap → split assignment,
@@ -174,13 +175,14 @@ object CurationStream {
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
         TextFns.fingerprint(col("text")).as("fp"),
         md5(col("doc_id").cast("string")).as("mh"),
-        col("text"), col("embedding"),
+        col("text"), col("embedding"), col("ver"),
         timestamp_micros((col("doc_id") + 86400L) * 1000000L).as("ets"))
       .filter(col("n_tokens") >= QualityMinTokens)
       .withWatermark("ets", delay)
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("source"), col("lang"),
-        col("n_tokens"), col("fp"), col("mh"), col("text"), col("embedding"))
+        col("n_tokens"), col("fp"), col("mh"), col("text"), col("embedding"),
+        col("ver"))
       .as[CurationDocE]
     gated.groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -195,7 +197,7 @@ object CurationStream {
     state.update(used + picked.length)
     picked.iterator.map { d =>
       CurationFullE(d.doc_id, d.source, d.lang, d.n_tokens, splitOf(d.mh),
-        d.text, d.embedding)
+        d.text, d.embedding, d.ver)
     }
   }
 }

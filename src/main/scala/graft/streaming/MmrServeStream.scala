@@ -273,15 +273,29 @@ object MmrServeStream {
           .toDF("cell", "vec_id", "v", "nrm"))
     // schema probe per epoch (footer-read-sized): mis-wiring against a
     // text-only curated store must fail loudly, not serve nothing
-    require(spark.read.parquet(curatedDir).schema.fieldNames.contains("embedding"),
+    val curatedFields = spark.read.parquet(curatedDir).schema.fieldNames
+    require(curatedFields.contains("embedding"),
       s"curated store at $curatedDir carries no 'embedding' column — " +
         "start the chain with the embedding carry (curateWithEmbedding / " +
         "startLive(serveFromChain)) to serve chain-derived vectors")
-    val curated = spark.read.schema("doc_id LONG, embedding ARRAY<DOUBLE>")
+    // NEWEST-WINS when the store carries the LWW version: an updated
+    // document appears once per surviving curated version (append-only
+    // store epochs), and a query must retrieve its CURRENT embedding,
+    // never a stale epoch's — one vec_id-keyed max_by per epoch build
+    // (the same exchange the semi-join already keys). Version-less
+    // legacy stores keep their historical multi-row behavior.
+    val hasVer = curatedFields.contains("ver")
+    val curated = spark.read
+      .schema("doc_id LONG, embedding ARRAY<DOUBLE>, ver LONG")
       .parquet(curatedDir)
-      .select(col("doc_id").as("vec_id"), col("embedding"))
-    val admittedVecs = curated
+      .select(col("doc_id").as("vec_id"), col("embedding"), col("ver"))
+    val admittedAll = curated
       .join(broadcast(ids.select($"vec_id").distinct()), Seq("vec_id"), "left_semi")
+    val admittedVecs =
+      if (hasVer)
+        admittedAll.groupBy($"vec_id")
+          .agg(max_by($"embedding", $"ver").as("embedding"))
+      else admittedAll.select($"vec_id", $"embedding")
     val corpus0 = graft.operators.VectorSearch.withNorms(admittedVecs)
       .select($"vec_id", $"v", $"nrm").as[(Long, Array[Double], Double)]
     // content-addressed codebook: the nCells lowest ADMITTED vec_ids

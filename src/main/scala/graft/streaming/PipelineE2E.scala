@@ -70,6 +70,17 @@ object PipelineE2E {
   val docSchemaE: StructType = StructType(
     docSchema.fields :+ StructField("embedding", ArrayType(DoubleType)))
 
+  /** [[docSchemaE]] + the document's LWW VERSION — not a payload
+    * field: the apply stage stamps each materialized row with the
+    * winning op's clock (`tsUs × 1000 + tsInc`, the packed-clock
+    * discipline the CDC oracles use; tsInc is replica-op-sized, far
+    * under the packing base), so downstream consumers can order a
+    * doc's versions across store epochs. The serve-from-chain corpus
+    * build dedups by it — an updated document serves its NEWEST
+    * embedding, never a stale epoch's. */
+  val docSchemaEV: StructType = StructType(
+    docSchemaE.fields :+ StructField("ver", LongType))
+
   val curatedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("source", StringType),
     StructField("lang", StringType), StructField("n_tokens", LongType),
@@ -110,7 +121,8 @@ object PipelineE2E {
     * its shard, ts a synthetic clock off doc_id. Returns the op-line
     * count (docs × their shard's depth). */
   private def opsFrame(spark: SparkSession, docs: DataFrame,
-      topology: Seq[ShardSet], shardKey: org.apache.spark.sql.Column): DataFrame = {
+      topology: Seq[ShardSet], shardKey: org.apache.spark.sql.Column,
+      tsOffsetSec: Long = 0L): DataFrame = {
     import spark.implicits._
     val memberDf = broadcast(
       topology.zipWithIndex.flatMap { case (sh, i) =>
@@ -120,7 +132,12 @@ object PipelineE2E {
       .withColumn("sidx", shardKey)
       .join(memberDf, "sidx")
       .select(
-        timestamp_micros((col("doc_id") + 86400L) * 1000000L).as("ts"),
+        // tsOffsetSec > 0 renders an UPDATE wave: the same doc_ids at
+        // a LATER op clock, so quorum sees distinct ops and the apply
+        // stage's LWW fold replaces the document (fixture updates are
+        // full-doc upserts, the "i" op — exactly how the LWW register
+        // treats any non-delete)
+        timestamp_micros((col("doc_id") + 86400L + tsOffsetSec) * 1000000L).as("ts"),
         lit(1).as("tsInc"),
         col("doc_id").as("h"),
         lit("i").as("op"),
@@ -152,8 +169,9 @@ object PipelineE2E {
     * moved in under wave-unique names. */
   def writeOplogWave(spark: SparkSession, docs: DataFrame, root: String,
       topology: Seq[ShardSet], wave: String,
-      shardKey: Option[org.apache.spark.sql.Column] = None): Long = {
-    val staged = renderOplogWave(spark, docs, topology, wave, shardKey)
+      shardKey: Option[org.apache.spark.sql.Column] = None,
+      tsOffsetSec: Long = 0L): Long = {
+    val staged = renderOplogWave(spark, docs, topology, wave, shardKey, tsOffsetSec)
     injectStagedWave(staged, root, topology, wave)
   }
 
@@ -165,9 +183,10 @@ object PipelineE2E {
     * opCount). */
   def renderOplogWave(spark: SparkSession, docs: DataFrame,
       topology: Seq[ShardSet], wave: String,
-      shardKey: Option[org.apache.spark.sql.Column] = None): (String, Long) = {
+      shardKey: Option[org.apache.spark.sql.Column] = None,
+      tsOffsetSec: Long = 0L): (String, Long) = {
     val ops = opsFrame(spark, docs, topology,
-      shardKey.getOrElse(shardByDocId(topology.size))).localCheckpoint()
+      shardKey.getOrElse(shardByDocId(topology.size)), tsOffsetSec).localCheckpoint()
     val scratch = java.nio.file.Files.createTempDirectory(s"graft-wave-$wave")
     topology.foreach { sh =>
       ops.filter(col("shard") === sh.shard).drop("shard")
@@ -246,12 +265,19 @@ object PipelineE2E {
     * [[graft.sources.IndexSinkProvider]] protocol is for (the layout
     * terminal uses it). */
   private def writeDocsBatch(root: String,
-      schema: StructType = docSchema)(
+      schema: StructType = docSchema, withVer: Boolean = false)(
       b: Dataset[OplogApply.DocState], batchId: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val stage = Paths.get(s"$root/docs/_tmp/batch=$batchId-${java.util.UUID.randomUUID()}")
+    val cols =
+      if (withVer)
+        // stamp the winning op's packed clock beside the payload —
+        // the version the serve's newest-wins dedup orders by
+        Seq(col("d.*"), (col("tsUs") * 1000L + col("tsInc")).as("ver"))
+      else Seq(col("d.*"))
     b.filter(col("op") =!= "d")
-      .select(from_json(col("doc"), schema).as("d")).select("d.*")
+      .withColumn("d", from_json(col("doc"), schema))
+      .select(cols: _*)
       .write.mode("overwrite").parquet(stage.toString)
     val target = Paths.get(s"$root/docs/batch=$batchId")
     if (Files.exists(target))
@@ -353,11 +379,13 @@ object PipelineE2E {
     StructField("lang", StringType), StructField("n_tokens", LongType),
     StructField("split", StringType), StructField("text", StringType)))
 
-  /** [[curatedFullSchema]] + the carried embedding — what
-    * [[CurationStream.curateWithEmbedding]] writes (serve-from-chain
-    * modes). */
+  /** [[curatedFullSchema]] + the carried embedding and LWW version —
+    * what [[CurationStream.curateWithEmbedding]] writes
+    * (serve-from-chain modes; `ver` per [[docSchemaEV]]). */
   val curatedFullSchemaE: StructType = StructType(
-    curatedFullSchema.fields :+ StructField("embedding", ArrayType(DoubleType)))
+    curatedFullSchema.fields ++ Seq(
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("ver", LongType)))
 
   /** [[admitSchema]] + the index columns the admit-time-indexed mode
     * writes: coarse `cell`, precomputed `nrm`, and the vector itself —
@@ -480,7 +508,9 @@ object PipelineE2E {
         applyLateness)
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt/apply")
-      .foreachBatch(writeDocsBatch(root, chainDocSchema) _)
+      .foreachBatch(
+        writeDocsBatch(root, chainDocSchema,
+          withVer = serveFromChain.isDefined) _)
       .start()
     val apply = applyProvider.fold(startApply())(p =>
       graft.GraftSession.withStateProvider(spark, p)(startApply()))
@@ -492,7 +522,7 @@ object PipelineE2E {
     val curateSink =
       (if (serveFromChain.isDefined)
         CurationStream.curateWithEmbedding(
-          spark.readStream.schema(docSchemaE).parquet(docsGlob(root)),
+          spark.readStream.schema(docSchemaEV).parquet(docsGlob(root)),
           cap = cap, delay = curationDelay).toDF()
       else
         CurationStream.curateWithText(

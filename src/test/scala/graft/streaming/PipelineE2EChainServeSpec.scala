@@ -72,6 +72,119 @@ class PipelineE2EChainServeSpec extends SparkSuite {
     runChainServe(indexed = true)
   }
 
+  test("an updated document serves its NEWEST embedding (LWW through the chain)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-lwwserve")
+      .toFile.getAbsolutePath
+    val scratch = java.nio.file.Files.createTempDirectory("graft-e2e-lwq")
+    try {
+      val docs = uniqueDocsE.localCheckpoint()
+      // cap HEADROOM: the update wave re-curates ~20 docs (new fp per
+      // version), and the spec needs every updated version to survive
+      // the per-source cap deterministically
+      val cap = docs.groupBy($"source").count().agg(max($"count"))
+        .head().getLong(0).toInt + 50
+      val gated = docs.filter(
+        size(TextFns.tokens($"text")) >= CurationStream.QualityMinTokens)
+      val base = graft.operators.Pipeline.budgetBaseFrom(
+        gated.select($"doc_id", $"lang", $"text")).localCheckpoint()
+      val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, Budget)
+      val vecs: Map[Long, Array[Double]] =
+        graft.Tables.load(spark, sf0001, "embeddings")
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+          .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+      def addQueries(pred: org.apache.spark.sql.Column, name: String): Unit = {
+        val tmp = scratch.resolve(name)
+        spark.read.parquet(s"$sf0001/embeddings.parquet").filter(pred)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$root/queries/$name.parquet"))
+        ()
+      }
+      def served() = spark.read.json(s"$root/serve/batch=*")
+        .select($"data.qid".as("qid"), $"data.step".cast("int").as("step"),
+          $"data.vec_id".as("vec_id"), $"data.mmr_score".as("mmr_score"))
+        .as[(Long, Int, Long, Long)].collect()
+      def admittedIds() = spark.read.schema(PipelineE2E.admitSchema)
+        .parquet(s"$root/admitted").select($"doc_id").as[Long].collect().toSet
+
+      val chain = PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
+        applyLateness = "6 hours", curationDelay = "6 hours",
+        serveNprobe = 16, serveFromChain = Some(s"$sf0001/embeddings.parquet"))
+      try {
+        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" < WaveSplit),
+          root, PipelineE2E.defaultTopology, "w1",
+          shardKey = Some(PipelineE2E.shardByLang(2)))
+        chain.drain()
+        val admitW1 = admittedIds()
+        assert(admitW1.nonEmpty)
+        addQueries(col("vec_id") < 4, "qa")
+        chain.drain()
+        val phase1 = served()
+        assert(phase1.map(t => (t._1, t._2, t._3, t._4)).toSet ==
+          replay(0L until 4L, admitW1, vecs))
+
+        // UPDATE a slice of wave-1 docs: new text (new fp — re-passes
+        // content dedup), new embedding (a vector the corpus never
+        // ingested), LATER op clock — the apply stage's LWW replaces
+        // the doc, the curated store gains the new version at a higher
+        // ver, and the serve must answer with the NEW vectors for
+        // every updated doc that is admitted, with no restart
+        val updIds = (100L until 120L)
+        val updDocs = docs.filter($"doc_id" >= 100 && $"doc_id" < 120)
+          .select($"doc_id", $"source", $"lang",
+            concat($"text", lit(" revised edition of this document")).as("text"))
+          .join(
+            spark.read.parquet(s"$sf0001/embeddings.parquet")
+              .filter($"vec_id" >= 400 && $"vec_id" < 420)
+              .select(($"vec_id" - 300L).as("doc_id"),
+                expr("transform(embedding, x -> cast(x as double))").as("embedding")),
+            "doc_id")
+        PipelineE2E.writeOplogWave(spark, updDocs,
+          root, PipelineE2E.defaultTopology, "wu",
+          shardKey = Some(PipelineE2E.shardByLang(2)), tsOffsetSec = 5000L)
+        chain.drain()
+        val admitW2 = admittedIds()
+        val newest = vecs ++ updIds.map(id => id -> vecs(id + 300L))
+        addQueries(col("vec_id") >= 4 && col("vec_id") < 8, "qb")
+        chain.drain()
+        val phase2 = served()
+        val bHits = phase2.filter(t => t._1 >= 4 && t._1 < 8)
+          .map(t => (t._1, t._2, t._3, t._4)).toSet
+        assert(bHits == replay(4L until 8L, admitW2, newest),
+          "post-update queries must serve the NEWEST embedding of every " +
+            "updated admitted doc")
+
+        // the DETERMINISTIC newest-wins witness: querying with an
+        // updated doc's NEW vector itself must retrieve that doc at
+        // step 1 (cos = 1.0, unbeatable on a fixture of distinct
+        // vectors) — impossible under its stale embedding
+        addQueries(col("vec_id") >= 400 && col("vec_id") < 420, "qc")
+        chain.drain()
+        val phase3 = served()
+        val cHits = phase3.filter(t => t._1 >= 400 && t._1 < 420)
+          .map(t => (t._1, t._2, t._3, t._4)).toSet
+        assert(cHits == replay(400L until 420L, admitW2, newest))
+        val updAdmitted = updIds.filter(admitW2)
+        assert(updAdmitted.nonEmpty, "fixture must admit some updated doc")
+        updAdmitted.foreach { id =>
+          assert(cHits.exists(t => t._1 == id + 300L && t._2 == 1 && t._3 == id),
+            s"query ${id + 300L} (doc $id's new vector) must retrieve doc " +
+              s"$id at step 1 — stale embedding served")
+        }
+        // pre-update epochs immutable
+        val aBefore = phase1.filter(_._1 < 4).sorted.toSeq
+        val aAfter = phase2.filter(_._1 < 4).sorted.toSeq
+        assert(aAfter == aBefore, "a pre-update serve epoch changed")
+      } finally chain.stop()
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      new scala.reflect.io.Directory(scratch.toFile).deleteRecursively()
+    }
+  }
+
   /** the shared two-wave protocol; `indexed` switches the serve to the
     * admit-time-indexed form (cell assigned in the budget stage, serve
     * reads the manifest as the index — no curated-store re-read). */
