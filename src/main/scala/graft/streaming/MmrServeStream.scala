@@ -391,21 +391,41 @@ object MmrServeStream {
 
   /** Re-assign every manifest row's cell and norm under `centArr` and
     * write the result as a new self-describing manifest version at
-    * `toDir` (data + `_codebook`). One stateless batch pass — at
-    * 100 TB this is a map-only job over the manifest, embarrassingly
-    * parallel, never touching the document store. Returns the row
-    * count (sanity: a reindex must carry every row). */
+    * `toDir` (data + `_codebook`). One batch pass — at 100 TB this is
+    * a map-only job over the manifest (plus one keyed dedup when the
+    * source carries versions), embarrassingly parallel, never
+    * touching the document store.
+    *
+    * COMPACTION SEMANTICS: when the source manifest carries the LWW
+    * `ver` column (the live chain's admit-time-indexed manifest), a
+    * multi-admitted document collapses to its NEWEST admitted version
+    * — the segment-merge discipline: the live tail serves
+    * versions-until-compaction, each published version is sealed
+    * newest-as-of-publish (and therefore carries no `ver`). Returns
+    * the published row count. */
   def reindexAdmitted(spark: SparkSession, fromDir: String,
       centArr: Array[(Int, Array[Double])], toDir: String): Long = {
     import spark.implicits._
     val ddl = "doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
       "cum_tokens LONG, embedding ARRAY<DOUBLE>"
-    val re = spark.read.schema(ddl).parquet(fromDir)
+    val hasVer = spark.read.parquet(fromDir)
+      .schema.fieldNames.contains("ver")
+    val src0 = spark.read.schema(ddl + ", ver LONG").parquet(fromDir)
       // a cell-partitioned source (re-reindexing an existing version)
       // appends its partition column to the user schema — project the
-      // six carried fields explicitly
+      // carried fields explicitly
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        col("rank_key"), col("cum_tokens"), col("embedding"))
+        col("rank_key"), col("cum_tokens"), col("embedding"), col("ver"))
+    val src =
+      if (hasVer)
+        src0.groupBy(col("doc_id"))
+          .agg(max_by(struct(col("lang"), col("n_tokens"), col("rank_key"),
+            col("cum_tokens"), col("embedding")),
+            coalesce(col("ver"), lit(0L))).as("b"))
+          .select(col("doc_id"), col("b.lang"), col("b.n_tokens"),
+            col("b.rank_key"), col("b.cum_tokens"), col("b.embedding"))
+      else src0.drop("ver")
+    val re = src
       .as[(Long, String, Long, Long, Long, Array[Double])]
       .mapPartitions { it =>
         it.map { case (id, lang, nt, rk, ct, emb) =>

@@ -388,13 +388,21 @@ object PipelineE2E {
       StructField("ver", LongType)))
 
   /** [[admitSchema]] + the index columns the admit-time-indexed mode
-    * writes: coarse `cell`, precomputed `nrm`, and the vector itself —
-    * the admitted manifest AS the serve index
-    * ([[MmrServeStream.serveIndexedRefreshed]]). */
+    * writes: coarse `cell`, precomputed `nrm`, the vector itself, and
+    * the LWW `ver` — the admitted manifest AS the serve index. Update
+    * semantics are the SEGMENT MODEL: the live tail
+    * ([[MmrServeStream.serveIndexedRefreshed]]) serves every admitted
+    * version until compaction, and [[MmrServeStream.reindexAdmitted]]
+    * seals each published version newest-admitted-wins by `ver` —
+    * admission-current semantics, vs the chain form's content-current
+    * ([[MmrServeStream.serveChainRefreshed]] dedups the CURATED store
+    * by ver, serving an updated doc's new vector even before
+    * re-admission); both stated where they bind. */
   val admitSchemaE: StructType = StructType(
     admitSchema.fields ++ Seq(
       StructField("cell", IntegerType), StructField("nrm", DoubleType),
-      StructField("embedding", ArrayType(DoubleType))))
+      StructField("embedding", ArrayType(DoubleType)),
+      StructField("ver", LongType)))
 
   /** handle over the concurrently-running stage queries, in topological
     * order. One [[drain]] pass flushes everything currently published
@@ -591,7 +599,7 @@ object PipelineE2E {
     // log — the manifest IS the serve index, built incrementally at
     // trigger-bounded cost (never a corpus rescan)
     val budgetCols =
-      if (serveIndexedAdmit) Seq("doc_id", "lang", "text", "embedding")
+      if (serveIndexedAdmit) Seq("doc_id", "lang", "text", "embedding", "ver")
       else Seq("doc_id", "lang", "text")
     val budgetSrc =
       if (!nearDup)
@@ -609,11 +617,11 @@ object PipelineE2E {
             it.map { a =>
               (a.doc_id, a.lang, a.n_tokens, a.rank_key, a.cum_tokens,
                 VectorServeStream.cellOf(cb, a.embedding),
-                VectorServeStream.normOf(a.embedding), a.embedding)
+                VectorServeStream.normOf(a.embedding), a.embedding, a.ver)
             }
           }
           .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
-            "cell", "nrm", "embedding")
+            "cell", "nrm", "embedding", "ver")
       } else TokenBudgetStream.admit(budgetSrc, hist, cuts).toDF()
     val budget = budgetSink
       .writeStream.outputMode("append")

@@ -18,17 +18,18 @@ case class BudgetRow(doc_id: Long, lang: String, n_tokens: Long,
 case class BudgetAdmit(doc_id: Long, lang: String, n_tokens: Long,
                        rank_key: Long, cum_tokens: Long)
 
-/** [[BudgetRow]] with the embedding carried through
+/** [[BudgetRow]] with the embedding and LWW version carried through
   * ([[TokenBudgetStream.admitCarry]]). */
 case class BudgetRowE(doc_id: Long, lang: String, n_tokens: Long,
                       rank_key: Long, before: Long, limit: Long,
-                      embedding: Array[Double])
+                      embedding: Array[Double], ver: Long)
 
-/** [[BudgetAdmit]] carrying the embedding — the row the indexed
-  * admitted manifest is built from. */
+/** [[BudgetAdmit]] carrying the embedding and LWW version — the row
+  * the indexed admitted manifest is built from (the serve dedups
+  * multi-admitted docs by `ver`). */
 case class BudgetAdmitE(doc_id: Long, lang: String, n_tokens: Long,
                         rank_key: Long, cum_tokens: Long,
-                        embedding: Array[Double])
+                        embedding: Array[Double], ver: Long)
 
 /** STREAMING token-budget admission — the ingest-side form of
   * `corpus_token_budget_2phase` (Pipeline.scala `tokenBudget2Phase`),
@@ -133,7 +134,7 @@ object TokenBudgetStream {
       .select(col("doc_id"), col("lang"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
-        col("embedding"))
+        col("embedding"), col("ver"))
       .filter(col("n_tokens") > 0)
       .withColumn("rank_key", expr("(n_distinct * 1000000L) div n_tokens"))
     val gated = ranked
@@ -145,7 +146,7 @@ object TokenBudgetStream {
         col("before"),
         when(col("rank_key") > col("cut_key"), lit(Long.MaxValue))
           .otherwise(col("residual")).as("limit"),
-        col("embedding"))
+        col("embedding"), col("ver"))
       .as[BudgetRowE]
     gated.groupByKey(r => (r.lang, r.rank_key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -160,7 +161,7 @@ object TokenBudgetStream {
       cum += r.n_tokens
       if (cum <= r.limit)
         out += BudgetAdmitE(r.doc_id, r.lang, r.n_tokens, r.rank_key,
-          r.before + cum, r.embedding)
+          r.before + cum, r.embedding, r.ver)
     }
     state.update(cum)
     out.result().iterator

@@ -56,9 +56,9 @@ class MmrServeIndexPointerSpec extends SparkSuite {
       val src = s"$root/src"
       (100L until 160L).map(id => (id, "en", 10L, 0L, 0L,
           VectorServeStream.cellOf(cb, vecs(id)),
-          VectorServeStream.normOf(vecs(id)), vecs(id).toSeq))
+          VectorServeStream.normOf(vecs(id)), vecs(id).toSeq, id))
         .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
-          "cell", "nrm", "embedding")
+          "cell", "nrm", "embedding", "ver")
         .coalesce(1).write.parquet(src)
       val q = spark.readStream
         .schema(PipelineE2E.admitSchemaE).parquet(src)
@@ -80,6 +80,41 @@ class MmrServeIndexPointerSpec extends SparkSuite {
           assert(cell == VectorServeStream.cellOf(cb2, emb),
             s"doc $id not re-assigned under the new codebook")
         }
+      ()
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      ()
+    }
+  }
+
+  test("compaction: a multi-admitted doc collapses to its newest version") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-idxcompact")
+      .toFile.getAbsolutePath
+    try {
+      val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+        .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+      val cb = (100L until 116L).map(vecs).zipWithIndex
+        .map { case (v, i) => (i, v) }.toArray
+      // the live manifest's segment-model state: doc 150 admitted
+      // TWICE (an update re-admitted at a later LWW clock, new vector)
+      val rows =
+        (100L until 160L).map(id => (id, vecs(id), 1L)) :+
+          ((150L, vecs(400L), 2L))
+      rows.map { case (id, v, ver) => (id, "en", 10L, 0L, 0L, v.toSeq, ver) }
+        .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
+          "embedding", "ver")
+        .write.parquet(s"$root/live")
+      val n = MmrServeStream.reindexAdmitted(spark, s"$root/live", cb, s"$root/v1")
+      assert(n == 60, s"compaction must seal one row per doc, got $n")
+      val doc150 = spark.read.parquet(s"$root/v1")
+        .filter($"doc_id" === 150L)
+        .select($"embedding").as[Array[Double]].collect()
+      assert(doc150.length == 1 && doc150.head.sameElements(vecs(400L)),
+        "the sealed version must carry doc 150's NEWEST admitted vector")
+      // sealed versions carry no ver (newest-as-of-publish)
+      assert(!spark.read.parquet(s"$root/v1").schema.fieldNames.contains("ver"))
       ()
     } finally {
       new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
