@@ -133,6 +133,91 @@ object ManagedIndex {
     handle
   }
 
+  /** The RECALL GUARD as a `retrainGate` closure — the composition
+    * `vector_retrain_gate` (operators/VectorSearch.scala) promises,
+    * bound to the loop: before a candidate codebook is accepted, its
+    * serving quality is measured on a held QUERY FIXTURE against the
+    * manifest itself — per query, exact top-`k` by brute cosine over
+    * the current version's rows vs IVF top-`k` under the CANDIDATE
+    * geometry at `nprobe`; the candidate is accepted iff the mean
+    * recall (micro-units) is ≥ `minRecallMicro`. A breach alone never
+    * swaps geometry that would degrade answers — the same
+    * breach-AND-recall-retained rule the oracled batch gate pins,
+    * here over the live manifest.
+    *
+    * Cost shape (per ACCEPTED-breach cycle only, never per batch):
+    * one corpus×queries scored pass for the exact side and one for
+    * the candidate side — queries are fixture-sized (broadcast), the
+    * corpus is scanned twice; at 100 TB the fixture runs over a
+    * sampled slice (the dial a deployment sizes, stated here rather
+    * than hidden). The gate evaluates against the LATEST published
+    * version under `versionsRoot` — during a cycle that is the
+    * just-published current-geometry v<N>. */
+  def recallGate(spark: SparkSession, queryVecs: Array[(Long, Array[Double])],
+      versionsRoot: String, k: Int = 10, nprobe: Int = 2,
+      minRecallMicro: Long = 900000L):
+      (Array[(Int, Array[Double])], Array[(Int, Array[Double])]) => Boolean =
+    (_, candidate) => {
+      import spark.implicits._
+      val dir = {
+        val d = new java.io.File(versionsRoot)
+        val vs = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        require(vs.nonEmpty, s"no published version under $versionsRoot")
+        vs.maxBy(_.getName.stripPrefix("v").toInt).getAbsolutePath
+      }
+      val corpus = spark.read.parquet(dir)
+        .select(col("doc_id"), col("embedding"))
+        .as[(Long, Array[Double])]
+      val qs = queryVecs
+      // one pass: per corpus row, its cosine to EVERY fixture query
+      // and its candidate-geometry cell — partial top-k per partition
+      // per query would be the 100 TB form; fixture-scale keeps the
+      // simple global sort per query (frames are corpus × |fixture|)
+      val scored = corpus.mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          val nrm = VectorServeStream.normOf(v)
+          val cell = VectorServeStream.cellOf(candidate, v)
+          qs.iterator.map { case (qid, qv) =>
+            var s = 0.0
+            var i = 0
+            while (i < v.length) { s += qv(i) * v(i); i += 1 }
+            (qid, id, s / (VectorServeStream.normOf(qv) * nrm), cell)
+          }
+        }
+      }.toDF("qid", "vec_id", "cos", "cell").persist()
+      try {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        val exact = scored
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .select(col("qid"), col("vec_id"))
+        val probedCells: Map[Long, Set[Int]] = qs.map { case (qid, qv) =>
+          qid -> candidate.map { case (cell, c) =>
+            var cc = 0.0
+            var qc = 0.0
+            var j = 0
+            while (j < c.length) { cc += c(j) * c(j); qc += qv(j) * c(j); j += 1 }
+            (cc - 2.0 * qc, cell)
+          }.sortBy(identity).take(nprobe).map(_._2).toSet
+        }.toMap
+        val probedDf = broadcast(probedCells.toSeq
+          .flatMap { case (q, cs) => cs.map(c => (q, c)) }
+          .toDF("qid", "cell"))
+        val ivf = scored.join(probedDf, Seq("qid", "cell"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .select(col("qid"), col("vec_id"))
+        val hits = exact.join(ivf, Seq("qid", "vec_id"), "left_semi").count()
+        val total = exact.count()
+        val recallMicro =
+          if (total == 0L) 1000000L else hits * 1000000L / total
+        recallMicro >= minRecallMicro
+      } finally {
+        scored.unpersist()
+        ()
+      }
+    }
+
   /** One Lloyd round over a published version's assignment: per
     * (cell, dim) the truncating integer-micro mean — exact int64
     * sums, one integer division, one ÷10⁶ back to a double — the

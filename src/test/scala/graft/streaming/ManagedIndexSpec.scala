@@ -189,6 +189,51 @@ class ManagedIndexSpec extends SparkSuite {
     }
   }
 
+  test("the recall guard: full probe accepts; an unreachable bar rejects") {
+    val vecs = vecsMap()
+    val cb0: Array[(Int, Array[Double])] =
+      (100L until 116L).map(vecs).zipWithIndex.map { case (v, i) => (i, v) }.toArray
+    val qfix: Array[(Long, Array[Double])] =
+      (0L until 5L).map(id => (id, vecs(id))).toArray
+    def runWith(minRecallMicro: Long): (Int, Int) = {
+      val root = java.nio.file.Files.createTempDirectory("graft-midx-recall")
+        .toFile.getAbsolutePath
+      val manifest = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "admitted"))
+      val scratch = java.nio.file.Files.createTempDirectory("graft-midx-rcs")
+      try {
+        val h = ManagedIndex.start(spark, manifest.toString,
+          s"$root/versions", s"$root/POINTER", cb0,
+          pollMs = 300L, breachPct = 100L,
+          retrainGate = ManagedIndex.recallGate(spark, qfix,
+            s"$root/versions", k = 5, nprobe = 16,
+            minRecallMicro = minRecallMicro))
+        try {
+          dropWave(manifest, scratch, "w",
+            (1000L until 1100L).map(id => (id, vecs(130L))))
+          // one cycle either way; the accept path rolls a second
+          // version inside the same cycle
+          assert(h.awaitVersions(1, timeoutMs = 60000))
+          Thread.sleep(1500)
+          (h.versions, h.retrains)
+        } finally h.stop()
+      } finally {
+        Seq(java.nio.file.Paths.get(root), scratch).foreach(d =>
+          new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+      }
+    }
+    // at nprobe = C the IVF answer IS the exact answer — recall 100%
+    // under ANY geometry, so a sane bar must ACCEPT the retrain
+    val (vAcc, rAcc) = runWith(900000L)
+    assert(vAcc == 2 && rAcc == 1,
+      s"full-probe recall must accept the retrain (versions=$vAcc retrains=$rAcc)")
+    // an unreachable bar (> 100%) must REJECT it — breach alone never
+    // swaps geometry past the guard
+    val (vRej, rRej) = runWith(1000001L)
+    assert(vRej == 1 && rRej == 0,
+      s"an unreachable recall bar must reject (versions=$vRej retrains=$rRej)")
+  }
+
   test("a rejecting retrain gate keeps the codebook; versions still roll") {
     val root = java.nio.file.Files.createTempDirectory("graft-midx-gate")
       .toFile.getAbsolutePath
