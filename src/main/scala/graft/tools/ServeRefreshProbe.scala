@@ -31,6 +31,11 @@ object ServeRefreshProbe {
   def main(args: Array[String]): Unit = {
     val live = args.contains("live")
     val epoch = args.contains("epoch")
+    // managed: the full snapshot topology — ManagedIndex watches the
+    // manifest (embedding-carrying rows), publishes versions behind
+    // the pointer, and a serveIndexedPointer serve answers; freshness
+    // = poll + one map-only reindex + pointer pickup next batch
+    val managed = args.contains("managed")
     // frag=N: pre-admit the warm corpus as N single-id manifest files
     // — the "many small epochs" layout a long-running chain produces,
     // where the per-batch re-list+re-plan fee actually lives (at 1-2
@@ -38,7 +43,7 @@ object ServeRefreshProbe {
     val frag = args.collectFirst { case a if a.startsWith("frag=") =>
       a.stripPrefix("frag=").toInt }.getOrElse(1)
     val rounds = args.filterNot(a =>
-        a == "live" || a == "epoch" || a.startsWith("frag="))
+        a == "live" || a == "epoch" || a == "managed" || a.startsWith("frag="))
       .headOption.map(_.toInt).getOrElse(5)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.GraftSession.local()
@@ -52,7 +57,19 @@ object ServeRefreshProbe {
       val out = java.nio.file.Files.createTempDirectory(s"graft-srp-out$round")
       def admit(ids: Seq[Long], name: String): Unit = {
         val tmp = scratch.resolve(name)
-        ids.toDF("doc_id").coalesce(1).write.parquet(tmp.toString)
+        // the managed mode's manifest rows carry the embedding (the
+        // admit-time-indexed shape ManagedIndex re-indexes from)
+        val df =
+          if (managed)
+            spark.read.parquet(s"$sfDir/embeddings.parquet")
+              .filter(col("vec_id").isin(ids.map(Long.box): _*))
+              .select(col("vec_id").as("doc_id"), lit("en").as("lang"),
+                lit(10L).as("n_tokens"), lit(0L).as("rank_key"),
+                lit(0L).as("cum_tokens"),
+                expr("transform(embedding, x -> cast(x as double))")
+                  .as("embedding"))
+          else ids.toDF("doc_id")
+        df.coalesce(1).write.parquet(tmp.toString)
         val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
         java.nio.file.Files.copy(part.toPath, admitted.resolve(s"$name.parquet"))
         ()
@@ -76,7 +93,24 @@ object ServeRefreshProbe {
       // two serve forms, one protocol: bounce (ManagedServe) vs
       // per-batch manifest re-read (serveRefreshed)
       val (drain, servedHasB, stop, bounces) =
-        if (live || epoch) {
+        if (managed) {
+          val cb = graft.streaming.VectorServeStream.codebookFrom(
+            spark, s"$sfDir/embeddings.parquet")
+          val versions = scratch.resolve("versions").toString
+          val pointer = scratch.resolve("POINTER").toString
+          val h = graft.streaming.ManagedIndex.start(spark,
+            admitted.toString, versions, pointer, cb, pollMs = 250L)
+          val stream = graft.Tables.loadStream(
+            spark, in.toString, "embeddings", s"$sfDir/embeddings.parquet")
+          val q = graft.streaming.MmrServeStream.serveIndexedPointer(
+            stream, pointer, ckpt.toString, out.toString, nprobe = 16)
+          (() => q.processAllAvailable(),
+            () => scala.util.Try {
+              spark.read.json(s"$out/serve/batch=*")
+                .filter(col("data.vec_id").isin(setB: _*)).limit(1).count() > 0
+            }.getOrElse(false),
+            () => { q.stop(); h.stop() }, () => h.versions)
+        } else if (live || epoch) {
           val stream = graft.Tables.loadStream(
             spark, in.toString, "embeddings", s"$sfDir/embeddings.parquet")
           val q =
@@ -131,7 +165,8 @@ object ServeRefreshProbe {
         }
         val steadySec = (System.nanoTime() - tS) / 1e9 / steadyN
         val mode =
-          if (epoch) "epoch" else if (live) "refreshed" else "bounce"
+          if (managed) "managed"
+          else if (epoch) "epoch" else if (live) "refreshed" else "bounce"
         println(f"""{"probe":"serve_refresh","mode":"$mode","round":$round,"admit_to_served_sec":$sec%.2f,"steady_cycle_sec":$steadySec%.3f,"bounces":${bounces()},"probe_queries":$qn}""")
       } finally {
         stop()
