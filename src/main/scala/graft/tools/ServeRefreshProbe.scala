@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * sizes pollMs well under its freshness SLA and keeps the serve
   * query's static side small (the admitted manifest, not the corpus).
   *
-  * Usage: `runMain graft.tools.ServeRefreshProbe [rounds] [live|epoch]`
+  * Usage: `runMain graft.tools.ServeRefreshProbe [rounds]
+  * [live|epoch|managed] [frag=N]`
   * (default 5 bounce-mode rounds; `live` switches to
   * [[graft.streaming.MmrServeStream.serveRefreshed]], the bounce-free
   * per-batch-manifest form, same protocol — the delta between the two
