@@ -33,10 +33,16 @@ import org.apache.spark.sql.functions._
   * answers, and at production nprobe it only moves which cells hold
   * which candidates.
   *
-  * Scale shape: the monitor does one version probe per poll; each
-  * cycle is one map-only pass over the manifest (reindex) plus a
-  * C-row count aggregate; the retrain's mean aggregate moves C×D
-  * bigint rows to the driver. Nothing corpus-sized is ever collected.
+  * Scale shape: the monitor does one version probe per poll; steady
+  * cycles are DELTA-SIZED ([[MmrServeStream.reindexDelta]] — only the
+  * manifest files no earlier segment consumed are read and assigned,
+  * merge-on-read via the version's `_segments` membership), with a
+  * FULL corpus-sized seal only on the first cycle, at the
+  * `maxSegments` cap, or on an accepted retrain (a codebook swap
+  * compacts by necessity: every segment's cells are stale); balance
+  * is a C-row count aggregate, the retrain's mean aggregate moves
+  * C×D bigint rows to the driver. Nothing corpus-sized is ever
+  * collected.
   * Identical-copy blobs are a known k-means fixed point (one Lloyd
   * round cannot split coincident points — the retrain spec's skewed
   * fixture uses SPREAD clusters for the balance win); the loop still
@@ -97,36 +103,72 @@ object ManagedIndex {
   def start(spark: SparkSession, manifestDir: String, versionsRoot: String,
       pointerFile: String, codebook0: Array[(Int, Array[Double])],
       pollMs: Long = 1000L, breachPct: Long = 200L,
+      maxSegments: Int = 8,
       retrainGate: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]) => Boolean =
         (_, _) => true): Handle = {
     @volatile var codebook = codebook0
+    // incremental-compaction state, monitor-thread-confined and
+    // committed only at the END of a successful cycle (a failed cycle
+    // is retried with the pre-cycle state — publishes are
+    // overwrite-idempotent, so the retry redoes the same versions)
+    var consumed: Set[String] = Set.empty
+    var segments: Seq[String] = Seq.empty
     lazy val handle: Handle = new Handle(() => {
-      // 1. publish the manifest snapshot under the CURRENT geometry
       var n = handle.nVersions.get() + 1
-      MmrServeStream.reindexAdmitted(spark, manifestDir, codebook,
-        s"$versionsRoot/v$n")
-      // 2. evaluate balance from the version's own cell column
-      val counts = spark.read.parquet(s"$versionsRoot/v$n")
+      val files = MmrServeStream.dataFiles(spark, manifestDir)
+      val fresh = files.filterNot(consumed)
+      var newConsumed = consumed
+      var newSegments = segments
+      var newCodebook = codebook
+      var retrained = false
+      // 1. publish: DELTA when possible (only the fresh manifest files
+      //    are read and assigned — delta-sized work, merge-on-read via
+      //    the version's `_segments` membership); FULL seal on the
+      //    first cycle, at the segment cap, or when the signature
+      //    moved without new data files (a replaced file — never
+      //    serve stale silently)
+      if (segments.nonEmpty && segments.size < maxSegments && fresh.nonEmpty) {
+        MmrServeStream.reindexDelta(spark, fresh, newCodebook,
+          s"$versionsRoot/v$n", segments)
+        newConsumed = consumed ++ fresh
+        newSegments = segments :+ s"$versionsRoot/v$n"
+      } else {
+        MmrServeStream.reindexAdmitted(spark, manifestDir, newCodebook,
+          s"$versionsRoot/v$n")
+        newConsumed = files.toSet
+        newSegments = Seq(s"$versionsRoot/v$n")
+      }
+      // 2. evaluate balance from the version's cells (segment-aware)
+      val counts = MmrServeStream
+        .readVersionRaw(spark, s"$versionsRoot/v$n")
         .groupBy(col("cell")).count()
         .collect().map(r => r.getLong(1))
       val total = counts.sum
       val load =
         if (total == 0L) 0L
-        else counts.max * codebook.length * 100L / total
-      handle.lastLoadPct = load
-      // 3. breach → deterministic Lloyd round → gate → re-index
+        else counts.max * newCodebook.length * 100L / total
+      // 3. breach → deterministic Lloyd round → gate → FULL seal
+      //    under the new geometry (a codebook swap always compacts:
+      //    every segment's cells are stale)
       if (load > breachPct && total > 0L) {
-        val candidate = lloydRound(spark, s"$versionsRoot/v$n", codebook)
-        if (retrainGate(codebook, candidate)) {
-          codebook = candidate
-          handle.nRetrains.incrementAndGet()
+        val candidate = lloydRound(spark, s"$versionsRoot/v$n", newCodebook)
+        if (retrainGate(newCodebook, candidate)) {
+          newCodebook = candidate
+          retrained = true
           n += 1
-          MmrServeStream.reindexAdmitted(spark, manifestDir, codebook,
+          MmrServeStream.reindexAdmitted(spark, manifestDir, newCodebook,
             s"$versionsRoot/v$n")
+          newConsumed = files.toSet
+          newSegments = Seq(s"$versionsRoot/v$n")
         }
       }
-      // 4. one atomic flip to the cycle's final version
+      // 4. one atomic flip, then commit the cycle's state
       MmrServeStream.advancePointer(pointerFile, s"$versionsRoot/v$n")
+      codebook = newCodebook
+      consumed = newConsumed
+      segments = newSegments
+      if (retrained) { handle.nRetrains.incrementAndGet(); () }
+      handle.lastLoadPct = load
       handle.nVersions.set(n)
       ()
     }, () => MmrServeStream.manifestVersion(spark, manifestDir), pollMs)
@@ -166,7 +208,7 @@ object ManagedIndex {
         require(vs.nonEmpty, s"no published version under $versionsRoot")
         vs.maxBy(_.getName.stripPrefix("v").toInt).getAbsolutePath
       }
-      val corpus = spark.read.parquet(dir)
+      val corpus = MmrServeStream.readVersionRaw(spark, dir)
         .select(col("doc_id"), col("embedding"))
         .as[(Long, Array[Double])]
       val qs = queryVecs
@@ -226,7 +268,7 @@ object ManagedIndex {
     * centroid. */
   private[streaming] def lloydRound(spark: SparkSession, versionDir: String,
       current: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
-    val rows = spark.read.parquet(versionDir)
+    val rows = MmrServeStream.readVersionRaw(spark, versionDir)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(round(lit(1e6) * col("x")).cast("long")).as("s"),

@@ -408,9 +408,12 @@ object MmrServeStream {
     import spark.implicits._
     val ddl = "doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
       "cum_tokens LONG, embedding ARRAY<DOUBLE>"
-    val hasVer = spark.read.parquet(fromDir)
-      .schema.fieldNames.contains("ver")
-    val src0 = spark.read.schema(ddl + ", ver LONG").parquet(fromDir)
+    // a segmented source (compacting a delta'd version) spans its
+    // membership; plain manifests read as themselves
+    val fromDirs = versionDirs(fromDir)
+    val hasVer = fromDirs
+      .exists(d => spark.read.parquet(d).schema.fieldNames.contains("ver"))
+    val src0 = readDirsUnion(spark, fromDirs, ddl + ", ver LONG")
       // a cell-partitioned source (re-reindexing an existing version)
       // appends its partition column to the user schema — project the
       // carried fields explicitly
@@ -444,8 +447,109 @@ object MmrServeStream {
     // 320k rows; with it the scan touches only probed directories)
     re.write.mode("overwrite").partitionBy("cell").parquet(toDir)
     writeCodebook(spark, toDir, centArr)
+    // a sealed version is its own single segment (uniform membership
+    // contract for segment-aware readers)
+    writeSegments(toDir, Seq(toDir))
     spark.read.schema(ddl).parquet(toDir).count()
   }
+
+  /** List a manifest's visible data files (recursive, hidden-aware) —
+    * the unit of incremental consumption for delta reindexing. */
+  private[graft] def dataFiles(spark: SparkSession,
+      dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return Seq.empty
+    val acc = Seq.newBuilder[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isFile && n.endsWith(".parquet")) acc += st.getPath.toString
+          else if (st.isDirectory) walk(st.getPath)
+        }
+      }
+    walk(path)
+    acc.result().sorted
+  }
+
+  /** DELTA reindex — the incremental-compaction form: only `files`
+    * (the manifest data files not yet consumed by an earlier segment)
+    * are read, assigned under `centArr` and written as a NEW SEGMENT
+    * at `toDir`; the version's `_segments` membership file lists
+    * `prevSegments :+ toDir`, and a segment-aware read
+    * ([[readVersionRaw]] / [[readAdmittedIndex]]) unions the listed
+    * dirs — merge-on-read. Per cycle the work is DELTA-SIZED, not
+    * corpus-sized; the trade is the segment model's own: cross-segment
+    * duplicate versions of an updated doc serve until the next FULL
+    * compaction seals ([[reindexAdmitted]] — newest-wins, single
+    * segment), exactly the versions-until-compaction contract the
+    * live tail already documents. Returns the delta row count. */
+  def reindexDelta(spark: SparkSession, files: Seq[String],
+      centArr: Array[(Int, Array[Double])], toDir: String,
+      prevSegments: Seq[String]): Long = {
+    import spark.implicits._
+    val ddl = "doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
+      "cum_tokens LONG, embedding ARRAY<DOUBLE>"
+    val re = spark.read.schema(ddl).parquet(files: _*)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("rank_key"), col("cum_tokens"), col("embedding"))
+      .as[(Long, String, Long, Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, lang, nt, rk, ct, emb) =>
+          (id, lang, nt, rk, ct,
+            VectorServeStream.cellOf(centArr, emb),
+            VectorServeStream.normOf(emb), emb)
+        }
+      }
+      .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
+        "cell", "nrm", "embedding")
+    re.write.mode("overwrite").partitionBy("cell").parquet(toDir)
+    writeCodebook(spark, toDir, centArr)
+    writeSegments(toDir, prevSegments :+ toDir)
+    spark.read.schema(ddl).parquet(toDir).count()
+  }
+
+  /** Write the version's segment membership (hidden `_segments`, one
+    * dir per line; temp + atomic rename). */
+  private[streaming] def writeSegments(dir: String, segments: Seq[String]): Unit = {
+    val target = java.nio.file.Paths.get(dir, "_segments")
+    java.nio.file.Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling("._segments.tmp")
+    java.nio.file.Files.write(tmp, segments.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** The dirs a version's read spans: its `_segments` membership when
+    * present (merge-on-read), else the version dir itself. */
+  private[streaming] def versionDirs(dir: String): Seq[String] = {
+    val seg = java.nio.file.Paths.get(dir, "_segments")
+    if (java.nio.file.Files.exists(seg))
+      new String(java.nio.file.Files.readAllBytes(seg), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    else Seq(dir)
+  }
+
+  /** Load several version/segment dirs as ONE frame under an explicit
+    * schema: each dir is its own cell-partitioned table root, so a
+    * naive multi-path read trips partition-root discovery — load
+    * separately, union by name. */
+  private[streaming] def readDirsUnion(spark: SparkSession,
+      dirs: Seq[String], ddl: String): DataFrame =
+    dirs.map(d => spark.read.schema(ddl).parquet(d))
+      .reduce(_.unionByName(_))
+
+  /** Segment-aware raw read of a version's (doc_id, cell, embedding,
+    * nrm) — the shared input of the balance counts, the Lloyd round
+    * and the recall gate. */
+  private[streaming] def readVersionRaw(spark: SparkSession,
+      dir: String): DataFrame =
+    readDirsUnion(spark, versionDirs(dir),
+      "doc_id LONG, cell INT, nrm DOUBLE, embedding ARRAY<DOUBLE>")
+      .select(col("doc_id"), col("cell"), col("nrm"), col("embedding"))
 
   /** Atomically advance the index pointer: the file's content is the
     * current manifest dir. Temp-write + rename — a reader sees the old
@@ -565,6 +669,9 @@ object MmrServeStream {
     val path = new org.apache.hadoop.fs.Path(admittedDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) emptyIndex(spark)
+    else if (fs.exists(new org.apache.hadoop.fs.Path(path, "_segments")))
+      // a segmented version: merge-on-read over its membership
+      projectIndex(readDirsUnion(spark, versionDirs(admittedDir), IndexDdl))
     else if (fs.exists(new org.apache.hadoop.fs.Path(path, "_spark_metadata")) ||
         hasParquetData(fs, path))
       projectIndex(spark.read.schema(IndexDdl).parquet(admittedDir))

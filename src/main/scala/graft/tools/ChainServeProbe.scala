@@ -119,8 +119,36 @@ object ChainServeProbe {
           q.processAllAvailable()
           (System.nanoTime() - t) / 1e9
         }
+        // indexed mode: price one FULL maintenance cycle vs one DELTA
+        // cycle at this corpus size — the incremental-compaction
+        // claim as a number (full reads the whole manifest; delta
+        // reads only the fresh files)
+        val cycleCosts =
+          if (mode == "indexed" && !warm) {
+            val cb = graft.streaming.VectorServeStream.codebookFrom(
+              spark, s"$sfDir/embeddings.parquet")
+            val tF = System.nanoTime()
+            graft.streaming.MmrServeStream.reindexAdmitted(
+              spark, s"$root/raw", cb, s"$root/vfull")
+            val full = (System.nanoTime() - tF) / 1e9
+            // a 500-row fresh admission file
+            spark.read.parquet(s"$sfDir/embeddings.parquet")
+              .select(($"vec_id" + 900000000L).as("doc_id"),
+                lit("en").as("lang"), lit(10L).as("n_tokens"),
+                lit(0L).as("rank_key"), lit(0L).as("cum_tokens"),
+                expr("transform(embedding, x -> cast(x as double))")
+                  .as("embedding"))
+              .coalesce(1).write.parquet(s"$root/freshdir")
+            val freshFiles = graft.streaming.MmrServeStream
+              .dataFiles(spark, s"$root/freshdir")
+            val tD = System.nanoTime()
+            graft.streaming.MmrServeStream.reindexDelta(
+              spark, freshFiles, cb, s"$root/vdelta", Seq(s"$root/vfull"))
+            val delta = (System.nanoTime() - tD) / 1e9
+            f""","full_reindex_sec":$full%.2f,"delta_reindex_sec":$delta%.2f"""
+          } else ""
         if (!warm)
-          println(f"""{"probe":"chain_serve","mode":"$mode","n":$n,"build_cycle_sec":$build%.2f,"steady_cycle_min_sec":${steady.min}%.2f,"steady_cycle_med_sec":${steady.sorted.apply(2)}%.2f}""")
+          println(f"""{"probe":"chain_serve","mode":"$mode","n":$n,"build_cycle_sec":$build%.2f,"steady_cycle_min_sec":${steady.min}%.2f,"steady_cycle_med_sec":${steady.sorted.apply(2)}%.2f$cycleCosts}""")
       } finally q.stop()
     } finally {
       new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()

@@ -155,6 +155,86 @@ class ManagedIndexSpec extends SparkSuite {
     }
   }
 
+  test("delta cycles reindex only fresh admissions; the segment cap seals") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-midx-delta")
+      .toFile.getAbsolutePath
+    val manifest = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "admitted"))
+    val in = java.nio.file.Files.createTempDirectory("graft-midx-dq")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-midx-dscr")
+    try {
+      val vecs = vecsMap()
+      val cb0: Array[(Int, Array[Double])] =
+        (100L until 116L).map(vecs).zipWithIndex.map { case (v, i) => (i, v) }.toArray
+      val h = ManagedIndex.start(spark, manifest.toString,
+        s"$root/versions", s"$root/POINTER", cb0,
+        pollMs = 300L, breachPct = 100000L, maxSegments = 3)
+      try {
+        def ownRows(v: Int): Long =
+          spark.read.parquet(s"$root/versions/v$v").count()
+        def segsOf(v: Int): Seq[String] =
+          MmrServeStream.versionDirs(s"$root/versions/v$v")
+
+        // v1: first cycle → FULL seal
+        dropWave(manifest, scratch, "wa",
+          (100L until 250L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(1))
+        assert(ownRows(1) == 150 && segsOf(1) == Seq(s"$root/versions/v1"))
+
+        // v2, v3: DELTA cycles — each version's own data is exactly
+        // the fresh admissions, membership accumulates
+        dropWave(manifest, scratch, "wb",
+          (250L until 300L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(2))
+        assert(ownRows(2) == 50,
+          s"delta v2 must hold only the fresh 50 rows, got ${ownRows(2)}")
+        assert(segsOf(2) == Seq(s"$root/versions/v1", s"$root/versions/v2"))
+        dropWave(manifest, scratch, "wc",
+          (300L until 325L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(3))
+        assert(ownRows(3) == 25 && segsOf(3).size == 3)
+
+        // merge-on-read correctness: a pointer serve over the
+        // segmented v3 answers the exact replay over EVERYTHING
+        def addQueries(pred: org.apache.spark.sql.Column, name: String): Unit = {
+          val tmp = scratch.resolve(name)
+          spark.read.parquet(s"$sf0001/embeddings.parquet").filter(pred)
+            .coalesce(1).write.parquet(tmp.toString)
+          val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+          ()
+        }
+        val stream = graft.Tables.loadStream(
+          spark, in.toString, "embeddings", s"$sf0001/embeddings.parquet")
+        val q = MmrServeStream.serveIndexedPointer(stream, s"$root/POINTER",
+          s"$root/ckpt", root, nprobe = 16)
+        try {
+          addQueries(col("vec_id") < 4, "qa")
+          q.processAllAvailable()
+          val got = spark.read.json(s"$root/serve/batch=*")
+            .select($"data.qid".as("qid"), $"data.step".cast("int").as("step"),
+              $"data.vec_id".as("vec_id"), $"data.mmr_score".as("mmr_score"))
+            .as[(Long, Int, Long, Long)].collect()
+            .map(t => (t._1, t._2, t._3, t._4)).toSet
+          assert(got == replay(0L until 4L, (100L until 325L).toSet, vecs),
+            "merge-on-read over three segments must answer the exact replay")
+        } finally q.stop()
+
+        // v4: the segment cap (3) reached → FULL seal of everything
+        dropWave(manifest, scratch, "wd",
+          (325L until 350L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(4))
+        assert(ownRows(4) == 250 && segsOf(4) == Seq(s"$root/versions/v4"),
+          s"the cap must seal a single full segment, got ${ownRows(4)} rows, ${segsOf(4).size} segments")
+        assert(h.retrains == 0, "no breach anywhere in this protocol")
+      } finally h.stop()
+    } finally {
+      Seq(java.nio.file.Paths.get(root), in, scratch).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
+
   test("a throwing cycle is retried on the next poll, not fatal to the monitor") {
     val root = java.nio.file.Files.createTempDirectory("graft-midx-retry")
       .toFile.getAbsolutePath
