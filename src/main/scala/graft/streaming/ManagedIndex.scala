@@ -208,6 +208,19 @@ object ManagedIndex {
         require(vs.nonEmpty, s"no published version under $versionsRoot")
         vs.maxBy(_.getName.stripPrefix("v").toInt).getAbsolutePath
       }
+      recallMicro(spark, queryVecs, dir, candidate, k, nprobe) >= minRecallMicro
+    }
+
+  /** Mean recall@`k` (micro-units) of IVF serving at `nprobe` under
+    * `candidate` geometry vs exact brute-force, over a query fixture
+    * against the version at `dir` — the measurement [[recallGate]]
+    * thresholds and `tools.RecallGateProbe` sweeps. */
+  private[graft] def recallMicro(spark: SparkSession,
+      queryVecs: Array[(Long, Array[Double])], dir: String,
+      candidate: Array[(Int, Array[Double])], k: Int,
+      nprobe: Int): Long = {
+    import spark.implicits._
+    {
       val corpus = MmrServeStream.readVersionRaw(spark, dir)
         .select(col("doc_id"), col("embedding"))
         .as[(Long, Array[Double])]
@@ -251,14 +264,13 @@ object ManagedIndex {
           .select(col("qid"), col("vec_id"))
         val hits = exact.join(ivf, Seq("qid", "vec_id"), "left_semi").count()
         val total = exact.count()
-        val recallMicro =
-          if (total == 0L) 1000000L else hits * 1000000L / total
-        recallMicro >= minRecallMicro
+        if (total == 0L) 1000000L else hits * 1000000L / total
       } finally {
         scored.unpersist()
         ()
       }
     }
+  }
 
   /** One Lloyd round over a published version's assignment: per
     * (cell, dim) the truncating integer-micro mean — exact int64
@@ -266,7 +278,7 @@ object ManagedIndex {
     * `vector_ivf_retrain` arithmetic, so the result is deterministic
     * under any partitioning. Cells with no members keep their current
     * centroid. */
-  private[streaming] def lloydRound(spark: SparkSession, versionDir: String,
+  private[graft] def lloydRound(spark: SparkSession, versionDir: String,
       current: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
     val rows = MmrServeStream.readVersionRaw(spark, versionDir)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
