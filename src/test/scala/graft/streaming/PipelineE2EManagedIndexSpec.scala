@@ -1,0 +1,180 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** THE WHOLE PRODUCTION TOPOLOGY IN ONE RUN: the live indexed chain
+  * (ingest → apply → curation → budget writing the cell-keyed admitted
+  * manifest) + [[ManagedIndex]] watching that SINK-WRITTEN manifest
+  * (commit-log version probe, delta cycles over the sink's fresh part
+  * files, immutable versions behind the pointer) + a
+  * [[MmrServeStream.serveIndexedPointer]] serve answering from the
+  * published versions — three independently-specced components
+  * composed end to end. Pinned: after each wave the pointer serve
+  * answers EXACTLY the kernel replay over that wave's admitted ids,
+  * and the second cycle is a DELTA (its version's own data is exactly
+  * the new admissions, fresh-file-sized work over a live sink
+  * manifest). */
+class PipelineE2EManagedIndexSpec extends SparkSuite {
+
+  private val Budget = 2000L
+  private val WaveSplit = 250L
+
+  private def uniqueDocsE: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(TextFns.fingerprint(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    docs.join(vecs, "doc_id")
+  }
+
+  private def replay(qids: Seq[Long], corpusIds: Set[Long],
+      vecs: Map[Long, Array[Double]]): Set[(Long, Int, Long, Long)] = {
+    def nrm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    qids.flatMap { qid =>
+      val qv = vecs(qid); val qn = nrm(qv)
+      val cands = corpusIds.toSeq.filter(_ != qid).sorted.map { id =>
+        val v = vecs(id); val n = nrm(v)
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += qv(i) * v(i); i += 1 }
+        MmrCand(qid, id, s / (qn * n), v, n)
+      }
+      MmrServeStream.rerank(qid, cands.iterator, 20, 5)
+    }.map(h => (h.qid, h.step, h.vec_id, h.mmr_score)).toSet
+  }
+
+  test("chain -> ManagedIndex -> pointer serve: exact per wave, delta second cycle") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-midx")
+      .toFile.getAbsolutePath
+    val serveRoot = java.nio.file.Files.createTempDirectory("graft-e2e-midxs")
+      .toFile.getAbsolutePath
+    val in = java.nio.file.Files.createTempDirectory("graft-e2e-midxq")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-e2e-midxscr")
+    try {
+      val docs = uniqueDocsE.localCheckpoint()
+      val cap = docs.groupBy($"source").count().agg(max($"count"))
+        .head().getLong(0).toInt + 1
+      val gated = docs.filter(
+        size(TextFns.tokens($"text")) >= CurationStream.QualityMinTokens)
+      val base = graft.operators.Pipeline.budgetBaseFrom(
+        gated.select($"doc_id", $"lang", $"text")).localCheckpoint()
+      val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, Budget)
+      val vecs: Map[Long, Array[Double]] =
+        graft.Tables.load(spark, sf0001, "embeddings")
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+          .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+      def addQueries(pred: org.apache.spark.sql.Column, name: String): Unit = {
+        val tmp = scratch.resolve(name)
+        spark.read.parquet(s"$sf0001/embeddings.parquet").filter(pred)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+        ()
+      }
+      def served() = spark.read.json(s"$serveRoot/serve/batch=*")
+        .select($"data.qid".as("qid"), $"data.step".cast("int").as("step"),
+          $"data.vec_id".as("vec_id"), $"data.mmr_score".as("mmr_score"))
+        .as[(Long, Int, Long, Long)].collect()
+      def admittedIds() = spark.read.schema(PipelineE2E.admitSchema)
+        .parquet(s"$root/admitted").select($"doc_id").as[Long].collect().toSet
+
+      // the monitor may cycle several times while a wave drains (one
+      // per manifest commit it observes) — assertions key on the
+      // POINTED version's coverage, never on a cycle count
+      def awaitIndexed(n: Long, timeoutMs: Long = 30000): Boolean = {
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        def covered(): Boolean = {
+          val p = java.nio.file.Paths.get(s"$serveRoot/POINTER")
+          java.nio.file.Files.exists(p) && {
+            val dir = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+            scala.util.Try(
+              MmrServeStream.readVersionRaw(spark, dir).count() == n
+            ).getOrElse(false)
+          }
+        }
+        while (!covered() && System.nanoTime() < deadline) Thread.sleep(100)
+        covered()
+      }
+      val cb = VectorServeStream.codebookFrom(spark, s"$sf0001/embeddings.parquet")
+      val chain = PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
+        applyLateness = "6 hours", curationDelay = "6 hours",
+        serveNprobe = 16, serveFromChain = Some(s"$sf0001/embeddings.parquet"),
+        serveIndexedAdmit = true)
+      val idx = ManagedIndex.start(spark, s"$root/admitted",
+        s"$serveRoot/versions", s"$serveRoot/POINTER", cb, pollMs = 400L)
+      val q = MmrServeStream.serveIndexedPointer(
+        graft.Tables.loadStream(spark, in.toString, "embeddings",
+          s"$sf0001/embeddings.parquet"),
+        s"$serveRoot/POINTER", s"$serveRoot/ckpt", serveRoot, nprobe = 16)
+      try {
+        // ---- wave 1: chain admits → v1 published → exact serve ----
+        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" < WaveSplit),
+          root, PipelineE2E.defaultTopology, "w1",
+          shardKey = Some(PipelineE2E.shardByLang(2)))
+        chain.drain()
+        val admitW1 = admittedIds()
+        assert(admitW1.nonEmpty)
+        assert(idx.awaitVersions(1), "the chain's manifest must roll v1")
+        assert(awaitIndexed(admitW1.size),
+          "the pointed version must cover every wave-1 admission")
+        addQueries(col("vec_id") < 4, "qa")
+        q.processAllAvailable()
+        val phase1 = served()
+        assert(phase1.map(t => (t._1, t._2, t._3, t._4)).toSet ==
+          replay(0L until 4L, admitW1, vecs),
+          "the pointer serve must answer exactly over wave-1 admissions")
+
+        // ---- wave 2: DELTA cycle over the sink's fresh part files ----
+        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" >= WaveSplit),
+          root, PipelineE2E.defaultTopology, "w2",
+          shardKey = Some(PipelineE2E.shardByLang(2)))
+        chain.drain()
+        val nv1 = idx.versions
+        val admitW2 = admittedIds()
+        assert(admitW2.size > admitW1.size)
+        assert(idx.awaitVersions(nv1 + 1), "wave-2 admissions must roll a version")
+        assert(awaitIndexed(admitW2.size),
+          "the pointed version must cover every wave-2 admission")
+        // incremental: the post-wave-1 cycles were DELTAS — the
+        // pointed version is a multi-segment union whose latest
+        // segment holds only fresh admissions, not a full reseal
+        val ptr = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$serveRoot/POINTER")), "UTF-8").trim
+        val segs = MmrServeStream.versionDirs(ptr)
+        assert(segs.size >= 2, s"wave 2 must append delta segments, got $segs")
+        val lastOwn = spark.read.parquet(ptr).count()
+        assert(lastOwn < admitW2.size,
+          s"the latest segment must be delta-sized ($lastOwn of ${admitW2.size})")
+        addQueries(col("vec_id") >= 4 && col("vec_id") < 8, "qb")
+        q.processAllAvailable()
+        val phase2 = served()
+        val bHits = phase2.filter(t => t._1 >= 4 && t._1 < 8)
+          .map(t => (t._1, t._2, t._3, t._4)).toSet
+        assert(bHits == replay(4L until 8L, admitW2, vecs),
+          "the pointer serve must answer exactly over the grown corpus")
+      } finally {
+        q.stop()
+        idx.stop()
+        chain.stop()
+      }
+    } finally {
+      Seq(root, serveRoot).foreach(d =>
+        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+      Seq(in, scratch).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
+}
