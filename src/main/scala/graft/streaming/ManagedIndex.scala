@@ -133,8 +133,13 @@ object ManagedIndex {
         newConsumed = consumed ++ fresh
         newSegments = segments :+ s"$versionsRoot/v$n"
       } else {
-        MmrServeStream.reindexAdmitted(spark, manifestDir, newCodebook,
-          s"$versionsRoot/v$n")
+        // seal EXACTLY the captured enumeration, never a re-list of
+        // the live dir: rows landing between the capture and the seal
+        // stay unconsumed AND unpublished, picked up whole by the next
+        // cycle (a re-list would publish them now yet mark them
+        // unconsumed — cross-segment duplicates until the next seal)
+        MmrServeStream.reindexAdmittedFiles(spark, manifestDir, files,
+          newCodebook, s"$versionsRoot/v$n")
         newConsumed = files.toSet
         newSegments = Seq(s"$versionsRoot/v$n")
       }
@@ -156,8 +161,9 @@ object ManagedIndex {
           newCodebook = candidate
           retrained = true
           n += 1
-          MmrServeStream.reindexAdmitted(spark, manifestDir, newCodebook,
-            s"$versionsRoot/v$n")
+          // same captured-enumeration discipline as the cycle's seal
+          MmrServeStream.reindexAdmittedFiles(spark, manifestDir, files,
+            newCodebook, s"$versionsRoot/v$n")
           newConsumed = files.toSet
           newSegments = Seq(s"$versionsRoot/v$n")
         }
@@ -200,13 +206,19 @@ object ManagedIndex {
       minRecallMicro: Long = 900000L):
       (Array[(Int, Array[Double])], Array[(Int, Array[Double])]) => Boolean =
     (_, candidate) => {
-      import spark.implicits._
+      // Hadoop FS listing, like every other path in the loop — a
+      // java.io.File walk is local-only and would fail EVERY breach
+      // cycle on a remote versionsRoot, permanently blocking retrains
       val dir = {
-        val d = new java.io.File(versionsRoot)
-        val vs = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        val rootPath = new org.apache.hadoop.fs.Path(versionsRoot)
+        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val vs =
+          if (fs.exists(rootPath))
+            fs.listStatus(rootPath).filter(st =>
+              st.isDirectory && st.getPath.getName.matches("v\\d+"))
+          else Array.empty[org.apache.hadoop.fs.FileStatus]
         require(vs.nonEmpty, s"no published version under $versionsRoot")
-        vs.maxBy(_.getName.stripPrefix("v").toInt).getAbsolutePath
+        vs.maxBy(_.getPath.getName.stripPrefix("v").toInt).getPath.toString
       }
       recallMicro(spark, queryVecs, dir, candidate, k, nprobe) >= minRecallMicro
     }

@@ -38,6 +38,12 @@ object ManagedServe {
     private val nBounces = new AtomicInteger(0)
     @volatile private var running = true
     @volatile private var bouncing = false
+    // a bounce whose restart() threw left `current` STOPPED: until the
+    // next poll's retry succeeds, the serve is down and a drain()
+    // returning "settled" would be a lie (processAllAvailable on a
+    // stopped query is a no-op) — the flag holds drain() open across
+    // the retry window
+    @volatile private var bounceFailed = false
     // signature BEFORE the first start: admissions landing between the
     // two would otherwise be baked into `sig` but invisible to the
     // started query's static listing — never bounced for, unservable
@@ -67,8 +73,10 @@ object ManagedServe {
             current = restart()
             sig = s
             nBounces.incrementAndGet()
+            bounceFailed = false
             ()
           } catch { case e: Exception =>
+            bounceFailed = true
             System.err.println(s"[managed-serve] bounce failed, will retry: $e")
           } finally bouncing = false
           ()
@@ -89,9 +97,15 @@ object ManagedServe {
       // `|| bouncing`: a swallowed mid-settle exception can reach the
       // re-check BEFORE the monitor increments nBounces — without the
       // flag the count looks settled and drain would return with the
-      // replacement query never settled
-      while (settledAt != nBounces.get() || bouncing) {
-        while (bouncing) Thread.sleep(10)
+      // replacement query never settled. `|| bounceFailed`: a failed
+      // bounce leaves the serve STOPPED until the next poll's retry —
+      // settling a stopped query is a no-op, so drain must wait for
+      // the retry to succeed (guarded by `running` so stop() releases
+      // a waiter instead of hanging it forever).
+      while (settledAt != nBounces.get() || bouncing ||
+          (bounceFailed && running)) {
+        while ((bouncing || bounceFailed) && running) Thread.sleep(10)
+        if (!running && bounceFailed) return
         settledAt = nBounces.get()
         val q = synchronized(current)
         // a bounce may stop `q` mid-settle: swallow only that race (the
@@ -147,4 +161,12 @@ object ManagedServe {
     }
     new Handle(() => restart(), () => signature(), pollMs)
   }
+
+  /** Spec seam: a Handle over explicit restart/signature thunks, so a
+    * test can inject a restart that fails transiently (the
+    * failed-bounce retry window is otherwise unreachable without a
+    * real fault injector). */
+  private[streaming] def startWith(restart: () => StreamingQuery,
+      signature: () => String, pollMs: Long): Handle =
+    new Handle(restart, signature, pollMs)
 }

@@ -405,20 +405,52 @@ object MmrServeStream {
     * the published row count. */
   def reindexAdmitted(spark: SparkSession, fromDir: String,
       centArr: Array[(Int, Array[Double])], toDir: String): Long = {
-    import spark.implicits._
-    val ddl = "doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
-      "cum_tokens LONG, embedding ARRAY<DOUBLE>"
     // a segmented source (compacting a delta'd version) spans its
     // membership; plain manifests read as themselves
     val fromDirs = versionDirs(fromDir)
     val hasVer = fromDirs
       .exists(d => spark.read.parquet(d).schema.fieldNames.contains("ver"))
-    val src0 = readDirsUnion(spark, fromDirs, ddl + ", ver LONG")
+    val src0 = readDirsUnion(spark, fromDirs, ReindexDdl + ", ver LONG")
       // a cell-partitioned source (re-reindexing an existing version)
       // appends its partition column to the user schema — project the
       // carried fields explicitly
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("rank_key"), col("cum_tokens"), col("embedding"), col("ver"))
+    reindexFullFrom(spark, src0, hasVer, centArr, toDir)
+  }
+
+  /** [[reindexAdmitted]] over an EXPLICIT file capture: exactly
+    * `files` (a cycle's own enumeration, [[dataFiles]] output) are
+    * sealed — never a re-list of the live dir, which can have grown
+    * between the capture and the seal. [[ManagedIndex]] full seals use
+    * this so `consumed` can be set to precisely what was published:
+    * with a re-list, rows landing in the gap would be published in
+    * v<N> yet marked unconsumed, re-indexed by the next delta cycle,
+    * and served as cross-segment duplicates until the next full seal.
+    * An empty capture falls back to the dir read (nothing can have
+    * been published-but-unconsumed when nothing was captured). */
+  private[graft] def reindexAdmittedFiles(spark: SparkSession,
+      fromDir: String, files: Seq[String],
+      centArr: Array[(Int, Array[Double])], toDir: String): Long = {
+    if (files.isEmpty) return reindexAdmitted(spark, fromDir, centArr, toDir)
+    val hasVer =
+      spark.read.parquet(files: _*).schema.fieldNames.contains("ver")
+    // leaf files, never partitioned table roots — one multi-path read
+    val src0 = spark.read.schema(ReindexDdl + ", ver LONG").parquet(files: _*)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("rank_key"), col("cum_tokens"), col("embedding"), col("ver"))
+    reindexFullFrom(spark, src0, hasVer, centArr, toDir)
+  }
+
+  private val ReindexDdl = "doc_id LONG, lang STRING, n_tokens LONG, " +
+    "rank_key LONG, cum_tokens LONG, embedding ARRAY<DOUBLE>"
+
+  /** shared seal body of the two full-reindex forms. */
+  private def reindexFullFrom(spark: SparkSession, src0: DataFrame,
+      hasVer: Boolean, centArr: Array[(Int, Array[Double])],
+      toDir: String): Long = {
+    import spark.implicits._
+    val ddl = ReindexDdl
     val src =
       if (hasVer)
         src0.groupBy(col("doc_id"))
@@ -453,13 +485,28 @@ object MmrServeStream {
     spark.read.schema(ddl).parquet(toDir).count()
   }
 
-  /** List a manifest's visible data files (recursive, hidden-aware) —
-    * the unit of incremental consumption for delta reindexing. */
+  /** List a manifest's data files — the unit of incremental
+    * consumption for delta reindexing. Enumeration uses the SAME
+    * source of truth the manifest READS use ([[readAdmittedIds]] /
+    * [[readAdmittedIndex]]): for a dir written by a streaming file
+    * sink (`_spark_metadata` present) the file list comes from the
+    * sink's COMMIT LOG (the metadata-log file index behind
+    * `spark.read`), so an orphaned part file from a crashed epoch —
+    * present on disk but never committed — is invisible here exactly
+    * as it is to the serve path; a raw walk would index it, producing
+    * served rows the admitted manifest never committed. Plain dirs
+    * keep the recursive hidden-aware walk. */
   private[graft] def dataFiles(spark: SparkSession,
       dir: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) return Seq.empty
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_spark_metadata")))
+      // explicit schema bypasses inference (zero committed files must
+      // enumerate empty, not fail); inputFiles is the commit-log-driven
+      // file index — the one readAdmittedIds' read resolves against
+      return spark.read.schema("doc_id LONG").parquet(dir)
+        .inputFiles.toSeq.sorted
     val acc = Seq.newBuilder[String]
     def walk(p: org.apache.hadoop.fs.Path): Unit =
       fs.listStatus(p).foreach { st =>
@@ -510,28 +557,56 @@ object MmrServeStream {
     spark.read.schema(ddl).parquet(toDir).count()
   }
 
-  /** Write the version's segment membership (hidden `_segments`, one
-    * dir per line; temp + atomic rename). */
-  private[streaming] def writeSegments(dir: String, segments: Seq[String]): Unit = {
-    val target = java.nio.file.Paths.get(dir, "_segments")
-    java.nio.file.Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling("._segments.tmp")
-    java.nio.file.Files.write(tmp, segments.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  /** Hadoop configuration for the small-file helpers below (segment
+    * membership, pointer). The active session's, so fs.* settings
+    * travel; a bare default only outside any session (tooling). */
+  private def hconf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Atomic small-file publish through the Hadoop FS API (every
+    * sibling publish in this file goes through it — a java.nio path
+    * would silently break on any non-local store): temp write + one
+    * FileContext OVERWRITE rename, the HDFSMetadataLog discipline — a
+    * reader sees the old content or the new, never a partial. */
+  private def writeFileAtomic(target: org.apache.hadoop.fs.Path,
+      content: String): Unit = {
+    val conf = hconf()
+    val fs = target.getFileSystem(conf)
+    fs.mkdirs(target.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, conf)
+    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     ()
   }
 
+  private def readFileFully(p: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = p.getFileSystem(hconf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** Write the version's segment membership (hidden `_segments`, one
+    * dir per line; temp + atomic rename). */
+  private[streaming] def writeSegments(dir: String, segments: Seq[String]): Unit =
+    writeFileAtomic(
+      new org.apache.hadoop.fs.Path(dir, "_segments"), segments.mkString("\n"))
+
   /** The dirs a version's read spans: its `_segments` membership when
     * present (merge-on-read), else the version dir itself. */
-  private[streaming] def versionDirs(dir: String): Seq[String] = {
-    val seg = java.nio.file.Paths.get(dir, "_segments")
-    if (java.nio.file.Files.exists(seg))
-      new String(java.nio.file.Files.readAllBytes(seg), "UTF-8")
-        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-    else Seq(dir)
-  }
+  private[streaming] def versionDirs(dir: String): Seq[String] =
+    readFileFully(new org.apache.hadoop.fs.Path(dir, "_segments"))
+      .map(_.split("\n").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq(dir))
 
   /** Load several version/segment dirs as ONE frame under an explicit
     * schema: each dir is its own cell-partitioned table root, so a
@@ -554,23 +629,11 @@ object MmrServeStream {
   /** Atomically advance the index pointer: the file's content is the
     * current manifest dir. Temp-write + rename — a reader sees the old
     * version or the new, never a partial. */
-  def advancePointer(pointerFile: String, dir: String): Unit = {
-    val target = java.nio.file.Paths.get(pointerFile)
-    Option(target.getParent).foreach(p => java.nio.file.Files.createDirectories(p))
-    val tmp = target.resolveSibling(s".${target.getFileName}.tmp")
-    java.nio.file.Files.write(tmp, dir.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+  def advancePointer(pointerFile: String, dir: String): Unit =
+    writeFileAtomic(new org.apache.hadoop.fs.Path(pointerFile), dir)
 
-  private def readPointer(pointerFile: String): Option[String] = {
-    val p = java.nio.file.Paths.get(pointerFile)
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
-    else None
-  }
+  private def readPointer(pointerFile: String): Option[String] =
+    readFileFully(new org.apache.hadoop.fs.Path(pointerFile)).map(_.trim)
 
   /** [[serveIndexedRefreshed]] behind a POINTER: per micro-batch one
     * pointer read (+ the pointed manifest's own version probe); a

@@ -235,6 +235,82 @@ class ManagedIndexSpec extends SparkSuite {
     }
   }
 
+  test("an orphaned uncommitted part file is never indexed (commit-log enumeration)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-midx-orph")
+      .toFile.getAbsolutePath
+    val staging = java.nio.file.Files.createTempDirectory("graft-midx-ostage")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-midx-oscr")
+    try {
+      val vecs = vecsMap()
+      val cb0: Array[(Int, Array[Double])] =
+        (100L until 116L).map(vecs).zipWithIndex.map { case (v, i) => (i, v) }.toArray
+      // SINK-WRITTEN manifest: admitted-shaped rows stream from a
+      // staging dir through a file sink, so the manifest carries a
+      // `_spark_metadata` commit log — the layout the live chain's
+      // budget stage writes and readAdmittedIds reads log-driven
+      def admitWave(name: String, rows: Seq[(Long, Array[Double])]): Unit = {
+        val tmp = scratch.resolve(name)
+        rows.map { case (id, v) => (id, "en", 10L, 0L, 0L, v.toSeq) }
+          .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens", "embedding")
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath, staging.resolve(s"$name.parquet"))
+        val q = spark.readStream
+          .schema("doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
+            "cum_tokens LONG, embedding ARRAY<DOUBLE>")
+          .parquet(staging.toString)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt-admit")
+          .format("parquet").option("path", s"$root/admitted")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      admitWave("wa", (100L until 200L).map(id => (id, vecs(id))))
+      val h = ManagedIndex.start(spark, s"$root/admitted",
+        s"$root/versions", s"$root/POINTER", cb0,
+        pollMs = 300L, breachPct = 100000L, maxSegments = 8)
+      try {
+        assert(h.awaitVersions(1))
+        assert(spark.read.parquet(s"$root/versions/v1").count() == 100)
+
+        // plant an ORPHAN beside the committed writes — a crashed
+        // epoch's uncommitted part file: on disk, absent from the
+        // commit log, invisible to readAdmittedIds
+        val orphanIds = (9000L until 9050L).toSeq
+        val tmp = scratch.resolve("orphan")
+        orphanIds.map(id => (id, "en", 10L, 0L, 0L, vecs(130L).toSeq))
+          .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens", "embedding")
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$root/admitted", "part-orphan-0000.parquet"))
+
+        // the orphan alone moves nothing: the signature is the commit
+        // log, so no cycle fires for a file the sink never committed
+        Thread.sleep(1200)
+        assert(h.versions == 1,
+          "an uncommitted part file must not trigger an index cycle")
+
+        // a real committed wave fires the next (delta) cycle — the
+        // fresh set must be the committed files ONLY
+        admitWave("wb", (200L until 240L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(2))
+        assert(spark.read.parquet(s"$root/versions/v2").count() == 40,
+          "the delta cycle must index only the committed wave")
+        val indexed = MmrServeStream
+          .readVersionRaw(spark, s"$root/versions/v2")
+          .select($"doc_id").as[Long].collect().toSet
+        assert(indexed == (100L until 240L).toSet,
+          "the merged version must hold exactly the committed rows — " +
+            s"orphans present: ${indexed.intersect(orphanIds.toSet)}")
+      } finally h.stop()
+    } finally {
+      Seq(java.nio.file.Paths.get(root), staging, scratch).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
+
   test("a throwing cycle is retried on the next poll, not fatal to the monitor") {
     val root = java.nio.file.Files.createTempDirectory("graft-midx-retry")
       .toFile.getAbsolutePath

@@ -129,4 +129,86 @@ class ManagedServeSpec extends SparkSuite {
         new scala.reflect.io.Directory(d.toFile).deleteRecursively())
     }
   }
+
+  test("a failed bounce holds drain() open until the retry succeeds") {
+    import spark.implicits._
+    val admitted = java.nio.file.Files.createTempDirectory("graft-mservef-adm")
+    val in = java.nio.file.Files.createTempDirectory("graft-mservef-q")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-mservef-scr")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mservef-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft-mservef-out")
+    def admit(ids: Seq[Long], name: String): Unit = {
+      val tmp = scratch.resolve(name)
+      ids.toDF("doc_id").coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, admitted.resolve(s"$name.parquet"))
+      ()
+    }
+    def addQueries(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = scratch.resolve(name)
+      spark.read.parquet(s"$sf0001/embeddings.parquet").filter(pred)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+      ()
+    }
+    def served() = spark.read
+      .schema("qid LONG, step INT, vec_id LONG, mmr_score LONG")
+      .parquet(out.toString)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+
+    val setA = (100L until 120L)
+    val setB = (200L until 300L)
+    admit(setA, "a")
+    // start()'s own restart wiring, plus the fault injector: the
+    // SECOND restart (the first BOUNCE) throws once — the transient
+    // window where `current` is cleanly stopped and, pre-fix, drain()
+    // returned a false "settled" with the serve down
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failedOnce = new java.util.concurrent.CountDownLatch(1)
+    def restart(): org.apache.spark.sql.streaming.StreamingQuery = {
+      if (attempts.incrementAndGet() == 2) {
+        failedOnce.countDown()
+        sys.error("transient restart fault")
+      }
+      val queries = graft.Tables.loadStream(
+        spark, in.toString, "embeddings", s"$sf0001/embeddings.parquet")
+      val adm = MmrServeStream.readAdmittedIds(spark, admitted.toString)
+      MmrServeStream.serveCorpus(queries, sf0001, adm, nprobe = 16)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("parquet").option("path", out.toString)
+        .start()
+    }
+    val h = ManagedServe.startWith(() => restart(),
+      () => MmrServeStream.manifestVersion(spark, admitted.toString),
+      pollMs = 300L)
+    try {
+      addQueries(col("vec_id") < 4, "q1")
+      h.drain()
+      assert(served().nonEmpty, "pre-bounce serve must answer")
+
+      // trigger the bounce whose restart throws; wait for the fault
+      admit(setB, "b")
+      assert(failedOnce.await(15, java.util.concurrent.TimeUnit.SECONDS),
+        "the injected restart fault must fire")
+      // serve is DOWN here (stopped, restart failed). Queries landing
+      // now must still be answered by the time drain() returns: the
+      // bounceFailed flag holds drain open across the poll retry.
+      addQueries(col("vec_id") >= 4 && col("vec_id") < 8, "q2")
+      h.drain()
+      assert(h.bounces >= 1,
+        "drain must not return before the retried bounce completed")
+      val q2Hits = served().filter(p => p._1 >= 4 && p._1 < 8).map(_._2).toSet
+      assert(q2Hits.nonEmpty, "queries landing in the failure window " +
+        "must be served once the retry succeeds — drain returned with " +
+        "the serve down")
+      assert(q2Hits.intersect(setB.toSet).nonEmpty,
+        "the retried bounce must serve against the refreshed manifest")
+    } finally {
+      h.stop()
+      Seq(admitted, in, scratch, ckpt, out).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
 }
