@@ -182,6 +182,9 @@ object SparkEntry {
     // round 14: the admitted-restricted MMR (batch twin of the
     // chain-restricted serves) and the vector payload round-trip
     // (the serve-from-chain carriage discipline, oracled)
-    "vector_mmr_admitted", "cdc_payload_embedding"
+    "vector_mmr_admitted", "cdc_payload_embedding",
+    // round 15: update-aware cap/budget accounting (LWW → cap → budget
+    // — an updated doc consumes cap and budget once, newest version)
+    "corpus_budget_update_lww"
   )
 }

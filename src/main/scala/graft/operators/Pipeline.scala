@@ -1829,6 +1829,108 @@ object Pipeline {
     tokenBudget.oracle
   )
 
+  /** UPDATE-AWARE cap/budget semantics — the dedup-at-curation
+    * variant: over a VERSIONED corpus (documents arrive, then some are
+    * UPDATED — here a deterministic synthetic update wave: every
+    * doc_id ≡ 0 (mod 7) gets a ver-2 revision with its text doubled),
+    * an updated document consumes the per-source cap and the token
+    * budget exactly ONCE, at its NEWEST version — never once per
+    * surviving version. The composition is LWW → cap → budget:
+    *
+    *  1. LWW collapse: one `max_by(ver)` per doc_id — the newest
+    *     (lang, source, text) wins; one keyed exchange, the same
+    *     newest-wins rule the chain's serve path applies by `ver`.
+    *  2. per-source cap: the [[sourceCap]] rule (content-addressed
+    *     md5 rank, ≤ 10 per source) over the COLLAPSED corpus — a
+    *     doc's update cannot eat a second cap slot, and its rank is
+    *     content-addressed by doc_id so an update never reshuffles
+    *     the survivor set.
+    *  3. token budget: [[budgetSelectGlobal]]'s greedy per-lang prefix
+    *     over the capped LWW corpus — the updated text's n_tokens is
+    *     what the budget pays, once.
+    *
+    * Contrast, stated where it binds: the CHAIN's live admission is
+    * the SEGMENT model (append-only manifest, every admitted version
+    * serves until compaction — `admitSchemaE` scaladoc), where an
+    * updated doc legitimately holds one manifest row per admitted
+    * version; THIS operator is the compaction-time accounting those
+    * segments seal into, and the streaming twin
+    * ([[graft.streaming.TokenBudgetStream.admitLww]]) enforces the
+    * same once-per-doc charge live via a refund-or-restore ledger.
+    *
+    * Scale shape: the LWW collapse is one exchange keyed on doc_id
+    * (versions of a doc are a handful — no skew term); cap and budget
+    * are the audited shapes of their parent operators. */
+  val budgetUpdateLww: Q = Q(
+    "corpus_budget_update_lww",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source", $"text")
+      val versioned = docs.withColumn("ver", lit(1L))
+        .unionByName(docs.filter($"doc_id" % 7 === 0)
+          .select($"doc_id", $"lang", $"source",
+            concat($"text", lit(" "), $"text").as("text"), lit(2L).as("ver")))
+      val lww = versioned.groupBy($"doc_id")
+        .agg(max_by(struct($"lang", $"source", $"text"), $"ver").as("b"))
+        .select($"doc_id", $"b.lang".as("lang"), $"b.source".as("source"),
+          $"b.text".as("text"))
+      val wCap = Window.partitionBy($"source")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      val capped = lww
+        .withColumn("rk", row_number().over(wCap))
+        .filter($"rk" <= 10)
+        .select($"doc_id", $"lang", $"text")
+      budgetSelectGlobal(budgetBaseFrom(capped), 2000L)
+    },
+    Some("""
+      WITH versioned AS (
+        SELECT doc_id, lang, source, text, 1 AS ver FROM documents
+        UNION ALL
+        SELECT doc_id, lang, source, text || ' ' || text AS text, 2 AS ver
+        FROM documents WHERE doc_id % 7 = 0
+      ),
+      lww AS (
+        SELECT doc_id,
+               arg_max(lang, ver) AS lang,
+               arg_max(source, ver) AS source,
+               arg_max(text, ver) AS text
+        FROM versioned GROUP BY doc_id
+      ),
+      capped AS (
+        SELECT doc_id, lang, text FROM (
+          SELECT doc_id, lang, text,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM lww)
+        WHERE rk <= 10
+      ),
+      base AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_distinct
+        FROM capped
+      ),
+      ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               (n_distinct * 1000000) // n_tokens AS rank_key
+        FROM base WHERE n_tokens > 0
+      ),
+      cum AS (
+        SELECT doc_id, lang, n_tokens, rank_key,
+               SUM(n_tokens) OVER (PARTITION BY lang
+                                   ORDER BY rank_key DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM ranked
+      )
+      SELECT doc_id, lang, n_tokens, rank_key,
+             CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM cum WHERE cum_tokens <= 2000
+      ORDER BY doc_id
+    """)
+  )
+
   /** ANNEALED MIXTURE SCHEDULE: a per-EPOCH training-mix manifest that
     * interpolates linearly from a balanced mix (epoch 0: every source
     * downsampled to the smallest source's size, rate nmin/n_s — equal
@@ -2521,5 +2623,6 @@ object Pipeline {
       packSequencesSharded, sourceCapTwoPhase, sampleStratifiedThreshold,
       mixTemperature, mixToTarget, mixEpochs, ragRetrieve, corpusShuffle, corpusInterleave, curateOrder, retention, eventsRfm, eventsRfm2Phase,
       eventsKAnonymity, corpusZorder, eventsHeavyHitters, eventsOutliersMad,
-      snapshotDiff, eventsSequences, eventsMarkov, tokenBudget, tokenBudget2Phase)
+      snapshotDiff, eventsSequences, eventsMarkov, tokenBudget, tokenBudget2Phase,
+      budgetUpdateLww)
 }

@@ -447,7 +447,8 @@ object PipelineE2E {
       serveVecDir: Option[String] = None,
       serveNprobe: Int = 2,
       serveFromChain: Option[String] = None,
-      serveIndexedAdmit: Boolean = false): LiveChain = {
+      serveIndexedAdmit: Boolean = false,
+      budgetLww: Boolean = false): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     // the two serve modes share the queries dir and checkpoint — one
@@ -458,6 +459,9 @@ object PipelineE2E {
     require(!serveIndexedAdmit || serveFromChain.isDefined,
       "serveIndexedAdmit needs serveFromChain (the embedding carry AND " +
         "the codebook/query-schema source)")
+    require(!budgetLww || serveFromChain.isDefined,
+      "budgetLww (update-aware admission) needs serveFromChain — the " +
+        "refund ledger keys on the LWW `ver` the embedding carry stamps")
     // admit-time indexing: the codebook is a START-TIME PARAMETER (the
     // previous snapshot's — cell geometry doesn't change because
     // membership did), shared verbatim by the budget stage's assigner
@@ -599,7 +603,8 @@ object PipelineE2E {
     // log — the manifest IS the serve index, built incrementally at
     // trigger-bounded cost (never a corpus rescan)
     val budgetCols =
-      if (serveIndexedAdmit) Seq("doc_id", "lang", "text", "embedding", "ver")
+      if (serveIndexedAdmit || budgetLww)
+        Seq("doc_id", "lang", "text", "embedding", "ver")
       else Seq("doc_id", "lang", "text")
     val budgetSrc =
       if (!nearDup)
@@ -609,10 +614,19 @@ object PipelineE2E {
         spark.readStream.schema(dedupLineSchema)
           .json(s"$root/dedup/neardup/batch=*")
           .select(budgetCols.map(c => col(s"data.$c").as(c)): _*)
+    // budgetLww swaps the admission kernel for the UPDATE-AWARE form
+    // ([[TokenBudgetStream.admitLww]] — an updated doc consumes the
+    // budget once, at its newest version, via the refund-or-restore
+    // ledger; `corpus_budget_update_lww` is the oracled batch twin);
+    // the carried columns and the indexed cell-assignment map are
+    // identical either way
+    def admittedCarry() =
+      if (budgetLww) TokenBudgetStream.admitLww(budgetSrc, hist, cuts)
+      else TokenBudgetStream.admitCarry(budgetSrc, hist, cuts)
     val budgetSink =
       if (serveIndexedAdmit) {
         val cb = codebook
-        TokenBudgetStream.admitCarry(budgetSrc, hist, cuts)
+        admittedCarry()
           .mapPartitions { it =>
             it.map { a =>
               (a.doc_id, a.lang, a.n_tokens, a.rank_key, a.cum_tokens,
@@ -622,7 +636,8 @@ object PipelineE2E {
           }
           .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
             "cell", "nrm", "embedding", "ver")
-      } else TokenBudgetStream.admit(budgetSrc, hist, cuts).toDF()
+      } else if (budgetLww) admittedCarry().toDF()
+      else TokenBudgetStream.admit(budgetSrc, hist, cuts).toDF()
     val budget = budgetSink
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt/budget")

@@ -166,4 +166,112 @@ object TokenBudgetStream {
     state.update(cum)
     out.result().iterator
   }
+
+  /** UPDATE-AWARE admission — the dedup-at-curation variant
+    * (`corpus_budget_update_lww`'s live form): an updated document
+    * consumes the token budget exactly ONCE, at its newest version,
+    * via a REFUND-OR-RESTORE ledger. [[admit]]'s segment-model
+    * accounting charges every surviving curated version (correct for
+    * the append-only manifest contract, where compaction reconciles);
+    * here the charge moves WITH the update:
+    *
+    *  - first version of a doc: exactly [[admit]]'s greedy rule — the
+    *    group cumsum advances (admitted or not) and the row is
+    *    admitted iff the inclusive cumsum fits the group limit, so a
+    *    no-update drained run admits the identical set.
+    *  - an update of an ADMITTED doc: the old charge is refunded from
+    *    its group's cumsum, then the new version is charged in ITS
+    *    group (updates can move groups — n_tokens and rank both
+    *    change with text). If the new version fits, the new charge
+    *    commits and the row is emitted (downstream reads LWW by
+    *    `ver`); if it does NOT fit, the refund is ROLLED BACK and
+    *    nothing is emitted — the old admitted version stays in force
+    *    and keeps its charge, so charged tokens always equal the sum
+    *    of the newest ADMITTED versions (conservation is exact;
+    *    "refund then reject" would leave a served version unpaid).
+    *  - a stale replay (ver ≤ the charged ver) is a no-op.
+    *
+    * State is keyed by LANG (a refund must cross rank_key groups):
+    * per-group cumsums (histogram-bounded) plus a per-admitted-doc
+    * charge ledger — corpus-linear, the same class as the apply
+    * stage's LWW registers (the chain's documented resident-state
+    * ledger; RocksDB is the store dial at scale). The lang keying
+    * makes one exchange partition per language: for a mono-lingual
+    * 100 TB corpus the documented relaxation is salting by rank_key
+    * with per-salt budget shares — the same skew treatment as the
+    * batch form's sharded window. */
+  def admitLww(src: DataFrame, hist: DataFrame,
+      cuts: DataFrame): Dataset[BudgetAdmitE] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val toks = TextFns.tokens(col("text"))
+    val ranked = src
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        col("embedding"), col("ver"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("rank_key", expr("(n_distinct * 1000000L) div n_tokens"))
+    val gated = ranked
+      .join(broadcast(cuts), Seq("lang"))
+      .filter(col("rank_key") >= col("cut_key"))
+      .join(broadcast(hist.select(col("lang"), col("rank_key"), col("before"))),
+        Seq("lang", "rank_key"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("rank_key"),
+        col("before"),
+        when(col("rank_key") > col("cut_key"), lit(Long.MaxValue))
+          .otherwise(col("residual")).as("limit"),
+        col("embedding"), col("ver"))
+      .as[BudgetRowE]
+    gated.groupByKey(_.lang)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        admitGroupLww _)
+  }
+
+  /** one admitted charge: the group it was charged in, the tokens
+    * paid, and the charged version. */
+  case class BudgetCharge(rank_key: Long, n_tokens: Long, ver: Long)
+
+  /** [[admitLww]] per-lang state: per-rank_key inclusive cumsums and
+    * the admitted-doc charge ledger. */
+  case class BudgetLwwState(cums: Map[Long, Long],
+                            charges: Map[Long, BudgetCharge])
+
+  private def admitGroupLww(lang: String, rows: Iterator[BudgetRowE],
+      state: GroupState[BudgetLwwState]): Iterator[BudgetAdmitE] = {
+    var st = state.getOption.getOrElse(BudgetLwwState(Map.empty, Map.empty))
+    val out = Seq.newBuilder[BudgetAdmitE]
+    // older versions first, then doc order — the per-group doc order
+    // [[admitGroupE]] uses, extended across versions
+    rows.toSeq.sortBy(r => (r.ver, r.doc_id)).foreach { r =>
+      st.charges.get(r.doc_id) match {
+        case Some(prev) if r.ver <= prev.ver => () // stale replay
+        case Some(prev) =>
+          // refund the old charge, try the new version in ITS group
+          val refunded = st.cums.updated(prev.rank_key,
+            st.cums(prev.rank_key) - prev.n_tokens)
+          val cum = refunded.getOrElse(r.rank_key, 0L) + r.n_tokens
+          if (cum <= r.limit) {
+            st = BudgetLwwState(refunded.updated(r.rank_key, cum),
+              st.charges.updated(r.doc_id,
+                BudgetCharge(r.rank_key, r.n_tokens, r.ver)))
+            out += BudgetAdmitE(r.doc_id, r.lang, r.n_tokens, r.rank_key,
+              r.before + cum, r.embedding, r.ver)
+          } // else: restore (st unchanged) — the old version stays paid
+        case None =>
+          val cum = st.cums.getOrElse(r.rank_key, 0L) + r.n_tokens
+          val admitted = cum <= r.limit
+          st = BudgetLwwState(st.cums.updated(r.rank_key, cum),
+            if (admitted)
+              st.charges.updated(r.doc_id,
+                BudgetCharge(r.rank_key, r.n_tokens, r.ver))
+            else st.charges)
+          if (admitted)
+            out += BudgetAdmitE(r.doc_id, r.lang, r.n_tokens, r.rank_key,
+              r.before + cum, r.embedding, r.ver)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
 }

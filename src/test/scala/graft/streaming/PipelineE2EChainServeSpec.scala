@@ -185,6 +185,97 @@ class PipelineE2EChainServeSpec extends SparkSuite {
     }
   }
 
+  test("update-aware budget (budgetLww): an updated doc consumes the budget once") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-lwwbudget")
+      .toFile.getAbsolutePath
+    try {
+      val docs = uniqueDocsE.localCheckpoint()
+      val cap = docs.groupBy($"source").count().agg(max($"count"))
+        .head().getLong(0).toInt + 50
+      val gated = docs.filter(
+        size(TextFns.tokens($"text")) >= CurationStream.QualityMinTokens)
+      val base = graft.operators.Pipeline.budgetBaseFrom(
+        gated.select($"doc_id", $"lang", $"text")).localCheckpoint()
+      val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, Budget)
+      val cutRows = cuts.select($"lang", $"cut_key", $"residual")
+        .as[(String, Long, Long)].collect()
+      // the admitted manifest in budgetLww mode carries ver + tokens
+      def admitted() = spark.read
+        .schema("doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
+          "cum_tokens LONG, ver LONG")
+        .parquet(s"$root/admitted")
+        .select($"doc_id", $"lang", $"n_tokens", $"rank_key", $"ver")
+        .as[(Long, String, Long, Long, Long)].collect()
+      // conservation at the binding constraint: per lang, the NEWEST
+      // admitted version of every doc in the BOUNDARY group must fit
+      // the residual — the once-per-doc charge, observable from the
+      // manifest alone (above-cut groups admit unboundedly by design)
+      def assertConserved(rows: Seq[(Long, String, Long, Long, Long)],
+          when: String): Unit = {
+        val newest = rows.groupBy(_._1).map(_._2.maxBy(_._5)).toSeq
+        cutRows.foreach { case (lang, cutKey, residual) =>
+          val charged = newest
+            .filter(r => r._2 == lang && r._4 == cutKey).map(_._3).sum
+          assert(charged <= residual,
+            s"$when: boundary group $lang/$cutKey charges $charged > " +
+              s"residual $residual — an update was double-charged")
+        }
+      }
+
+      val chain = PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
+        applyLateness = "6 hours", curationDelay = "6 hours",
+        serveNprobe = 16, serveFromChain = Some(s"$sf0001/embeddings.parquet"),
+        budgetLww = true)
+      try {
+        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" < WaveSplit),
+          root, PipelineE2E.defaultTopology, "w1",
+          shardKey = Some(PipelineE2E.shardByLang(2)))
+        chain.drain()
+        val w1 = admitted()
+        assert(w1.nonEmpty)
+        assertConserved(w1.toSeq, "wave 1")
+
+        // update a slice: new text (bigger — the refund must cover the
+        // growth), new embedding, later op clock
+        val updDocs = docs.filter($"doc_id" >= 100 && $"doc_id" < 120)
+          .select($"doc_id", $"source", $"lang",
+            concat($"text", lit(" revised edition of this document")).as("text"))
+          .join(
+            spark.read.parquet(s"$sf0001/embeddings.parquet")
+              .filter($"vec_id" >= 400 && $"vec_id" < 420)
+              .select(($"vec_id" - 300L).as("doc_id"),
+                expr("transform(embedding, x -> cast(x as double))").as("embedding")),
+            "doc_id")
+        PipelineE2E.writeOplogWave(spark, updDocs,
+          root, PipelineE2E.defaultTopology, "wu",
+          shardKey = Some(PipelineE2E.shardByLang(2)), tsOffsetSec = 5000L)
+        chain.drain()
+        val w2 = admitted()
+        // the manifest stays append-only: wave-1 rows are immutable,
+        // updates land as HIGHER-ver rows for re-admitted docs
+        assert(w1.toSet.subsetOf(w2.toSet), "an admitted epoch was rewritten")
+        val updV2 = w2.filter(r => r._1 >= 100 && r._1 < 120 && r._5 > w1
+          .filter(_._1 == r._1).map(_._5).maxOption.getOrElse(0L))
+        assert(updV2.nonEmpty,
+          "fixture must re-admit some updated doc at its new version")
+        // once-per-doc accounting survives the update wave
+        assertConserved(w2.toSeq, "post-update")
+        // and each re-admitted doc is charged for its NEW text: the
+        // update appends 5 words, so the newest version's n_tokens
+        // must exceed the wave-1 charge it refunded
+        updV2.foreach { r =>
+          val old = w1.filter(_._1 == r._1)
+          old.foreach(o => assert(r._3 > o._3,
+            s"doc ${r._1}: updated charge ${r._3} not the new text (v1 ${o._3})"))
+        }
+      } finally chain.stop()
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   /** the shared two-wave protocol; `indexed` switches the serve to the
     * admit-time-indexed form (cell assigned in the budget stage, serve
     * reads the manifest as the index — no curated-store re-read). */
