@@ -448,9 +448,25 @@ object PipelineE2E {
       serveNprobe: Int = 2,
       serveFromChain: Option[String] = None,
       serveIndexedAdmit: Boolean = false,
-      budgetLww: Boolean = false): LiveChain = {
+      budgetLww: Boolean = false,
+      chainShufflePartitions: Option[Int] = None): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
+    // the chain's own shuffle/STATE partition count, pinned per query
+    // at start (conf scoped to this method; the session default is
+    // restored before returning). This is the open-loop capacity dial
+    // the round-15 rate probe measured: at local[32] with the session
+    // default (32), every stateful stage pays ~32 state-store commits
+    // per micro-batch and the composed chain saturates at ~700 docs/s
+    // (four stages ≥ 80% busy, lag growing 1.9 s/wave at cadence 3);
+    // at 8 the same protocol holds ~1.8k+ docs/s offered with FLAT lag
+    // and ~50% peak busy (SCALING.md "binding stage" section). On a
+    // real cluster: size to state volume per store, not to core count.
+    val priorPartitions = chainShufflePartitions
+      .map(_ => spark.conf.get("spark.sql.shuffle.partitions"))
+    chainShufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
     // the two serve modes share the queries dir and checkpoint — one
     // chain serves from ONE corpus definition
     require(serveVecDir.isEmpty || serveFromChain.isEmpty,
@@ -698,6 +714,8 @@ object PipelineE2E {
 
     LiveChain(ingest ++ Seq(apply, curate) ++ gate ++ Seq(budget, pack) ++
       serve ++ serveChain)
+    } finally priorPartitions.foreach(p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p))
   }
 
   /** The whole chain, stage-timed. `docs` is the corpus entering CDC;

@@ -24,13 +24,24 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `runMain graft.tools.ChainServeProbe [n...]` (default
   * 20000 80000 320000; sf dir from SPARK_GRAFT_SF_DIR, default
-  * sf0.01). */
+  * sf0.01).
+  *
+  * `segments` mode — the MERGE-ON-READ FEE vs segment count (the
+  * [[graft.streaming.ManagedIndex]] `maxSegments` dial measured, not
+  * defaulted): `runMain graft.tools.ChainServeProbe segments [n]
+  * [counts...]` (default 320000 at 1 2 4 8 16). Fixed corpus, one
+  * version built as S merge-on-read segments (1 seal + S−1 delta
+  * reindexes), the indexed serve drained over it — build cycle +
+  * 5 steady cycles per S. The fee a segment adds is the union leg in
+  * the static-side plan; the saving is the delta cycle the seal
+  * avoids — this prints both sides' serve term. */
 object ChainServeProbe {
 
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.headOption.contains("segments")) { segmentsMain(args.drop(1), sfDir); return }
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
                 else Seq(20000, 80000, 320000)
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -149,6 +160,100 @@ object ChainServeProbe {
           } else ""
         if (!warm)
           println(f"""{"probe":"chain_serve","mode":"$mode","n":$n,"build_cycle_sec":$build%.2f,"steady_cycle_min_sec":${steady.min}%.2f,"steady_cycle_med_sec":${steady.sorted.apply(2)}%.2f$cycleCosts}""")
+      } finally q.stop()
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      ()
+    }
+  }
+
+  private def segmentsMain(args: Array[String], sfDir: String): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(320000)
+    val counts = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                 else Seq(1, 2, 4, 8, 16)
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    try {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+        .localCheckpoint()
+      val baseN = base.count()
+      val copies = (n + baseN - 1) / baseN
+      val corpus = base
+        .crossJoin(broadcast((0L until copies).toDF("k")))
+        .select(($"vec_id" + $"k" * 1000000L).as("doc_id"), lit("en").as("lang"),
+          lit(10L).as("n_tokens"), lit(0L).as("rank_key"),
+          lit(0L).as("cum_tokens"), $"embedding")
+        .localCheckpoint()
+      val total = corpus.count()
+      val cb = graft.streaming.VectorServeStream.codebookFrom(
+        spark, s"$sfDir/embeddings.parquet")
+      // JVM warmup (codegen + state init off the first printed row)
+      segmentsOnce(spark, sfDir, corpus, cb, 1, warm = true)
+      counts.foreach(s => segmentsOnce(spark, sfDir, corpus, cb, s,
+        warm = false, total = total))
+    } finally spark.stop()
+  }
+
+  /** one sweep point: the corpus as `segs` merge-on-read segments
+    * (equal slices: one seal + segs−1 deltas), indexed serve drained
+    * over the final version. */
+  private def segmentsOnce(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, corpus: org.apache.spark.sql.DataFrame,
+      cb: Array[(Int, Array[Double])], segs: Int, warm: Boolean,
+      total: Long = 0L): Unit = {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft-segsweep-$segs").toFile.getAbsolutePath
+    try {
+      // slice the corpus into `segs` raw admission tranches
+      (0 until segs).foreach { k =>
+        corpus.filter(pmod($"doc_id", lit(segs.toLong)) === k)
+          .write.parquet(s"$root/raw$k")
+      }
+      val tB = System.nanoTime()
+      graft.streaming.MmrServeStream.reindexAdmitted(
+        spark, s"$root/raw0", cb, s"$root/v1")
+      var segments = Seq(s"$root/v1")
+      (1 until segs).foreach { k =>
+        val files = graft.streaming.MmrServeStream
+          .dataFiles(spark, s"$root/raw$k")
+        graft.streaming.MmrServeStream.reindexDelta(
+          spark, files, cb, s"$root/v${k + 1}", segments)
+        segments = segments :+ s"$root/v${k + 1}"
+      }
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      val vDir = s"$root/v$segs"
+      val in = s"$root/queries"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def addQueries(name: String): Unit = {
+        val tmp = java.nio.file.Paths.get(root, s"stage-$name")
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter($"vec_id" < 4).coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(in, s"$name.parquet"))
+        ()
+      }
+      val stream = graft.Tables.loadStream(
+        spark, in, "embeddings", s"$sfDir/embeddings.parquet")
+      val q = graft.streaming.MmrServeStream.serveIndexedRefreshed(
+        stream, vDir, cb, s"$root/ckpt", root, nprobe = 2)
+      try {
+        val t0 = System.nanoTime()
+        addQueries("q0")
+        q.processAllAvailable()
+        val first = (System.nanoTime() - t0) / 1e9
+        val steady = (1 to 5).map { i =>
+          val t = System.nanoTime()
+          addQueries(s"q$i")
+          q.processAllAvailable()
+          (System.nanoTime() - t) / 1e9
+        }
+        if (!warm)
+          println(f"""{"probe":"segment_sweep","segments":$segs,"n":$total,"index_build_sec":$buildSec%.2f,"first_cycle_sec":$first%.2f,"steady_cycle_min_sec":${steady.min}%.2f,"steady_cycle_med_sec":${steady.sorted.apply(2)}%.2f}""")
       } finally q.stop()
     } finally {
       new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()

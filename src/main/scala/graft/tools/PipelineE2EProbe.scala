@@ -240,7 +240,7 @@ object PipelineE2EProbe {
     * chain's sustainable throughput in deployment (open-loop) terms. */
   private def rateOnce(spark: org.apache.spark.sql.SparkSession,
       template: DataFrame, root: String, waves: Int, periodSec: Int,
-      budget: Long): Unit = {
+      budget: Long, chainPartitions: Option[Int] = None): Unit = {
     val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
     def waveDocs(w: Int): DataFrame =
       template.select((col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
@@ -253,11 +253,25 @@ object PipelineE2EProbe {
     val base = graft.operators.Pipeline.budgetBaseFrom(
       gated.select(col("doc_id"), col("lang"), col("text"))).localCheckpoint()
     val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, budget)
-    val chain = PipelineE2E.startLive(spark, root,
-      hist.localCheckpoint(), cuts.localCheckpoint(),
-      cap = Int.MaxValue / 2,
-      applyLateness = horizon, curationDelay = horizon,
-      nearDup = true)
+    // instrumentation: every chain query's full progress history (the
+    // default 100-entry buffer evicts early batches over a long
+    // open-loop run); the chain's own shuffle/state partition count is
+    // startLive's chainShufflePartitions dial.
+    val priorProgress =
+      spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    val chain =
+      try PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(),
+        cap = Int.MaxValue / 2,
+        applyLateness = horizon, curationDelay = horizon,
+        nearDup = true, chainShufflePartitions = chainPartitions)
+      finally priorProgress match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+      }
     try {
       // pre-render every wave TO DISK so injection is a pure file move —
       // the injector holds its cadence instead of competing with the
@@ -309,6 +323,35 @@ object PipelineE2EProbe {
         val lag = done - injected(w)
         println(f"""{"probe":"chain_rate","period_sec":$periodSec,"wave":$w,"injected_at":${injected(w)}%.1f,"packed":$target,"lag_sec":$lag%.1f}""")
       }
+      // ---- the BINDING-STAGE report: which stage consumed the run's
+      // wall clock, and which stage's per-batch cost GROWS. Per stage:
+      // busy fraction (Σ triggerExecution / run window), batch count,
+      // mean data-batch ms split into its dominant terms (addBatch =
+      // plan+execute, stateCommit = state-store commit, walCommit =
+      // offset log), and the first-third vs last-third mean — a flat
+      // stage is a throughput term, a growing one is the lag-growth
+      // term the cadence-3 knee measured (1.5 s/wave). ----
+      val windowSec = all.last._1
+      val nShards = PipelineE2E.defaultTopology.size
+      val labels = (0 until nShards).map(i => s"ingest$i") ++
+        Seq("apply", "curate", "neardup", "budget", "pack")
+      chain.queries.zip(labels).foreach { case (q, l) =>
+        val ps = q.recentProgress.toSeq
+        def dur(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+            k: String): Long =
+          Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
+        val busyMs = ps.map(dur(_, "triggerExecution")).sum
+        val data = ps.filter(_.numInputRows > 0)
+        val rows = data.map(_.numInputRows).sum
+        val commitMs = data.map(dur(_, "commitOffsets")).sum +
+          data.map(dur(_, "walCommit")).sum
+        val addMs = data.map(dur(_, "addBatch")).sum
+        val trig = data.map(dur(_, "triggerExecution"))
+        def mean(xs: Seq[Long]): Long =
+          if (xs.isEmpty) 0L else xs.sum / xs.length
+        val third = math.max(1, trig.length / 3)
+        println(f"""{"probe":"chain_rate_stage","period_sec":$periodSec,"stage":"$l","busy_pct":${(100.0 * busyMs / math.max(1e-9, windowSec * 1000)).round},"batches":${ps.length},"data_batches":${data.length},"rows":$rows,"batch_ms_mean":${mean(trig)},"batch_ms_first3rd":${mean(trig.take(third))},"batch_ms_last3rd":${mean(trig.takeRight(third))},"add_batch_ms":$addMs,"offset_commit_ms":$commitMs}""")
+      }
     } finally chain.stop()
   }
 
@@ -332,14 +375,16 @@ object PipelineE2EProbe {
       val base = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
       if (args.headOption.contains("rate")) {
-        // args after 'rate': [periodSec] [waves] [rep] (default 20 8 4)
+        // args after 'rate': [periodSec] [waves] [rep] [chainPartitions]
+        // (default 20 8 4, session-default partitions)
         val period = repArgs.lift(0).map(_.toInt).getOrElse(20)
         val nWaves = repArgs.lift(1).map(_.toInt).getOrElse(8)
         val rep = repArgs.lift(2).map(_.toInt).getOrElse(4)
+        val parts = repArgs.lift(3).map(_.toInt)
         val root = java.nio.file.Files
           .createTempDirectory(s"graft-e2e-rate").toFile.getAbsolutePath
         try rateOnce(spark, replicate(base, rep).localCheckpoint(),
-          root, nWaves, period, 2000L * rep)
+          root, nWaves, period, 2000L * rep, chainPartitions = parts)
         finally {
           new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         }
