@@ -291,24 +291,35 @@ object PipelineE2EProbe {
       val t0 = System.nanoTime()
       def now() = (System.nanoTime() - t0) / 1e9
       val snaps = Seq.newBuilder[(Double, Map[Long, Long])]
-      val injected = scala.collection.mutable.Map.empty[Int, Double]
-      var next = 0
-      // inject on cadence; poll between injections; then settle
-      while (next < waves || {
-          // settled = ~12 s of identical snapshots after the last injection
+      // DEDICATED injector thread: injection is pure file moves, so a
+      // thread of its own holds the cadence exactly however long the
+      // poller's snapshot job takes — the round-15 first-protocol
+      // confound (inject-inside-the-poll-loop floors the cadence at
+      // the poll interval + one snapshot job, ~2.1 s/wave) removed;
+      // the chain, not the probe, is again the measured element.
+      val injected = new java.util.concurrent.ConcurrentHashMap[Int, Double]()
+      val injector = new Thread(() => {
+        (1 to waves).foreach { w =>
+          val target = (w - 1).toDouble * periodSec
+          while (now() < target) Thread.sleep(10)
+          PipelineE2E.injectStagedWave(rendered(w), root,
+            PipelineE2E.defaultTopology, s"w$w")
+          injected.put(w, now())
+          ()
+        }
+      }, "rate-injector")
+      injector.setDaemon(true)
+      injector.start()
+      // poll; then settle (~12 s of identical snapshots after the
+      // last injection)
+      while (injector.isAlive || {
           val s = snaps.result(); s.length < 8 ||
             s.takeRight(8).map(_._2).distinct.size > 1
         }) {
-        if (next < waves && now() >= next.toDouble * periodSec) {
-          val w = next + 1
-          PipelineE2E.injectStagedWave(rendered(w), root,
-            PipelineE2E.defaultTopology, s"w$w")
-          injected(w) = now()
-          next += 1
-        }
         snaps += ((now(), packedPerWave()))
         Thread.sleep(1500)
       }
+      injector.join()
       // ground truth: a full drain after the quiet period — if it adds
       // rows, the quiet window lied and the affected waves get the
       // post-drain time as their (pessimistic) completion
@@ -320,8 +331,9 @@ object PipelineE2EProbe {
         val target = fin.getOrElse(w.toLong, 0L)
         val done = all.find { case (_, m) => m.getOrElse(w.toLong, 0L) >= target }
           .map(_._1).getOrElse(Double.NaN)
-        val lag = done - injected(w)
-        println(f"""{"probe":"chain_rate","period_sec":$periodSec,"wave":$w,"injected_at":${injected(w)}%.1f,"packed":$target,"lag_sec":$lag%.1f}""")
+        val injAt = injected.get(w)
+        val lag = done - injAt
+        println(f"""{"probe":"chain_rate","period_sec":$periodSec,"wave":$w,"injected_at":$injAt%.1f,"packed":$target,"lag_sec":$lag%.1f}""")
       }
       // ---- the BINDING-STAGE report: which stage consumed the run's
       // wall clock, and which stage's per-batch cost GROWS. Per stage:
