@@ -144,6 +144,151 @@ object NearDupStream {
       max(col("sim64")).as("sim64"))
 
   // -------------------------------------------------------------------
+  // Carry-payload form: the survivor publish without the store re-read.
+  // -------------------------------------------------------------------
+
+  /** [[NearDupBand]] + the document's serialized payload, carried on
+    * its band-0 row only (null on the other 15 — the keyed exchange
+    * pays the payload once per document, not per band). */
+  case class NearDupBandP(doc_id: Long, b: Int, dup_of: Option[Long],
+                          sim64: Int, payload: Option[String])
+
+  case class BandArrivalP(doc_id: Long, b: Int, bh: Long, mh: Seq[Long],
+                          payload: Option[String])
+  case class BandArrivalPT(doc_id: Long, b: Int, bh: Long, mh: Seq[Long],
+                           payload: Option[String], ets: java.sql.Timestamp)
+
+  /** [[flag]] with the document's FULL ROW carried through the fold —
+    * the width-vs-reread trade taken on the width side, which the
+    * round-15 knee measurement made the right side: the chain's
+    * survivor publish used to re-read the whole (growing) curated
+    * store per batch (a corpus-sized scan term that made the gate the
+    * chain's binding stage at 81% busy), while this form serializes
+    * every arriving row once (`to_json` over all of `src`'s columns,
+    * riding ONLY the band-0 row) and the survivor publish becomes a
+    * batch-local semi-join + `from_json` — trigger-bounded, no store
+    * access at all. Verdicts, claim order and bucket state are
+    * byte-identical to [[flag]]'s (the kernel never looks at the
+    * payload; [[BucketState]] is unchanged, so checkpoints carry
+    * over). `src` must carry (doc_id, text); every column of `src`
+    * enters the payload. */
+  def flagCarry(src: DataFrame, tau64: Int = DefaultTau64): Dataset[NearDupBandP] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val sigs = src
+      .select(col("doc_id"), col("text"),
+        to_json(struct(src.columns.map(col): _*)).as("payload"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, text, payload) =>
+        graft.operators.Dedup.sketchText(text).map(mh => (id, mh.toSeq, payload))
+      })
+      .toDF("doc_id", "mh", "payload")
+    val bandStructs = (0 until 16).map { b =>
+      struct(lit(b).as("b"),
+        xxhash64(element_at(col("mh"), 4 * b + 1), element_at(col("mh"), 4 * b + 2),
+          element_at(col("mh"), 4 * b + 3), element_at(col("mh"), 4 * b + 4)).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), col("mh"), col("payload"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"),
+        col("mh"),
+        when(col("band.b") === 0, col("payload")).as("payload"))
+      .as[BandArrivalP]
+      .groupByKey(r => (r.b, r.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        bandGroupP(tau64) _)
+  }
+
+  private def bandGroupP(tau64: Int)(key: (Int, Long),
+      rows: Iterator[BandArrivalP],
+      state: GroupState[BucketState]): Iterator[NearDupBandP] = {
+    var claimants = state.getOption.map(_.claimants).getOrElse(Seq.empty)
+    val out = Seq.newBuilder[NearDupBandP]
+    rows.toSeq.sortBy(_.doc_id).foreach { a =>
+      claimants.find(c => sim64(c.sig, a.mh) >= tau64) match {
+        case Some(c) =>
+          out += NearDupBandP(a.doc_id, a.b, Some(c.id), sim64(c.sig, a.mh), a.payload)
+        case None =>
+          val best =
+            if (claimants.isEmpty) 0
+            else claimants.iterator.map(c => sim64(c.sig, a.mh)).max
+          claimants = claimants :+ Claimant(a.doc_id, a.mh)
+          out += NearDupBandP(a.doc_id, a.b, None, best, a.payload)
+      }
+    }
+    state.update(BucketState(claimants))
+    out.result().iterator
+  }
+
+  /** [[flagExpiring]] with the carried payload — same bounded-state
+    * contract, same carry discipline as [[flagCarry]]. `src` carries
+    * (doc_id, text, ets) plus payload columns; `ets` is excluded from
+    * the payload (it is the gate's event clock, not document data). */
+  def flagExpiringCarry(src: DataFrame, ttlMs: Long,
+      delay: String = "10 seconds",
+      tau64: Int = DefaultTau64): Dataset[NearDupBandP] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val payloadCols = src.columns.filterNot(_ == "ets")
+    val sigs = src
+      .select(col("doc_id"), col("text"), col("ets"),
+        to_json(struct(payloadCols.map(col): _*)).as("payload"))
+      .as[(Long, String, java.sql.Timestamp, String)]
+      .mapPartitions(_.flatMap { case (id, text, ets, payload) =>
+        graft.operators.Dedup.sketchText(text).map(mh => (id, mh.toSeq, payload, ets))
+      })
+      .toDF("doc_id", "mh", "payload", "ets")
+      .withWatermark("ets", delay)
+    val bandStructs = (0 until 16).map { b =>
+      struct(lit(b).as("b"),
+        xxhash64(element_at(col("mh"), 4 * b + 1), element_at(col("mh"), 4 * b + 2),
+          element_at(col("mh"), 4 * b + 3), element_at(col("mh"), 4 * b + 4)).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), col("mh"), col("payload"), col("ets"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"),
+        col("mh"),
+        when(col("band.b") === 0, col("payload")).as("payload"),
+        col("ets"))
+      .as[BandArrivalPT]
+      .groupByKey(r => (r.b, r.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        expiringGroupP(tau64, ttlMs) _)
+  }
+
+  private def expiringGroupP(tau64: Int, ttlMs: Long)(key: (Int, Long),
+      rows: Iterator[BandArrivalPT],
+      state: GroupState[BucketState]): Iterator[NearDupBandP] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var claimants = state.getOption.map(_.claimants).getOrElse(Seq.empty)
+      val out = Seq.newBuilder[NearDupBandP]
+      var maxEts = Long.MinValue
+      rows.toSeq.sortBy(_.doc_id).foreach { a =>
+        maxEts = math.max(maxEts, a.ets.getTime)
+        claimants.find(c => sim64(c.sig, a.mh) >= tau64) match {
+          case Some(c) =>
+            out += NearDupBandP(a.doc_id, a.b, Some(c.id), sim64(c.sig, a.mh), a.payload)
+          case None =>
+            val best =
+              if (claimants.isEmpty) 0
+              else claimants.iterator.map(c => sim64(c.sig, a.mh)).max
+            claimants = claimants :+ Claimant(a.doc_id, a.mh)
+            out += NearDupBandP(a.doc_id, a.b, None, best, a.payload)
+        }
+      }
+      state.update(BucketState(claimants))
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(wm, maxEts) + ttlMs)
+      out.result().iterator
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Bounded-state form: idle buckets expire.
   // -------------------------------------------------------------------
 

@@ -563,50 +563,63 @@ object PipelineE2E {
       .start()
 
     // OPTIONAL near-dup admission between curation and budget
-    // ([[NearDupStream]]): the gate's stateful kernel sees (doc_id,
-    // text) band rows; the per-batch verdict fold semi-joins the
-    // SURVIVORS back against the curated store (rows are durable —
-    // file-sink metadata commits before the gate's source lists them)
-    // and publishes them through the exactly-once index-sink epoch
-    // discipline, so a foreachBatch replay replaces its own epoch
+    // ([[NearDupStream]]): the gate's stateful kernel sees band rows
+    // with the document's FULL ROW riding its band-0 row as a carried
+    // JSON payload ([[NearDupStream.flagCarry]]), so the per-batch
+    // survivor publish is a BATCH-LOCAL semi-join (verdict fold →
+    // band-0 carriers → from_json) through the exactly-once index-sink
+    // epoch discipline — a foreachBatch replay replaces its own epoch
     // instead of duplicating survivors. Budget then admits from the
-    // deduped manifest. Scale note, stated honestly: the survivor
-    // semi-join re-lists the curated store per batch — at 100 TB the
-    // store must be doc_id-bucketed/sorted so the broadcast semi-join
-    // prunes to row-group stats (the batch's ids are trigger-bounded),
-    // or the manifest schema widened to carry the payload through the
-    // fold — the same width-vs-reread trade curateWithText documents.
+    // deduped manifest. The carry is the width-vs-reread trade taken
+    // on the width side, which the round-15 knee measurement decided:
+    // the previous form re-read the whole (growing) curated store per
+    // batch for the survivor semi-join, and at the post-partition-fix
+    // ceiling that scan made THIS stage the chain's binding term (81%
+    // busy, every other stage ≤ 48% — SCALING.md); the carried payload
+    // costs one serialized row per arrival through the gate's keyed
+    // exchange (never ×16 — only the band-0 row carries it) and makes
+    // the publish trigger-bounded with no store access at all.
     // `nearDupTtlMs` switches the gate to its BOUNDED-state form
-    // ([[NearDupStream.flagExpiring]]): buckets idle past the ttl of
-    // EVENT time expire whole, capping gate state at the ttl window's
-    // distinct corpus instead of growing corpus-linear (verdicts are
-    // identical within the horizon). Event time here is the synthetic
-    // corpus's op clock (doc_id seconds, the same formula the oplog
-    // fixture writes); a deployment would carry the op ts through the
-    // curated manifest instead. The gate's lateness horizon is
-    // `curationDelay`, same as the stage it consumes.
+    // ([[NearDupStream.flagExpiringCarry]]): buckets idle past the ttl
+    // of EVENT time expire whole, capping gate state at the ttl
+    // window's distinct corpus instead of growing corpus-linear
+    // (verdicts are identical within the horizon). Event time here is
+    // the synthetic corpus's op clock (doc_id seconds, the same
+    // formula the oplog fixture writes); a deployment would carry the
+    // op ts through the curated manifest instead. The gate's lateness
+    // horizon is `curationDelay`, same as the stage it consumes.
     def gateBands(src: DataFrame) = nearDupTtlMs match {
-      case Some(ttl) => NearDupStream.flagExpiring(
-        src.select(col("doc_id"), col("text"),
-          timestamp_micros((col("doc_id") + 86400L) * 1000000L).as("ets")),
+      case Some(ttl) => NearDupStream.flagExpiringCarry(
+        src.withColumn("ets",
+          timestamp_micros((col("doc_id") + 86400L) * 1000000L)),
         ttl, delay = curationDelay)
-      case None => NearDupStream.flag(src.select(col("doc_id"), col("text")))
+      case None => NearDupStream.flagCarry(src)
     }
     val gate =
       if (!nearDup) Seq.empty[org.apache.spark.sql.streaming.StreamingQuery]
       else Seq(
         gateBands(
-            spark.readStream.schema(curatedFullSchema).parquet(s"$root/curated"))
+            spark.readStream.schema(curatedLiveSchema).parquet(s"$root/curated"))
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$root/ckpt/neardup")
-          .foreachBatch { (b: Dataset[NearDupBand], batchId: Long) =>
-            val admitted = NearDupStream.fold(b.toDF())
-              .filter(col("dup_of").isNull).select(col("doc_id"))
-            val survivors = spark.read.schema(curatedLiveSchema)
-              .parquet(s"$root/curated")
-              .join(admitted, Seq("doc_id"), "left_semi")
-            OplogPipeline.writeIndexBatch(survivors, s"$root/dedup", batchId, "neardup")
-            ()
+          .foreachBatch { (b: Dataset[NearDupStream.NearDupBandP], batchId: Long) =>
+            // persist: the fold AND the carrier filter both consume the
+            // batch — without the barrier each action would re-execute
+            // the stateful kernel's plan inside the same batch version
+            val bands = b.toDF().persist()
+            try {
+              val verdicts = NearDupStream.fold(bands)
+                .filter(col("dup_of").isNull).select(col("doc_id"))
+              val survivors = bands
+                .filter(col("b") === 0 && col("payload").isNotNull)
+                .join(verdicts, Seq("doc_id"), "left_semi")
+                .select(from_json(col("payload"), curatedLiveSchema).as("d"))
+                .select(col("d.*"))
+              OplogPipeline.writeIndexBatch(survivors, s"$root/dedup", batchId, "neardup")
+            } finally {
+              bands.unpersist()
+              ()
+            }
           }
           .start())
 
