@@ -237,7 +237,9 @@ object TokenBudgetStream {
   case class BudgetLwwState(cums: Map[Long, Long],
                             charges: Map[Long, BudgetCharge])
 
-  private def admitGroupLww(lang: String, rows: Iterator[BudgetRowE],
+  // private[streaming]: BudgetLwwPropertySpec drives the kernel
+  // directly through TestGroupState across generated batch sequences
+  private[streaming] def admitGroupLww(lang: String, rows: Iterator[BudgetRowE],
       state: GroupState[BudgetLwwState]): Iterator[BudgetAdmitE] = {
     var st = state.getOption.getOrElse(BudgetLwwState(Map.empty, Map.empty))
     val out = Seq.newBuilder[BudgetAdmitE]
