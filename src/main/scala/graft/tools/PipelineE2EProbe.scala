@@ -151,7 +151,8 @@ object PipelineE2EProbe {
       applyProvider: Option[String] = None,
       gateTtl: Boolean = false,
       serve: Boolean = false, fair: Boolean = false,
-      sfDir: String = ""): Unit = {
+      sfDir: String = "",
+      chainPartitions: Option[Int] = None): Unit = {
     val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
     def waveDocs(w: Int): DataFrame =
       template.select((col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
@@ -181,7 +182,8 @@ object PipelineE2EProbe {
         // ttl = 2 waves of event time (ids span `stride` seconds/wave):
         // buckets idle ≥ 2 waves expire, so gate state should PLATEAU at
         // the ttl window's corpus instead of growing wave-linear
-        nearDupTtlMs = if (gateTtl) Some(2L * stride * 1000L) else None)
+        nearDupTtlMs = if (gateTtl) Some(2L * stride * 1000L) else None,
+        chainShufflePartitions = chainPartitions)
     }
     val nShards = PipelineE2E.defaultTopology.size
     val labels = (0 until nShards).map(i => s"ingest$i") ++
@@ -401,20 +403,23 @@ object PipelineE2EProbe {
           new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         }
       } else if (sustain) {
-        // args after 'sustain': [waves] [rep] [rocksapply] [ttl]
-        // [serve] [fair] (default 8 waves at 4×, apply on the session
-        // default store, gate unbounded, no co-tenant serve, FIFO)
+        // args after 'sustain': [waves] [rep] [chainPartitions]
+        // [rocksapply] [ttl] [serve] [fair] (default 8 waves at 4×,
+        // session-default partitions, apply on the session default
+        // store, gate unbounded, no co-tenant serve, FIFO)
         val sArgs = repArgs.filterNot(Set("rocksapply", "ttl", "serve", "fair"))
         val applyProv =
           if (repArgs.contains("rocksapply")) Some("rocksdb") else None
         val waves = sArgs.headOption.map(_.toInt).getOrElse(8)
         val rep = sArgs.drop(1).headOption.map(_.toInt).getOrElse(4)
+        val parts = sArgs.drop(2).headOption.map(_.toInt)
         val root = java.nio.file.Files
           .createTempDirectory(s"graft-e2e-sustain").toFile.getAbsolutePath
         try sustainOnce(spark, replicate(base, rep).localCheckpoint(),
           root, waves, 2000L * rep, applyProvider = applyProv,
           gateTtl = repArgs.contains("ttl"),
-          serve = repArgs.contains("serve"), fair = fair, sfDir = sfDir)
+          serve = repArgs.contains("serve"), fair = fair, sfDir = sfDir,
+          chainPartitions = parts)
         finally {
           new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         }
