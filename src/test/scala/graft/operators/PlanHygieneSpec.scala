@@ -539,4 +539,17 @@ class PlanHygieneSpec extends SparkSuite {
       "documents-embeddings is a keyed equi-join")
   }
 
+  test("corpus_budget_update_lww: cap prunes map-side, LWW partial-aggregates, no join") {
+    val p = plan("corpus_budget_update_lww")
+    assert(p.contains("WindowGroupLimit"),
+      "the per-source cap's row_number <= 10 must compile to the " +
+        "group-limit rewrite — a hub source must never materialize " +
+        "more than 10 rows per side of its exchange")
+    assert(p.contains("partial_max_by") || p.contains("Partial"),
+      "the LWW collapse must partial-aggregate before its doc_id exchange")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      "LWW -> cap -> budget is union + aggregates + windows — no join anywhere")
+  }
+
 }
