@@ -177,4 +177,149 @@ class PipelineE2EManagedIndexSpec extends SparkSuite {
         new scala.reflect.io.Directory(d.toFile).deleteRecursively())
     }
   }
+
+  test("update wave through budgetLww + seal: the pointed version serves LWW-newest") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-midxu")
+      .toFile.getAbsolutePath
+    val serveRoot = java.nio.file.Files.createTempDirectory("graft-e2e-midxus")
+      .toFile.getAbsolutePath
+    val in = java.nio.file.Files.createTempDirectory("graft-e2e-midxuq")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-e2e-midxuscr")
+    try {
+      val docs = uniqueDocsE.localCheckpoint()
+      val cap = docs.groupBy($"source").count().agg(max($"count"))
+        .head().getLong(0).toInt + 50
+      val gated = docs.filter(
+        size(TextFns.tokens($"text")) >= CurationStream.QualityMinTokens)
+      val base = graft.operators.Pipeline.budgetBaseFrom(
+        gated.select($"doc_id", $"lang", $"text")).localCheckpoint()
+      val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, Budget)
+      val vecs: Map[Long, Array[Double]] =
+        graft.Tables.load(spark, sf0001, "embeddings")
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+          .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+      def addQueries(pred: org.apache.spark.sql.Column, name: String): Unit = {
+        val tmp = scratch.resolve(name)
+        spark.read.parquet(s"$sf0001/embeddings.parquet").filter(pred)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+        ()
+      }
+      def served() = spark.read.json(s"$serveRoot/serve/batch=*")
+        .select($"data.qid".as("qid"), $"data.step".cast("int").as("step"),
+          $"data.vec_id".as("vec_id"), $"data.mmr_score".as("mmr_score"))
+        .as[(Long, Int, Long, Long)].collect()
+      def admittedVer() = spark.read
+        .schema("doc_id LONG, ver LONG")
+        .parquet(s"$root/admitted")
+        .select($"doc_id", $"ver").as[(Long, Long)].collect()
+      def awaitIndexed(n: Long, timeoutMs: Long = 30000): Boolean = {
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        def covered(): Boolean = {
+          val p = java.nio.file.Paths.get(s"$serveRoot/POINTER")
+          java.nio.file.Files.exists(p) && {
+            val dir = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+            scala.util.Try(
+              MmrServeStream.readVersionRaw(spark, dir).count() == n
+            ).getOrElse(false)
+          }
+        }
+        while (!covered() && System.nanoTime() < deadline) Thread.sleep(100)
+        covered()
+      }
+      val cb = VectorServeStream.codebookFrom(spark, s"$sf0001/embeddings.parquet")
+      // budgetLww: the chain's admission is the update-aware ledger;
+      // maxSegments = 1: EVERY maintenance cycle is a FULL SEAL, i.e.
+      // the segment model's compaction — a multi-admitted doc's
+      // versions collapse newest-wins in every published version, so
+      // the pointed serve is deterministic LWW the whole run
+      val chain = PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
+        applyLateness = "6 hours", curationDelay = "6 hours",
+        serveNprobe = 16, serveFromChain = Some(s"$sf0001/embeddings.parquet"),
+        serveIndexedAdmit = true, budgetLww = true)
+      val idx = ManagedIndex.start(spark, s"$root/admitted",
+        s"$serveRoot/versions", s"$serveRoot/POINTER", cb, pollMs = 400L,
+        maxSegments = 1)
+      val q = MmrServeStream.serveIndexedPointer(
+        graft.Tables.loadStream(spark, in.toString, "embeddings",
+          s"$sf0001/embeddings.parquet"),
+        s"$serveRoot/POINTER", s"$serveRoot/ckpt", serveRoot, nprobe = 16)
+      try {
+        // ---- wave 1 ----
+        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" < WaveSplit),
+          root, PipelineE2E.defaultTopology, "w1",
+          shardKey = Some(PipelineE2E.shardByLang(2)))
+        chain.drain()
+        val w1 = admittedVer()
+        val admitW1 = w1.map(_._1).toSet
+        assert(admitW1.nonEmpty)
+        assert(awaitIndexed(admitW1.size))
+        addQueries(col("vec_id") < 4, "qa")
+        q.processAllAvailable()
+        val phase1 = served()
+        assert(phase1.map(t => (t._1, t._2, t._3, t._4)).toSet ==
+          replay(0L until 4L, admitW1, vecs),
+          "wave-1 pointer serve must answer the exact replay")
+
+        // ---- UPDATE wave: new text + NEW embeddings, later clock ----
+        val updIds = (100L until 120L)
+        val updDocs = docs.filter($"doc_id" >= 100 && $"doc_id" < 120)
+          .select($"doc_id", $"source", $"lang",
+            concat($"text", lit(" revised edition of this document")).as("text"))
+          .join(
+            spark.read.parquet(s"$sf0001/embeddings.parquet")
+              .filter($"vec_id" >= 400 && $"vec_id" < 420)
+              .select(($"vec_id" - 300L).as("doc_id"),
+                expr("transform(embedding, x -> cast(x as double))").as("embedding")),
+            "doc_id")
+        PipelineE2E.writeOplogWave(spark, updDocs,
+          root, PipelineE2E.defaultTopology, "wu",
+          shardKey = Some(PipelineE2E.shardByLang(2)), tsOffsetSec = 5000L)
+        chain.drain()
+        val w2 = admittedVer()
+        val w1MaxVer = w1.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).max }
+        val reAdmitted = w2.filter { case (d, v) =>
+          updIds.contains(d) && v > w1MaxVer.getOrElse(d, 0L)
+        }.map(_._1).toSet
+        assert(reAdmitted.nonEmpty, "fixture must re-admit some updated doc")
+        val admitW2 = w2.map(_._1).toSet
+        // the seal collapses a twice-admitted doc to ONE served row
+        assert(awaitIndexed(admitW2.size),
+          "the sealed version must hold one row per distinct admitted doc")
+
+        // the serve answers with the NEWEST embedding of every
+        // re-admitted doc — the deterministic witness: a doc's NEW
+        // vector as the query retrieves that doc at step 1 (cos 1.0)
+        val newest = vecs ++ reAdmitted.map(id => id -> vecs(id + 300L))
+        addQueries(col("vec_id") >= 400 && col("vec_id") < 420, "qc")
+        q.processAllAvailable()
+        val phase2 = served()
+        val cHits = phase2.filter(t => t._1 >= 400 && t._1 < 420)
+          .map(t => (t._1, t._2, t._3, t._4)).toSet
+        assert(cHits == replay(400L until 420L, admitW2, newest),
+          "post-seal pointer serve must answer over LWW-newest vectors")
+        reAdmitted.foreach { id =>
+          assert(cHits.exists(t => t._1 == id + 300L && t._2 == 1 && t._3 == id),
+            s"query ${id + 300L} (doc $id's new vector) must retrieve doc " +
+              s"$id at step 1 — a stale or duplicate version served")
+        }
+        // wave-1 epochs immutable
+        val aBefore = phase1.filter(_._1 < 4).sorted.toSeq
+        val aAfter = phase2.filter(_._1 < 4).sorted.toSeq
+        assert(aAfter == aBefore, "a pre-update serve epoch changed")
+      } finally {
+        q.stop()
+        idx.stop()
+        chain.stop()
+      }
+    } finally {
+      Seq(root, serveRoot).foreach(d =>
+        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+      Seq(in, scratch).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
 }
