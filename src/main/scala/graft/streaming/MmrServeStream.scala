@@ -427,12 +427,22 @@ object MmrServeStream {
     * with a re-list, rows landing in the gap would be published in
     * v<N> yet marked unconsumed, re-indexed by the next delta cycle,
     * and served as cross-segment duplicates until the next full seal.
-    * An empty capture falls back to the dir read (nothing can have
-    * been published-but-unconsumed when nothing was captured). */
+    * An empty capture seals an EMPTY version (schema, zero rows) —
+    * never a re-read of the live dir, which has the same race as the
+    * nonempty case: files committed between the empty capture and the
+    * seal would be published in v<N> while the caller records
+    * consumed = ∅, and the next delta cycle would re-index them as
+    * cross-segment duplicates. Sealed-empty, those files stay
+    * unpublished AND unconsumed, picked up whole next cycle. */
   private[graft] def reindexAdmittedFiles(spark: SparkSession,
       fromDir: String, files: Seq[String],
       centArr: Array[(Int, Array[Double])], toDir: String): Long = {
-    if (files.isEmpty) return reindexAdmitted(spark, fromDir, centArr, toDir)
+    if (files.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ReindexDdl + ", ver LONG"))
+      return reindexFullFrom(spark, empty, hasVer = false, centArr, toDir)
+    }
     val hasVer =
       spark.read.parquet(files: _*).schema.fieldNames.contains("ver")
     // leaf files, never partitioned table roots — one multi-path read

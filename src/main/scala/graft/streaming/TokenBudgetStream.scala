@@ -190,6 +190,20 @@ object TokenBudgetStream {
     *    of the newest ADMITTED versions (conservation is exact;
     *    "refund then reject" would leave a served version unpaid).
     *  - a stale replay (ver ≤ the charged ver) is a no-op.
+    *  - DIVERGENCE, stated plainly: an update whose newest version
+    *    falls below its lang cut (rank_key < cut_key) or tokenizes to
+    *    zero is dropped by the STATELESS pre-filters and never reaches
+    *    the ledger — the old version stays charged and keeps serving.
+    *    The batch twin (`corpus_budget_update_lww`) collapses LWW
+    *    FIRST and excludes such a doc entirely. The live form's
+    *    behavior is the conservative one under its own invariant:
+    *    every SERVED version is a PAID version (the manifest is
+    *    append-only and the serve's newest-wins dedup would keep
+    *    serving the old admitted row regardless — a refund-only
+    *    release here would serve an unpaid row). Reconciliation is
+    *    compaction's job, exactly like the segment model's
+    *    duplicate-version window: the next full seal collapses by
+    *    `ver` over what admission actually emitted.
     *
     * State is keyed by LANG (a refund must cross rank_key groups):
     * per-group cumsums (histogram-bounded) plus a per-admitted-doc

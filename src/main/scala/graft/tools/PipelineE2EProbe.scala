@@ -258,22 +258,24 @@ object PipelineE2EProbe {
     // instrumentation: every chain query's full progress history (the
     // default 100-entry buffer evicts early batches over a long
     // open-loop run); the chain's own shuffle/state partition count is
-    // startLive's chainShufflePartitions dial.
+    // startLive's chainShufflePartitions dial. The raised retention
+    // must OUTLIVE the run: ProgressReporter re-reads
+    // streamingProgressRetention from the original session's conf on
+    // EVERY progress append (spark-sql 4.1.2 addNewProgress), so
+    // restoring it as soon as startLive returns would silently put the
+    // buffer back at 100 and truncate the binding-stage report's
+    // window — the restore lives in the outer finally with chain.stop.
     val priorProgress =
       spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
-    val chain =
-      try PipelineE2E.startLive(spark, root,
-        hist.localCheckpoint(), cuts.localCheckpoint(),
-        cap = Int.MaxValue / 2,
-        applyLateness = horizon, curationDelay = horizon,
-        nearDup = true, chainShufflePartitions = chainPartitions)
-      finally priorProgress match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
-      }
+    val progressRetention = 10000
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      progressRetention.toString)
+    try {
+    val chain = PipelineE2E.startLive(spark, root,
+      hist.localCheckpoint(), cuts.localCheckpoint(),
+      cap = Int.MaxValue / 2,
+      applyLateness = horizon, curationDelay = horizon,
+      nearDup = true, chainShufflePartitions = chainPartitions)
     try {
       // pre-render every wave TO DISK so injection is a pure file move —
       // the injector holds its cadence instead of competing with the
@@ -351,6 +353,11 @@ object PipelineE2EProbe {
         Seq("apply", "curate", "neardup", "budget", "pack")
       chain.queries.zip(labels).foreach { case (q, l) =>
         val ps = q.recentProgress.toSeq
+        // the report is only trustworthy over the FULL window — if the
+        // buffer filled, early batches were evicted and busy_pct /
+        // first3rd are computed over a truncated suffix; say so loudly
+        if (ps.length >= progressRetention)
+          println(s"""{"probe":"chain_rate_stage_warn","stage":"$l","warn":"progress buffer filled (${ps.length}) — window truncated"}""")
         def dur(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
             k: String): Long =
           Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
@@ -367,6 +374,12 @@ object PipelineE2EProbe {
         println(f"""{"probe":"chain_rate_stage","period_sec":$periodSec,"stage":"$l","busy_pct":${(100.0 * busyMs / math.max(1e-9, windowSec * 1000)).round},"batches":${ps.length},"data_batches":${data.length},"rows":$rows,"batch_ms_mean":${mean(trig)},"batch_ms_first3rd":${mean(trig.take(third))},"batch_ms_last3rd":${mean(trig.takeRight(third))},"add_batch_ms":$addMs,"offset_commit_ms":$commitMs}""")
       }
     } finally chain.stop()
+    } finally priorProgress match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+    }
   }
 
   def main(args: Array[String]): Unit = {
