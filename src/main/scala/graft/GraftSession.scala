@@ -89,6 +89,24 @@ object GraftSession {
     try body finally sc.setLocalProperty("spark.scheduler.pool", prev)
   }
 
+  /** Per-QUERY shuffle/state partition count: sets
+    * `spark.sql.shuffle.partitions` for the duration of `body`,
+    * restoring after — same pinning mechanics as
+    * [[withStateProvider]] (a streaming query clones its session conf
+    * at start), so wrapping one stage's `.start()` gives THAT stage
+    * its own state-store count while the rest of the chain keeps the
+    * chain-wide dial. This is the per-stage form of
+    * `PipelineE2E.startLive(chainShufflePartitions)`: state partition
+    * count is a per-STORE sizing decision (state volume ÷ partition ≫
+    * per-partition commit floor), and the chain's stages carry very
+    * different state volumes (the gate's band buckets ≫ the budget
+    * ledger at equal doc counts). */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
   private val ChangelogConf =
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"

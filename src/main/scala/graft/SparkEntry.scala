@@ -185,6 +185,10 @@ object SparkEntry {
     "vector_mmr_admitted", "cdc_payload_embedding",
     // round 15: update-aware cap/budget accounting (LWW → cap → budget
     // — an updated doc consumes cap and budget once, newest version)
-    "corpus_budget_update_lww"
+    "corpus_budget_update_lww",
+    // round 16: update-aware near-dup (LWW collapse → MinHash LSH —
+    // a pair whose member was updated away disappears; the batch twin
+    // of the streaming gate's claim-retirement form)
+    "dedup_minhash_lsh_lww"
   )
 }

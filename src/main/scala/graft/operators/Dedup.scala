@@ -424,10 +424,15 @@ object Dedup {
     * verifies. With j ≥ 0.9 planted pairs, the per-pair miss
     * probability is (1-j⁴)^16 ≈ 4e-9, so the verified output equals
     * the exact-pair oracle. */
-  val minhashLsh: Q = Q(
-    "dedup_minhash_lsh",
-    (s, dir) => {
-      import s.implicits._
+  /** the MinHash+LSH candidate→verify pipeline over any (doc_id,
+    * text) frame — shared by [[minhashLsh]] (the raw corpus) and
+    * [[minhashLshLww]] (the LWW-collapsed versioned corpus). `d` is
+    * consumed twice (sketching and candidate verification); callers
+    * pass a frame that is cheap to recompute or checkpointed. */
+  private def minhashLshPairsFrom(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    {
       // 64-hash MinHash sketch in ONE mapPartitions pass straight from
       // the text — tokenize, shingle, fingerprint, min-update with
       // primitive arrays; no corpus-wide shingle arrays materialized.
@@ -437,7 +442,7 @@ object Dedup {
       // `min(xxhash64(f, i))` aggregate columns paid ~500ns/row/col in
       // aggregate-buffer updates, and building shingle arrays for the
       // whole corpus cost more than the sketch itself.
-      val minhashes = docs(s, dir)
+      val minhashes = d
         .select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions(_.flatMap { case (doc, text) =>
           sketchText(text).map(mh => (doc, mh))
@@ -469,7 +474,7 @@ object Dedup {
       // verification only needs shingle sets for CANDIDATE docs (a few
       // hundred), not the corpus: semi-join the doc table down first.
       val candDocs = cand.select(explode(array($"d1", $"d2")).as("doc_id")).distinct()
-      val shCand = docs(s, dir)
+      val shCand = d
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select($"doc_id", TextFns.shingleSet($"text").as("sh"))
         .localCheckpoint()   // referenced by both verify sides
@@ -482,8 +487,91 @@ object Dedup {
         .select($"d1", $"d2", $"inter".cast("long").as("inter_size"),
           ($"n1" + $"n2" - $"inter").cast("long").as("union_size"))
         .orderBy($"d1", $"d2")
-    },
+    }
+  }
+
+  val minhashLsh: Q = Q(
+    "dedup_minhash_lsh",
+    (s, dir) => minhashLshPairsFrom(
+      docs(s, dir).select(col("doc_id"), col("text"))),
     exactPairSql
+  )
+
+  /** UPDATE-AWARE MinHash+LSH — the compaction-time batch twin of the
+    * streaming gate's LWW form ([[graft.streaming.NearDupStream]]
+    * `registerLww`/`applyLww`): over a VERSIONED corpus (the same
+    * deterministic synthetic wave as `corpus_budget_update_lww` —
+    * every doc_id ≡ 0 (mod 7) gets a ver-2 revision, here with its
+    * TOKEN ORDER REVERSED so the revision shares almost no 3-gram
+    * shingles with the original), near-dup pairs are computed over
+    * newest versions ONLY: LWW collapse (`max_by(ver)`, one doc_id
+    * exchange, no skew term) → the exact [[minhashLsh]] pipeline.
+    * A planted near-dup pair one of whose members was updated away
+    * DISAPPEARS from the output — the semantic the streaming gate
+    * enforces live by RETIRING a superseded version's band claims,
+    * pinned here in fully-oracled batch form.
+    *
+    * LSH exactness on this corpus, restated for the revision wave:
+    * reversal preserves bimodality — a pair BOTH of whose members
+    * reversed keeps its high Jaccard (both shingle sets permute the
+    * same way), a pair with ONE member reversed drops to background
+    * (~0), so every surviving pair is still j ≥ 0.9 and the verified
+    * output equals the exact-pair oracle as for [[minhashLsh]].
+    *
+    * Scale shape: the collapse adds one keyed exchange before the
+    * audited [[minhashLsh]] shape; the collapsed frame is
+    * localCheckpoint'd because the pipeline consumes it twice
+    * (sketch + candidate verification). */
+  val minhashLshLww: Q = Q(
+    "dedup_minhash_lsh_lww",
+    (s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select($"doc_id", $"text")
+      val versioned = base.withColumn("ver", lit(1L))
+        .unionByName(base.filter($"doc_id" % 7 === 0)
+          .select($"doc_id",
+            array_join(reverse(filter(split($"text", " "),
+              x => x =!= lit(""))), " ").as("text"),
+            lit(2L).as("ver")))
+      val lww = versioned.groupBy($"doc_id")
+        .agg(max_by($"text", $"ver").as("text"))
+        .localCheckpoint()
+      minhashLshPairsFrom(lww)
+    },
+    Some(s"""
+      WITH versioned AS (
+        SELECT doc_id, text, 1 AS ver FROM documents
+        UNION ALL
+        SELECT doc_id,
+               array_to_string(list_reverse(list_filter(string_split(text, ' '),
+                 x -> x <> '')), ' ') AS text,
+               2 AS ver
+        FROM documents WHERE doc_id % 7 = 0
+      ),
+      lww AS (
+        SELECT doc_id, arg_max(text, ver) AS text FROM versioned GROUP BY doc_id
+      ),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(toks)-2),
+                             i -> array_to_string(toks[i+1:i+3], ' '))) AS shset
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+              FROM lww)
+        WHERE len(toks) >= 3
+      ),
+      ex AS (SELECT doc_id, unnest(shset) s, len(shset) n FROM sh),
+      pairs AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) inter,
+               ANY_VALUE(a.n) n1, ANY_VALUE(b.n) n2
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT d1, d2, CAST(inter AS BIGINT) AS inter_size,
+             CAST(n1 + n2 - inter AS BIGINT) AS union_size
+      FROM pairs
+      WHERE 3 * inter >= n1 + n2
+      ORDER BY d1, d2
+    """)
   )
 
   /** text → 64-bit SimHash signature: per-bit majority vote over the
@@ -2655,7 +2743,7 @@ object Dedup {
   )
 
   def queries: Seq[Q] =
-    Seq(exact, normalized, ngramJaccard, minhashLsh, simhash, embeddingCosine, clusters,
+    Seq(exact, normalized, ngramJaccard, minhashLsh, minhashLshLww, simhash, embeddingCosine, clusters,
       clustersStar, labelsQ, clusterStats, contamination, survivors, embeddingLsh, substringDetect,
       substringClean, semantic, boilerplate, incremental, incrementalBloom,
       incrementalMinhash, containmentPairs, editDistance, snapshotNeardup,

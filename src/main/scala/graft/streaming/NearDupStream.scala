@@ -289,6 +289,173 @@ object NearDupStream {
   }
 
   // -------------------------------------------------------------------
+  // UPDATE-AWARE (LWW) form: a superseded version's band claims retire.
+  // -------------------------------------------------------------------
+
+  /** one registry→bucket message: an ARRIVAL (the newest version's
+    * band row — signature, and the carried payload on band 0) or a
+    * RETIRE (strip this doc's claims with ver < `ver` from the OLD
+    * version's bucket). `mh` is empty and `payload` null on retires. */
+  case class BandMsg(doc_id: Long, ver: Long, b: Int, bh: Long,
+                     retire: Boolean, mh: Seq[Long], payload: Option[String])
+
+  /** DDL of [[BandMsg]] as the index-sink epochs carry it — the schema
+    * the chain's bucket query reads the registry handoff with. */
+  val BandMsgDdl: String = "doc_id LONG, ver LONG, b INT, bh LONG, " +
+    "retire BOOLEAN, mh ARRAY<LONG>, payload STRING"
+
+  // public: Encoder codegen materializes instances from generated code
+  case class RegArrival(doc_id: Long, ver: Long, mh: Seq[Long],
+                        bhs: Seq[Long], payload: Option[String])
+  /** per-doc registry state: the charged version and ITS 16 band
+    * hashes — what a later update must retire. */
+  case class DocReg(ver: Long, bhs: Seq[Long])
+
+  case class ClaimantV(id: Long, ver: Long, sig: Seq[Long])
+  case class BucketStateV(claimants: Seq[ClaimantV])
+
+  /** Stage 1 of the UPDATE-AWARE gate — the per-doc VERSION REGISTRY:
+    * the exact stale-state fix [[graft.streaming.TokenBudgetStream]]
+    * `admitLww` ships for budget accounting, ported to band claims.
+    * [[flag]]'s contract is first-writer-claims-forever: an updated
+    * document's OLD shingles stay resident in its old buckets, so a
+    * superseded version can flag a genuinely-new arrival as its
+    * near-dup — the one remaining stale-state semantic in the live
+    * chain (the batch compaction twin, `dedup_minhash_lsh_lww`,
+    * collapses LWW FIRST and never sees old versions at all).
+    *
+    * The registry is a second keyed ledger IN FRONT of the bucket
+    * rendezvous, necessarily its own exchange: "which buckets did this
+    * doc's previous version claim" is per-doc knowledge, while
+    * retirement must be DELIVERED per-bucket — two different partition
+    * keys, so the composition is two stateful queries joined by the
+    * chain's standard exactly-once directory handoff (index-sink
+    * epochs), exactly how every other stage pair composes.
+    *
+    * Per arriving doc (in-batch LWW collapse first — of several
+    * versions co-arriving in one trigger only the NEWEST is forwarded,
+    * the same rule the batch twin's `max_by(ver)` applies; an
+    * intermediate version must never claim):
+    *  - ver ≤ the registered ver → stale replay, dropped whole;
+    *  - a NEW doc → 16 ARRIVAL messages (payload rides band 0 only,
+    *    the [[flagCarry]] discipline);
+    *  - an UPDATE → 16 RETIRE messages addressed at the OLD version's
+    *    band hashes, then the 16 arrivals of the new version.
+    *
+    * Scale shape: ONE keyed exchange by doc_id (one row per arriving
+    * doc — never ×16; the fan-out to band rows happens in the emitted
+    * stream); state is (ver + 16 hashes) ≈ 140 B per doc — the same
+    * corpus-linear apply-register class as `cdc_apply_state` and
+    * `admitLww`'s charge ledger (RocksDB is the store dial; a TTL'd
+    * deployment ages registry and buckets on the SAME horizon so a
+    * claim never outlives the memory of how to retire it).
+    *
+    * `src` must carry (doc_id, ver, text); every column enters the
+    * band-0 payload. Verdict semantics downstream are arrival-time
+    * semantics, stated plainly: retiring a claim changes FUTURE
+    * verdicts only — a doc already published as `dup_of` the old
+    * version stays published (the batch twin re-adjudicates history
+    * at compaction; the gate never rewrites emitted epochs). */
+  def registerLww(src: DataFrame): Dataset[BandMsg] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val sigs = src
+      .select(col("doc_id"), col("ver"), col("text"),
+        to_json(struct(src.columns.map(col): _*)).as("payload"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, ver, text, payload) =>
+        graft.operators.Dedup.sketchText(text)
+          .map(mh => (id, ver, mh.toSeq, payload))
+      })
+      .toDF("doc_id", "ver", "mh", "payload")
+    // the batch band hash, verbatim (same bucketing as [[flag]]) —
+    // computed HERE so the registry can remember the old version's
+    // bucket addresses without re-deriving them from text it no
+    // longer has
+    val bandHashes = (0 until 16).map { b =>
+      xxhash64(element_at(col("mh"), 4 * b + 1), element_at(col("mh"), 4 * b + 2),
+        element_at(col("mh"), 4 * b + 3), element_at(col("mh"), 4 * b + 4))
+    }
+    sigs
+      .select(col("doc_id"), col("ver"), col("mh"),
+        array(bandHashes: _*).as("bhs"), col("payload"))
+      .as[(Long, Long, Seq[Long], Seq[Long], String)]
+      .map { case (id, ver, mh, bhs, payload) =>
+        RegArrival(id, ver, mh, bhs, Option(payload))
+      }
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        regGroup _)
+  }
+
+  private def regGroup(key: Long, rows: Iterator[RegArrival],
+      state: GroupState[DocReg]): Iterator[BandMsg] = {
+    val newest = rows.maxBy(_.ver)   // in-batch LWW collapse
+    val prev = state.getOption
+    if (prev.exists(_.ver >= newest.ver)) Iterator.empty   // stale replay
+    else {
+      val out = Seq.newBuilder[BandMsg]
+      prev.foreach(p => p.bhs.zipWithIndex.foreach { case (bh, b) =>
+        out += BandMsg(key, newest.ver, b, bh, retire = true, Seq.empty, None)
+      })
+      newest.bhs.zipWithIndex.foreach { case (bh, b) =>
+        out += BandMsg(key, newest.ver, b, bh, retire = false, newest.mh,
+          if (b == 0) newest.payload else None)
+      }
+      state.update(DocReg(newest.ver, newest.bhs))
+      out.result().iterator
+    }
+  }
+
+  /** Stage 2 of the UPDATE-AWARE gate — the bucket rendezvous with
+    * VERSION-STAMPED claims: [[flag]]'s kernel plus retirement. Within
+    * a trigger, RETIRES apply first (a superseded version must never
+    * adjudicate an arrival co-arriving with the update that replaces
+    * it), then arrivals fold in doc_id order exactly as [[flag]] does.
+    * A retire strips the doc's claims with ver < the retiring ver; the
+    * bucket's other claimants (including docs once flagged against the
+    * retired claim) are untouched. Emits [[NearDupBandP]] rows for
+    * arrivals only — [[fold]] and the batch-local survivor publish
+    * compose unchanged. `msgs` is [[registerLww]] output (directly, or
+    * re-read from its exactly-once epoch handoff as [[BandMsgDdl]]). */
+  def applyLww(msgs: DataFrame, tau64: Int = DefaultTau64): Dataset[NearDupBandP] = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    msgs
+      .select(col("doc_id"), col("ver"), col("b"), col("bh"), col("retire"),
+        col("mh"), col("payload"))
+      .as[BandMsg]
+      .groupByKey(m => (m.b, m.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        bucketGroupLww(tau64) _)
+  }
+
+  private def bucketGroupLww(tau64: Int)(key: (Int, Long),
+      rows: Iterator[BandMsg],
+      state: GroupState[BucketStateV]): Iterator[NearDupBandP] = {
+    var claimants = state.getOption.map(_.claimants).getOrElse(Seq.empty)
+    val (retires, arrivals) = rows.toSeq.partition(_.retire)
+    retires.foreach { r =>
+      claimants = claimants.filterNot(c => c.id == r.doc_id && c.ver < r.ver)
+    }
+    val out = Seq.newBuilder[NearDupBandP]
+    arrivals.sortBy(_.doc_id).foreach { a =>
+      claimants.find(c => sim64(c.sig, a.mh) >= tau64) match {
+        case Some(c) =>
+          out += NearDupBandP(a.doc_id, a.b, Some(c.id), sim64(c.sig, a.mh), a.payload)
+        case None =>
+          val best =
+            if (claimants.isEmpty) 0
+            else claimants.iterator.map(c => sim64(c.sig, a.mh)).max
+          claimants = claimants :+ ClaimantV(a.doc_id, a.ver, a.mh)
+          out += NearDupBandP(a.doc_id, a.b, None, best, a.payload)
+      }
+    }
+    state.update(BucketStateV(claimants))
+    out.result().iterator
+  }
+
+  // -------------------------------------------------------------------
   // Bounded-state form: idle buckets expire.
   // -------------------------------------------------------------------
 

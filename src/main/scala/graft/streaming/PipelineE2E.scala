@@ -449,7 +449,10 @@ object PipelineE2E {
       serveFromChain: Option[String] = None,
       serveIndexedAdmit: Boolean = false,
       budgetLww: Boolean = false,
-      chainShufflePartitions: Option[Int] = None): LiveChain = {
+      chainShufflePartitions: Option[Int] = None,
+      nearDupLww: Boolean = false,
+      gateShufflePartitions: Option[Int] = None,
+      gateProvider: Option[String] = None): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     // the chain's own shuffle/STATE partition count, pinned per query
@@ -478,6 +481,14 @@ object PipelineE2E {
     require(!budgetLww || serveFromChain.isDefined,
       "budgetLww (update-aware admission) needs serveFromChain — the " +
         "refund ledger keys on the LWW `ver` the embedding carry stamps")
+    require(!nearDupLww || (nearDup && serveFromChain.isDefined),
+      "nearDupLww (update-aware band claims) needs nearDup and " +
+        "serveFromChain — the registry keys retirement on the LWW " +
+        "`ver` the embedding carry stamps")
+    require(!nearDupLww || nearDupTtlMs.isEmpty,
+      "nearDupLww and nearDupTtlMs don't compose (yet): retirement " +
+        "needs registry and buckets aged on ONE shared horizon — " +
+        "pick update-awareness or bounded state per deployment")
     // admit-time indexing: the codebook is a START-TIME PARAMETER (the
     // previous snapshot's — cell geometry doesn't change because
     // membership did), shared verbatim by the budget stage's assigner
@@ -503,6 +514,7 @@ object PipelineE2E {
     }
     Seq("docs/batch=0", "curated", "admitted").foreach(d => new java.io.File(s"$root/$d").mkdirs())
     if (nearDup) new java.io.File(s"$root/dedup/neardup/batch=0").mkdirs()
+    if (nearDupLww) new java.io.File(s"$root/dedup/bands/batch=0").mkdirs()
     (serveVecDir.toSeq ++ serveFromChain.toSeq).headOption
       .foreach(_ => new java.io.File(s"$root/queries").mkdirs())
     // serve-from-chain: the payload, store, and curated manifest all
@@ -595,33 +607,86 @@ object PipelineE2E {
         ttl, delay = curationDelay)
       case None => NearDupStream.flagCarry(src)
     }
+    // the gate's OWN dials, scoped per query (a streaming query pins
+    // its session conf at start): `gateShufflePartitions` sizes the
+    // band-state store count independently of the chain-wide dial —
+    // the gate is the chain's measured binding stage (81% busy at the
+    // r15 knee) AND its largest state ledger (16 buckets/doc vs one
+    // register), so its partition sizing is its own decision;
+    // `gateProvider` moves just the band state off-heap (rocksdb).
+    def gateScoped[T](body: => T): T = {
+      def withProv(b: => T): T =
+        gateProvider.fold(b)(p => graft.GraftSession.withStateProvider(spark, p)(b))
+      gateShufflePartitions match {
+        case Some(n) =>
+          graft.GraftSession.withShufflePartitions(spark, n)(withProv(body))
+        case None => withProv(body)
+      }
+    }
+    // shared survivor publish: per-batch verdict fold → band-0
+    // carriers → exactly-once index-sink epoch (see the non-LWW form's
+    // inline comments — identical either way)
+    def publishSurvivors(b: Dataset[NearDupStream.NearDupBandP],
+        batchId: Long): Unit = {
+      // persist: the fold AND the carrier filter both consume the
+      // batch — without the barrier each action would re-execute
+      // the stateful kernel's plan inside the same batch version
+      val bands = b.toDF().persist()
+      try {
+        val verdicts = NearDupStream.fold(bands)
+          .filter(col("dup_of").isNull).select(col("doc_id"))
+        val survivors = bands
+          .filter(col("b") === 0 && col("payload").isNotNull)
+          .join(verdicts, Seq("doc_id"), "left_semi")
+          .select(from_json(col("payload"), curatedLiveSchema).as("d"))
+          .select(col("d.*"))
+        OplogPipeline.writeIndexBatch(survivors, s"$root/dedup", batchId, "neardup")
+      } finally {
+        bands.unpersist()
+        ()
+      }
+    }
     val gate =
       if (!nearDup) Seq.empty[org.apache.spark.sql.streaming.StreamingQuery]
-      else Seq(
+      else if (nearDupLww) {
+        // UPDATE-AWARE gate: two stateful queries joined by the chain's
+        // standard exactly-once epoch handoff — the per-doc version
+        // REGISTRY (retires a superseded version's band claims;
+        // [[NearDupStream.registerLww]]) feeding the version-stamped
+        // bucket rendezvous ([[NearDupStream.applyLww]]). Two queries
+        // because retirement is per-doc knowledge delivered per-bucket:
+        // two partition keys, one directory rendezvous between them.
+        val reg = gateScoped {
+          NearDupStream.registerLww(
+              spark.readStream.schema(curatedLiveSchema).parquet(s"$root/curated"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$root/ckpt/neardupreg")
+            .foreachBatch { (b: Dataset[NearDupStream.BandMsg], batchId: Long) =>
+              OplogPipeline.writeIndexBatch(b.toDF(), s"$root/dedup", batchId, "bands")
+              ()
+            }
+            .start()
+        }
+        val bandLineSchema = StructType(Seq(StructField("data",
+          StructType.fromDDL(NearDupStream.BandMsgDdl))))
+        val buckets = gateScoped {
+          NearDupStream.applyLww(
+              spark.readStream.schema(bandLineSchema)
+                .json(s"$root/dedup/bands/batch=*").select("data.*"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$root/ckpt/neardup")
+            .foreachBatch(publishSurvivors _)
+            .start()
+        }
+        Seq(reg, buckets)
+      } else Seq(gateScoped {
         gateBands(
             spark.readStream.schema(curatedLiveSchema).parquet(s"$root/curated"))
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$root/ckpt/neardup")
-          .foreachBatch { (b: Dataset[NearDupStream.NearDupBandP], batchId: Long) =>
-            // persist: the fold AND the carrier filter both consume the
-            // batch — without the barrier each action would re-execute
-            // the stateful kernel's plan inside the same batch version
-            val bands = b.toDF().persist()
-            try {
-              val verdicts = NearDupStream.fold(bands)
-                .filter(col("dup_of").isNull).select(col("doc_id"))
-              val survivors = bands
-                .filter(col("b") === 0 && col("payload").isNotNull)
-                .join(verdicts, Seq("doc_id"), "left_semi")
-                .select(from_json(col("payload"), curatedLiveSchema).as("d"))
-                .select(col("d.*"))
-              OplogPipeline.writeIndexBatch(survivors, s"$root/dedup", batchId, "neardup")
-            } finally {
-              bands.unpersist()
-              ()
-            }
-          }
-          .start())
+          .foreachBatch(publishSurvivors _)
+          .start()
+      })
 
     val dedupLineSchema = StructType(Seq(StructField("data", curatedLiveSchema)))
     // the indexed mode additionally pulls the carried embedding into

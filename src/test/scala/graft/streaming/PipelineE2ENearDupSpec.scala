@@ -42,6 +42,97 @@ class PipelineE2ENearDupSpec extends SparkSuite {
     runCase(ttlMs = Some(30L * 86400L * 1000L))
   }
 
+  test("nearDupLww chain: a near-copy of a superseded version is admitted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-ndlww")
+      .toFile.getAbsolutePath
+    try {
+      def toks(p: String): String = (0 until 40).map(i => s"$p$i").mkString(" ")
+      def nearCopy(p: String, m: String): String =
+        (0 until 40).map(i => if (i == 20) m else s"$p$i").mkString(" ")
+      // base corpus WITH embeddings (serveFromChain carries them) plus
+      // the planted doc X — synthetic token families, disjoint from the
+      // corpus's English-ish text, so only X's own claims adjudicate
+      // the later near-copies
+      val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+        .select($"vec_id".as("doc_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+      val base = uniqueDocs.filter($"doc_id" < 200).join(vecs, "doc_id")
+      def planted(id: Long, text: String, seed: Int) =
+        Seq((id, "planted", "en", text)).toDF("doc_id", "source", "lang", "text")
+          .withColumn("embedding",
+            expr(s"transform(sequence(1, 64), i -> cast(i * $seed as double))"))
+      // doc 9100 is a CLOCK PUSHER: the fixture's op identity is
+      // h = doc_id, so the quorum kernel absorbs a same-doc update as
+      // a replica replay until the watermark reaps the doc's state —
+      // a wave-1 doc ABOVE X on the event clock pushes the ingest
+      // watermark past X's op time, so X's state reaps and the update
+      // wave reads as a NEW op (deployment-true: a real oplog stamps
+      // each op a unique hash; only the synthetic fixture overloads
+      // doc_id)
+      val docs = base
+        .unionByName(planted(9001L, toks("xa"), 3))
+        .unionByName(planted(9100L, toks("wc"), 11))
+        .localCheckpoint()
+      val cap = Int.MaxValue / 2
+      val gated = docs.filter(
+        size(TextFns.tokens($"text")) >= CurationStream.QualityMinTokens)
+      val b = graft.operators.Pipeline.budgetBaseFrom(
+        gated.select($"doc_id", $"lang", $"text")).localCheckpoint()
+      val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(b, Budget)
+      val topo = Seq(ShardTopology.parseDescriptor("s0/h1:27017,h2:27017,h3:27017"))
+      val chain = PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
+        topology = topo,
+        applyLateness = "6 hours", curationDelay = "6 hours",
+        nearDup = true, nearDupLww = true,
+        serveFromChain = Some(s"$sf0001/embeddings.parquet"),
+        // exercise the gate-only partition dial on the same run — the
+        // two gate queries get their own state-store count while the
+        // rest of the chain keeps the session default
+        gateShufflePartitions = Some(4))
+      try {
+        PipelineE2E.writeOplogWave(spark, docs, root, topo, "w1")
+        chain.drain()
+        // UPDATE X: fresh text family, later op clock — the registry
+        // must retire textXA's claims when the wave lands
+        PipelineE2E.writeOplogWave(spark, planted(9001L, toks("xb"), 3),
+          root, topo, "wu", tsOffsetSec = 5000L)
+        chain.drain()
+        // the adjudicated wave: Y near-copies the SUPERSEDED text
+        // (must be admitted), Z near-copies the CURRENT text (flagged).
+        // ts offset ABOVE the update wave's — the ingest watermark sits
+        // 10 s behind the update's op clock and would drop an
+        // earlier-stamped wave as late
+        PipelineE2E.writeOplogWave(spark,
+          planted(9010L, nearCopy("xa", "zz"), 5)
+            .unionByName(planted(9020L, nearCopy("xb", "zz"), 7)),
+          root, topo, "w3", tsOffsetSec = 15000L)
+        chain.drain()
+
+        val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("data",
+            PipelineE2E.curatedFullSchemaE)))
+        val deduped = spark.read.schema(lineSchema)
+          .json(s"$root/dedup/neardup/batch=*")
+          .select($"data.doc_id".as("doc_id"), $"data.ver".as("ver"),
+            $"data.text".as("text"))
+        val x = deduped.filter($"doc_id" === 9001L)
+          .select($"ver", $"text").as[(Long, String)].collect().sortBy(_._1)
+        assert(x.length == 2 && x(0)._2 == toks("xa") && x(1)._2 == toks("xb"),
+          "both of X's versions must publish (append-only manifest, LWW " +
+            "re-adjudication on update)")
+        assert(deduped.filter($"doc_id" === 9010L).count() == 1,
+          "near-copy of the SUPERSEDED text was flagged — stale band " +
+            "claims survived the update")
+        assert(deduped.filter($"doc_id" === 9020L).count() == 0,
+          "near-copy of the CURRENT text leaked past the gate")
+      } finally chain.stop()
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   private def runCase(ttlMs: Option[Long]): Unit = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-e2e-neardup")
