@@ -70,10 +70,10 @@ object NearDupStream {
     * (`inter*3 >= n1+n2`). */
   val DefaultTau64 = 32
 
-  case class Claimant(id: Long, sig: Seq[Long])
+  case class Claimant(id: Long, sig: Array[Long])
   case class BucketState(claimants: Seq[Claimant])
   // public: Encoder codegen materializes instances from generated code
-  case class BandArrival(doc_id: Long, b: Int, bh: Long, mh: Seq[Long])
+  case class BandArrival(doc_id: Long, b: Int, bh: Long, mh: Array[Long])
 
   /** `src`: a streaming (or batch) frame with (doc_id, text). Emits
     * one [[NearDupBand]] row per (arrival, band) in Append mode. */
@@ -82,7 +82,7 @@ object NearDupStream {
     import spark.implicits._
     val sigs = src.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        graft.operators.Dedup.sketchText(text).map(mh => (id, mh.toSeq))
+        graft.operators.Dedup.sketchText(text).map(mh => (id, mh))
       })
       .toDF("doc_id", "mh")
     // the batch band hash, verbatim: xxhash64 over the band's 4 sketch
@@ -104,7 +104,7 @@ object NearDupStream {
 
   /** agreeing MinHash positions — the unbiased Jaccard estimator's
     * numerator (64 trials). */
-  private[streaming] def sim64(a: Seq[Long], b: Seq[Long]): Int = {
+  private[streaming] def sim64(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var c = 0
     while (i < a.length) { if (a(i) == b(i)) c += 1; i += 1 }
     c
@@ -153,9 +153,9 @@ object NearDupStream {
   case class NearDupBandP(doc_id: Long, b: Int, dup_of: Option[Long],
                           sim64: Int, payload: Option[String])
 
-  case class BandArrivalP(doc_id: Long, b: Int, bh: Long, mh: Seq[Long],
+  case class BandArrivalP(doc_id: Long, b: Int, bh: Long, mh: Array[Long],
                           payload: Option[String])
-  case class BandArrivalPT(doc_id: Long, b: Int, bh: Long, mh: Seq[Long],
+  case class BandArrivalPT(doc_id: Long, b: Int, bh: Long, mh: Array[Long],
                            payload: Option[String], ets: java.sql.Timestamp)
 
   /** [[flag]] with the document's FULL ROW carried through the fold —
@@ -180,7 +180,7 @@ object NearDupStream {
         to_json(struct(src.columns.map(col): _*)).as("payload"))
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap { case (id, text, payload) =>
-        graft.operators.Dedup.sketchText(text).map(mh => (id, mh.toSeq, payload))
+        graft.operators.Dedup.sketchText(text).map(mh => (id, mh, payload))
       })
       .toDF("doc_id", "mh", "payload")
     val bandStructs = (0 until 16).map { b =>
@@ -236,7 +236,7 @@ object NearDupStream {
         to_json(struct(payloadCols.map(col): _*)).as("payload"))
       .as[(Long, String, java.sql.Timestamp, String)]
       .mapPartitions(_.flatMap { case (id, text, ets, payload) =>
-        graft.operators.Dedup.sketchText(text).map(mh => (id, mh.toSeq, payload, ets))
+        graft.operators.Dedup.sketchText(text).map(mh => (id, mh, payload, ets))
       })
       .toDF("doc_id", "mh", "payload", "ets")
       .withWatermark("ets", delay)
@@ -297,7 +297,7 @@ object NearDupStream {
     * RETIRE (strip this doc's claims with ver < `ver` from the OLD
     * version's bucket). `mh` is empty and `payload` null on retires. */
   case class BandMsg(doc_id: Long, ver: Long, b: Int, bh: Long,
-                     retire: Boolean, mh: Seq[Long], payload: Option[String])
+                     retire: Boolean, mh: Array[Long], payload: Option[String])
 
   /** DDL of [[BandMsg]] as the index-sink epochs carry it — the schema
     * the chain's bucket query reads the registry handoff with. */
@@ -305,13 +305,13 @@ object NearDupStream {
     "retire BOOLEAN, mh ARRAY<LONG>, payload STRING"
 
   // public: Encoder codegen materializes instances from generated code
-  case class RegArrival(doc_id: Long, ver: Long, mh: Seq[Long],
-                        bhs: Seq[Long], payload: Option[String])
+  case class RegArrival(doc_id: Long, ver: Long, mh: Array[Long],
+                        bhs: Array[Long], payload: Option[String])
   /** per-doc registry state: the charged version and ITS 16 band
     * hashes — what a later update must retire. */
-  case class DocReg(ver: Long, bhs: Seq[Long])
+  case class DocReg(ver: Long, bhs: Array[Long])
 
-  case class ClaimantV(id: Long, ver: Long, sig: Seq[Long])
+  case class ClaimantV(id: Long, ver: Long, sig: Array[Long])
   case class BucketStateV(claimants: Seq[ClaimantV])
 
   /** Stage 1 of the UPDATE-AWARE gate — the per-doc VERSION REGISTRY:
@@ -365,7 +365,7 @@ object NearDupStream {
       .as[(Long, Long, String, String)]
       .mapPartitions(_.flatMap { case (id, ver, text, payload) =>
         graft.operators.Dedup.sketchText(text)
-          .map(mh => (id, ver, mh.toSeq, payload))
+          .map(mh => (id, ver, mh, payload))
       })
       .toDF("doc_id", "ver", "mh", "payload")
     // the batch band hash, verbatim (same bucketing as [[flag]]) —
@@ -379,7 +379,7 @@ object NearDupStream {
     sigs
       .select(col("doc_id"), col("ver"), col("mh"),
         array(bandHashes: _*).as("bhs"), col("payload"))
-      .as[(Long, Long, Seq[Long], Seq[Long], String)]
+      .as[(Long, Long, Array[Long], Array[Long], String)]
       .map { case (id, ver, mh, bhs, payload) =>
         RegArrival(id, ver, mh, bhs, Option(payload))
       }
@@ -396,7 +396,7 @@ object NearDupStream {
     else {
       val out = Seq.newBuilder[BandMsg]
       prev.foreach(p => p.bhs.zipWithIndex.foreach { case (bh, b) =>
-        out += BandMsg(key, newest.ver, b, bh, retire = true, Seq.empty, None)
+        out += BandMsg(key, newest.ver, b, bh, retire = true, Array.empty, None)
       })
       newest.bhs.zipWithIndex.foreach { case (bh, b) =>
         out += BandMsg(key, newest.ver, b, bh, retire = false, newest.mh,
@@ -459,7 +459,7 @@ object NearDupStream {
   // Bounded-state form: idle buckets expire.
   // -------------------------------------------------------------------
 
-  case class BandArrivalT(doc_id: Long, b: Int, bh: Long, mh: Seq[Long],
+  case class BandArrivalT(doc_id: Long, b: Int, bh: Long, mh: Array[Long],
                           ets: java.sql.Timestamp)
 
   /** [[flag]] with BOUNDED state — the 100 TB dial made real instead
@@ -482,7 +482,7 @@ object NearDupStream {
     val sigs = src.select(col("doc_id"), col("text"), col("ets"))
       .as[(Long, String, java.sql.Timestamp)]
       .mapPartitions(_.flatMap { case (id, text, ets) =>
-        graft.operators.Dedup.sketchText(text).map(mh => (id, mh.toSeq, ets))
+        graft.operators.Dedup.sketchText(text).map(mh => (id, mh, ets))
       })
       .toDF("doc_id", "mh", "ets")
       .withWatermark("ets", delay)

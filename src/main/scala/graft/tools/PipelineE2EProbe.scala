@@ -152,7 +152,8 @@ object PipelineE2EProbe {
       gateTtl: Boolean = false,
       serve: Boolean = false, fair: Boolean = false,
       sfDir: String = "",
-      chainPartitions: Option[Int] = None): Unit = {
+      chainPartitions: Option[Int] = None,
+      gateProvider: Option[String] = None): Unit = {
     val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
     def waveDocs(w: Int): DataFrame =
       template.select((col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
@@ -183,7 +184,8 @@ object PipelineE2EProbe {
         // buckets idle ≥ 2 waves expire, so gate state should PLATEAU at
         // the ttl window's corpus instead of growing wave-linear
         nearDupTtlMs = if (gateTtl) Some(2L * stride * 1000L) else None,
-        chainShufflePartitions = chainPartitions)
+        chainShufflePartitions = chainPartitions,
+        gateProvider = gateProvider)
     }
     val nShards = PipelineE2E.defaultTopology.size
     val labels = (0 until nShards).map(i => s"ingest$i") ++
@@ -242,7 +244,9 @@ object PipelineE2EProbe {
     * chain's sustainable throughput in deployment (open-loop) terms. */
   private def rateOnce(spark: org.apache.spark.sql.SparkSession,
       template: DataFrame, root: String, waves: Int, periodSec: Int,
-      budget: Long, chainPartitions: Option[Int] = None): Unit = {
+      budget: Long, chainPartitions: Option[Int] = None,
+      gateParts: Option[Int] = None,
+      gateProvider: Option[String] = None): Unit = {
     val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
     def waveDocs(w: Int): DataFrame =
       template.select((col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
@@ -275,7 +279,8 @@ object PipelineE2EProbe {
       hist.localCheckpoint(), cuts.localCheckpoint(),
       cap = Int.MaxValue / 2,
       applyLateness = horizon, curationDelay = horizon,
-      nearDup = true, chainShufflePartitions = chainPartitions)
+      nearDup = true, chainShufflePartitions = chainPartitions,
+      gateShufflePartitions = gateParts, gateProvider = gateProvider)
     try {
       // pre-render every wave TO DISK so injection is a pure file move —
       // the injector holds its cadence instead of competing with the
@@ -403,26 +408,36 @@ object PipelineE2EProbe {
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
       if (args.headOption.contains("rate")) {
         // args after 'rate': [periodSec] [waves] [rep] [chainPartitions]
-        // (default 20 8 4, session-default partitions)
-        val period = repArgs.lift(0).map(_.toInt).getOrElse(20)
-        val nWaves = repArgs.lift(1).map(_.toInt).getOrElse(8)
-        val rep = repArgs.lift(2).map(_.toInt).getOrElse(4)
-        val parts = repArgs.lift(3).map(_.toInt)
+        // [gateParts] [rocksgate] (default 20 8 4, session-default
+        // partitions, gate on the chain dial / session store)
+        val nArgs = repArgs.filterNot(Set("rocksgate"))
+        val period = nArgs.lift(0).map(_.toInt).getOrElse(20)
+        val nWaves = nArgs.lift(1).map(_.toInt).getOrElse(8)
+        val rep = nArgs.lift(2).map(_.toInt).getOrElse(4)
+        val parts = nArgs.lift(3).map(_.toInt)
+        val gateParts = nArgs.lift(4).map(_.toInt)
+        val gateProv =
+          if (repArgs.contains("rocksgate")) Some("rocksdb") else None
         val root = java.nio.file.Files
           .createTempDirectory(s"graft-e2e-rate").toFile.getAbsolutePath
         try rateOnce(spark, replicate(base, rep).localCheckpoint(),
-          root, nWaves, period, 2000L * rep, chainPartitions = parts)
+          root, nWaves, period, 2000L * rep, chainPartitions = parts,
+          gateParts = gateParts, gateProvider = gateProv)
         finally {
           new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         }
       } else if (sustain) {
         // args after 'sustain': [waves] [rep] [chainPartitions]
-        // [rocksapply] [ttl] [serve] [fair] (default 8 waves at 4×,
-        // session-default partitions, apply on the session default
-        // store, gate unbounded, no co-tenant serve, FIFO)
-        val sArgs = repArgs.filterNot(Set("rocksapply", "ttl", "serve", "fair"))
+        // [rocksapply] [rocksgate] [ttl] [serve] [fair] (default 8
+        // waves at 4×, session-default partitions, apply and gate on
+        // the session default store, gate unbounded, no co-tenant
+        // serve, FIFO)
+        val sArgs = repArgs.filterNot(
+          Set("rocksapply", "rocksgate", "ttl", "serve", "fair"))
         val applyProv =
           if (repArgs.contains("rocksapply")) Some("rocksdb") else None
+        val gateProv =
+          if (repArgs.contains("rocksgate")) Some("rocksdb") else None
         val waves = sArgs.headOption.map(_.toInt).getOrElse(8)
         val rep = sArgs.drop(1).headOption.map(_.toInt).getOrElse(4)
         val parts = sArgs.drop(2).headOption.map(_.toInt)
@@ -432,7 +447,7 @@ object PipelineE2EProbe {
           root, waves, 2000L * rep, applyProvider = applyProv,
           gateTtl = repArgs.contains("ttl"),
           serve = repArgs.contains("serve"), fair = fair, sfDir = sfDir,
-          chainPartitions = parts)
+          chainPartitions = parts, gateProvider = gateProv)
         finally {
           new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         }

@@ -25,10 +25,10 @@ class NearDupStreamSpec extends SparkSuite {
     .select(col("doc_id"), col("text"))
 
   /** per-doc sketch + band rows, collected once (fixture-sized). */
-  private lazy val (sigs, bands): (Map[Long, Seq[Long]], Map[Long, Seq[(Int, Long)]]) = {
+  private lazy val (sigs, bands): (Map[Long, Array[Long]], Map[Long, Seq[(Int, Long)]]) = {
     import spark.implicits._
     val s = corpus.as[(Long, String)].collect().flatMap { case (id, t) =>
-      graft.operators.Dedup.sketchText(t).map(mh => id -> mh.toSeq)
+      graft.operators.Dedup.sketchText(t).map(mh => id -> mh)
     }.toMap
     val b = graft.operators.Dedup.minhashBandRows(spark, corpus)
       .select($"doc_id", $"b", $"bh").as[(Long, Int, Long)].collect()
@@ -38,7 +38,7 @@ class NearDupStreamSpec extends SparkSuite {
 
   /** driver replay of the kernel discipline over arrival waves. */
   private def replay(waves: Seq[Seq[Long]]): Map[Long, Option[Long]] = {
-    val buckets = mutable.Map.empty[(Int, Long), mutable.ArrayBuffer[(Long, Seq[Long])]]
+    val buckets = mutable.Map.empty[(Int, Long), mutable.ArrayBuffer[(Long, Array[Long])]]
     val verdict = mutable.Map.empty[Long, Option[Long]]
     for (wave <- waves; id <- wave.sorted if sigs.contains(id)) {
       val mh = sigs(id)
