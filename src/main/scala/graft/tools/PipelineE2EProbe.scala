@@ -246,7 +246,8 @@ object PipelineE2EProbe {
       template: DataFrame, root: String, waves: Int, periodSec: Int,
       budget: Long, chainPartitions: Option[Int] = None,
       gateParts: Option[Int] = None,
-      gateProvider: Option[String] = None): Unit = {
+      gateProvider: Option[String] = None,
+      gateTtl: Boolean = false): Unit = {
     val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
     def waveDocs(w: Int): DataFrame =
       template.select((col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
@@ -280,7 +281,14 @@ object PipelineE2EProbe {
       cap = Int.MaxValue / 2,
       applyLateness = horizon, curationDelay = horizon,
       nearDup = true, chainShufflePartitions = chainPartitions,
-      gateShufflePartitions = gateParts, gateProvider = gateProvider)
+      gateShufflePartitions = gateParts, gateProvider = gateProvider,
+      // ttl = 2 waves of event time, the sustain protocol's bound: the
+      // gate's resident band state plateaus at the ttl window instead
+      // of growing corpus-linear — the dial for the growth term the
+      // 400k-doc over-capacity point names
+      nearDupTtlMs = if (gateTtl) Some(2L *
+        (template.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 1000L)
+      else None)
     try {
       // pre-render every wave TO DISK so injection is a pure file move —
       // the injector holds its cadence instead of competing with the
@@ -408,9 +416,9 @@ object PipelineE2EProbe {
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
       if (args.headOption.contains("rate")) {
         // args after 'rate': [periodSec] [waves] [rep] [chainPartitions]
-        // [gateParts] [rocksgate] (default 20 8 4, session-default
-        // partitions, gate on the chain dial / session store)
-        val nArgs = repArgs.filterNot(Set("rocksgate"))
+        // [gateParts] [rocksgate] [ttl] (default 20 8 4, session-default
+        // partitions, gate on the chain dial / session store, unbounded)
+        val nArgs = repArgs.filterNot(Set("rocksgate", "ttl"))
         val period = nArgs.lift(0).map(_.toInt).getOrElse(20)
         val nWaves = nArgs.lift(1).map(_.toInt).getOrElse(8)
         val rep = nArgs.lift(2).map(_.toInt).getOrElse(4)
@@ -422,7 +430,8 @@ object PipelineE2EProbe {
           .createTempDirectory(s"graft-e2e-rate").toFile.getAbsolutePath
         try rateOnce(spark, replicate(base, rep).localCheckpoint(),
           root, nWaves, period, 2000L * rep, chainPartitions = parts,
-          gateParts = gateParts, gateProvider = gateProv)
+          gateParts = gateParts, gateProvider = gateProv,
+          gateTtl = repArgs.contains("ttl"))
         finally {
           new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         }
