@@ -451,8 +451,133 @@ object NearDupStream {
           out += NearDupBandP(a.doc_id, a.b, None, best, a.payload)
       }
     }
-    state.update(BucketStateV(claimants))
+    // a bucket whose last claim was retired is equivalent to absent —
+    // remove it outright so retirement (and the TTL'd registry's eager
+    // retires) actually SHRINKS the band-state ledger instead of
+    // leaving empty tombstones resident
+    if (claimants.isEmpty) state.remove()
+    else state.update(BucketStateV(claimants))
     out.result().iterator
+  }
+
+  // -------------------------------------------------------------------
+  // TTL'd UPDATE-AWARE form: the registry is the ONE ager.
+  // -------------------------------------------------------------------
+
+  /** per-doc registry state for the TTL'd form: [[DocReg]] plus the
+    * doc's last-arrival event time (what the idle horizon measures). */
+  case class DocRegT(ver: Long, bhs: Array[Long], lastEtsMs: Long)
+  // public: Encoder codegen materializes instances from generated code.
+  // ets stays a COLUMN (select, not map) so the watermark attribution
+  // survives into the stateful operator — EventTimeTimeout requires it.
+  case class RegArrivalT(doc_id: Long, ver: Long, mh: Array[Long],
+                         bhs: Array[Long], payload: Option[String],
+                         ets: java.sql.Timestamp)
+
+  /** [[registerLww]] with the recall horizon made real — the
+    * composition of the gate's two deployment dials (update-awareness
+    * and bounded state) on ONE shared horizon, by construction: the
+    * per-doc version registry is the ONLY ager. A document idle past
+    * `ttl` of EVENT time (no arrival of ANY version for ttl) times out,
+    * and the timeout itself EMITS the doc's 16 retire messages before
+    * forgetting it — so the bucket ledger downstream is cleaned by the
+    * exact mechanism updates already use, and registry memory dies in
+    * the same kernel invocation that retires the claims it describes.
+    * No forgot-the-memory corner exists: a claim can never outlive the
+    * knowledge of how to retire it.
+    *
+    * The bucket stage stays [[applyLww]] UNCHANGED — NoTimeout, no
+    * watermark, so a retire message can never be dropped as late (the
+    * cliff an event-time-stateful bucket stage would face: timeout-
+    * emitted retires carry no natural event time, and this chain has
+    * pinned empirically that stateful stages drop input at/below their
+    * watermark). Bucket state is bounded by retirement instead of by
+    * its own timers: every claim is stripped either by its doc's next
+    * version or by its doc's idle timeout, and a bucket whose last
+    * claim leaves is removed whole.
+    *
+    * Verdict semantics, stated plainly: an arrival is flagged iff it
+    * matches a claimant whose doc ARRIVED (any version) within the
+    * horizon — a PER-DOC recall bound, strictly cleaner than
+    * [[flagExpiring]]'s per-bucket granularity, where a claim survives
+    * the horizon whenever unrelated traffic keeps its bucket hot. A
+    * near-copy arriving after its class went idle past ttl re-claims
+    * fresh and is ADMITTED (recall bounded by the horizon, exactly the
+    * batch incremental family's index-vintage bound); a stale replay
+    * re-arms its doc's idle clock but claims nothing.
+    *
+    * `src` must carry (doc_id, ver, text, ets); ets is the gate's
+    * event clock and is excluded from the payload, every other column
+    * enters it. `delay` is the ordinary lateness watermark. */
+  def registerExpiringLww(src: DataFrame, ttlMs: Long,
+      delay: String = "10 seconds"): Dataset[BandMsg] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val payloadCols = src.columns.filterNot(_ == "ets")
+    val sigs = src
+      .select(col("doc_id"), col("ver"), col("text"), col("ets"),
+        to_json(struct(payloadCols.map(col): _*)).as("payload"))
+      .as[(Long, Long, String, java.sql.Timestamp, String)]
+      .mapPartitions(_.flatMap { case (id, ver, text, ets, payload) =>
+        graft.operators.Dedup.sketchText(text)
+          .map(mh => (id, ver, mh, payload, ets))
+      })
+      .toDF("doc_id", "ver", "mh", "payload", "ets")
+      .withWatermark("ets", delay)
+    val bandHashes = (0 until 16).map { b =>
+      xxhash64(element_at(col("mh"), 4 * b + 1), element_at(col("mh"), 4 * b + 2),
+        element_at(col("mh"), 4 * b + 3), element_at(col("mh"), 4 * b + 4))
+    }
+    sigs
+      .select(col("doc_id"), col("ver"), col("mh"),
+        array(bandHashes: _*).as("bhs"), col("payload"), col("ets"))
+      .as[RegArrivalT]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        regGroupT(ttlMs) _)
+  }
+
+  private def regGroupT(ttlMs: Long)(key: Long,
+      rows: Iterator[RegArrivalT],
+      state: GroupState[DocRegT]): Iterator[BandMsg] = {
+    if (state.hasTimedOut) {
+      // idle past the horizon: retire the doc's claims (ver+1 strips
+      // claims with ver ≤ the registered one; a later re-arrival of
+      // the SAME version claims fresh — retires apply first within a
+      // bucket trigger, so even same-epoch ordering is safe), then
+      // forget the doc
+      val reg = state.get
+      state.remove()
+      reg.bhs.iterator.zipWithIndex.map { case (bh, b) =>
+        BandMsg(key, reg.ver + 1, b, bh, retire = true, Array.empty, None)
+      }
+    } else {
+      val all = rows.toSeq
+      val newest = all.maxBy(_.ver)
+      val newestEts = newest.ets.getTime
+      val maxEts = all.iterator.map(_.ets.getTime).max
+      val prev = state.getOption
+      val out = Seq.newBuilder[BandMsg]
+      if (prev.exists(_.ver >= newest.ver)) {
+        // stale replay: claims nothing, but the doc DID arrive — its
+        // idle clock re-arms (the horizon measures arrivals of the
+        // doc, not of a specific version)
+        val p = prev.get
+        state.update(DocRegT(p.ver, p.bhs, maxEts))
+      } else {
+        prev.foreach(p => p.bhs.zipWithIndex.foreach { case (bh, b) =>
+          out += BandMsg(key, newest.ver, b, bh, retire = true, Array.empty, None)
+        })
+        newest.bhs.zipWithIndex.foreach { case (bh, b) =>
+          out += BandMsg(key, newest.ver, b, bh, retire = false, newest.mh,
+            if (b == 0) newest.payload else None)
+        }
+        state.update(DocRegT(newest.ver, newest.bhs, math.max(maxEts, newestEts)))
+      }
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(wm, maxEts) + ttlMs)
+      out.result().iterator
+    }
   }
 
   // -------------------------------------------------------------------

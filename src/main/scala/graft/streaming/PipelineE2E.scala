@@ -485,10 +485,10 @@ object PipelineE2E {
       "nearDupLww (update-aware band claims) needs nearDup and " +
         "serveFromChain — the registry keys retirement on the LWW " +
         "`ver` the embedding carry stamps")
-    require(!nearDupLww || nearDupTtlMs.isEmpty,
-      "nearDupLww and nearDupTtlMs don't compose (yet): retirement " +
-        "needs registry and buckets aged on ONE shared horizon — " +
-        "pick update-awareness or bounded state per deployment")
+    // nearDupLww + nearDupTtlMs COMPOSE (round 16): the registry is the
+    // one ager ([[NearDupStream.registerExpiringLww]] — an idle doc's
+    // timeout emits its own retires before forgetting it), the bucket
+    // stage stays [[NearDupStream.applyLww]] unchanged
     // admit-time indexing: the codebook is a START-TIME PARAMETER (the
     // previous snapshot's — cell geometry doesn't change because
     // membership did), shared verbatim by the budget stage's assigner
@@ -656,9 +656,19 @@ object PipelineE2E {
         // bucket rendezvous ([[NearDupStream.applyLww]]). Two queries
         // because retirement is per-doc knowledge delivered per-bucket:
         // two partition keys, one directory rendezvous between them.
+        // ttl set: the TTL'd registry (the ONE ager — idle docs retire
+        // their own claims at timeout; same event clock as gateBands)
+        def regBands() = nearDupTtlMs match {
+          case Some(ttl) => NearDupStream.registerExpiringLww(
+            spark.readStream.schema(curatedLiveSchema).parquet(s"$root/curated")
+              .withColumn("ets",
+                timestamp_micros((col("doc_id") + 86400L) * 1000000L)),
+            ttl, delay = curationDelay)
+          case None => NearDupStream.registerLww(
+            spark.readStream.schema(curatedLiveSchema).parquet(s"$root/curated"))
+        }
         val reg = gateScoped {
-          NearDupStream.registerLww(
-              spark.readStream.schema(curatedLiveSchema).parquet(s"$root/curated"))
+          regBands()
             .writeStream.outputMode("append")
             .option("checkpointLocation", s"$root/ckpt/neardupreg")
             .foreachBatch { (b: Dataset[NearDupStream.BandMsg], batchId: Long) =>

@@ -33,15 +33,22 @@ class NearDupLwwSpec extends SparkSuite {
 
   /** one registry + one bucket query over a file-fed source dir, kept
     * running across waves — the chain's exact two-query wiring in
-    * miniature. */
-  private final class Gate(root: java.nio.file.Path) {
+    * miniature. `ttl` swaps the registry for its TTL'd form
+    * ([[NearDupStream.registerExpiringLww]] — the ONE ager); the bucket
+    * query is [[NearDupStream.applyLww]] either way. */
+  private final class Gate(root: java.nio.file.Path, ttl: Option[Long] = None) {
     import spark.implicits._
     java.nio.file.Files.createDirectory(root.resolve("in"))
     new java.io.File(s"$root/dedup/bands/batch=0").mkdirs()
     val out = new java.util.concurrent.ConcurrentLinkedQueue[NearDupStream.NearDupBandP]()
-    private val reg = NearDupStream.registerLww(
+    private val reg = (ttl match {
+      case Some(t) => NearDupStream.registerExpiringLww(
+        spark.readStream.schema(StructType.fromDDL(SrcDdl + ", ets TIMESTAMP"))
+          .parquet(root.resolve("in").toString), t)
+      case None => NearDupStream.registerLww(
         spark.readStream.schema(StructType.fromDDL(SrcDdl))
           .parquet(root.resolve("in").toString))
+    })
       .writeStream.outputMode("append")
       .option("checkpointLocation", root.resolve("ckpt-reg").toString)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[NearDupStream.BandMsg], id: Long) =>
@@ -63,11 +70,18 @@ class NearDupLwwSpec extends SparkSuite {
       }
       .start()
     private var n = 0
-    def wave(rows: Seq[(Long, Long, String, String)]): Unit = {
+    /** `etsSec` is the wave's event time for the TTL'd form (offset
+      * +86400 s off epoch — the initial watermark IS the epoch and
+      * rows at/below it vanish, AttributionWatermarkSpec's pin);
+      * ignored when `ttl` is None. */
+    def wave(rows: Seq[(Long, Long, String, String)], etsSec: Long = 0L): Unit = {
       n += 1
       val tmp = root.resolve(s"scr-$n")
-      rows.toDF("doc_id", "ver", "lang", "text")
-        .coalesce(1).write.parquet(tmp.toString)
+      val df0 = rows.toDF("doc_id", "ver", "lang", "text")
+      val df = if (ttl.isDefined)
+        df0.withColumn("ets", timestamp_seconds(lit(etsSec + 86400L)))
+      else df0
+      df.coalesce(1).write.parquet(tmp.toString)
       val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.copy(part.toPath, root.resolve(s"in/w$n.parquet"))
       reg.processAllAvailable()
@@ -207,5 +221,91 @@ class NearDupLwwSpec extends SparkSuite {
     assert(lwwV == plainV,
       s"LWW gate diverged on a no-update corpus: missing=${(plainV -- lwwV).take(5)} " +
         s"extra=${(lwwV -- plainV).take(5)}")
+  }
+
+  /** the composed form costs nothing semantically while nothing
+    * expires: the full update timeline (claims, update-retirement,
+    * stale replay, both adjudications) through the TTL'd registry with
+    * a never-firing horizon must emit EXACTLY registerLww's rows. */
+  test("TTL'd LWW registry ≡ registerLww within the horizon") {
+    def drive(ttl: Option[Long], tag: String): Set[(Long, Int, Option[Long], Int, Option[String])] = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-ndlww-$tag")
+      val g = new Gate(root, ttl)
+      try {
+        g.wave(Seq((1L, 1L, "en", toks("a")), (2L, 1L, "en", toks("c"))), etsSec = 0L)
+        g.wave(Seq((9L, 1L, "en", nearCopy("c", "qq"))), etsSec = 10L)
+        g.wave(Seq((1L, 2L, "en", toks("b"))), etsSec = 20L)
+        g.wave(Seq(
+          (11L, 1L, "en", nearCopy("a", "zz")),
+          (12L, 1L, "en", nearCopy("b", "zz"))), etsSec = 30L)
+        g.wave(Seq((1L, 1L, "en", toks("a"))), etsSec = 40L)   // stale replay
+        g.rows.map(r => (r.doc_id, r.b, r.dup_of, r.sim64, r.payload)).toSet
+      } finally {
+        g.stop()
+        new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+      }
+    }
+    val bounded = drive(Some(10L * 365 * 86400 * 1000L), "ttl")
+    val unbounded = drive(None, "nottl")
+    assert(bounded == unbounded,
+      s"TTL'd registry diverged inside the horizon: " +
+        s"missing=${(unbounded -- bounded).take(5)} extra=${(bounded -- unbounded).take(5)}")
+  }
+
+  /** the recall horizon is PER-DOC and measured on arrivals of the doc
+    * itself: an idle doc's timeout retires its claims everywhere (even
+    * out of buckets other traffic touched — the contrast with
+    * [[NearDupStream.flagExpiring]]'s per-bucket granularity), a stale
+    * REPLAY re-arms its doc's clock without claiming anything, and a
+    * post-expiry near-copy is ADMITTED and gates again. ttl = 600 s of
+    * event time; watermark clock driven by pusher docs (timeouts fire
+    * in the batch after the watermark advances — event-time TTL
+    * discipline, same as the flagExpiring spec). */
+  test("idle doc's claims retire at the horizon; stale replays extend life") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndlww-exp")
+    val g = new Gate(root, ttl = Some(600000L))
+    try {
+      // w1 t=0: doc 1 claims textA, doc 2 claims textC
+      g.wave(Seq((1L, 1L, "en", toks("a")), (2L, 1L, "en", toks("c"))), etsSec = 0L)
+      // w2 t=10: in-horizon near-copy flags — the gate's ordinary verdict
+      g.wave(Seq((3L, 1L, "en", nearCopy("a", "qq"))), etsSec = 10L)
+      assert(g.verdict(3L).contains(1L), "in-horizon near-copy must flag")
+      // w3 t=1900: doc 2 STALE-replays (ver unchanged — re-arms its
+      // idle clock, claims nothing, emits nothing). doc 1 stays idle
+      // since t=0; so does doc 3 — deliberately NOT replayed, because
+      // a flagged doc still CLAIMS its distinctive bands (the ones its
+      // marker shingles shifted off the original's hashes), so keeping
+      // doc 3 alive would legitimately keep those claims adjudicating
+      // later near-copies of the same family. The per-doc horizon is
+      // measured per CLAIMANT, flagged or not.
+      val before = g.rows.size
+      g.wave(Seq((2L, 1L, "en", toks("c"))), etsSec = 1900L)
+      assert(g.rows.size == before, "a stale replay re-entered the buckets")
+      // w4 t=2000: pusher advances the watermark past doc 1's and
+      // doc 3's deadlines (600, 610 < 1890) — their timeouts fire IN
+      // this batch, the retires ride this epoch, the bucket strips
+      // every textA-family claim. doc 2's deadline moved to 2500 by
+      // the replay.
+      g.wave(Seq((50L, 1L, "en", toks("d"))), etsSec = 2000L)
+      // w5 t=2010: THE case — a near-copy of the EXPIRED doc 1 is
+      // ADMITTED (claims fresh), a near-copy of the replay-extended
+      // doc 2 still FLAGS (stale replays extend life), and the pusher
+      // (well within horizon) still gates
+      g.wave(Seq(
+        (6L, 1L, "en", nearCopy("a", "yy")),
+        (9L, 1L, "en", nearCopy("c", "pp")),
+        (7L, 1L, "en", nearCopy("d", "kk"))), etsSec = 2010L)
+      assert(g.verdict(6L).isEmpty,
+        "near-copy of an expired doc was flagged — claims outlived the horizon")
+      assert(g.verdict(9L).contains(2L),
+        "stale replay must extend its doc's idle clock (doc 2 expired early)")
+      assert(g.verdict(7L).contains(50L), "in-horizon pusher claim must gate")
+      // w6 t=2020: the post-expiry re-claimer gates
+      g.wave(Seq((8L, 1L, "en", nearCopy("a", "ww"))), etsSec = 2020L)
+      assert(g.verdict(8L).contains(6L), "post-expiry re-claim did not gate")
+    } finally {
+      g.stop()
+      new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
   }
 }

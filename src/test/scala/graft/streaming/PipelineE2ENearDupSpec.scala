@@ -43,6 +43,18 @@ class PipelineE2ENearDupSpec extends SparkSuite {
   }
 
   test("nearDupLww chain: a near-copy of a superseded version is admitted") {
+    runLwwCase(ttlMs = None)
+  }
+
+  test("nearDupLww + ttl chain: identical update semantics within the horizon") {
+    // the composed gate (TTL'd registry + version-stamped buckets) on a
+    // never-firing horizon must run the full update timeline exactly as
+    // the unbounded LWW gate does — the chain-level twin of
+    // NearDupLwwSpec's within-horizon parity
+    runLwwCase(ttlMs = Some(30L * 86400L * 1000L))
+  }
+
+  private def runLwwCase(ttlMs: Option[Long]): Unit = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-e2e-ndlww")
       .toFile.getAbsolutePath
@@ -85,7 +97,7 @@ class PipelineE2ENearDupSpec extends SparkSuite {
         hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
         topology = topo,
         applyLateness = "6 hours", curationDelay = "6 hours",
-        nearDup = true, nearDupLww = true,
+        nearDup = true, nearDupLww = true, nearDupTtlMs = ttlMs,
         serveFromChain = Some(s"$sf0001/embeddings.parquet"),
         // exercise the gate-only partition dial on the same run — the
         // two gate queries get their own state-store count while the
@@ -127,6 +139,79 @@ class PipelineE2ENearDupSpec extends SparkSuite {
             "claims survived the update")
         assert(deduped.filter($"doc_id" === 9020L).count() == 0,
           "near-copy of the CURRENT text leaked past the gate")
+      } finally chain.stop()
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
+  test("nearDupLww + ttl chain: an idle doc's claims expire end to end") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-ndlww-exp")
+      .toFile.getAbsolutePath
+    try {
+      def toks(p: String): String = (0 until 40).map(i => s"$p$i").mkString(" ")
+      def nearCopy(p: String, m: String): String =
+        (0 until 40).map(i => if (i == 20) m else s"$p$i").mkString(" ")
+      val vecs = graft.Tables.load(spark, sf0001, "embeddings")
+        .select($"vec_id".as("doc_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+      val base = uniqueDocs.filter($"doc_id" < 200).join(vecs, "doc_id")
+      def planted(id: Long, text: String, seed: Int) =
+        Seq((id, "planted", "en", text)).toDF("doc_id", "source", "lang", "text")
+          .withColumn("embedding",
+            expr(s"transform(sequence(1, 64), i -> cast(i * $seed as double))"))
+      // the gate's event clock is doc_id seconds (+86400): X = doc 9001
+      // claims at ets 95401 s; ttl = 600 s; curationDelay (= the gate's
+      // lateness horizon) is 6 h, so the PUSHER must sit 6 h + ttl of
+      // doc_id clock above X's deadline — doc 35000 puts the registry
+      // watermark at 99800 s > 96001 s, firing X's timeout in the batch
+      // AFTER the pusher lands (i.e. the copy wave's batch, whose epoch
+      // then carries X's retires ahead of the copies: retires apply
+      // first within a bucket trigger, so the admission is safe even
+      // same-epoch)
+      val docs = base.unionByName(planted(9001L, toks("xa"), 13)).localCheckpoint()
+      val cap = Int.MaxValue / 2
+      val gated = docs.filter(
+        size(TextFns.tokens($"text")) >= CurationStream.QualityMinTokens)
+      val b = graft.operators.Pipeline.budgetBaseFrom(
+        gated.select($"doc_id", $"lang", $"text")).localCheckpoint()
+      val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(b, Budget)
+      val topo = Seq(ShardTopology.parseDescriptor("s0/h1:27017,h2:27017,h3:27017"))
+      val chain = PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
+        topology = topo,
+        applyLateness = "6 hours", curationDelay = "6 hours",
+        nearDup = true, nearDupLww = true, nearDupTtlMs = Some(600000L),
+        serveFromChain = Some(s"$sf0001/embeddings.parquet"))
+      try {
+        PipelineE2E.writeOplogWave(spark, docs, root, topo, "w1")
+        chain.drain()
+        // the watermark pusher (novel text — claims its own buckets)
+        PipelineE2E.writeOplogWave(spark, planted(35000L, toks("pq"), 17),
+          root, topo, "w2", tsOffsetSec = 5000L)
+        chain.drain()
+        // the adjudicated wave: a near-copy of the EXPIRED X must be
+        // ADMITTED; a near-copy of the in-horizon pusher still flags
+        PipelineE2E.writeOplogWave(spark,
+          planted(36000L, nearCopy("xa", "zz"), 19)
+            .unionByName(planted(36001L, nearCopy("pq", "zz"), 23)),
+          root, topo, "w3", tsOffsetSec = 15000L)
+        chain.drain()
+
+        val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("data",
+            PipelineE2E.curatedFullSchemaE)))
+        val deduped = spark.read.schema(lineSchema)
+          .json(s"$root/dedup/neardup/batch=*")
+          .select($"data.doc_id".as("doc_id"))
+        assert(deduped.filter($"doc_id" === 9001L).count() == 1,
+          "X itself must have been admitted in wave 1")
+        assert(deduped.filter($"doc_id" === 36000L).count() == 1,
+          "near-copy of an idle-expired doc was flagged — claims " +
+            "outlived the ttl horizon end to end")
+        assert(deduped.filter($"doc_id" === 36001L).count() == 0,
+          "near-copy of an in-horizon claim leaked past the gate")
       } finally chain.stop()
     } finally {
       new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
