@@ -346,8 +346,9 @@ object NearDupStream {
     * doc — never ×16; the fan-out to band rows happens in the emitted
     * stream); state is (ver + 16 hashes) ≈ 140 B per doc — the same
     * corpus-linear apply-register class as `cdc_apply_state` and
-    * `admitLww`'s charge ledger (RocksDB is the store dial; a TTL'd
-    * deployment ages registry and buckets on the SAME horizon so a
+    * `admitLww`'s charge ledger (RocksDB is the store dial; the TTL'd
+    * deployment form is [[registerExpiringLww]], where the registry is
+    * the ONE ager and its timeout retires the claims it forgets — a
     * claim never outlives the memory of how to retire it).
     *
     * `src` must carry (doc_id, ver, text); every column enters the
