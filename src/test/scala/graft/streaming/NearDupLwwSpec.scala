@@ -36,9 +36,10 @@ class NearDupLwwSpec extends SparkSuite {
     * miniature. `ttl` swaps the registry for its TTL'd form
     * ([[NearDupStream.registerExpiringLww]] — the ONE ager); the bucket
     * query is [[NearDupStream.applyLww]] either way. */
-  private final class Gate(root: java.nio.file.Path, ttl: Option[Long] = None) {
+  private final class Gate(root: java.nio.file.Path, ttl: Option[Long] = None,
+      tag: String = "w") {
     import spark.implicits._
-    java.nio.file.Files.createDirectory(root.resolve("in"))
+    java.nio.file.Files.createDirectories(root.resolve("in"))
     new java.io.File(s"$root/dedup/bands/batch=0").mkdirs()
     val out = new java.util.concurrent.ConcurrentLinkedQueue[NearDupStream.NearDupBandP]()
     private val reg = (ttl match {
@@ -76,14 +77,14 @@ class NearDupLwwSpec extends SparkSuite {
       * ignored when `ttl` is None. */
     def wave(rows: Seq[(Long, Long, String, String)], etsSec: Long = 0L): Unit = {
       n += 1
-      val tmp = root.resolve(s"scr-$n")
+      val tmp = root.resolve(s"scr-$tag-$n")
       val df0 = rows.toDF("doc_id", "ver", "lang", "text")
       val df = if (ttl.isDefined)
         df0.withColumn("ets", timestamp_seconds(lit(etsSec + 86400L)))
       else df0
       df.coalesce(1).write.parquet(tmp.toString)
       val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath, root.resolve(s"in/w$n.parquet"))
+      java.nio.file.Files.copy(part.toPath, root.resolve(s"in/$tag$n.parquet"))
       reg.processAllAvailable()
       buckets.processAllAvailable()
       ()
@@ -305,6 +306,44 @@ class NearDupLwwSpec extends SparkSuite {
       assert(g.verdict(8L).contains(6L), "post-expiry re-claim did not gate")
     } finally {
       g.stop()
+      new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  /** kill/restart across the idle horizon: the registry's armed
+    * event-time timers, its version registers, the watermark, AND the
+    * bucket claims all live in the two checkpoints — a second Gate on
+    * the same root must (a) adjudicate against PRE-restart claims,
+    * (b) honor a pre-restart doc's idle deadline (the restored timer
+    * fires and retires), and (c) extend a doc's life on a
+    * post-restart stale replay. */
+  test("TTL'd registry survives restart: checkpointed timers still fire") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndlww-rst")
+    val ttl = Some(600000L)
+    val g1 = new Gate(root, ttl, tag = "a")
+    try {
+      // generation 1: docs 1 and 2 claim at t=0, then the gate dies
+      g1.wave(Seq((1L, 1L, "en", toks("a")), (2L, 1L, "en", toks("c"))), etsSec = 0L)
+      assert(g1.verdict(1L).isEmpty && g1.verdict(2L).isEmpty)
+    } finally g1.stop()
+    val g2 = new Gate(root, ttl, tag = "b")
+    try {
+      // generation 2, same checkpoints: doc 2 stale-replays (re-arms
+      // its RESTORED register's clock); doc 1 stays idle since t=0
+      g2.wave(Seq((2L, 1L, "en", toks("c"))), etsSec = 1900L)
+      // the pusher advances the restored watermark past doc 1's
+      // pre-restart deadline (600) — the checkpointed timer fires
+      // post-restart and retires claims made by the PREVIOUS process
+      g2.wave(Seq((50L, 1L, "en", toks("d"))), etsSec = 2000L)
+      g2.wave(Seq(
+        (6L, 1L, "en", nearCopy("a", "yy")),
+        (9L, 1L, "en", nearCopy("c", "pp"))), etsSec = 2010L)
+      assert(g2.verdict(6L).isEmpty,
+        "pre-restart doc's idle deadline lost in restart — claims survived")
+      assert(g2.verdict(9L).contains(2L),
+        "either pre-restart bucket claims or the replay re-arm were lost")
+    } finally {
+      g2.stop()
       new scala.reflect.io.Directory(root.toFile).deleteRecursively()
     }
   }
