@@ -276,6 +276,117 @@ class PipelineE2EChainServeSpec extends SparkSuite {
     }
   }
 
+  /** THE FULL UPDATE-AWARE CHAIN — every LWW dial on at once
+    * (nearDup + nearDupLww + nearDupTtlMs + budgetLww): the two
+    * update-aware stages NEED each other, and this is the case that
+    * proves the composition rather than each in isolation. An updated
+    * doc's new text is a near-copy of its own old text (appended
+    * words, shared shingles), so WITHOUT the gate's claim retirement
+    * the update would be flagged as a near-dup of its own superseded
+    * version and never reach the budget stage — budgetLww's refund
+    * path could never fire through the gated chain. With retirement,
+    * the update re-adjudicates clean, republishes at its new version,
+    * and the budget refunds the old charge and charges the new text —
+    * conservation holding end to end through BOTH ledgers. */
+  test("full update-aware chain: gate retirement feeds the budget refund") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-alllww")
+      .toFile.getAbsolutePath
+    try {
+      val docs = uniqueDocsE.localCheckpoint()
+      val cap = docs.groupBy($"source").count().agg(max($"count"))
+        .head().getLong(0).toInt + 50
+      val gated = docs.filter(
+        size(TextFns.tokens($"text")) >= CurationStream.QualityMinTokens)
+      val base = graft.operators.Pipeline.budgetBaseFrom(
+        gated.select($"doc_id", $"lang", $"text")).localCheckpoint()
+      val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, Budget)
+      val cutRows = cuts.select($"lang", $"cut_key", $"residual")
+        .as[(String, Long, Long)].collect()
+      def admitted() = spark.read
+        .schema("doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
+          "cum_tokens LONG, ver LONG")
+        .parquet(s"$root/admitted")
+        .select($"doc_id", $"lang", $"n_tokens", $"rank_key", $"ver")
+        .as[(Long, String, Long, Long, Long)].collect()
+      def assertConserved(rows: Seq[(Long, String, Long, Long, Long)],
+          when: String): Unit = {
+        val newest = rows.groupBy(_._1).map(_._2.maxBy(_._5)).toSeq
+        cutRows.foreach { case (lang, cutKey, residual) =>
+          val charged = newest
+            .filter(r => r._2 == lang && r._4 == cutKey).map(_._3).sum
+          assert(charged <= residual,
+            s"$when: boundary group $lang/$cutKey charges $charged > " +
+              s"residual $residual — an update was double-charged")
+        }
+      }
+
+      val chain = PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
+        applyLateness = "6 hours", curationDelay = "6 hours",
+        serveNprobe = 16, serveFromChain = Some(s"$sf0001/embeddings.parquet"),
+        nearDup = true, nearDupLww = true,
+        nearDupTtlMs = Some(30L * 86400L * 1000L),
+        budgetLww = true)
+      try {
+        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" < WaveSplit),
+          root, PipelineE2E.defaultTopology, "w1",
+          shardKey = Some(PipelineE2E.shardByLang(2)))
+        chain.drain()
+        val w1 = admitted()
+        assert(w1.nonEmpty)
+        assertConserved(w1.toSeq, "wave 1")
+
+        val updDocs = docs.filter($"doc_id" >= 100 && $"doc_id" < 120)
+          .select($"doc_id", $"source", $"lang",
+            concat($"text", lit(" revised edition of this document")).as("text"))
+          .join(
+            spark.read.parquet(s"$sf0001/embeddings.parquet")
+              .filter($"vec_id" >= 400 && $"vec_id" < 420)
+              .select(($"vec_id" - 300L).as("doc_id"),
+                expr("transform(embedding, x -> cast(x as double))").as("embedding")),
+            "doc_id")
+        PipelineE2E.writeOplogWave(spark, updDocs,
+          root, PipelineE2E.defaultTopology, "wu",
+          shardKey = Some(PipelineE2E.shardByLang(2)), tsOffsetSec = 5000L)
+        chain.drain()
+        val w2 = admitted()
+        assert(w1.toSet.subsetOf(w2.toSet), "an admitted epoch was rewritten")
+        val updV2 = w2.filter(r => r._1 >= 100 && r._1 < 120 && r._5 > w1
+          .filter(_._1 == r._1).map(_._5).maxOption.getOrElse(0L))
+        // THE composition claim: updates survived the GATE (retirement
+        // let each one through its own old claims) and reached the
+        // budget's refund path — without registerLww the update wave
+        // would re-admit nothing here
+        assert(updV2.nonEmpty,
+          "no updated doc re-admitted — the gate flagged updates " +
+            "against their own superseded versions")
+        assertConserved(w2.toSeq, "post-update")
+        updV2.foreach { r =>
+          val old = w1.filter(_._1 == r._1)
+          old.foreach(o => assert(r._3 > o._3,
+            s"doc ${r._1}: updated charge ${r._3} not the new text (v1 ${o._3})"))
+        }
+        // gate-side witness: every re-admitted update's v2 row is in
+        // the DEDUPED manifest (it re-adjudicated and republished)
+        val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("data",
+            PipelineE2E.curatedFullSchemaE)))
+        val deduped = spark.read.schema(lineSchema)
+          .json(s"$root/dedup/neardup/batch=*")
+          .select($"data.doc_id".as("doc_id"), $"data.ver".as("ver"))
+          .as[(Long, Long)].collect().toSet
+        updV2.foreach { r =>
+          assert(deduped.contains((r._1, r._5)),
+            s"doc ${r._1} admitted at ver ${r._5} without a matching " +
+              "deduped-manifest publish")
+        }
+      } finally chain.stop()
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   /** the shared two-wave protocol; `indexed` switches the serve to the
     * admit-time-indexed form (cell assigned in the budget stage, serve
     * reads the manifest as the index — no curated-store re-read). */
