@@ -292,17 +292,58 @@ object NearDupStream {
   // UPDATE-AWARE (LWW) form: a superseded version's band claims retire.
   // -------------------------------------------------------------------
 
-  /** one registry→bucket message: an ARRIVAL (the newest version's
-    * band row — signature, and the carried payload on band 0) or a
-    * RETIRE (strip this doc's claims with ver < `ver` from the OLD
-    * version's bucket). `mh` is empty and `payload` null on retires. */
+  /** one per-(doc, band) bucket message AFTER the consumer-side
+    * explode: an ARRIVAL (the newest version's band row — signature,
+    * and the carried payload on band 0) or a RETIRE (strip this doc's
+    * claims with ver < `ver` from the OLD version's bucket). `mh` is
+    * empty and `payload` null on retires. */
   case class BandMsg(doc_id: Long, ver: Long, b: Int, bh: Long,
                      retire: Boolean, mh: Array[Long], payload: Option[String])
 
-  /** DDL of [[BandMsg]] as the index-sink epochs carry it — the schema
+  /** ONE registry→bucket message PER ARRIVING DOC — what the epoch
+    * handoff actually carries. The 16× band fan-out is deliberately
+    * NOT materialized here: the handoff is serialized JSON on disk,
+    * and emitting per-band rows made the registry the measured binding
+    * stage (92% busy at the serve-config knee burst, the bucket query
+    * re-parsing 16 rows — each dragging its own 512 B signature copy —
+    * per document). One compact row per doc (retire_bhs for the
+    * superseded version, bhs + ONE mh + ONE payload for the new one)
+    * cuts the handoff volume ~16× for arrivals and ~32× for updates;
+    * [[explodeBands]] re-derives the exact per-band messages
+    * STATELESSLY inside the consumer, after the JSON parse, before the
+    * keyed exchange — same messages, same claim order, same verdicts.
+    * `bhs` is empty on a pure retirement (idle timeout), `retire_bhs`
+    * empty on a first arrival. */
+  case class RegMsg(doc_id: Long, ver: Long, retire_bhs: Array[Long],
+                    bhs: Array[Long], mh: Array[Long], payload: Option[String])
+
+  /** DDL of [[RegMsg]] as the index-sink epochs carry it — the schema
     * the chain's bucket query reads the registry handoff with. */
-  val BandMsgDdl: String = "doc_id LONG, ver LONG, b INT, bh LONG, " +
-    "retire BOOLEAN, mh ARRAY<LONG>, payload STRING"
+  val RegMsgDdl: String = "doc_id LONG, ver LONG, retire_bhs ARRAY<LONG>, " +
+    "bhs ARRAY<LONG>, mh ARRAY<LONG>, payload STRING"
+
+  /** the stateless consumer-side fan-out of [[RegMsg]] rows to
+    * [[BandMsg]] rows (band index = array position — both arrays are
+    * stored in band order): retires first as a separate projection,
+    * arrivals with the signature on every band row and the payload on
+    * band 0 only — byte-identical input to the bucket kernel as the
+    * old per-band handoff produced. */
+  def explodeBands(msgs: DataFrame): DataFrame = {
+    val retires = msgs.filter(size(col("retire_bhs")) > 0)
+      .select(col("doc_id"), col("ver"),
+        posexplode(col("retire_bhs")).as(Seq("b", "bh")))
+      .select(col("doc_id"), col("ver"), col("b"), col("bh"),
+        lit(true).as("retire"),
+        expr("array()").cast("array<bigint>").as("mh"),
+        lit(null).cast("string").as("payload"))
+    val arrivals = msgs.filter(size(col("bhs")) > 0)
+      .select(col("doc_id"), col("ver"), col("mh"), col("payload"),
+        posexplode(col("bhs")).as(Seq("b", "bh")))
+      .select(col("doc_id"), col("ver"), col("b"), col("bh"),
+        lit(false).as("retire"), col("mh"),
+        when(col("b") === 0, col("payload")).as("payload"))
+    retires.unionByName(arrivals)
+  }
 
   // public: Encoder codegen materializes instances from generated code
   case class RegArrival(doc_id: Long, ver: Long, mh: Array[Long],
@@ -357,7 +398,7 @@ object NearDupStream {
     * verdicts only — a doc already published as `dup_of` the old
     * version stays published (the batch twin re-adjudicates history
     * at compaction; the gate never rewrites emitted epochs). */
-  def registerLww(src: DataFrame): Dataset[BandMsg] = {
+  def registerLww(src: DataFrame): Dataset[RegMsg] = {
     val spark = src.sparkSession
     import spark.implicits._
     val sigs = src
@@ -390,21 +431,15 @@ object NearDupStream {
   }
 
   private def regGroup(key: Long, rows: Iterator[RegArrival],
-      state: GroupState[DocReg]): Iterator[BandMsg] = {
+      state: GroupState[DocReg]): Iterator[RegMsg] = {
     val newest = rows.maxBy(_.ver)   // in-batch LWW collapse
     val prev = state.getOption
     if (prev.exists(_.ver >= newest.ver)) Iterator.empty   // stale replay
     else {
-      val out = Seq.newBuilder[BandMsg]
-      prev.foreach(p => p.bhs.zipWithIndex.foreach { case (bh, b) =>
-        out += BandMsg(key, newest.ver, b, bh, retire = true, Array.empty, None)
-      })
-      newest.bhs.zipWithIndex.foreach { case (bh, b) =>
-        out += BandMsg(key, newest.ver, b, bh, retire = false, newest.mh,
-          if (b == 0) newest.payload else None)
-      }
+      val retireBhs = prev.map(_.bhs).getOrElse(Array.empty[Long])
       state.update(DocReg(newest.ver, newest.bhs))
-      out.result().iterator
+      Iterator.single(RegMsg(key, newest.ver, retireBhs, newest.bhs,
+        newest.mh, newest.payload))
     }
   }
 
@@ -417,14 +452,17 @@ object NearDupStream {
     * bucket's other claimants (including docs once flagged against the
     * retired claim) are untouched. Emits [[NearDupBandP]] rows for
     * arrivals only — [[fold]] and the batch-local survivor publish
-    * compose unchanged. `msgs` is [[registerLww]] output (directly, or
-    * re-read from its exactly-once epoch handoff as [[BandMsgDdl]]). */
+    * compose unchanged. `msgs` is the COMPACT per-doc form —
+    * [[registerLww]] output (directly, or re-read from its
+    * exactly-once epoch handoff as [[RegMsgDdl]]); the per-band
+    * fan-out happens here, statelessly, ahead of the keyed exchange
+    * ([[explodeBands]]). */
   def applyLww(msgs: DataFrame, tau64: Int = DefaultTau64): Dataset[NearDupBandP] = {
     val spark = msgs.sparkSession
     import spark.implicits._
-    msgs
-      .select(col("doc_id"), col("ver"), col("b"), col("bh"), col("retire"),
-        col("mh"), col("payload"))
+    explodeBands(msgs
+        .select(col("doc_id"), col("ver"), col("retire_bhs"), col("bhs"),
+          col("mh"), col("payload")))
       .as[BandMsg]
       .groupByKey(m => (m.b, m.bh))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -511,7 +549,7 @@ object NearDupStream {
     * event clock and is excluded from the payload, every other column
     * enters it. `delay` is the ordinary lateness watermark. */
   def registerExpiringLww(src: DataFrame, ttlMs: Long,
-      delay: String = "10 seconds"): Dataset[BandMsg] = {
+      delay: String = "10 seconds"): Dataset[RegMsg] = {
     val spark = src.sparkSession
     import spark.implicits._
     val payloadCols = src.columns.filterNot(_ == "ets")
@@ -540,7 +578,7 @@ object NearDupStream {
 
   private def regGroupT(ttlMs: Long)(key: Long,
       rows: Iterator[RegArrivalT],
-      state: GroupState[DocRegT]): Iterator[BandMsg] = {
+      state: GroupState[DocRegT]): Iterator[RegMsg] = {
     if (state.hasTimedOut) {
       // idle past the horizon: retire the doc's claims (ver+1 strips
       // claims with ver ≤ the registered one; a later re-arrival of
@@ -549,16 +587,15 @@ object NearDupStream {
       // forget the doc
       val reg = state.get
       state.remove()
-      reg.bhs.iterator.zipWithIndex.map { case (bh, b) =>
-        BandMsg(key, reg.ver + 1, b, bh, retire = true, Array.empty, None)
-      }
+      Iterator.single(RegMsg(key, reg.ver + 1, reg.bhs,
+        Array.empty, Array.empty, None))
     } else {
       val all = rows.toSeq
       val newest = all.maxBy(_.ver)
       val newestEts = newest.ets.getTime
       val maxEts = all.iterator.map(_.ets.getTime).max
       val prev = state.getOption
-      val out = Seq.newBuilder[BandMsg]
+      val out = Seq.newBuilder[RegMsg]
       if (prev.exists(_.ver >= newest.ver)) {
         // stale replay: claims nothing, but the doc DID arrive — its
         // idle clock re-arms (the horizon measures arrivals of the
@@ -566,13 +603,9 @@ object NearDupStream {
         val p = prev.get
         state.update(DocRegT(p.ver, p.bhs, maxEts))
       } else {
-        prev.foreach(p => p.bhs.zipWithIndex.foreach { case (bh, b) =>
-          out += BandMsg(key, newest.ver, b, bh, retire = true, Array.empty, None)
-        })
-        newest.bhs.zipWithIndex.foreach { case (bh, b) =>
-          out += BandMsg(key, newest.ver, b, bh, retire = false, newest.mh,
-            if (b == 0) newest.payload else None)
-        }
+        out += RegMsg(key, newest.ver,
+          prev.map(_.bhs).getOrElse(Array.empty[Long]), newest.bhs,
+          newest.mh, newest.payload)
         state.update(DocRegT(newest.ver, newest.bhs, math.max(maxEts, newestEts)))
       }
       val wm = state.getCurrentWatermarkMs()

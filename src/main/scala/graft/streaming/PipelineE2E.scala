@@ -671,14 +671,14 @@ object PipelineE2E {
           regBands()
             .writeStream.outputMode("append")
             .option("checkpointLocation", s"$root/ckpt/neardupreg")
-            .foreachBatch { (b: Dataset[NearDupStream.BandMsg], batchId: Long) =>
+            .foreachBatch { (b: Dataset[NearDupStream.RegMsg], batchId: Long) =>
               OplogPipeline.writeIndexBatch(b.toDF(), s"$root/dedup", batchId, "bands")
               ()
             }
             .start()
         }
         val bandLineSchema = StructType(Seq(StructField("data",
-          StructType.fromDDL(NearDupStream.BandMsgDdl))))
+          StructType.fromDDL(NearDupStream.RegMsgDdl))))
         val buckets = gateScoped {
           NearDupStream.applyLww(
               spark.readStream.schema(bandLineSchema)

@@ -157,14 +157,14 @@ object GateTtlProbe {
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$scratch/ckpt-reg")
           .foreachBatch {
-            (b: Dataset[graft.streaming.NearDupStream.BandMsg], id: Long) =>
+            (b: Dataset[graft.streaming.NearDupStream.RegMsg], id: Long) =>
               graft.streaming.OplogPipeline.writeIndexBatch(
                 b.toDF(), s"$scratch/dedup", id, "bands")
               ()
           }
           .start()
         val bandLineSchema = StructType(Seq(StructField("data",
-          StructType.fromDDL(graft.streaming.NearDupStream.BandMsgDdl))))
+          StructType.fromDDL(graft.streaming.NearDupStream.RegMsgDdl))))
         val buckets = graft.streaming.NearDupStream.applyLww(
             spark.readStream.schema(bandLineSchema)
               .json(s"$scratch/dedup/bands/batch=*").select("data.*"))

@@ -247,13 +247,24 @@ object PipelineE2EProbe {
       budget: Long, chainPartitions: Option[Int] = None,
       gateParts: Option[Int] = None,
       gateProvider: Option[String] = None,
-      gateTtl: Boolean = false): Unit = {
+      gateTtl: Boolean = false,
+      serveChain: Option[String] = None,
+      lww: Boolean = false): Unit = {
     val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
-    def waveDocs(w: Int): DataFrame =
-      template.select((col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
+    // serve-chain mode: the oplog payload carries a synthetic 64-d
+    // embedding per doc (deterministic in doc_id — the serve stage is
+    // idle, the carry cost is what's being priced into the baseline)
+    def waveDocs(w: Int): DataFrame = {
+      val d = template.select(
+        (col("doc_id") + lit(w.toLong * stride)).as("doc_id"),
         col("source"), col("lang"),
         array_join(transform(split(col("text"), " "),
           t => concat(lit(s"w${w}_"), t)), " ").as("text"))
+      if (serveChain.isDefined)
+        d.withColumn("embedding",
+          expr("transform(sequence(1, 64), i -> cast((doc_id % 97 + 1) * i as double))"))
+      else d
+    }
     val horizon = s"${stride + 60L} seconds"
     val gated = template.filter(
       size(graft.functions.TextFns.tokens(col("text"))) >= graft.streaming.CurationStream.QualityMinTokens)
@@ -281,6 +292,7 @@ object PipelineE2EProbe {
       cap = Int.MaxValue / 2,
       applyLateness = horizon, curationDelay = horizon,
       nearDup = true, chainShufflePartitions = chainPartitions,
+      serveFromChain = serveChain, nearDupLww = lww,
       gateShufflePartitions = gateParts, gateProvider = gateProvider,
       // ttl = 2 waves of event time, the sustain protocol's bound: the
       // gate's resident band state plateaus at the ttl window instead
@@ -363,7 +375,10 @@ object PipelineE2EProbe {
       val windowSec = all.last._1
       val nShards = PipelineE2E.defaultTopology.size
       val labels = (0 until nShards).map(i => s"ingest$i") ++
-        Seq("apply", "curate", "neardup", "budget", "pack")
+        Seq("apply", "curate") ++
+        (if (lww) Seq("neardupreg", "neardup") else Seq("neardup")) ++
+        Seq("budget", "pack") ++
+        (if (serveChain.isDefined) Seq("serve") else Seq.empty)
       chain.queries.zip(labels).foreach { case (q, l) =>
         val ps = q.recentProgress.toSeq
         // the report is only trustworthy over the FULL window — if the
@@ -416,9 +431,13 @@ object PipelineE2EProbe {
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
       if (args.headOption.contains("rate")) {
         // args after 'rate': [periodSec] [waves] [rep] [chainPartitions]
-        // [gateParts] [rocksgate] [ttl] (default 20 8 4, session-default
-        // partitions, gate on the chain dial / session store, unbounded)
-        val nArgs = repArgs.filterNot(Set("rocksgate", "ttl"))
+        // [gateParts] [rocksgate] [ttl] [servechain] [lww] (default
+        // 20 8 4, session-default partitions, gate on the chain dial /
+        // session store, unbounded; `servechain` adds the embedding
+        // carry + idle serve stage, `lww` — implies servechain — swaps
+        // the gate for the update-aware two-query form: A/B the two for
+        // the LWW gate's capacity fee at the same chain shape)
+        val nArgs = repArgs.filterNot(Set("rocksgate", "ttl", "servechain", "lww"))
         val period = nArgs.lift(0).map(_.toInt).getOrElse(20)
         val nWaves = nArgs.lift(1).map(_.toInt).getOrElse(8)
         val rep = nArgs.lift(2).map(_.toInt).getOrElse(4)
@@ -428,10 +447,16 @@ object PipelineE2EProbe {
           if (repArgs.contains("rocksgate")) Some("rocksdb") else None
         val root = java.nio.file.Files
           .createTempDirectory(s"graft-e2e-rate").toFile.getAbsolutePath
+        val lww = repArgs.contains("lww")
+        val serveChain =
+          if (lww || repArgs.contains("servechain"))
+            Some(s"$sfDir/embeddings.parquet")
+          else None
         try rateOnce(spark, replicate(base, rep).localCheckpoint(),
           root, nWaves, period, 2000L * rep, chainPartitions = parts,
           gateParts = gateParts, gateProvider = gateProv,
-          gateTtl = repArgs.contains("ttl"))
+          gateTtl = repArgs.contains("ttl"),
+          serveChain = serveChain, lww = lww)
         finally {
           new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         }

@@ -52,13 +52,13 @@ class NearDupLwwSpec extends SparkSuite {
     })
       .writeStream.outputMode("append")
       .option("checkpointLocation", root.resolve("ckpt-reg").toString)
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[NearDupStream.BandMsg], id: Long) =>
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[NearDupStream.RegMsg], id: Long) =>
         OplogPipeline.writeIndexBatch(b.toDF(), s"$root/dedup", id, "bands")
         ()
       }
       .start()
     private val bandLineSchema = StructType(Seq(StructField("data",
-      StructType.fromDDL(NearDupStream.BandMsgDdl))))
+      StructType.fromDDL(NearDupStream.RegMsgDdl))))
     private val buckets = NearDupStream.applyLww(
         spark.readStream.schema(bandLineSchema)
           .json(s"$root/dedup/bands/batch=*").select("data.*"))
