@@ -378,14 +378,21 @@ object NearDupStream {
     * the same rule the batch twin's `max_by(ver)` applies; an
     * intermediate version must never claim):
     *  - ver ≤ the registered ver → stale replay, dropped whole;
-    *  - a NEW doc → 16 ARRIVAL messages (payload rides band 0 only,
-    *    the [[flagCarry]] discipline);
-    *  - an UPDATE → 16 RETIRE messages addressed at the OLD version's
-    *    band hashes, then the 16 arrivals of the new version.
+    *  - a NEW doc → one [[RegMsg]] with its 16 band hashes, signature
+    *    and payload (the [[flagCarry]] discipline — the payload lands
+    *    on band 0 at [[explodeBands]] time);
+    *  - an UPDATE → the same row ALSO carrying `retire_bhs`, the OLD
+    *    version's band hashes to strip.
     *
-    * Scale shape: ONE keyed exchange by doc_id (one row per arriving
-    * doc — never ×16; the fan-out to band rows happens in the emitted
-    * stream); state is (ver + 16 hashes) ≈ 140 B per doc — the same
+    * Scale shape: ONE keyed exchange by doc_id AND one emitted row per
+    * arriving doc — never ×16 on either side of this stage; the
+    * per-band fan-out is stateless and runs inside the CONSUMER
+    * ([[explodeBands]]), after the handoff's JSON parse (emitting
+    * per-band rows here put the registry at 92% busy at the measured
+    * knee — the handoff is serialized on disk, and 16 rows/doc each
+    * carrying a 512 B signature was the gate pair's binding term;
+    * SCALING.md round 16); state is (ver + 16 hashes) ≈ 140 B per
+    * doc — the same
     * corpus-linear apply-register class as `cdc_apply_state` and
     * `admitLww`'s charge ledger (RocksDB is the store dial; the TTL'd
     * deployment form is [[registerExpiringLww]], where the registry is

@@ -286,9 +286,38 @@ class PipelineE2EManagedIndexSpec extends SparkSuite {
         }.map(_._1).toSet
         assert(reAdmitted.nonEmpty, "fixture must re-admit some updated doc")
         val admitW2 = w2.map(_._1).toSet
-        // the seal collapses a twice-admitted doc to ONE served row
+        // the seal collapses a twice-admitted doc to ONE served row.
+        // NOTE the count alone cannot gate this phase: an update does
+        // not change the DISTINCT doc count, so the wave-1 version
+        // already satisfies it and under load the serve could answer
+        // before the delta cycle re-seals (observed as a suite-order
+        // flake) — await the CONTENT the assertion needs: every
+        // re-admitted doc's row in the pointed version carries its NEW
+        // vector
         assert(awaitIndexed(admitW2.size),
           "the sealed version must hold one row per distinct admitted doc")
+        def awaitNewest(ids: Set[Long], timeoutMs: Long = 30000): Boolean = {
+          val deadline = System.nanoTime() + timeoutMs * 1000000L
+          def covered(): Boolean = {
+            val p = java.nio.file.Paths.get(s"$serveRoot/POINTER")
+            java.nio.file.Files.exists(p) && {
+              val dir = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+              scala.util.Try {
+                val rows = MmrServeStream.readVersionRaw(spark, dir)
+                  .filter(col("doc_id").isin(ids.toSeq: _*))
+                  .select(col("doc_id"), col("embedding"))
+                  .as[(Long, Array[Double])].collect()
+                rows.length == ids.size && rows.forall { case (d, e) =>
+                  java.util.Arrays.equals(e, vecs(d + 300L))
+                }
+              }.getOrElse(false)
+            }
+          }
+          while (!covered() && System.nanoTime() < deadline) Thread.sleep(100)
+          covered()
+        }
+        assert(awaitNewest(reAdmitted),
+          "the pointed version never picked up the update wave's vectors")
 
         // the serve answers with the NEWEST embedding of every
         // re-admitted doc — the deterministic witness: a doc's NEW
