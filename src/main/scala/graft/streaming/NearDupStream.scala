@@ -324,26 +324,27 @@ object NearDupStream {
 
   /** the stateless consumer-side fan-out of [[RegMsg]] rows to
     * [[BandMsg]] rows (band index = array position — both arrays are
-    * stored in band order): retires first as a separate projection,
-    * arrivals with the signature on every band row and the payload on
-    * band 0 only — byte-identical input to the bucket kernel as the
-    * old per-band handoff produced. */
-  def explodeBands(msgs: DataFrame): DataFrame = {
-    val retires = msgs.filter(size(col("retire_bhs")) > 0)
-      .select(col("doc_id"), col("ver"),
-        posexplode(col("retire_bhs")).as(Seq("b", "bh")))
-      .select(col("doc_id"), col("ver"), col("b"), col("bh"),
-        lit(true).as("retire"),
-        expr("array()").cast("array<bigint>").as("mh"),
-        lit(null).cast("string").as("payload"))
-    val arrivals = msgs.filter(size(col("bhs")) > 0)
+    * stored in band order): ONE generator over the concatenated
+    * retire+arrival hash arrays, with `pos < |retire_bhs|`
+    * discriminating the two halves — a single scan of the handoff
+    * batch (a union of per-kind projections would parse every epoch
+    * file twice), all codegen'd functions. The signature rides every
+    * arrival row and the payload band 0 only — byte-identical input
+    * to the bucket kernel as a per-band handoff would produce. */
+  def explodeBands(msgs: DataFrame): DataFrame =
+    msgs
       .select(col("doc_id"), col("ver"), col("mh"), col("payload"),
-        posexplode(col("bhs")).as(Seq("b", "bh")))
-      .select(col("doc_id"), col("ver"), col("b"), col("bh"),
-        lit(false).as("retire"), col("mh"),
-        when(col("b") === 0, col("payload")).as("payload"))
-    retires.unionByName(arrivals)
-  }
+        size(col("retire_bhs")).as("nr"),
+        posexplode(concat(col("retire_bhs"), col("bhs"))).as(Seq("pos", "bh")))
+      .select(col("doc_id"), col("ver"),
+        when(col("pos") < col("nr"), col("pos"))
+          .otherwise(col("pos") - col("nr")).cast("int").as("b"),
+        col("bh"),
+        (col("pos") < col("nr")).as("retire"),
+        when(col("pos") < col("nr"), expr("array()").cast("array<bigint>"))
+          .otherwise(col("mh")).as("mh"),
+        when(col("pos") === col("nr"), col("payload"))
+          .otherwise(lit(null).cast("string")).as("payload"))
 
   // public: Encoder codegen materializes instances from generated code
   case class RegArrival(doc_id: Long, ver: Long, mh: Array[Long],

@@ -97,12 +97,14 @@ class PipelineE2EManagedIndexSpec extends SparkSuite {
         val deadline = System.nanoTime() + timeoutMs * 1000000L
         def covered(): Boolean = {
           val p = java.nio.file.Paths.get(s"$serveRoot/POINTER")
-          java.nio.file.Files.exists(p) && {
+          // the WHOLE probe sits in the Try: the pointer's atomic
+          // replace is a rename-with-overwrite, which on the local FS
+          // has a brief absent window between exists() and the read
+          // (observed once as NoSuchFileException under suite load)
+          scala.util.Try {
             val dir = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-            scala.util.Try(
-              MmrServeStream.readVersionRaw(spark, dir).count() == n
-            ).getOrElse(false)
-          }
+            MmrServeStream.readVersionRaw(spark, dir).count() == n
+          }.getOrElse(false)
         }
         while (!covered() && System.nanoTime() < deadline) Thread.sleep(100)
         covered()
@@ -219,12 +221,14 @@ class PipelineE2EManagedIndexSpec extends SparkSuite {
         val deadline = System.nanoTime() + timeoutMs * 1000000L
         def covered(): Boolean = {
           val p = java.nio.file.Paths.get(s"$serveRoot/POINTER")
-          java.nio.file.Files.exists(p) && {
+          // the WHOLE probe sits in the Try: the pointer's atomic
+          // replace is a rename-with-overwrite, which on the local FS
+          // has a brief absent window between exists() and the read
+          // (observed once as NoSuchFileException under suite load)
+          scala.util.Try {
             val dir = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-            scala.util.Try(
-              MmrServeStream.readVersionRaw(spark, dir).count() == n
-            ).getOrElse(false)
-          }
+            MmrServeStream.readVersionRaw(spark, dir).count() == n
+          }.getOrElse(false)
         }
         while (!covered() && System.nanoTime() < deadline) Thread.sleep(100)
         covered()
@@ -300,18 +304,18 @@ class PipelineE2EManagedIndexSpec extends SparkSuite {
           val deadline = System.nanoTime() + timeoutMs * 1000000L
           def covered(): Boolean = {
             val p = java.nio.file.Paths.get(s"$serveRoot/POINTER")
-            java.nio.file.Files.exists(p) && {
+            // whole probe in the Try — the pointer's rename-with-
+            // overwrite has a brief absent window on the local FS
+            scala.util.Try {
               val dir = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-              scala.util.Try {
-                val rows = MmrServeStream.readVersionRaw(spark, dir)
-                  .filter(col("doc_id").isin(ids.toSeq: _*))
-                  .select(col("doc_id"), col("embedding"))
-                  .as[(Long, Array[Double])].collect()
-                rows.length == ids.size && rows.forall { case (d, e) =>
-                  java.util.Arrays.equals(e, vecs(d + 300L))
-                }
-              }.getOrElse(false)
-            }
+              val rows = MmrServeStream.readVersionRaw(spark, dir)
+                .filter(col("doc_id").isin(ids.toSeq: _*))
+                .select(col("doc_id"), col("embedding"))
+                .as[(Long, Array[Double])].collect()
+              rows.length == ids.size && rows.forall { case (d, e) =>
+                java.util.Arrays.equals(e, vecs(d + 300L))
+              }
+            }.getOrElse(false)
           }
           while (!covered() && System.nanoTime() < deadline) Thread.sleep(100)
           covered()
