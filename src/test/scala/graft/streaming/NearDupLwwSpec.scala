@@ -310,6 +310,36 @@ class NearDupLwwSpec extends SparkSuite {
     }
   }
 
+  test("LWW gate plans: one exchange per stage, single-scan explode, no joins") {
+    import org.apache.spark.sql.functions.lit
+    // batch execution exposes the physical shape the streaming planner
+    // inherits (the flag-plan pin's discipline, applied to the pair)
+    val corpus = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), lit(1L).as("ver"), col("lang"), col("text"))
+    // stage 1: sketch + band hashes are narrow; the ONLY shuffle is the
+    // doc_id-keyed exchange into the registry, and one row per doc
+    // comes out — never ×16 on either side
+    val reg = NearDupStream.registerLww(corpus)
+    val pReg = reg.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(pReg).size == 1,
+      s"registry: expected exactly 1 keyed exchange, plan:\n${pReg.take(600)}")
+    assert(!pReg.contains("Join"), s"registry must not join:\n${pReg.take(600)}")
+    assert(!pReg.contains("Generate"),
+      s"registry must not fan out to band rows:\n${pReg.take(600)}")
+    // stage 2 in isolation (localCheckpoint truncates the registry's
+    // lineage): ONE generator does the 16× fan-out (a per-kind
+    // projection union would scan the handoff twice), then the single
+    // (band, band-hash) keyed exchange into the bucket kernel
+    val msgs = reg.toDF().localCheckpoint()
+    val pBuk = NearDupStream.applyLww(msgs).queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(pBuk).size == 1,
+      s"buckets: expected exactly 1 generator, plan:\n${pBuk.take(600)}")
+    assert("Exchange hashpartitioning".r.findAllIn(pBuk).size == 1,
+      s"buckets: expected exactly 1 keyed exchange, plan:\n${pBuk.take(600)}")
+    assert(!pBuk.contains("Join") && !pBuk.contains("Union"),
+      s"buckets must neither join nor double-scan:\n${pBuk.take(600)}")
+  }
+
   /** kill/restart across the idle horizon: the registry's armed
     * event-time timers, its version registers, the watermark, AND the
     * bucket claims all live in the two checkpoints — a second Gate on
