@@ -359,6 +359,11 @@ object NearDupStream {
   /** Stage 1 of the UPDATE-AWARE gate — the per-doc VERSION REGISTRY:
     * the exact stale-state fix [[graft.streaming.TokenBudgetStream]]
     * `admitLww` ships for budget accounting, ported to band claims.
+    * The reference analog is O7's keyed state lifecycle — per-key
+    * registers that a later op for the same key supersedes
+    * (`reference:src/main/java/org/flinkmon/source/MongoDBOplogSource.java:116-128`);
+    * here the superseded entry additionally RETIRES what it had
+    * claimed elsewhere.
     * [[flag]]'s contract is first-writer-claims-forever: an updated
     * document's OLD shingles stay resident in its old buckets, so a
     * superseded version can flag a genuinely-new arrival as its
