@@ -22,6 +22,24 @@ import org.apache.spark.sql.SparkSession
   * queries only (sentinels would drown it), with "ok":false,
   * "n_failed", and a nonzero exit code marking the broken run.
   *
+  * CO-TENANCY SENTINEL (round 17 — the artifact adjudicates itself):
+  * r16 shipped a 1.41× "regression" that was pure host noise (three
+  * queries 3-5× their clean values with ZERO code diff in their
+  * files; every one refuted by a clean re-run). The recorded artifact
+  * now applies the repo's own A/B re-run protocol in-process:
+  *  - `bench_floor.json` carries each query's recorded CLEAN warm
+  *    floor (maintained per round from the cleanest detail). A warm
+  *    min > 2× its floor triggers up to 3 extra in-process re-runs
+  *    (the tail usually lands back in band once the co-tenant window
+  *    passes); if it STILL exceeds 2× floor it ships named in
+  *    "host_noise" — recorded, but flagged as unrepresentative.
+  *  - a fixed CONTROL (q1_pricing_summary) is timed warm FIRST and
+  *    LAST around the batch pass; control drift > 1.5× its floor on
+  *    either side sets "host_noise_suspected" on the whole artifact —
+  *    a contaminated window can no longer ship silently.
+  * `dedup_image_phash` (twice elected top cost on decode variance,
+  * r9/r16) is exactly the query class this adjudicates.
+  *
   * After the batch queries, the STREAMING path is benched BEST-of-N
   * (same `--repeat` dial as the batch min-of-N — a single-shot meter
   * produced three rounds of phantom regressions on this co-tenant
@@ -79,35 +97,88 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    val results: Seq[(String, Double, Seq[Double], Boolean)] = SparkEntry.benchQueries.map { name =>
-      val (cold, okCold) = timeOne(name)
-      val warms = Seq.fill(repeat)(timeOne(name))
-      (name, cold, warms.map(_._1), okCold && warms.forall(_._2))
+    // per-query recorded clean floors (co-tenancy sentinel — see
+    // scaladoc). Absent file or absent query → no adjudication.
+    val floors: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_FLOOR", "bench_floor.json"))
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     }
+    val ControlQuery = "q1_pricing_summary"
+    val MaxAdjRuns = 3
+    def controlWarm(): Double = {
+      timeOne(ControlQuery)   // its own classload/codegen, untimed
+      Seq.fill(2)(timeOne(ControlQuery)._1).min
+    }
+    // control FIRST: the batch pass's entry-side window reading
+    val ctlFirst = controlWarm()
+
+    final case class QRes(name: String, cold: Double, warms: Seq[Double],
+        ok: Boolean, adjRuns: Int, hostNoise: Boolean)
+    val results: Seq[QRes] = SparkEntry.benchQueries.map { name =>
+      val (cold, okCold) = timeOne(name)
+      var warms = Seq.fill(repeat)(timeOne(name))
+      val floor = floors.get(name)
+      var adj = 0
+      // a warm min > 2x the clean floor is re-measured in-process
+      // until it lands back in band or the re-run budget is spent —
+      // the SCALING.md A/B protocol applied to the shipped artifact
+      while (warms.forall(_._2) && adj < MaxAdjRuns &&
+          floor.exists(f => warms.map(_._1).min > 2 * f)) {
+        adj += 1
+        warms = warms :+ timeOne(name)
+      }
+      val ok = okCold && warms.forall(_._2)
+      val noise = ok && floor.exists(f => warms.map(_._1).min > 2 * f)
+      if (noise) System.err.println(
+        f"[bench] host_noise: $name warm=${warms.map(_._1).min}%.2f s " +
+          f"> 2x floor ${floor.get}%.2f s after $adj re-runs")
+      QRes(name, cold, warms.map(_._1), ok, adj, noise)
+    }
+    // control LAST: did the window drift while the pass ran?
+    val ctlLast = controlWarm()
+    val ctlFloor = floors.getOrElse(ControlQuery, ctlFirst)
+    val hostNoiseSuspected =
+      ctlFirst > 1.5 * ctlFloor || ctlLast > 1.5 * ctlFloor
+    if (hostNoiseSuspected) System.err.println(
+      f"[bench] host_noise_suspected: control first=$ctlFirst%.2f " +
+        f"last=$ctlLast%.2f vs floor $ctlFloor%.2f")
 
     def fmt(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
-    val warmQs = fmt(results.map { case (k, _, w, ok) => k -> (if (ok) w.min else FailedSentinelSec) })
-    val coldQs = fmt(results.map { case (k, c, _, ok) => k -> (if (ok) c else FailedSentinelSec) })
+    val warmQs = fmt(results.map(r => r.name -> (if (r.ok) r.warms.min else FailedSentinelSec)))
+    val coldQs = fmt(results.map(r => r.name -> (if (r.ok) r.cold else FailedSentinelSec)))
     // every raw warm value (min-of-runs audit trail): two same-commit
     // runs compare distributions instead of single points
-    val runsQs = results.map { case (k, _, w, _) =>
-      "\"" + k + "\":" + w.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val runsQs = results.map { r =>
+      "\"" + r.name + "\":" + r.warms.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val nFailed = results.count(!_._4)
+    val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val nFailed = results.count(!_.ok)
+    val hostNoise = results.filter(_.hostNoise).map("\"" + _.name + "\"")
+      .mkString("[", ",", "]")
+    val nHostNoise = results.count(_.hostNoise)
+    val adjudicatedQs = results.filter(_.adjRuns > 0)
+      .map(r => "\"" + r.name + "\":" + r.adjRuns).mkString("{", ",", "}")
+    val controlJson =
+      f"""{"first":$ctlFirst%.3f,"last":$ctlLast%.3f,"floor":$ctlFloor%.3f}"""
     // headline total = passing queries ONLY. Summing the 9999 s failure
     // sentinels made a broken round's total meaningless (r7: 120,076 s)
     // and wrecked round-over-round comparison; failures are reported
     // loudly instead via n_failed / failed / ok:false / exit code 1.
-    val total = results.collect { case (_, _, w, true) => w.min }.sum
+    val total = results.collect { case r if r.ok => r.warms.min }.sum
     // backward-compatible trend line (round-8 ADVICE): the pre-r8
     // semantics where a failure's 9999 s sentinel rides the total, so a
     // consumer diffing raw values across rounds still sees a broken run
     // as catastrophically slower even if it ignores ok/n_failed/rc
     val totalWithSentinels =
-      results.map { case (_, _, w, ok) => if (ok) w.min else FailedSentinelSec }.sum
+      results.map(r => if (r.ok) r.warms.min else FailedSentinelSec).sum
 
     // streaming throughput meters. Like the batch queries these are
     // BEST-of-N (N = the same --repeat dial): a single-shot meter on
@@ -216,7 +287,7 @@ object Bench {
 
     val detailPath = "BENCH_DETAIL.json"
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"repeat":$repeat,"queries":$warmQs,"cold":$coldQs,"runs":$runsQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"streaming_serve":$streamingServe,"streaming_neardup":$streamingNearDup,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"repeat":$repeat,"control":$controlJson,"host_noise_suspected":$hostNoiseSuspected,"host_noise":$hostNoise,"adjudicated":$adjudicatedQs,"queries":$warmQs,"cold":$coldQs,"runs":$runsQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"streaming_serve":$streamingServe,"streaming_neardup":$streamingNearDup,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -236,7 +307,7 @@ object Bench {
       m.map(_.group(1)).getOrElse("0.0")
     }
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"queries":$qs,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"serve_queries_per_sec":${qps(streamingServe)},"neardup_docs_per_sec":${dps(streamingNearDup)},"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"host_noise_count":$nHostNoise,"host_noise_suspected":$hostNoiseSuspected,"queries":$qs,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"serve_queries_per_sec":${qps(streamingServe)},"neardup_docs_per_sec":${dps(streamingNearDup)},"detail":"$detailPath","sf":"$sfDir"}"""
     val full = line(warmQs)
     println(if (full.length <= 1600) full else line("{}"))
     spark.stop()

@@ -630,7 +630,7 @@ object MmrServeStream {
   /** Segment-aware raw read of a version's (doc_id, cell, embedding,
     * nrm) — the shared input of the balance counts, the Lloyd round
     * and the recall gate. */
-  private[streaming] def readVersionRaw(spark: SparkSession,
+  private[graft] def readVersionRaw(spark: SparkSession,
       dir: String): DataFrame =
     readDirsUnion(spark, versionDirs(dir),
       "doc_id LONG, cell INT, nrm DOUBLE, embedding ARRAY<DOUBLE>")

@@ -296,8 +296,10 @@ object NearDupStream {
     * explode: an ARRIVAL (the newest version's band row — signature,
     * and the carried payload on band 0) or a RETIRE (strip this doc's
     * claims with ver < `ver` from the OLD version's bucket). `mh` is
-    * empty and `payload` null on retires. */
-  case class BandMsg(doc_id: Long, ver: Long, b: Int, bh: Long,
+    * empty and `payload` null on retires. `epoch` is the registry
+    * batch the message rode — the bucket kernel replays messages in
+    * epoch order within its own trigger (see [[applyLww]]). */
+  case class BandMsg(doc_id: Long, ver: Long, epoch: Long, b: Int, bh: Long,
                      retire: Boolean, mh: Array[Long], payload: Option[String])
 
   /** ONE registry→bucket message PER ARRIVING DOC — what the epoch
@@ -318,9 +320,16 @@ object NearDupStream {
                     bhs: Array[Long], mh: Array[Long], payload: Option[String])
 
   /** DDL of [[RegMsg]] as the index-sink epochs carry it — the schema
-    * the chain's bucket query reads the registry handoff with. */
+    * the chain's bucket query reads the registry handoff with. The
+    * publisher stamps each epoch's rows with the registry batch id
+    * (`epoch` — a per-batch constant, so it is added at the
+    * foreachBatch publish site, not by the kernel); the bucket kernel
+    * replays messages in epoch order within a catch-up trigger.
+    * Format evolution is FAIL-FAST: [[explodeBands]] raises on rows
+    * whose arrays/epoch parse null (a pre-upgrade handoff directory
+    * must be rebuilt, never silently dropped). */
   val RegMsgDdl: String = "doc_id LONG, ver LONG, retire_bhs ARRAY<LONG>, " +
-    "bhs ARRAY<LONG>, mh ARRAY<LONG>, payload STRING"
+    "bhs ARRAY<LONG>, mh ARRAY<LONG>, payload STRING, epoch LONG"
 
   /** the stateless consumer-side fan-out of [[RegMsg]] rows to
     * [[BandMsg]] rows (band index = array position — both arrays are
@@ -331,12 +340,29 @@ object NearDupStream {
     * file twice), all codegen'd functions. The signature rides every
     * arrival row and the payload band 0 only — byte-identical input
     * to the bucket kernel as a per-band handoff would produce. */
-  def explodeBands(msgs: DataFrame): DataFrame =
+  def explodeBands(msgs: DataFrame): DataFrame = {
+    // FAIL-FAST format guard (round-17 ADVICE): a pre-upgrade handoff
+    // directory (per-band BandMsg rows, or RegMsg epochs without the
+    // publish-time epoch stamp) parses under [[RegMsgDdl]] with null
+    // arrays/epoch, and the generator below would silently emit ZERO
+    // rows for those files — a restarted chain would drop every gate
+    // message without a trace. The guard rides the generator's own
+    // input expression (evaluated once per handoff row, codegen'd;
+    // a standalone guard column would be pruned as unused), so a
+    // format mismatch kills the query loudly instead.
+    val guardedRetire = when(
+      col("retire_bhs").isNull.or(col("bhs").isNull).or(col("epoch").isNull),
+      raise_error(lit("graft near-dup gate: handoff row parsed with null " +
+        "retire_bhs/bhs/epoch — this epoch directory predates the current " +
+        "RegMsg handoff format (NearDupStream.RegMsgDdl). Rebuild the gate " +
+        "handoff/checkpoint; refusing to silently drop gate messages."))
+        .cast("array<bigint>"))
+      .otherwise(col("retire_bhs"))
     msgs
-      .select(col("doc_id"), col("ver"), col("mh"), col("payload"),
+      .select(col("doc_id"), col("ver"), col("epoch"), col("mh"), col("payload"),
         size(col("retire_bhs")).as("nr"),
-        posexplode(concat(col("retire_bhs"), col("bhs"))).as(Seq("pos", "bh")))
-      .select(col("doc_id"), col("ver"),
+        posexplode(concat(guardedRetire, col("bhs"))).as(Seq("pos", "bh")))
+      .select(col("doc_id"), col("ver"), col("epoch"),
         when(col("pos") < col("nr"), col("pos"))
           .otherwise(col("pos") - col("nr")).cast("int").as("b"),
         col("bh"),
@@ -345,6 +371,7 @@ object NearDupStream {
           .otherwise(col("mh")).as("mh"),
         when(col("pos") === col("nr"), col("payload"))
           .otherwise(lit(null).cast("string")).as("payload"))
+  }
 
   // public: Encoder codegen materializes instances from generated code
   case class RegArrival(doc_id: Long, ver: Long, mh: Array[Long],
@@ -457,25 +484,40 @@ object NearDupStream {
   }
 
   /** Stage 2 of the UPDATE-AWARE gate — the bucket rendezvous with
-    * VERSION-STAMPED claims: [[flag]]'s kernel plus retirement. Within
-    * a trigger, RETIRES apply first (a superseded version must never
-    * adjudicate an arrival co-arriving with the update that replaces
-    * it), then arrivals fold in doc_id order exactly as [[flag]] does.
+    * VERSION-STAMPED claims: [[flag]]'s kernel plus retirement,
+    * replayed EPOCH BY EPOCH (round-17 ADVICE): under catch-up one
+    * file-stream trigger can bundle several registry epochs, and a
+    * flat retires-first fold across the bundle has two hazards — a
+    * LATE timeout-retire would strip a claim ahead of an EARLIER
+    * in-horizon arrival (admitting a near-copy that should flag), and
+    * a v1 arrival bundled with its own v2 update would claim after
+    * the retire already ran, letting v2 flag against its own
+    * superseded claim. Grouping the trigger's messages by the
+    * publish-stamped `epoch` and folding epochs in ascending order —
+    * per epoch: retires first, then arrivals in doc_id order —
+    * reproduces the one-trigger-per-epoch sequential semantics
+    * exactly, at ANY catch-up bundling, without throttling the reader
+    * (a maxFilesPerTrigger=1 bound would pay the chain's measured
+    * per-batch fixed machinery once per epoch during catch-up).
     * A retire strips the doc's claims with ver < the retiring ver; the
     * bucket's other claimants (including docs once flagged against the
     * retired claim) are untouched. Emits [[NearDupBandP]] rows for
     * arrivals only — [[fold]] and the batch-local survivor publish
     * compose unchanged. `msgs` is the COMPACT per-doc form —
-    * [[registerLww]] output (directly, or re-read from its
-    * exactly-once epoch handoff as [[RegMsgDdl]]); the per-band
-    * fan-out happens here, statelessly, ahead of the keyed exchange
+    * [[registerLww]] output (directly — stamped epoch 0, one epoch
+    * per trigger by construction — or re-read from its exactly-once
+    * epoch handoff as [[RegMsgDdl]]); the per-band fan-out happens
+    * here, statelessly, ahead of the keyed exchange
     * ([[explodeBands]]). */
   def applyLww(msgs: DataFrame, tau64: Int = DefaultTau64): Dataset[NearDupBandP] = {
     val spark = msgs.sparkSession
     import spark.implicits._
-    explodeBands(msgs
-        .select(col("doc_id"), col("ver"), col("retire_bhs"), col("bhs"),
-          col("mh"), col("payload")))
+    val withEpoch =
+      if (msgs.columns.contains("epoch")) msgs
+      else msgs.withColumn("epoch", lit(0L))
+    explodeBands(withEpoch
+        .select(col("doc_id"), col("ver"), col("epoch"), col("retire_bhs"),
+          col("bhs"), col("mh"), col("payload")))
       .as[BandMsg]
       .groupByKey(m => (m.b, m.bh))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -486,21 +528,29 @@ object NearDupStream {
       rows: Iterator[BandMsg],
       state: GroupState[BucketStateV]): Iterator[NearDupBandP] = {
     var claimants = state.getOption.map(_.claimants).getOrElse(Seq.empty)
-    val (retires, arrivals) = rows.toSeq.partition(_.retire)
-    retires.foreach { r =>
-      claimants = claimants.filterNot(c => c.id == r.doc_id && c.ver < r.ver)
-    }
     val out = Seq.newBuilder[NearDupBandP]
-    arrivals.sortBy(_.doc_id).foreach { a =>
-      claimants.find(c => sim64(c.sig, a.mh) >= tau64) match {
-        case Some(c) =>
-          out += NearDupBandP(a.doc_id, a.b, Some(c.id), sim64(c.sig, a.mh), a.payload)
-        case None =>
-          val best =
-            if (claimants.isEmpty) 0
-            else claimants.iterator.map(c => sim64(c.sig, a.mh)).max
-          claimants = claimants :+ ClaimantV(a.doc_id, a.ver, a.mh)
-          out += NearDupBandP(a.doc_id, a.b, None, best, a.payload)
+    // epoch-ordered replay (see [[applyLww]]); within an epoch each doc
+    // appears at most once (the registry collapses in-batch LWW and
+    // emits one RegMsg per doc per trigger)
+    rows.toSeq.groupBy(_.epoch).toSeq.sortBy(_._1).foreach { case (_, msgs) =>
+      val (retires, arrivals) = msgs.partition(_.retire)
+      retires.foreach { r =>
+        claimants = claimants.filterNot(c => c.id == r.doc_id && c.ver < r.ver)
+      }
+      arrivals.sortBy(_.doc_id).foreach { a =>
+        // c.id != a.doc_id: a document never adjudicates ITSELF — the
+        // epoch replay already prevents self-pairing for stamped
+        // handoffs; this keeps the invariant structural for any input
+        claimants.find(c => c.id != a.doc_id && sim64(c.sig, a.mh) >= tau64) match {
+          case Some(c) =>
+            out += NearDupBandP(a.doc_id, a.b, Some(c.id), sim64(c.sig, a.mh), a.payload)
+          case None =>
+            val best =
+              if (claimants.isEmpty) 0
+              else claimants.iterator.map(c => sim64(c.sig, a.mh)).max
+            claimants = claimants :+ ClaimantV(a.doc_id, a.ver, a.mh)
+            out += NearDupBandP(a.doc_id, a.b, None, best, a.payload)
+        }
       }
     }
     // a bucket whose last claim was retired is equivalent to absent —
@@ -605,24 +655,32 @@ object NearDupStream {
     } else {
       val all = rows.toSeq
       val newest = all.maxBy(_.ver)
-      val newestEts = newest.ets.getTime
       val maxEts = all.iterator.map(_.ets.getTime).max
       val prev = state.getOption
+      // the idle clock NEVER rewinds (round-17 ADVICE): an out-of-order
+      // replay whose event time is older than the doc's stored
+      // last-arrival (possible up to the full watermark delay — hours
+      // in the chain's curationDelay config) re-arms FORWARD only —
+      // lastEtsMs carries the max over everything ever seen, and the
+      // timeout arms off that stored clock, so "idle for ttl" is
+      // measured from the doc's LATEST arrival, as the contract states
+      val lastEts = math.max(
+        prev.map(_.lastEtsMs).getOrElse(Long.MinValue), maxEts)
       val out = Seq.newBuilder[RegMsg]
       if (prev.exists(_.ver >= newest.ver)) {
         // stale replay: claims nothing, but the doc DID arrive — its
         // idle clock re-arms (the horizon measures arrivals of the
         // doc, not of a specific version)
         val p = prev.get
-        state.update(DocRegT(p.ver, p.bhs, maxEts))
+        state.update(DocRegT(p.ver, p.bhs, lastEts))
       } else {
         out += RegMsg(key, newest.ver,
           prev.map(_.bhs).getOrElse(Array.empty[Long]), newest.bhs,
           newest.mh, newest.payload)
-        state.update(DocRegT(newest.ver, newest.bhs, math.max(maxEts, newestEts)))
+        state.update(DocRegT(newest.ver, newest.bhs, lastEts))
       }
       val wm = state.getCurrentWatermarkMs()
-      state.setTimeoutTimestamp(math.max(wm, maxEts) + ttlMs)
+      state.setTimeoutTimestamp(math.max(wm, lastEts) + ttlMs)
       out.result().iterator
     }
   }

@@ -94,7 +94,8 @@ object OplogPipeline {
       checkpointDir: String,
       replicaDepth: Int,
       watermark: String = "10 seconds",
-      echoToConsole: Boolean = false): StreamingQuery = {
+      echoToConsole: Boolean = false,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
     import spark.implicits._
     implicit val s: SparkSession = spark
 
@@ -107,7 +108,7 @@ object OplogPipeline {
     deduped.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime("1 second"))
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[OplogEntry], batchId: Long) =>
         val df = batch.toDF().persist()        // one read, two sinks
         try {

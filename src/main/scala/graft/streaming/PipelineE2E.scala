@@ -452,9 +452,24 @@ object PipelineE2E {
       chainShufflePartitions: Option[Int] = None,
       nearDupLww: Boolean = false,
       gateShufflePartitions: Option[Int] = None,
-      gateProvider: Option[String] = None): LiveChain = {
+      gateProvider: Option[String] = None,
+      chainTriggerSec: Option[Int] = None): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
+    // the TRIGGER-SIZE amortization dial (round 17): the post-kernel-
+    // fix profile names the chain's floor as per-batch FIXED machinery
+    // (state commits × partitions × queries, shuffle-file fan-out,
+    // per-task conf deserialization — SCALING.md "balanced,
+    // machinery-bound"), which amortizes with batch size. Setting a
+    // processing-time trigger of N seconds on every stage makes each
+    // micro-batch carry ~N seconds of arrivals: fewer, larger batches —
+    // the same data pays the fixed machinery 1/N as often, at up to
+    // one trigger interval of added latency per stage. None keeps each
+    // stage's default cadence (ingest 1 s, the rest as-fast-as-ready).
+    def trig[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T]):
+        org.apache.spark.sql.streaming.DataStreamWriter[T] =
+      chainTriggerSec.fold(w)(n => w.trigger(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$n seconds")))
     // the chain's own shuffle/STATE partition count, pinned per query
     // at start (conf scoped to this method; the session default is
     // restored before returning). This is the open-loop capacity dial
@@ -524,7 +539,9 @@ object PipelineE2E {
       if (serveFromChain.isDefined) curatedFullSchemaE else curatedFullSchema
 
     val ingest = ShardedOplogPipeline.run(spark, topology,
-      sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt/ingest", watermark)
+      sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt/ingest", watermark,
+      trigger = chainTriggerSec.map(n =>
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$n seconds")))
 
     val lineSchema = StructType(Seq(StructField("data", OplogEntry.schema)))
     // applyLateness, NOT the per-shard ingest watermark: the apply
@@ -541,7 +558,7 @@ object PipelineE2E {
     // `applyProvider = Some("rocksdb")` moves JUST this query's state
     // off-heap (conf pinned per query at start; the other stages keep
     // the session default per the churn-vs-resident dial)
-    def startApply() = OplogApply.currentState(
+    def startApply() = trig(OplogApply.currentState(
         spark.readStream.schema(lineSchema)
           .json(s"$root/index/*/oplog/batch=*")
           .select("data.*").as[OplogEntry],
@@ -550,7 +567,7 @@ object PipelineE2E {
       .option("checkpointLocation", s"$root/ckpt/apply")
       .foreachBatch(
         writeDocsBatch(root, chainDocSchema,
-          withVer = serveFromChain.isDefined) _)
+          withVer = serveFromChain.isDefined) _))
       .start()
     val apply = applyProvider.fold(startApply())(p =>
       graft.GraftSession.withStateProvider(spark, p)(startApply()))
@@ -568,10 +585,10 @@ object PipelineE2E {
         CurationStream.curateWithText(
           spark.readStream.schema(docSchema).parquet(docsGlob(root)),
           cap = cap, delay = curationDelay).toDF())
-    val curate = curateSink
+    val curate = trig(curateSink
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt/curate")
-      .format("parquet").option("path", s"$root/curated")
+      .format("parquet").option("path", s"$root/curated"))
       .start()
 
     // OPTIONAL near-dup admission between curation and budget
@@ -668,33 +685,39 @@ object PipelineE2E {
             spark.readStream.schema(curatedLiveSchema).parquet(s"$root/curated"))
         }
         val reg = gateScoped {
-          regBands()
+          trig(regBands()
             .writeStream.outputMode("append")
             .option("checkpointLocation", s"$root/ckpt/neardupreg")
             .foreachBatch { (b: Dataset[NearDupStream.RegMsg], batchId: Long) =>
-              OplogPipeline.writeIndexBatch(b.toDF(), s"$root/dedup", batchId, "bands")
+              // epoch stamp: the bucket kernel replays a catch-up
+              // trigger's messages in registry-batch order (a
+              // per-batch constant, so it is stamped here, not by the
+              // kernel) — see [[NearDupStream.applyLww]]
+              OplogPipeline.writeIndexBatch(
+                b.toDF().withColumn("epoch", lit(batchId)),
+                s"$root/dedup", batchId, "bands")
               ()
-            }
+            })
             .start()
         }
         val bandLineSchema = StructType(Seq(StructField("data",
           StructType.fromDDL(NearDupStream.RegMsgDdl))))
         val buckets = gateScoped {
-          NearDupStream.applyLww(
+          trig(NearDupStream.applyLww(
               spark.readStream.schema(bandLineSchema)
                 .json(s"$root/dedup/bands/batch=*").select("data.*"))
             .writeStream.outputMode("append")
             .option("checkpointLocation", s"$root/ckpt/neardup")
-            .foreachBatch(publishSurvivors _)
+            .foreachBatch(publishSurvivors _))
             .start()
         }
         Seq(reg, buckets)
       } else Seq(gateScoped {
-        gateBands(
+        trig(gateBands(
             spark.readStream.schema(curatedLiveSchema).parquet(s"$root/curated"))
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$root/ckpt/neardup")
-          .foreachBatch(publishSurvivors _)
+          .foreachBatch(publishSurvivors _))
           .start()
       })
 
@@ -742,13 +765,13 @@ object PipelineE2E {
             "cell", "nrm", "embedding", "ver")
       } else if (budgetLww) admittedCarry().toDF()
       else TokenBudgetStream.admit(budgetSrc, hist, cuts).toDF()
-    val budget = budgetSink
+    val budget = trig(budgetSink
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt/budget")
-      .format("parquet").option("path", s"$root/admitted")
+      .format("parquet").option("path", s"$root/admitted"))
       .start()
 
-    val pack = FfdPackStream.packCounted(
+    val pack = trig(FfdPackStream.packCounted(
         spark.readStream.schema(admitSchema).parquet(s"$root/admitted")
           .select(col("doc_id"), col("lang"), col("n_tokens")).as[FfdDoc],
         binCap)
@@ -757,7 +780,7 @@ object PipelineE2E {
       .foreachBatch { (b: Dataset[FfdAssign], batchId: Long) =>
         OplogPipeline.writeIndexBatch(b.toDF(), s"$root/layout", batchId, "ffd")
         ()
-      }
+      })
       .start()
 
     // OPTIONAL live SERVE stage — the chain closed end to end IN one

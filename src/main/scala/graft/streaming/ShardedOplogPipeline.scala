@@ -30,7 +30,8 @@ object ShardedOplogPipeline {
       sourceDirFor: String => String,
       indexDir: String,
       checkpointRoot: String,
-      watermark: String = "10 seconds"): Seq[StreamingQuery] =
+      watermark: String = "10 seconds",
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): Seq[StreamingQuery] =
     topology.map { shard =>
       OplogPipeline.run(
         spark,
@@ -38,6 +39,8 @@ object ShardedOplogPipeline {
         indexDir = s"$indexDir/${shard.shard}",
         checkpointDir = s"$checkpointRoot/${shard.shard}",
         replicaDepth = shard.replicaDepth,
-        watermark = watermark)
+        watermark = watermark,
+        trigger = trigger.getOrElse(
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")))
     }
 }

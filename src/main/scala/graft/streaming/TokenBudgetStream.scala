@@ -203,7 +203,13 @@ object TokenBudgetStream {
     *    release here would serve an unpaid row). Reconciliation is
     *    compaction's job, exactly like the segment model's
     *    duplicate-version window: the next full seal collapses by
-    *    `ver` over what admission actually emitted.
+    *    `ver` over what admission actually emitted. DEMONSTRATED, not
+    *    just documented (round 17): PipelineE2EChainServeSpec
+    *    "below-cut update: live keeps the old charge, the compaction
+    *    seal releases it" drives the full-LWW chain through exactly
+    *    this timeline and runs the seal — the stale charge is
+    *    released, conservation holds per lang, and the freed tokens
+    *    admit a previously-rejected lang-mate.
     *
     * State is keyed by LANG (a refund must cross rank_key groups):
     * per-group cumsums (histogram-bounded) plus a per-admitted-doc

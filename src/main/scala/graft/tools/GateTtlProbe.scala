@@ -120,10 +120,13 @@ object GateTtlProbe {
   /** the composed update-aware sweep: same fixture, same staging, but
     * the gate is the chain's two-query LWW wiring and the drive is
     * wave-stepped (one staged file per registry trigger, bucket drain
-    * after each) so retire/arrival epochs apply in publication order —
-    * the AvailableNow shortcut would collapse every epoch into one
-    * bucket trigger and apply a LATE timeout-retire ahead of an EARLY
-    * arrival. */
+    * after each) so the sweep prices the steady-state cadence. The
+    * catch-up hazard this stepping used to be the only defense
+    * against — a bundled trigger applying a LATE timeout-retire ahead
+    * of an EARLY arrival — is now closed structurally: the bucket
+    * kernel replays a trigger's messages in stamped-epoch order
+    * ([[graft.streaming.NearDupStream.applyLww]], round 17), so even
+    * an AvailableNow collapse adjudicates identically. */
   private def runLww(spark: SparkSession,
       merged: org.apache.spark.sql.DataFrame, ttls: Seq[Long]): Unit = {
     import spark.implicits._
@@ -159,7 +162,7 @@ object GateTtlProbe {
           .foreachBatch {
             (b: Dataset[graft.streaming.NearDupStream.RegMsg], id: Long) =>
               graft.streaming.OplogPipeline.writeIndexBatch(
-                b.toDF(), s"$scratch/dedup", id, "bands")
+                b.toDF().withColumn("epoch", lit(id)), s"$scratch/dedup", id, "bands")
               ()
           }
           .start()

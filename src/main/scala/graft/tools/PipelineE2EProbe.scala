@@ -26,7 +26,7 @@ import graft.streaming.PipelineE2E
   */
 object PipelineE2EProbe {
 
-  private def replicate(docs: DataFrame, k: Int): DataFrame =
+  private[tools] def replicate(docs: DataFrame, k: Int): DataFrame =
     if (k == 1) docs
     else {
       val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
@@ -249,7 +249,8 @@ object PipelineE2EProbe {
       gateProvider: Option[String] = None,
       gateTtl: Boolean = false,
       serveChain: Option[String] = None,
-      lww: Boolean = false): Unit = {
+      lww: Boolean = false,
+      triggerSec: Option[Int] = None): Unit = {
     val stride = template.agg(max(col("doc_id"))).head().getLong(0) + 1L
     // serve-chain mode: the oplog payload carries a synthetic 64-d
     // embedding per doc (deterministic in doc_id — the serve stage is
@@ -300,7 +301,11 @@ object PipelineE2EProbe {
       // 400k-doc over-capacity point names
       nearDupTtlMs = if (gateTtl) Some(2L *
         (template.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 1000L)
-      else None)
+      else None,
+      // the trigger-size amortization dial (round 17): N-second
+      // processing-time triggers on every stage — fewer, larger
+      // batches at the same offered rate
+      chainTriggerSec = triggerSec)
     try {
       // pre-render every wave TO DISK so injection is a pure file move —
       // the injector holds its cadence instead of competing with the
@@ -362,7 +367,7 @@ object PipelineE2EProbe {
           .map(_._1).getOrElse(Double.NaN)
         val injAt = injected.get(w)
         val lag = done - injAt
-        println(f"""{"probe":"chain_rate","period_sec":$periodSec,"wave":$w,"injected_at":$injAt%.1f,"packed":$target,"lag_sec":$lag%.1f}""")
+        println(f"""{"probe":"chain_rate","period_sec":$periodSec,"trigger_sec":${triggerSec.getOrElse(0)},"wave":$w,"injected_at":$injAt%.1f,"packed":$target,"lag_sec":$lag%.1f}""")
       }
       // ---- the BINDING-STAGE report: which stage consumed the run's
       // wall clock, and which stage's per-batch cost GROWS. Per stage:
@@ -438,6 +443,11 @@ object PipelineE2EProbe {
         // the gate for the update-aware two-query form: A/B the two for
         // the LWW gate's capacity fee at the same chain shape)
         val nArgs = repArgs.filterNot(Set("rocksgate", "ttl", "servechain", "lww"))
+          .filterNot(_.startsWith("trig"))
+        // trigN (e.g. trig4): the trigger-size amortization dial
+        val trigSec = repArgs.collectFirst {
+          case a if a.startsWith("trig") && a.drop(4).nonEmpty &&
+            a.drop(4).forall(_.isDigit) => a.drop(4).toInt }
         val period = nArgs.lift(0).map(_.toInt).getOrElse(20)
         val nWaves = nArgs.lift(1).map(_.toInt).getOrElse(8)
         val rep = nArgs.lift(2).map(_.toInt).getOrElse(4)
@@ -456,7 +466,7 @@ object PipelineE2EProbe {
           root, nWaves, period, 2000L * rep, chainPartitions = parts,
           gateParts = gateParts, gateProvider = gateProv,
           gateTtl = repArgs.contains("ttl"),
-          serveChain = serveChain, lww = lww)
+          serveChain = serveChain, lww = lww, triggerSec = trigSec)
         finally {
           new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         }

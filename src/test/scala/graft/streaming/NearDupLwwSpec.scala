@@ -35,9 +35,13 @@ class NearDupLwwSpec extends SparkSuite {
     * running across waves — the chain's exact two-query wiring in
     * miniature. `ttl` swaps the registry for its TTL'd form
     * ([[NearDupStream.registerExpiringLww]] — the ONE ager); the bucket
-    * query is [[NearDupStream.applyLww]] either way. */
+    * query is [[NearDupStream.applyLww]] either way. `bucketsDeferred`
+    * leaves the bucket consumer UNSTARTED so registry epochs pile up —
+    * [[startBuckets]] then opens it against the backlog, forcing the
+    * catch-up shape where ONE bucket trigger bundles many epochs. */
   private final class Gate(root: java.nio.file.Path, ttl: Option[Long] = None,
-      tag: String = "w") {
+      tag: String = "w", delay: String = "10 seconds",
+      bucketsDeferred: Boolean = false) {
     import spark.implicits._
     java.nio.file.Files.createDirectories(root.resolve("in"))
     new java.io.File(s"$root/dedup/bands/batch=0").mkdirs()
@@ -45,7 +49,7 @@ class NearDupLwwSpec extends SparkSuite {
     private val reg = (ttl match {
       case Some(t) => NearDupStream.registerExpiringLww(
         spark.readStream.schema(StructType.fromDDL(SrcDdl + ", ets TIMESTAMP"))
-          .parquet(root.resolve("in").toString), t)
+          .parquet(root.resolve("in").toString), t, delay = delay)
       case None => NearDupStream.registerLww(
         spark.readStream.schema(StructType.fromDDL(SrcDdl))
           .parquet(root.resolve("in").toString))
@@ -53,13 +57,14 @@ class NearDupLwwSpec extends SparkSuite {
       .writeStream.outputMode("append")
       .option("checkpointLocation", root.resolve("ckpt-reg").toString)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[NearDupStream.RegMsg], id: Long) =>
-        OplogPipeline.writeIndexBatch(b.toDF(), s"$root/dedup", id, "bands")
+        OplogPipeline.writeIndexBatch(
+          b.toDF().withColumn("epoch", lit(id)), s"$root/dedup", id, "bands")
         ()
       }
       .start()
     private val bandLineSchema = StructType(Seq(StructField("data",
       StructType.fromDDL(NearDupStream.RegMsgDdl))))
-    private val buckets = NearDupStream.applyLww(
+    private def startBucketsQuery() = NearDupStream.applyLww(
         spark.readStream.schema(bandLineSchema)
           .json(s"$root/dedup/bands/batch=*").select("data.*"))
       .writeStream.outputMode("append")
@@ -70,6 +75,15 @@ class NearDupLwwSpec extends SparkSuite {
           ()
       }
       .start()
+    private var buckets: Option[org.apache.spark.sql.streaming.StreamingQuery] =
+      if (bucketsDeferred) None else Some(startBucketsQuery())
+    /** open the deferred bucket consumer against the accumulated epoch
+      * backlog and drain it — the first trigger bundles everything. */
+    def startBuckets(): Unit = {
+      val q = startBucketsQuery()
+      buckets = Some(q)
+      q.processAllAvailable()
+    }
     private var n = 0
     /** `etsSec` is the wave's event time for the TTL'd form (offset
       * +86400 s off epoch — the initial watermark IS the epoch and
@@ -86,7 +100,7 @@ class NearDupLwwSpec extends SparkSuite {
       val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.copy(part.toPath, root.resolve(s"in/$tag$n.parquet"))
       reg.processAllAvailable()
-      buckets.processAllAvailable()
+      buckets.foreach(_.processAllAvailable())
       ()
     }
     def rows: Seq[NearDupStream.NearDupBandP] = {
@@ -99,7 +113,7 @@ class NearDupLwwSpec extends SparkSuite {
       * [[NearDupStream.fold]]'s min-over-matched-claimants). */
     def verdict(doc: Long): Option[Long] =
       rows.filter(_.doc_id == doc).flatMap(_.dup_of).sorted.headOption
-    def stop(): Unit = { buckets.stop(); reg.stop() }
+    def stop(): Unit = { buckets.foreach(_.stop()); reg.stop() }
   }
 
   test("update retires the old version's claims: planted timeline") {
@@ -304,6 +318,95 @@ class NearDupLwwSpec extends SparkSuite {
       // w6 t=2020: the post-expiry re-claimer gates
       g.wave(Seq((8L, 1L, "en", nearCopy("a", "ww"))), etsSec = 2020L)
       assert(g.verdict(8L).contains(6L), "post-expiry re-claim did not gate")
+    } finally {
+      g.stop()
+      new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  /** THE catch-up case (round-17 ADVICE): the bucket consumer opens
+    * against a BACKLOG, so its first trigger bundles every registry
+    * epoch. The kernel must replay them in stamped-epoch order —
+    * claim order follows ARRIVAL order across the bundle (not doc_id),
+    * and an update bundled with its own previous version must not
+    * flag against the not-yet-retired v1 claim. */
+  test("catch-up bundling: epochs replay in order inside one bucket trigger") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndlww-cup")
+    val g = new Gate(root, bucketsDeferred = true)
+    try {
+      // four registry epochs land with NO bucket consumer running
+      g.wave(Seq((5L, 1L, "en", toks("e"))))             // epoch: doc 5 claims textE
+      g.wave(Seq((3L, 1L, "en", nearCopy("e", "qq"))))   // later arrival, SMALLER doc_id
+      g.wave(Seq((1L, 1L, "en", toks("a"))))             // doc 1 v1
+      g.wave(Seq((1L, 2L, "en", nearCopy("a", "vv"))))   // v2 = near-copy of its OWN v1
+      g.startBuckets()                                   // ONE trigger, four epochs
+      // arrival order wins across the bundle: doc 5 claimed first, the
+      // later (smaller-id) near-copy flags against it — a flat
+      // doc_id-sorted fold would invert the claim
+      assert(g.verdict(5L).isEmpty, "first arrival must keep its claim")
+      assert(g.verdict(3L).contains(5L),
+        "bundled epochs adjudicated out of arrival order")
+      // the bundled update re-adjudicates (32 band rows) and must NOT
+      // flag against its own superseded v1 — the retire in v2's epoch
+      // applies before v2's arrival, after v1's epoch already folded
+      assert(g.rows.count(_.doc_id == 1L) == 32,
+        "both generations of doc 1 must emit")
+      assert(g.verdict(1L).isEmpty,
+        "an update flagged against its own superseded version's claim")
+    } finally {
+      g.stop()
+      new scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  /** round-17 ADVICE: a pre-upgrade handoff directory (per-band rows,
+    * or epochs without the publish-time epoch stamp) parses under the
+    * current [[NearDupStream.RegMsgDdl]] with null arrays/epoch; the
+    * generator would silently emit zero rows for it — the gate must
+    * fail FAST instead of dropping every message. */
+  test("pre-upgrade handoff format fails fast instead of silently dropping") {
+    import spark.implicits._
+    val oldFormatLine =
+      """{"data":{"doc_id":1,"ver":1,"b":0,"bh":123,"retire":false,"mh":[1,2],"payload":null}}"""
+    val parsed = spark.read
+      .schema(StructType(Seq(StructField("data",
+        StructType.fromDDL(NearDupStream.RegMsgDdl)))))
+      .json(Seq(oldFormatLine).toDS()).select("data.*")
+    val e = intercept[Exception] { NearDupStream.applyLww(parsed).count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("handoff"))),
+      s"expected the loud format-mismatch error, got: $e")
+  }
+
+  /** round-17 ADVICE: an out-of-order STALE replay carrying an event
+    * time OLDER than the doc's stored last arrival (legal up to the
+    * full watermark delay — hours under the chain's curationDelay)
+    * must not REWIND the idle deadline: the clock re-arms forward
+    * only, off the stored max. */
+  test("out-of-order stale replay must not rewind the idle deadline") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ndlww-rwd")
+    // ttl 600 s, watermark delay 1 h — the rewind window the chain's
+    // long-lateness config actually opens
+    val g = new Gate(root, ttl = Some(600000L), delay = "1 hour")
+    try {
+      // doc 1 claims at t=4500 → deadline 5100
+      g.wave(Seq((1L, 1L, "en", toks("a"))), etsSec = 4500L)
+      // stale replay rides in OUT OF ORDER at t=1000 (above the 900
+      // watermark): emits nothing, and must NOT pull the deadline
+      // back to 1600
+      val before = g.rows.size
+      g.wave(Seq((1L, 1L, "en", toks("a"))), etsSec = 1000L)
+      assert(g.rows.size == before, "a stale replay re-entered the buckets")
+      // pusher advances the watermark to 1700 — past the REWOUND
+      // deadline (1600) but well before the true one (5100); a
+      // rewound clock expires doc 1 here
+      g.wave(Seq((50L, 1L, "en", toks("d"))), etsSec = 5300L)
+      // the witness: an in-horizon near-copy of doc 1 must still flag
+      g.wave(Seq((6L, 1L, "en", nearCopy("a", "yy"))), etsSec = 5400L)
+      assert(g.verdict(6L).contains(1L),
+        "idle deadline rewound by an out-of-order stale replay — doc expired early")
     } finally {
       g.stop()
       new scala.reflect.io.Directory(root.toFile).deleteRecursively()

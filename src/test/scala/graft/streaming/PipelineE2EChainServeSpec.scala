@@ -387,6 +387,143 @@ class PipelineE2EChainServeSpec extends SparkSuite {
     }
   }
 
+  /** THE BELOW-CUT-UPDATE RECONCILIATION, demonstrated instead of
+    * documented (round-17 ask; closes the r15 ADVICE low left half-open
+    * in r16): [[TokenBudgetStream.admitLww]]'s one documented
+    * divergence is an update whose NEWEST version ranks below its lang
+    * cut — the stateless pre-filter drops it before the ledger, so the
+    * old version stays charged and keeps serving (conservative under
+    * the append-only manifest: every served version stays a paid one).
+    * The scaladoc says "compaction reconciles"; this spec RUNS that
+    * compaction and witnesses it. Full-LWW chain, two waves:
+    *
+    *  1. wave 1 admits doc X (picked at runtime from a lang where the
+    *     budget BINDS — rejected candidates exist);
+    *  2. X updates to a low-quality revision (40 tokens, 2 distinct →
+    *     rank_key ≈ 50k, far below any lang cut) that passes curation
+    *     (≥ QualityMinTokens) and the novel-text gate but is dropped
+    *     by admitLww's cut pre-filter: the LIVE manifest's newest
+    *     admitted row for X stays v1 — the divergence, witnessed;
+    *  3. the COMPACTION SEAL (the `corpus_budget_update_lww`
+    *     discipline — LWW collapse by `ver` over the curated store,
+    *     then the greedy budget prefix recomputed) releases the stale
+    *     charge: X drops out entirely (its newest version ranks below
+    *     the recomputed cut), per-lang conservation holds exactly, and
+    *     the freed tokens are RE-SPENT — the seal admits at least one
+    *     lang-mate the live manifest had rejected. */
+  test("below-cut update: live keeps the old charge, the compaction seal releases it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-belowcut")
+      .toFile.getAbsolutePath
+    try {
+      val docs = uniqueDocsE.localCheckpoint()
+      val cap = docs.groupBy($"source").count().agg(max($"count"))
+        .head().getLong(0).toInt + 50
+      val gated = docs.filter(
+        size(TextFns.tokens($"text")) >= CurationStream.QualityMinTokens)
+      val base = graft.operators.Pipeline.budgetBaseFrom(
+        gated.select($"doc_id", $"lang", $"text")).localCheckpoint()
+      // a TIGHTER budget than the sibling tests, and the WHOLE corpus
+      // injected: the seal recomputes its cuts from the chain's OWN
+      // curated store, and the release witness needs the budget to
+      // BIND there too (a non-binding seal admits every rank and the
+      // below-cut doc would ride back in)
+      val budget = 1000L
+      val (hist, cuts) = graft.operators.Pipeline.budgetHistCuts(base, budget)
+      val cutByLang = cuts.select($"lang", $"cut_key")
+        .as[(String, Long)].collect().toMap
+      def admitted() = spark.read
+        .schema("doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
+          "cum_tokens LONG, ver LONG")
+        .parquet(s"$root/admitted")
+        .select($"doc_id", $"lang", $"n_tokens", $"rank_key", $"ver")
+        .as[(Long, String, Long, Long, Long)].collect()
+      def curatedRows() = spark.read
+        .schema(PipelineE2E.curatedFullSchemaE).parquet(s"$root/curated")
+        .select($"doc_id", $"lang", $"ver")
+        .as[(Long, String, Long)].collect()
+
+      val chain = PipelineE2E.startLive(spark, root,
+        hist.localCheckpoint(), cuts.localCheckpoint(), cap = cap,
+        applyLateness = "6 hours", curationDelay = "6 hours",
+        serveNprobe = 16, serveFromChain = Some(s"$sf0001/embeddings.parquet"),
+        nearDup = true, nearDupLww = true,
+        nearDupTtlMs = Some(30L * 86400L * 1000L),
+        budgetLww = true)
+      try {
+        PipelineE2E.writeOplogWave(spark, docs,
+          root, PipelineE2E.defaultTopology, "w1",
+          shardKey = Some(PipelineE2E.shardByLang(2)))
+        chain.drain()
+        val w1 = admitted()
+        assert(w1.nonEmpty)
+        val admittedIds = w1.map(_._1).toSet
+        // langs where the budget BINDS: a curated candidate was rejected
+        val bindingLangs = curatedRows().filterNot(c => admittedIds(c._1))
+          .map(_._2).toSet
+        assert(bindingLangs.nonEmpty, "fixture: budget must bind somewhere")
+        val x = w1.filter(r => bindingLangs(r._2)).map(_._1).min
+        val xLang = w1.find(_._1 == x).get._2
+        val xVer1 = w1.filter(_._1 == x).map(_._5).max
+        // the below-cut revision: 40 tokens (passes curation), ONE
+        // distinct (rank 25k — assert it IS below the lang cut)
+        val lowText = (0 until 40).map(_ => "lowq").mkString(" ")
+        assert(1000000L / 40L < cutByLang(xLang),
+          s"fixture: the revision must rank below $xLang's cut")
+        val updDoc = docs.filter($"doc_id" === x)
+          .select($"doc_id", $"source", $"lang", lit(lowText).as("text"),
+            $"embedding")
+        PipelineE2E.writeOplogWave(spark, updDoc,
+          root, PipelineE2E.defaultTopology, "wu",
+          shardKey = Some(PipelineE2E.shardByLang(2)), tsOffsetSec = 5000L)
+        chain.drain()
+
+        // the DIVERGENCE, witnessed live: v2 traversed the chain to the
+        // curated store (so this is admitLww's pre-filter, not an
+        // upstream gate)...
+        val curVers = curatedRows().filter(_._1 == x).map(_._3)
+        assert(curVers.exists(_ > xVer1),
+          "the revision must reach the curated manifest")
+        // ...but the manifest's newest ADMITTED row for X is still v1 —
+        // the old charge held (every served version stays paid)
+        val w2 = admitted()
+        assert(w2.filter(_._1 == x).map(_._5).max == xVer1,
+          "a below-cut update must not be admitted live")
+
+        // THE COMPACTION SEAL (the corpus_budget_update_lww
+        // discipline over the chain's own store): LWW collapse by ver,
+        // then the greedy budget prefix recomputed from scratch
+        val curatedAll = spark.read
+          .schema(PipelineE2E.curatedFullSchemaE).parquet(s"$root/curated")
+        val lww = curatedAll.groupBy($"doc_id")
+          .agg(max_by(struct($"lang", $"text"), $"ver").as("b"))
+          .select($"doc_id", $"b.lang".as("lang"), $"b.text".as("text"))
+        val sealedRows = graft.operators.Pipeline.budgetSelectGlobal(
+            graft.operators.Pipeline.budgetBaseFrom(lww).localCheckpoint(),
+            budget)
+          .select($"doc_id", $"lang", $"n_tokens")
+          .as[(Long, String, Long)].collect()
+        // 1. stale charge RELEASED: X's newest version ranks below the
+        //    cut, so the seal excludes the doc entirely
+        assert(!sealedRows.map(_._1).contains(x),
+          "the seal must release the superseded version's charge")
+        // 2. conservation RESTORED: the sealed prefix fits the budget
+        //    exactly, per lang
+        sealedRows.groupBy(_._2).foreach { case (lang, rows) =>
+          assert(rows.map(_._3).sum <= budget,
+            s"seal over budget in $lang")
+        }
+        // 3. the freed tokens are RE-SPENT: the seal admits a lang-mate
+        //    the live manifest rejected
+        val liveNewest = w2.groupBy(_._1).map(_._2.maxBy(_._5)).map(_._1).toSet
+        assert(sealedRows.exists(r => r._2 == xLang && !liveNewest(r._1)),
+          s"released budget in $xLang must admit a previously-rejected doc")
+      } finally chain.stop()
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   /** the shared two-wave protocol; `indexed` switches the serve to the
     * admit-time-indexed form (cell assigned in the budget stage, serve
     * reads the manifest as the index — no curated-store re-read). */
