@@ -39,7 +39,8 @@ import graft.model.OplogEntry
   *    durability gate, not a retraction mechanism); not-yet-quorate
   *    keys simply need the deeper quorum before firing.
   *
-  * Scale: state is partitioned by `h` across executors (HDFSBackedStateStore /
+  * Scale: state is partitioned by the op identity `(h, ts, tsInc)`
+  * across executors (HDFSBackedStateStore /
   * RocksDB at cluster scale); per-key state is 12 bytes once emitted,
   * plus the retained first copy (one op) only while a key is BELOW
   * quorum — and the watermark bounds total state to the ops within the
@@ -72,7 +73,7 @@ object QuorumDedup {
     if (!st.emitted && st.seen >= depth) st.pending else None
 
   private def quorumFn(depth: Int)(
-      h: Long,
+      opId: (Long, Long, Int),
       events: Iterator[OplogEntry],
       state: GroupState[QuorumState]): Iterator[OplogEntry] = {
     if (state.hasTimedOut) {            // watermark passed: reap (leak fix)
@@ -113,10 +114,25 @@ object QuorumDedup {
     }
   }
 
-  /** Streaming form: requires a watermark on `ts` upstream. */
+  /** Streaming form: requires a watermark on `ts` upstream.
+    *
+    * KEYED BY THE FULL OP IDENTITY `(h, ts, tsInc)`, not `h` alone
+    * (round-17 fix, found by the all-dials soak): the reference's `h`
+    * is MongoDB's PER-OP hash, but the chain's fixtures (and real
+    * apply-stage consumers) overload `h` as the document key — under
+    * an `h`-only key a LATER op on the same document arriving while
+    * the first op's state is still inside the lateness horizon was
+    * absorbed as a "late replica copy" of the already-emitted op and
+    * silently dropped (an update within the horizon never reached the
+    * index). Replica copies of one op share all three fields, so copy
+    * absorption, quorum counting, watermark reaping and the
+    * reconfiguration re-check are unchanged; a new op on the same
+    * document now reaches its own quorum and emits exactly once.
+    * Checkpoint note: the grouping key changed — resume streams from
+    * a fresh checkpoint when upgrading. */
   def apply(ds: Dataset[OplogEntry], depth: Int)(implicit spark: SparkSession): Dataset[OplogEntry] = {
     import spark.implicits._
-    ds.groupByKey(_.h)
+    ds.groupByKey(e => (e.h, e.ts.getTime, e.tsInc))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(quorumFn(depth))
   }
 
@@ -183,7 +199,7 @@ object QuorumDedup {
     * timeout hands its retained sub-quorum copy downstream undecided
     * instead of deciding with a stale depth. */
   private def quorumLiveFn(
-      h: Long,
+      opId: (Long, Long, Int),
       events: Iterator[TaggedOp],
       state: GroupState[QuorumState]): Iterator[QuorumOut] = {
     if (state.hasTimedOut) {
@@ -234,7 +250,7 @@ object QuorumDedup {
     *    their copy to the post-stage, which drops it (a never-quorate
     *    key reaped, as in the fixed-depth form).
     *
-    * Why the handoff: Spark keys state by `h`, so no event can carry a
+    * Why the handoff: Spark keys state by the op identity, so no event can carry a
     * new depth to a QUIESCENT key — its copies all arrived. The only
     * global rendezvous every key passes through is the OUTPUT, so the
     * one decision that needs the current depth after a key goes quiet
@@ -262,7 +278,7 @@ object QuorumDedup {
       val d = DepthControl.read(controlDir, defaultDepth)
       it.map(e => TaggedOp(e, d, e.ts))
     }.withWatermark("ts", watermark)
-    tagged.groupByKey(_.op.h)
+    tagged.groupByKey(t => (t.op.h, t.op.ts.getTime, t.op.tsInc))
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(quorumLiveFn)
       .mapPartitions { it =>
@@ -276,7 +292,7 @@ object QuorumDedup {
     * bounded analog query. */
   def batch(ds: Dataset[OplogEntry], depth: Int)(implicit spark: SparkSession): Dataset[OplogEntry] = {
     import spark.implicits._
-    ds.groupByKey(_.h)
+    ds.groupByKey(e => (e.h, e.ts.getTime, e.tsInc))
       .flatMapGroups { (_, it) =>
         val buf = it.toSeq.sortBy(e => (e.ts.getTime, e.tsInc, e.sourceHost))
         if (buf.size >= depth) Iterator.single(buf.head) else Iterator.empty

@@ -163,8 +163,8 @@ class OplogConnectorSpec extends SparkSuite {
     val root = Files.createTempDirectory("graft-conn3").toFile.getAbsolutePath
     val out = s"$root/out"
     writeMember(root, "s0", "r1", 1, "b0", Seq(line(1, 1), line(2, 1)))
-    writeMember(root, "s0", "r2", 2, "b0", Seq(line(1, 2)))
-    writeMember(root, "s0", "r3", 3, "b0", Seq(line(1, 3)))
+    writeMember(root, "s0", "r2", 2, "b0", Seq(line(1, 1)))
+    writeMember(root, "s0", "r3", 3, "b0", Seq(line(1, 1)))
 
     def start() = {
       val src = spark.readStream.format("graft.sources.OplogSourceProvider")
@@ -183,8 +183,9 @@ class OplogConnectorSpec extends SparkSuite {
     assert(spark.read.json(out).select("h").as[Long].collect().toSeq == Seq(1L))
 
     // second batch of files: h=2 completes quorum across members
-    writeMember(root, "s0", "r2", 2, "b1", Seq(line(2, 4)))
-    writeMember(root, "s0", "r3", 3, "b1", Seq(line(2, 5)))
+    // (replica copies carry the op's own clock)
+    writeMember(root, "s0", "r2", 2, "b1", Seq(line(2, 1)))
+    writeMember(root, "s0", "r3", 3, "b1", Seq(line(2, 1)))
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val hs = spark.read.json(out).select("h").as[Long].collect().sorted.toSeq

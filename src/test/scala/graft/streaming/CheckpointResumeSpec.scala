@@ -19,8 +19,8 @@ class CheckpointResumeSpec extends SparkSuite {
 
     // phase 1: h=1 reaches quorum and is emitted; h=2 sits at 2/3
     Files.write(Paths.get(s"$src/b0.json"), Seq(
-      line(1, "r1", 1), line(1, "r2", 2), line(1, "r3", 3),
-      line(2, "r1", 1), line(2, "r2", 2)
+      line(1, "r1", 1), line(1, "r2", 1), line(1, "r3", 1),
+      line(2, "r1", 2), line(2, "r2", 2)
     ).mkString("\n").getBytes("UTF-8"))
     val q1 = OplogPipeline.run(spark, src, s"$root/index", s"$root/ckpt", replicaDepth = 3)
     try q1.processAllAvailable() finally q1.stop()
@@ -29,8 +29,8 @@ class CheckpointResumeSpec extends SparkSuite {
     // phase 2 (after restart): late duplicate of h=1 must NOT re-emit;
     // h=2's third copy completes its quorum from restored state
     Files.write(Paths.get(s"$src/b1.json"), Seq(
-      line(1, "r3", 4),            // replayed/late copy of emitted op
-      line(2, "r3", 4)             // third replica for the pending op
+      line(1, "r3", 1),            // replayed/late copy of emitted op
+      line(2, "r3", 2)             // third replica for the pending op
     ).mkString("\n").getBytes("UTF-8"))
     val q2 = OplogPipeline.run(spark, src, s"$root/index", s"$root/ckpt", replicaDepth = 3)
     try q2.processAllAvailable() finally q2.stop()
@@ -55,7 +55,7 @@ class CheckpointResumeSpec extends SparkSuite {
     val src = s"$root/oplog"
     new java.io.File(src).mkdirs()
     Files.write(Paths.get(s"$src/b0.json"), Seq(
-      line(1, "r1", 1), line(1, "r2", 2), line(1, "r3", 3)
+      line(1, "r1", 1), line(1, "r2", 1), line(1, "r3", 1)
     ).mkString("\n").getBytes("UTF-8"))
 
     def start(failAfterWrite: Boolean) = {

@@ -22,7 +22,7 @@ class OplogPipelineSpec extends SparkSuite {
 
     val rows = Seq(
       // h=1 replicated on 3 members -> must be emitted once
-      line(1, "r1", 1), line(1, "r2", 2), line(1, "r3", 3),
+      line(1, "r1", 1), line(1, "r2", 1), line(1, "r3", 1),
       // h=2 only 2 members -> suppressed
       line(2, "r1", 1), line(2, "r2", 2),
       // noise that O3 must drop even though 3 copies arrive

@@ -34,19 +34,56 @@ class QuorumDedupSpec extends SparkSuite {
     val q = deduped.writeStream.format("memory").queryName("quorum_out")
       .outputMode(OutputMode.Append).start()
     try {
-      // h=1 reaches quorum (3 replicas), h=2 stays below (2), h=3 over (4)
-      input.addData(entry(1, "r1", 1), entry(2, "r1", 1), entry(3, "r1", 1))
+      // h=1 reaches quorum (3 replicas), h=2 stays below (2), h=3 over
+      // (4). Replica copies of one op share its (ts, tsInc) — the
+      // primary assigns the clock and members replicate it verbatim
+      input.addData(entry(1, "r1", 1), entry(2, "r1", 2), entry(3, "r1", 3))
       q.processAllAvailable()
-      input.addData(entry(1, "r2", 2), entry(2, "r2", 2), entry(3, "r2", 2))
+      input.addData(entry(1, "r2", 1), entry(2, "r2", 2), entry(3, "r2", 3))
       q.processAllAvailable()
-      input.addData(entry(1, "r3", 3), entry(3, "r3", 3), entry(3, "r4", 4))
+      input.addData(entry(1, "r3", 1), entry(3, "r3", 3), entry(3, "r4", 3))
       q.processAllAvailable()
       val out = spark.table("quorum_out").as[OplogEntry].collect()
       assert(out.map(_.h).sorted.toSeq == Seq(1L, 3L), s"got ${out.toSeq}")
-      // late duplicate of an emitted key must NOT re-emit
-      input.addData(entry(1, "r4", 4))
+      // late duplicate of an emitted op must NOT re-emit
+      input.addData(entry(1, "r4", 1))
       q.processAllAvailable()
       assert(spark.table("quorum_out").count() == 2)
+    } finally q.stop()
+  }
+
+  /** THE round-17 regression case, found by the all-dials soak: with
+    * quorum state keyed by `h` alone, a LATER op on the same document
+    * arriving while the first op's state was still inside the
+    * lateness horizon was absorbed as a "late replica copy" and
+    * silently dropped — an update within the horizon never reached
+    * the index. The op identity is `(h, ts, tsInc)`; a new clock on
+    * the same `h` is a NEW op that must reach its own quorum and emit
+    * exactly once. */
+  test("a later op on the same key inside the horizon is a NEW op, not a late copy") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[OplogEntry]
+    // a LONG horizon: the first op's state is guaranteed resident
+    // when the update arrives
+    val deduped = QuorumDedup(input.toDS().withWatermark("ts", "1 hour"), 3)
+    val q = deduped.writeStream.format("memory").queryName("quorum_upd_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(entry(5, "r1", 1), entry(5, "r2", 1), entry(5, "r3", 1))
+      q.processAllAvailable()
+      assert(spark.table("quorum_upd_out").count() == 1)
+      // the UPDATE: same h, op clock +1 s, its own three replica copies
+      input.addData(entry(5, "r1", 2), entry(5, "r2", 2), entry(5, "r3", 2))
+      q.processAllAvailable()
+      val out = spark.table("quorum_upd_out").as[OplogEntry].collect()
+      assert(out.length == 2 && out.map(_.tsInc).sorted.toSeq == Seq(1, 2),
+        s"an in-horizon update must emit as its own op: ${out.toSeq}")
+      // a late replica copy of EITHER op is still absorbed
+      input.addData(entry(5, "r4", 1), entry(5, "r4", 2))
+      q.processAllAvailable()
+      assert(spark.table("quorum_upd_out").count() == 2)
     } finally q.stop()
   }
 
@@ -106,7 +143,8 @@ class QuorumDedupSpec extends SparkSuite {
       assert(freed.size == 1, s"stuck key must free exactly once: $freed")
       assert(freed.head.sourceHost == "r1", "emits the FIRST-arrived copy")
       // new traffic emits at the new depth through the arrival path
-      input.addData(entry(9, "r2", 1001))
+      // (the second replica copy carries the op's own clock)
+      input.addData(entry(9, "r2", 1000))
       q.processAllAvailable()
       assert(byKey.get(9L).map(_.size).contains(1), "h=9 quorate at the new depth")
       assert(byKey(2L).size == 1, "no re-emission of the freed key")
@@ -135,14 +173,14 @@ class QuorumDedupSpec extends SparkSuite {
       // a member JOINS: depth rises to 3 mid-stream
       QuorumDedup.DepthControl.publish(ctl, 2L, 3)
       // already-emitted h=1 stays emitted (late copy absorbed)...
-      input.addData(entry(1, "r3", 2))
+      input.addData(entry(1, "r3", 1))
       // ...and h=2 now needs THREE copies: two leave it sub-quorum
       input.addData(entry(2, "r1", 3), entry(2, "r2", 3))
       q.processAllAvailable()
       assert(byKey(1L).size == 1, "no duplicate emission after the raise")
       assert(!byKey.contains(2L), "two copies no longer reach quorum")
       // the third copy fires the arrival path at the raised depth
-      input.addData(entry(2, "r3", 4))
+      input.addData(entry(2, "r3", 3))
       q.processAllAvailable()
       assert(byKey.get(2L).map(_.size).contains(1))
       // h=3 goes quiet at 2/3: the watermark advance hands its copy to
@@ -173,8 +211,8 @@ class QuorumDedupSpec extends SparkSuite {
     // phase 1 @ depth 3: h=1 quorate+emitted; h=2 stuck at 2/3 (the
     // third member is about to leave the set and will never report)
     Files.write(Paths.get(s"$src/b0.json"), Seq(
-      line(1, "r1", 1), line(1, "r2", 2), line(1, "r3", 3),
-      line(2, "r1", 1), line(2, "r2", 2)
+      line(1, "r1", 1), line(1, "r2", 1), line(1, "r3", 1),
+      line(2, "r1", 2), line(2, "r2", 2)
     ).mkString("\n").getBytes("UTF-8"))
     val q1 = OplogPipeline.run(spark, src, s"$root/index", s"$root/ckpt", replicaDepth = 3)
     try q1.processAllAvailable() finally q1.stop()
@@ -185,7 +223,7 @@ class QuorumDedupSpec extends SparkSuite {
     // time; its timeout re-check (seen=2 >= depth=2) must emit it.
     // h=1 must NOT re-emit (depth semantics never retract/duplicate).
     Files.write(Paths.get(s"$src/b1.json"), Seq(
-      line(5, "r1", 300), line(5, "r2", 301)
+      line(5, "r1", 300), line(5, "r2", 300)
     ).mkString("\n").getBytes("UTF-8"))
     val q2 = OplogPipeline.run(spark, src, s"$root/index", s"$root/ckpt", replicaDepth = 2)
     try q2.processAllAvailable() finally q2.stop()
@@ -198,8 +236,8 @@ class QuorumDedupSpec extends SparkSuite {
     // emitted (late copies absorbed, nothing re-fires); a new op at
     // 2/3 stays below the deeper quorum until a third copy arrives.
     Files.write(Paths.get(s"$src/b2.json"), Seq(
-      line(2, "r1", 400),                       // late copy of emitted h=2
-      line(6, "r1", 400), line(6, "r2", 401)    // 2/3 under new depth 3
+      line(2, "r1", 2),                         // late copy of emitted h=2
+      line(6, "r1", 400), line(6, "r2", 400)    // 2/3 under new depth 3
     ).mkString("\n").getBytes("UTF-8"))
     val q3 = OplogPipeline.run(spark, src, s"$root/index", s"$root/ckpt", replicaDepth = 3)
     try q3.processAllAvailable() finally q3.stop()
@@ -209,7 +247,7 @@ class QuorumDedupSpec extends SparkSuite {
 
     // h=6's third copy from the joined member completes the new quorum
     Files.write(Paths.get(s"$src/b3.json"), Seq(
-      line(6, "r3", 402)
+      line(6, "r3", 400)
     ).mkString("\n").getBytes("UTF-8"))
     val q4 = OplogPipeline.run(spark, src, s"$root/index", s"$root/ckpt", replicaDepth = 3)
     try q4.processAllAvailable() finally q4.stop()
@@ -222,9 +260,9 @@ class QuorumDedupSpec extends SparkSuite {
     implicit val s = spark
     import s.implicits._
     val data = Seq(
-      entry(10, "r1", 1), entry(10, "r2", 2), entry(10, "r3", 3),
-      entry(20, "r1", 1), entry(20, "r2", 2),
-      entry(30, "r1", 5), entry(30, "r2", 6), entry(30, "r3", 7), entry(30, "r1", 8))
+      entry(10, "r1", 1), entry(10, "r2", 1), entry(10, "r3", 1),
+      entry(20, "r1", 1), entry(20, "r2", 1),
+      entry(30, "r1", 5), entry(30, "r2", 5), entry(30, "r3", 5), entry(30, "r1", 5))
     val out = QuorumDedup.batch(data.toDS(), 3).collect()
     assert(out.map(_.h).sorted.toSeq == Seq(10L, 30L))
     // emitted record is the first by (ts, tsInc, host)

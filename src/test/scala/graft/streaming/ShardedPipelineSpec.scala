@@ -20,12 +20,12 @@ class ShardedPipelineSpec extends SparkSuite {
 
     // s0: h=10 on 3 members (quorate), h=11 on 2 (not quorate at depth 3)
     Files.write(Paths.get(s"$root/src/s0/b0.json"), Seq(
-      line(10, "h1", 1), line(10, "h2", 2), line(10, "h3", 3),
-      line(11, "h1", 1), line(11, "h2", 2)
+      line(10, "h1", 1), line(10, "h2", 1), line(10, "h3", 1),
+      line(11, "h1", 1), line(11, "h2", 1)
     ).mkString("\n").getBytes("UTF-8"))
     // s1: h=20 on 2 members (quorate at depth 2), h=21 on 1 (not)
     Files.write(Paths.get(s"$root/src/s1/b0.json"), Seq(
-      line(20, "h4", 1), line(20, "h5", 2),
+      line(20, "h4", 1), line(20, "h5", 1),
       line(21, "h4", 1)
     ).mkString("\n").getBytes("UTF-8"))
 
@@ -54,7 +54,7 @@ class ShardedPipelineSpec extends SparkSuite {
     // fresh traffic from the surviving members advances s0's watermark
     // past the stuck key's timeout (sec 50 − 10 s delay > sec 1)
     Files.write(Paths.get(s"$root/src/s0/b1.json"), Seq(
-      line(12, "h1", 50), line(12, "h2", 51)
+      line(12, "h1", 50), line(12, "h2", 50)
     ).mkString("\n").getBytes("UTF-8"))
     val queries2 = ShardedOplogPipeline.run(
       spark, topology2, sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt")
