@@ -59,6 +59,7 @@ object ChainSoak {
     val parts = nums.lift(3).map(_.toInt).getOrElse(8)
     val gateParts = nums.lift(4).map(_.toInt).getOrElse(8)
     val noUpdate = args.contains("noupdate")
+    val rocksApply = args.contains("rocksapply")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -67,7 +68,7 @@ object ChainSoak {
     val serveRoot = java.nio.file.Files.createTempDirectory("graft-soaksrv")
       .toFile.getAbsolutePath
     try soak(spark, sfDir, root, serveRoot, period, waves, rep, parts,
-      gateParts, noUpdate)
+      gateParts, noUpdate, rocksApply)
     finally {
       spark.stop()
       Seq(root, serveRoot).foreach(d =>
@@ -86,7 +87,8 @@ object ChainSoak {
 
   private def soak(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       root: String, serveRoot: String, period: Int, waves: Int, rep: Int,
-      parts: Int, gateParts: Int, noUpdate: Boolean): Unit = {
+      parts: Int, gateParts: Int, noUpdate: Boolean,
+      rocksApply: Boolean): Unit = {
     import spark.implicits._
     val base = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
@@ -117,9 +119,20 @@ object ChainSoak {
       val chain = PipelineE2E.startLive(spark, root,
         hist.localCheckpoint(), cuts.localCheckpoint(),
         cap = Int.MaxValue / 2,
+        // the INGEST watermark must also cover the mid-soak update's
+        // op-clock skew: its ops carry wave U-1 timestamps and arrive
+        // after wave U+ has advanced the quorum watermark — at the
+        // default 10 s horizon the quorum stage would silently drop
+        // the whole update wave (observed in the smoke run)
+        watermark = horizon,
         applyLateness = horizon, curationDelay = horizon,
         nearDup = true, nearDupLww = true,
         nearDupTtlMs = Some(2L * stride * 1000L),
+        // `rocksapply` moves the chain's ONE corpus-linear ledger (the
+        // apply LWW registers) off-heap — the documented dial for the
+        // soak-observed growth term (in-heap snapshot cost rises with
+        // register count over a long window)
+        applyProvider = if (rocksApply) Some("rocksdb") else None,
         budgetLww = true, serveIndexedAdmit = true,
         serveFromChain = Some(s"$sfDir/embeddings.parquet"),
         chainShufflePartitions = Some(parts),
@@ -164,6 +177,15 @@ object ChainSoak {
         val qPart = qStage.toFile.listFiles
           .find(_.getName.endsWith(".parquet")).get.toPath
 
+        // WARM-UP, excluded from the clocked window: the first triggers
+        // of nine queries pay classload/codegen/state-store init at
+        // once, and a cold chain accumulates a ~30-wave backlog that
+        // takes the whole run to drain (first soak attempt) — inject
+        // one wave, drain end to end, then start the cadence clock
+        PipelineE2E.writeOplogWave(spark, waveDocs(0), root,
+          PipelineE2E.defaultTopology, "warmup",
+          shardKey = Some(PipelineE2E.shardByLang(2)))
+        chain.drain()
         def packedPerWave(): Map[Long, Long] =
           scala.util.Try {
             spark.read.json(s"$root/layout/ffd")
@@ -210,17 +232,23 @@ object ChainSoak {
         var updProbeId: Option[Long] = None
         var admitLag: Option[Double] = None
         var serveLag: Option[Double] = None
+        // v2 detection is BY VER FLOOR, not by multi-version presence:
+        // under catch-up the registry's in-batch LWW collapse (and the
+        // apply stage's) may forward ONLY the newest version — the
+        // correct update-aware behavior — so the updated doc's v1 never
+        // publishes and "two distinct vers" never appears downstream.
+        // The update's op clock is +1 s, so its ver stamp is
+        // >= (doc_id + 86401)*1e9 (ver = tsUs*1000 + tsInc).
+        def atV2(df: DataFrame): DataFrame = df
+          .filter(col("doc_id") >= updLo && col("doc_id") < updHi)
+          .filter(col("ver") >= (col("doc_id") + lit(86401L)) * lit(1000000000L))
         def probeUpdate(): Unit = updInjectedAt.get().foreach { tU =>
           if (admitLag.isEmpty) {
-            // first re-admitted higher-ver manifest row in the updated
-            // id range (doc_id pushdown prunes the scan)
+            // first admitted manifest row at the update's version
+            // (doc_id pushdown prunes the scan)
             val hit = scala.util.Try {
-              spark.read.schema("doc_id LONG, ver LONG")
-                .parquet(s"$root/admitted")
-                .filter(col("doc_id") >= updLo && col("doc_id") < updHi)
-                .groupBy(col("doc_id"))
-                .agg(countDistinct(col("ver")).as("nv"))
-                .filter(col("nv") > 1)
+              atV2(spark.read.schema("doc_id LONG, ver LONG")
+                  .parquet(s"$root/admitted"))
                 .select(min(col("doc_id"))).head().getLong(0)
             }.toOption
             hit.foreach { d =>
@@ -269,6 +297,27 @@ object ChainSoak {
         (1 to 40).takeWhile { _ =>
           if (admitLag.isEmpty || serveLag.isEmpty) { probeUpdate(); Thread.sleep(500); true }
           else false
+        }
+        // the update never surfaced: localize which stage dropped it
+        // (rows AT the update version in the updated id range, per stage)
+        if (!noUpdate && (admitLag.isEmpty || serveLag.isEmpty)) {
+          def nV2(df: => DataFrame): Long =
+            scala.util.Try(atV2(df).select(col("doc_id")).distinct().count())
+              .getOrElse(-1L)
+          val inDocs = nV2(spark.read
+            .schema(PipelineE2E.docSchemaEV).parquet(PipelineE2E.docsGlob(root)))
+          val inCurated = nV2(spark.read
+            .schema(PipelineE2E.curatedFullSchemaE).parquet(s"$root/curated"))
+          val inDedup = nV2 {
+            val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("data",
+                PipelineE2E.curatedFullSchemaE)))
+            spark.read.schema(lineSchema).json(s"$root/dedup/neardup/batch=*")
+              .select(col("data.doc_id").as("doc_id"), col("data.ver").as("ver"))
+          }
+          val inAdmitted = nV2(spark.read
+            .schema("doc_id LONG, ver LONG").parquet(s"$root/admitted"))
+          println(s"""{"probe":"chain_soak_update","event":"missing","at_v2_docs":$inDocs,"at_v2_curated":$inCurated,"at_v2_dedup":$inDedup,"at_v2_admitted":$inAdmitted}""")
         }
         val all = snaps.result()
         val fin = all.last._2

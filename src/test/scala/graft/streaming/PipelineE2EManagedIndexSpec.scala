@@ -283,6 +283,10 @@ class PipelineE2EManagedIndexSpec extends SparkSuite {
           root, PipelineE2E.defaultTopology, "wu",
           shardKey = Some(PipelineE2E.shardByLang(2)), tsOffsetSec = 5000L)
         chain.drain()
+        // freshness clock starts at drain-complete: everything below
+        // until the pointer carries the new vectors is the serving
+        // side's own maintenance latency
+        val tFresh0 = System.nanoTime()
         val w2 = admittedVer()
         val w1MaxVer = w1.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).max }
         val reAdmitted = w2.filter { case (d, v) =>
@@ -322,6 +326,19 @@ class PipelineE2EManagedIndexSpec extends SparkSuite {
         }
         assert(awaitNewest(reAdmitted),
           "the pointed version never picked up the update wave's vectors")
+        // THE FRESHNESS SLA, stated as a test (round 17): once the
+        // update wave has drained into the manifest, the POINTED
+        // version must serve every re-admitted doc's NEW vector within
+        // one maintenance cycle of the monitor observing the commit —
+        // cycle = 0.4 s poll + one full seal over this corpus (~1 s);
+        // the bound carries suite-load headroom, and the measured
+        // value is recorded in the test report for SCALING.md
+        val freshSec = (System.nanoTime() - tFresh0) / 1e9
+        info(f"update→pointer freshness: $freshSec%.2f s " +
+          "(pollMs=400, maxSegments=1 full seal)")
+        assert(freshSec <= 15.0,
+          f"pointer freshness $freshSec%.2f s — more than one maintenance " +
+            "cycle (+headroom) after the update drained")
 
         // the serve answers with the NEWEST embedding of every
         // re-admitted doc — the deterministic witness: a doc's NEW
