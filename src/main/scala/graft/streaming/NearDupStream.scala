@@ -524,7 +524,9 @@ object NearDupStream {
         bucketGroupLww(tau64) _)
   }
 
-  private def bucketGroupLww(tau64: Int)(key: (Int, Long),
+  // private[streaming]: NearDupLwwPropertySpec drives the kernel
+  // directly through TestGroupState across generated epoch histories
+  private[streaming] def bucketGroupLww(tau64: Int)(key: (Int, Long),
       rows: Iterator[BandMsg],
       state: GroupState[BucketStateV]): Iterator[NearDupBandP] = {
     var claimants = state.getOption.map(_.claimants).getOrElse(Seq.empty)
