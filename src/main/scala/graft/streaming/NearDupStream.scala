@@ -641,7 +641,9 @@ object NearDupStream {
         regGroupT(ttlMs) _)
   }
 
-  private def regGroupT(ttlMs: Long)(key: Long,
+  // private[streaming]: NearDupLwwPropertySpec drives the kernel
+  // directly through TestGroupState across generated arrival histories
+  private[streaming] def regGroupT(ttlMs: Long)(key: Long,
       rows: Iterator[RegArrivalT],
       state: GroupState[DocRegT]): Iterator[RegMsg] = {
     if (state.hasTimedOut) {

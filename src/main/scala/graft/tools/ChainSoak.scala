@@ -45,10 +45,15 @@ import graft.streaming.{ManagedIndex, MmrServeStream, PipelineE2E, VectorServeSt
   * rides INSIDE the chain's lateness horizon, as deployed.
   *
   * Usage: `runMain graft.tools.ChainSoak [periodSec] [waves] [rep]
-  * [chainParts] [gateParts] [noupdate]` (default `2 210 16 8 8` —
-  * λ ≈ 4.2k docs/s, the measured stable sustained point, held for
-  * ~7 minutes ≈ 20× the knee-burst span; sf dir from
-  * SPARK_GRAFT_SF_DIR, default sf0.001). */
+  * [chainParts] [gateParts] [noupdate] [rocksapply]` (default
+  * `2 210 16 8 8` — λ = 4k docs/s over ~7 minutes ≈ 20× the
+  * knee-burst span; sf dir from SPARK_GRAFT_SF_DIR, default sf0.001).
+  * `rocksapply` moves the apply LWW ledger — the chain's one
+  * corpus-linear store — to RocksDB, the dial the first soak named:
+  * the measured bracket is λ 2.7k FLAT (lag 20–50 s) with it, vs a
+  * mid-run hump to 242 s without (in-heap snapshot cost rising with
+  * register count); λ 4k runs as bounded catch-up either way
+  * (SCALING.md "all-dials topology soaked"). */
 object ChainSoak {
 
   def main(args: Array[String]): Unit = {

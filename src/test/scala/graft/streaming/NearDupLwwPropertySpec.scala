@@ -120,4 +120,96 @@ object NearDupLwwPropertySpec extends Properties("BucketLwwEpochReplay") {
         (m.doc_id, m.ver, m.epoch, m.retire)))}\n  stepped=$stepped\n  split=$split")
       ok
     }
+
+  // -------------------------------------------------------------------
+  // the TTL'd registry kernel ([[NearDupStream.regGroupT]]): the idle
+  // clock's contract over generated arrival histories — the round-17
+  // ADVICE rewind fix, held as an invariant rather than one scenario.
+  // -------------------------------------------------------------------
+
+  private case class RegEvent(ver: Long, etsSec: Long)
+
+  /** per batch: a non-empty set of arrivals for ONE doc (vers may be
+    * stale, ets may be out of order up to the watermark), plus a
+    * non-decreasing watermark strictly below every batch ets (rows
+    * at/below the watermark never reach the kernel — the runtime
+    * drops them first, so the generator never produces them). */
+  private val genRegHistory: Gen[Seq[(Seq[RegEvent], Long)]] = for {
+    seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    nBatches <- Gen.choose(1, 8)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    var wm = 0L
+    var maxVer = 0L
+    (1 to nBatches).map { b =>
+      val n = 1 + rnd.nextInt(3)
+      val evs = (1 to n).map { _ =>
+        // mix of stale replays (ver ≤ maxVer) and fresh versions;
+        // ets anywhere in (wm, wm + 10000]
+        val v =
+          if (maxVer > 0 && rnd.nextBoolean()) 1L + rnd.nextInt(maxVer.toInt).toLong
+          else maxVer + 1L + rnd.nextInt(2).toLong
+        maxVer = math.max(maxVer, v)
+        RegEvent(v, wm + 1 + rnd.nextInt(10000).toLong)
+      }
+      wm += rnd.nextInt(3000).toLong   // non-decreasing, can lag far behind
+      (evs, wm)
+    }
+  }
+
+  private def regArrival(e: RegEvent) = NearDupStream.RegArrivalT(
+    1L, e.ver, Array(e.ver), Array.tabulate(16)(i => e.ver * 100L + i),
+    Some(s"p${e.ver}"), new java.sql.Timestamp(e.etsSec * 1000L))
+
+  property("TTL registry: forward-only idle clock, LWW emission, exact retires") =
+    Prop.forAll(genRegHistory, Gen.choose(1000L, 60000L)) { (history, ttl) =>
+      import org.apache.spark.api.java.Optional
+      var state: Option[NearDupStream.DocRegT] = None
+      var lastDeadline = Long.MinValue
+      var regVer = 0L          // model: the registered version
+      var lastEts = Long.MinValue
+      var ok = true
+      history.foreach { case (evs, wm) =>
+        val gs = TestGroupState.create[NearDupStream.DocRegT](
+          state.fold(Optional.empty[NearDupStream.DocRegT]())(Optional.of),
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+          0L, Optional.of(wm * 1000L), false)
+        val out = NearDupStream.regGroupT(ttl)(1L,
+          evs.map(regArrival).iterator, gs).toSeq
+        val newest = evs.maxBy(_.ver)
+        lastEts = math.max(lastEts, evs.map(_.etsSec * 1000L).max)
+        if (newest.ver > regVer) {
+          // LWW emission: exactly one RegMsg, at the batch max ver,
+          // retiring exactly the PREVIOUS registered version's bhs
+          val expectedRetire =
+            if (regVer == 0L) Seq.empty
+            else Array.tabulate(16)(i => regVer * 100L + i).toSeq
+          ok &= out.size == 1 && out.head.ver == newest.ver &&
+            out.head.retire_bhs.toSeq == expectedRetire
+          regVer = newest.ver
+        } else ok &= out.isEmpty   // stale replays claim nothing
+        // the idle deadline: armed off the STORED clock, never rewinds
+        val deadline = gs.getTimeoutTimestampMs.get()
+        ok &= deadline == math.max(wm * 1000L, lastEts) + ttl
+        ok &= deadline >= lastDeadline
+        lastDeadline = deadline
+        state = if (gs.exists) Some(gs.get) else None
+        // the stored clock is the max over everything seen
+        ok &= state.exists(_.lastEtsMs == lastEts)
+      }
+      // the idle timeout: one retire at regVer+1, state forgotten
+      if (ok && regVer > 0L) {
+        val gs = TestGroupState.create[NearDupStream.DocRegT](
+          state.fold(Optional.empty[NearDupStream.DocRegT]())(Optional.of),
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+          0L, Optional.of(lastDeadline + 1), true)
+        val out = NearDupStream.regGroupT(ttl)(1L, Iterator.empty, gs).toSeq
+        ok &= out.size == 1 && out.head.ver == regVer + 1 &&
+          out.head.retire_bhs.toSeq ==
+            Array.tabulate(16)(i => regVer * 100L + i).toSeq &&
+          out.head.bhs.isEmpty && !gs.exists
+      }
+      if (!ok) println(s"[regttl] ttl=$ttl history=$history")
+      ok
+    }
 }
