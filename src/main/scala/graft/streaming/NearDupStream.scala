@@ -540,6 +540,14 @@ object NearDupStream {
         claimants = claimants.filterNot(c => c.id == r.doc_id && c.ver < r.ver)
       }
       arrivals.sortBy(_.doc_id).foreach { a =>
+        // defensive reconciliation (round-17 ADVICE): a stamped handoff
+        // always delivers a doc's retire ahead of its re-arrival, so an
+        // own STALE claim still resident here means the input skipped
+        // that discipline — drop it before adjudicating, keeping the
+        // per-doc-single-claim invariant structural (appending beside
+        // it would leave duplicate claimants for the doc, and `best`
+        // would score the arrival against its own old signature)
+        claimants = claimants.filterNot(c => c.id == a.doc_id && c.ver < a.ver)
         // c.id != a.doc_id: a document never adjudicates ITSELF — the
         // epoch replay already prevents self-pairing for stamped
         // handoffs; this keeps the invariant structural for any input

@@ -86,7 +86,18 @@ object OplogPipeline {
       .mode("append").save()
 
   /** full pipeline: filter → watermark → quorum dedup → dual sink.
-    * Returns the started query (caller owns lifecycle). */
+    * Returns the started query (caller owns lifecycle).
+    *
+    * `depthControlDir`, when set, swaps the fixed-depth quorum for the
+    * LIVE-reconfigurable form ([[QuorumDedup.applyLive]] — arrival
+    * decisions at the event-carried depth, timeout decisions deferred
+    * to the post-stage at the depth in force THAT batch): the
+    * deployment shape where a replica-set member can die below quorum
+    * mid-run and an operator publishes the new depth through
+    * [[QuorumDedup.DepthControl]] with no restart — the reference
+    * leaks those keys forever (`MongoDBOplogSource.java:59` keeps its
+    * counter map unbounded and its depth is captured once at
+    * discovery, `MongoOplogTailMapper.java:64`). */
   def run(
       spark: SparkSession,
       sourceDir: String,
@@ -95,15 +106,25 @@ object OplogPipeline {
       replicaDepth: Int,
       watermark: String = "10 seconds",
       echoToConsole: Boolean = false,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      depthControlDir: Option[String] = None): StreamingQuery = {
     import spark.implicits._
     implicit val s: SparkSession = spark
 
-    val deduped = QuorumDedup(
-      staticFilter(source(spark, sourceDir))
-        .withWatermark("ts", watermark)
-        .as[OplogEntry],
-      replicaDepth)
+    // refuse pre-upgrade quorum checkpoints LOUDLY before the query
+    // starts (the r17 identity re-key made them semantically stale)
+    QuorumDedup.ensureStateFormat(spark, checkpointDir)
+
+    val deduped = depthControlDir match {
+      case Some(ctl) => QuorumDedup.applyLive(
+        staticFilter(source(spark, sourceDir)).as[OplogEntry],
+        ctl, replicaDepth, watermark)
+      case None => QuorumDedup(
+        staticFilter(source(spark, sourceDir))
+          .withWatermark("ts", watermark)
+          .as[OplogEntry],
+        replicaDepth)
+    }
 
     deduped.writeStream
       .outputMode("append")

@@ -453,7 +453,8 @@ object PipelineE2E {
       nearDupLww: Boolean = false,
       gateShufflePartitions: Option[Int] = None,
       gateProvider: Option[String] = None,
-      chainTriggerSec: Option[Int] = None): LiveChain = {
+      chainTriggerSec: Option[Int] = None,
+      depthControlRoot: Option[String] = None): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     // the TRIGGER-SIZE amortization dial (round 17): the post-kernel-
@@ -538,10 +539,16 @@ object PipelineE2E {
     val curatedLiveSchema =
       if (serveFromChain.isDefined) curatedFullSchemaE else curatedFullSchema
 
+    // depthControlRoot: per-shard LIVE quorum reconfiguration — the
+    // fault-tolerance dial (a member dies below quorum mid-run, the
+    // operator publishes the new depth, retained sub-quorum copies
+    // emit at their timeout under the new depth; ChainSoak's fault
+    // mode soaks exactly this protocol)
     val ingest = ShardedOplogPipeline.run(spark, topology,
       sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt/ingest", watermark,
       trigger = chainTriggerSec.map(n =>
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$n seconds")))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$n seconds")),
+      depthControlDirFor = depthControlRoot.map(r => (sh: String) => s"$r/$sh"))
 
     val lineSchema = StructType(Seq(StructField("data", OplogEntry.schema)))
     // applyLateness, NOT the per-shard ingest watermark: the apply
@@ -692,9 +699,20 @@ object PipelineE2E {
               // epoch stamp: the bucket kernel replays a catch-up
               // trigger's messages in registry-batch order (a
               // per-batch constant, so it is stamped here, not by the
-              // kernel) — see [[NearDupStream.applyLww]]
+              // kernel) — see [[NearDupStream.applyLww]].
+              // coalesce(1): ONE part file per epoch (round-17 ADVICE)
+              // — the epoch-ordered replay guarantees ordering at epoch
+              // granularity only, so a consumer trigger boundary (or a
+              // future maxFilesPerTrigger bound on the bucket source)
+              // landing mid-epoch could apply a same-epoch retire in a
+              // later trigger than a co-epoch arrival; one file per
+              // epoch makes a straddle structurally impossible. The
+              // registry's epoch is one compact row per arriving doc,
+              // so the single-writer cost is trigger-bounded; a
+              // deployment with corpus-sized epochs would instead bound
+              // the consumer to whole epochs per trigger.
               OplogPipeline.writeIndexBatch(
-                b.toDF().withColumn("epoch", lit(batchId)),
+                b.toDF().withColumn("epoch", lit(batchId)).coalesce(1),
                 s"$root/dedup", batchId, "bands")
               ()
             })

@@ -48,6 +48,64 @@ import graft.model.OplogEntry
   */
 object QuorumDedup {
 
+  /** The state-format id of the CURRENT grouping key — bumped whenever
+    * the quorum state's key or shape changes incompatibly. v2 is the
+    * round-17 identity re-key `(h, ts, tsInc)` (v1 keyed by `h` alone
+    * and silently mis-grouped in-horizon updates). */
+  val StateFormatId = "quorum-state-v2:(h,ts,tsInc)"
+  private val FormatMarker = "_graft_quorum_state_format"
+
+  /** FAIL-FAST checkpoint format guard (round-17 ask 3): the identity
+    * re-key makes every pre-r17 quorum checkpoint semantically stale —
+    * resuming over one would hand `h`-keyed state rows to the
+    * three-field grouping. Spark's own state-schema checker is the
+    * backstop for the KEY SCHEMA mismatch, but its message names
+    * internal schema structs, not the upgrade; this guard applies the
+    * gate-handoff discipline ([[NearDupStream.explodeBands]]'s format
+    * raise) at query-start time with an actionable message instead.
+    *
+    * Protocol: a fresh checkpoint dir gets a `_graft_quorum_state_format`
+    * marker stamped with [[StateFormatId]] BEFORE the query starts; a
+    * dir that already committed offsets WITHOUT the marker is by
+    * definition pre-upgrade (every post-upgrade start stamps first), and
+    * a marker carrying a different id is a future incompatible bump —
+    * both raise. Hadoop FS API throughout, so the guard holds on any
+    * checkpoint store, not just the local FS. */
+  def ensureStateFormat(spark: SparkSession, checkpointDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(dir, FormatMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(got == StateFormatId,
+        s"graft quorum dedup: checkpoint $checkpointDir carries state " +
+          s"format '$got' but this build expects '$StateFormatId'. The " +
+          "grouping key changed incompatibly — resume from a fresh " +
+          "checkpoint (replay the source range); refusing to mis-group " +
+          "checkpointed quorum state.")
+    } else {
+      // no marker: committed progress means a pre-upgrade checkpoint
+      val hasProgress = Seq("offsets", "commits").exists { sub =>
+        val p = new org.apache.hadoop.fs.Path(dir, sub)
+        fs.exists(p) && fs.listStatus(p)
+          .exists(st => !st.getPath.getName.startsWith("."))
+      }
+      require(!hasProgress,
+        s"graft quorum dedup: checkpoint $checkpointDir has committed " +
+          "offsets but no state-format marker — it predates the " +
+          s"'$StateFormatId' identity re-key (pre-r17 checkpoints keyed " +
+          "state by h alone). Resume from a fresh checkpoint (replay the " +
+          "source range); refusing to mis-group checkpointed quorum state.")
+      fs.mkdirs(dir)
+      val out = fs.create(marker, true)
+      try out.write(StateFormatId.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** per-key state: how many replicas reported, whether already
     * emitted, and — while NOT yet emitted — the first-arrived copy, so
     * a timeout-time quorum re-check (depth lowered at restart) has a

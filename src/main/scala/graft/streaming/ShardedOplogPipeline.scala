@@ -23,6 +23,10 @@ import graft.streaming.ShardTopology.ShardSet
 object ShardedOplogPipeline {
 
   /** @param sourceDirFor directory of oplog-shaped json rows per shard
+    * @param depthControlDirFor per-shard [[QuorumDedup.DepthControl]]
+    *        dir — when set, each shard's quorum runs the LIVE
+    *        reconfigurable form (member death below quorum handled by
+    *        publishing the new depth, no restart)
     * @return one running query per shard (caller owns lifecycle) */
   def run(
       spark: SparkSession,
@@ -31,7 +35,8 @@ object ShardedOplogPipeline {
       indexDir: String,
       checkpointRoot: String,
       watermark: String = "10 seconds",
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): Seq[StreamingQuery] =
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      depthControlDirFor: Option[String => String] = None): Seq[StreamingQuery] =
     topology.map { shard =>
       OplogPipeline.run(
         spark,
@@ -41,6 +46,7 @@ object ShardedOplogPipeline {
         replicaDepth = shard.replicaDepth,
         watermark = watermark,
         trigger = trigger.getOrElse(
-          org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")))
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")),
+        depthControlDir = depthControlDirFor.map(f => f(shard.shard)))
     }
 }

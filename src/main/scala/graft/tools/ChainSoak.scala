@@ -45,7 +45,7 @@ import graft.streaming.{ManagedIndex, MmrServeStream, PipelineE2E, VectorServeSt
   * rides INSIDE the chain's lateness horizon, as deployed.
   *
   * Usage: `runMain graft.tools.ChainSoak [periodSec] [waves] [rep]
-  * [chainParts] [gateParts] [noupdate] [rocksapply]` (default
+  * [chainParts] [gateParts] [noupdate] [rocksapply] [fault]` (default
   * `2 210 16 8 8` — λ = 4k docs/s over ~7 minutes ≈ 20× the
   * knee-burst span; sf dir from SPARK_GRAFT_SF_DIR, default sf0.001).
   * `rocksapply` moves the apply LWW ledger — the chain's one
@@ -53,7 +53,24 @@ import graft.streaming.{ManagedIndex, MmrServeStream, PipelineE2E, VectorServeSt
   * the measured bracket is λ 2.7k FLAT (lag 20–50 s) with it, vs a
   * mid-run hump to 242 s without (in-heap snapshot cost rising with
   * register count); λ 4k runs as bounded catch-up either way
-  * (SCALING.md "all-dials topology soaked"). */
+  * (SCALING.md "all-dials topology soaked").
+  *
+  * `fault` (round-17 ask 4) plants the reference's own known defect
+  * shape mid-soak: at the halfway wave shard s0's member h3 DIES (all
+  * later waves render only 2 copies of s0's ops, but the quorum still
+  * expects depth 3 — the sub-quorum retention the reference leaks
+  * forever, `MongoDBOplogSource.java:59`, with its depth frozen at
+  * discovery, `MongoOplogTailMapper.java:64`); two waves later the
+  * operator REQUORUMS by publishing depth 2 through the live
+  * [[graft.streaming.QuorumDedup.DepthControl]] channel (no restart).
+  * The probe then witnesses both halves of the fix: the sub-quorum
+  * state HUMP (retained first copies) drains back to plateau at the
+  * lateness horizon, and NOT ONE op is lost — every wave's full doc
+  * count materializes in the store (the two pre-reconfig waves recover
+  * via the timeout re-check, later waves fire at arrival under the new
+  * depth). Implies `noupdate`; the apply/curation lateness widens to
+  * 7 waves so the horizon-late recovered ops stay inside every
+  * downstream watermark. */
 object ChainSoak {
 
   def main(args: Array[String]): Unit = {
@@ -63,7 +80,8 @@ object ChainSoak {
     val rep = nums.lift(2).map(_.toInt).getOrElse(16)
     val parts = nums.lift(3).map(_.toInt).getOrElse(8)
     val gateParts = nums.lift(4).map(_.toInt).getOrElse(8)
-    val noUpdate = args.contains("noupdate")
+    val fault = args.contains("fault")
+    val noUpdate = args.contains("noupdate") || fault
     val rocksApply = args.contains("rocksapply")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.GraftSession.local()
@@ -73,7 +91,7 @@ object ChainSoak {
     val serveRoot = java.nio.file.Files.createTempDirectory("graft-soaksrv")
       .toFile.getAbsolutePath
     try soak(spark, sfDir, root, serveRoot, period, waves, rep, parts,
-      gateParts, noUpdate, rocksApply)
+      gateParts, noUpdate, rocksApply, fault)
     finally {
       spark.stop()
       Seq(root, serveRoot).foreach(d =>
@@ -93,7 +111,7 @@ object ChainSoak {
   private def soak(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       root: String, serveRoot: String, period: Int, waves: Int, rep: Int,
       parts: Int, gateParts: Int, noUpdate: Boolean,
-      rocksApply: Boolean): Unit = {
+      rocksApply: Boolean, fault: Boolean = false): Unit = {
     import spark.implicits._
     val base = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
@@ -110,6 +128,11 @@ object ChainSoak {
     // event time behind the head — 3 waves + slack keeps it (and
     // ordinary cross-shard skew) inside every stage's watermark
     val horizon = s"${3L * stride + 60L} seconds"
+    // fault mode: ops retained sub-quorum recover at the INGEST
+    // horizon, i.e. ~3 waves of event time late — downstream stages
+    // need extra headroom on top of the ordinary cross-shard skew so
+    // the recovered waves never fall below an apply/curation watermark
+    val chainLateness = if (fault) s"${7L * stride + 60L} seconds" else horizon
     val gated = template.filter(size(graft.functions.TextFns.tokens(col("text")))
       >= graft.streaming.CurationStream.QualityMinTokens)
     val hcBase = graft.operators.Pipeline.budgetBaseFrom(
@@ -130,7 +153,8 @@ object ChainSoak {
         // default 10 s horizon the quorum stage would silently drop
         // the whole update wave (observed in the smoke run)
         watermark = horizon,
-        applyLateness = horizon, curationDelay = horizon,
+        applyLateness = chainLateness, curationDelay = chainLateness,
+        depthControlRoot = if (fault) Some(s"$root/depthctl") else None,
         nearDup = true, nearDupLww = true,
         nearDupTtlMs = Some(2L * stride * 1000L),
         // `rocksapply` moves the chain's ONE corpus-linear ledger (the
@@ -152,14 +176,21 @@ object ChainSoak {
           s"$sfDir/embeddings.parquet"),
         s"$serveRoot/POINTER", s"$serveRoot/ckpt-ptr", serveRoot, nprobe = 2)
       try {
-        // pre-render EVERY wave (injection must be pure file moves)
+        // pre-render EVERY wave (injection must be pure file moves).
+        // fault mode: waves past the halfway point render s0 with
+        // member h3 DEAD (2 copies of each s0 op against quorum 3)
         val t0r = System.nanoTime()
+        val updAt = waves / 2
+        val deadTopology = Seq(
+          graft.streaming.ShardTopology.parseDescriptor("s0/h1:27017,h2:27017"),
+          graft.streaming.ShardTopology.parseDescriptor("s1/h4:27017,h5:27017"))
+        def topoFor(w: Int) =
+          if (fault && w > updAt) deadTopology else PipelineE2E.defaultTopology
         val rendered = (1 to waves).map { w =>
           w -> PipelineE2E.renderOplogWave(spark, waveDocs(w),
-            PipelineE2E.defaultTopology, s"w$w",
+            topoFor(w), s"w$w",
             shardKey = Some(PipelineE2E.shardByLang(2)))
         }.toMap
-        val updAt = waves / 2
         val updLo = (updAt - 1).toLong * stride
         val updHi = updAt.toLong * stride
         val updWave =
@@ -207,13 +238,20 @@ object ChainSoak {
             val target = (w - 1).toDouble * period
             while (now() < target) Thread.sleep(10)
             PipelineE2E.injectStagedWave(rendered(w), root,
-              PipelineE2E.defaultTopology, s"w$w")
+              topoFor(w), s"w$w")
             injected.put(w, now())
             if (w == updAt) updWave.foreach { u =>
               PipelineE2E.injectStagedWave(u, root,
                 PipelineE2E.defaultTopology, "wu")
               updInjectedAt.set(Some(now()))
             }
+            // fault mode: the operator notices the death and REQUORUMS
+            // two waves in (no restart) — the two sub-quorum waves
+            // recover via the timeout re-check at the horizon, later
+            // waves fire at arrival under depth 2
+            if (fault && w == updAt + 2)
+              graft.streaming.QuorumDedup.DepthControl.publish(
+                s"$root/depthctl/s0", 1L, 2)
             ()
           }
         }, "soak-injector")
@@ -224,12 +262,25 @@ object ChainSoak {
         val stageLabels = (0 until nShards).map(i => s"ingest$i") ++
           Seq("apply", "curate", "neardupreg", "neardup", "budget", "pack",
             "serveint")
-        def stateSample(): String = chain.queries.zip(stageLabels).map {
-          case (q, l) =>
-            val rows = Option(q.lastProgress).toSeq
+        def stateRowsNow(): Seq[(String, Long)] =
+          chain.queries.zip(stageLabels).map { case (q, l) =>
+            l -> Option(q.lastProgress).toSeq
               .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
-            s""""$l":$rows"""
-        }.mkString(",")
+          }
+        def stateSample(): String = stateRowsNow()
+          .map { case (l, rows) => s""""$l":$rows""" }.mkString(",")
+        // fault mode: the s0 ingest state ledger over time — (rows,
+        // bytes). ROWS can't show sub-quorum retention (every op key is
+        // resident within the horizon either way, emitted or not); the
+        // retained FIRST COPIES show up as store BYTES — the hump that
+        // must drain back to plateau after requorum is the bytes curve
+        val ingest0Ledger = Seq.newBuilder[(Double, Long, Long)]
+        def ingest0Now(): (Long, Long) = chain.queries.headOption
+          .flatMap(q => Option(q.lastProgress))
+          .map { p =>
+            val ops = p.stateOperators.toSeq
+            (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
+          }.getOrElse((0L, 0L))
 
         val snaps = Seq.newBuilder[(Double, Map[Long, Long])]
         var polls = 0
@@ -283,6 +334,10 @@ object ChainSoak {
           }) {
           snaps += ((now(), packedPerWave()))
           polls += 1
+          if (fault) {
+            val (r0, b0) = ingest0Now()
+            ingest0Ledger += ((now(), r0, b0))
+          }
           if (polls % 10 == 0)
             println(f"""{"probe":"chain_soak_state","t_sec":${now()}%.0f,${stateSample()}}""")
           val wNow = (now() / period).toInt
@@ -324,6 +379,31 @@ object ChainSoak {
             .schema("doc_id LONG, ver LONG").parquet(s"$root/admitted"))
           println(s"""{"probe":"chain_soak_update","event":"missing","at_v2_docs":$inDocs,"at_v2_curated":$inCurated,"at_v2_dedup":$inDedup,"at_v2_admitted":$inAdmitted}""")
         }
+        // fault-mode witnesses (before the lag report so a crash in the
+        // store read never eats the evidence): (1) NO EMISSION LOSS —
+        // every wave's full doc count materialized through quorum +
+        // apply (the two pre-reconfig sub-quorum waves included);
+        // (2) the sub-quorum state hump on s0's ingest store drained
+        // back to plateau after requorum (the reference leaks exactly
+        // this state forever, MongoDBOplogSource.java:59)
+        if (fault) {
+          val perWave = spark.read
+            .schema(PipelineE2E.docSchemaEV).parquet(PipelineE2E.docsGlob(root))
+            .filter(col("doc_id") >= stride)   // wave 0 is the warmup
+            .groupBy((col("doc_id") / stride).cast("long").as("w"))
+            .agg(countDistinct(col("doc_id")).as("docs"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val missing = (1 to waves)
+            .filter(w => perWave.getOrElse(w.toLong, 0L) < docsPerWave)
+          val led = ingest0Ledger.result()
+          val deathT = injected.getOrDefault(updAt + 1, Double.NaN)
+          val preR = led.filter(_._1 < deathT).map(_._2)
+          val postR = led.filter(_._1 >= deathT).map(_._2)
+          val preB = led.filter(_._1 < deathT).map(_._3)
+          val postB = led.filter(_._1 >= deathT).map(_._3)
+          def mx(xs: Seq[Long]): Long = if (xs.isEmpty) -1L else xs.max
+          println(s"""{"probe":"chain_soak_fault","death_wave":${updAt + 1},"reconfig_wave":${updAt + 2},"docs_per_wave":$docsPerWave,"missing_waves":${missing.length},"missing_list":${missing.take(10).mkString("[", ",", "]")},"ingest0_rows_pre_max":${mx(preR)},"ingest0_rows_hump_max":${mx(postR)},"ingest0_rows_end":${led.lastOption.map(_._2).getOrElse(-1L)},"ingest0_bytes_pre_max":${mx(preB)},"ingest0_bytes_hump_max":${mx(postB)},"ingest0_bytes_end":${led.lastOption.map(_._3).getOrElse(-1L)}}""")
+        }
         val all = snaps.result()
         val fin = all.last._2
         val lags = (1 to waves).map { w =>
@@ -339,7 +419,11 @@ object ChainSoak {
           if (xs.isEmpty) Double.NaN else xs.sum / xs.length
         val clean = lags.map(_._2).filterNot(_.isNaN)
         val dec = math.max(1, clean.length / 10)
-        println(f"""{"probe":"chain_soak_summary","waves":$waves,"period_sec":$period,"lag_first_decile":${meanOf(clean.take(dec))}%.1f,"lag_mid_decile":${meanOf(clean.slice(clean.length / 2 - dec / 2, clean.length / 2 + dec / 2 + 1))}%.1f,"lag_last_decile":${meanOf(clean.takeRight(dec))}%.1f,"lag_max":${clean.max}%.1f,"admit_lag_sec":${admitLag.getOrElse(-1.0)}%.1f,"serve_lag_sec":${serveLag.getOrElse(-1.0)}%.1f,"versions":${idx.versions},"served_rows":${scala.util.Try(spark.read.json(s"$serveRoot/serve/batch=*").count()).getOrElse(0L)}}""")
+        // guard the max: if NOTHING packed (every per-wave lag NaN) the
+        // summary must still print instead of crashing at the very end
+        // of a long run (round-17 ADVICE — clean.max throws on empty)
+        val lagMax = if (clean.isEmpty) Double.NaN else clean.max
+        println(f"""{"probe":"chain_soak_summary","waves":$waves,"period_sec":$period,"lag_first_decile":${meanOf(clean.take(dec))}%.1f,"lag_mid_decile":${meanOf(clean.slice(clean.length / 2 - dec / 2, clean.length / 2 + dec / 2 + 1))}%.1f,"lag_last_decile":${meanOf(clean.takeRight(dec))}%.1f,"lag_max":$lagMax%.1f,"admit_lag_sec":${admitLag.getOrElse(-1.0)}%.1f,"serve_lag_sec":${serveLag.getOrElse(-1.0)}%.1f,"versions":${idx.versions},"served_rows":${scala.util.Try(spark.read.json(s"$serveRoot/serve/batch=*").count()).getOrElse(0L)}}""")
         // per-stage busy/growth over the FULL window (rate-probe report)
         val windowSec = all.last._1
         chain.queries.zip(stageLabels).foreach { case (q, l) =>
