@@ -36,13 +36,24 @@ import org.apache.spark.sql.functions._
   * Scale shape: the monitor does one version probe per poll; steady
   * cycles are DELTA-SIZED ([[MmrServeStream.reindexDelta]] — only the
   * manifest files no earlier segment consumed are read and assigned,
-  * merge-on-read via the version's `_segments` membership), with a
-  * FULL corpus-sized seal only on the first cycle, at the
-  * `maxSegments` cap, or on an accepted retrain (a codebook swap
-  * compacts by necessity: every segment's cells are stale); balance
-  * is a C-row count aggregate, the retrain's mean aggregate moves
-  * C×D bigint rows to the driver. Nothing corpus-sized is ever
-  * collected.
+  * merge-on-read via the version's `_segments` membership), and
+  * compaction is TIERED ([[MmrServeStream.compactSegments]], round 18):
+  * when the newest segment has grown to its predecessor's size the two
+  * merge — the binary-counter discipline, so segment sizes stay
+  * geometric, the segment count stays logarithmic (with `maxSegments`
+  * as a hard fold-down cap on read fan-out), and rewrite cost is
+  * amortized O(N log N) over corpus life instead of a corpus-linear
+  * re-read every cap-hit (the r17 soak's one still-growing
+  * serving-path cost — the RocksDB run's late-window lag drift tracked
+  * exactly that reseal term). A FULL corpus-sized seal remains only on
+  * the first cycle, when the signature moves with no new data files (a
+  * replaced file — never serve stale silently), or on an accepted
+  * retrain (a codebook swap compacts by necessity: every segment's
+  * cells are stale). Balance is a C-row count aggregate, the retrain's
+  * mean aggregate moves C×D bigint rows to the driver. Nothing
+  * corpus-sized is ever collected (the consumed-file set is
+  * driver-held path strings, one per manifest file — the same order as
+  * the file-source listing state every stage already keeps).
   * Identical-copy blobs are a known k-means fixed point (one Lloyd
   * round cannot split coincident points — the retrain spec's skewed
   * fixture uses SPREAD clusters for the balance win); the loop still
@@ -113,35 +124,55 @@ object ManagedIndex {
     // overwrite-idempotent, so the retry redoes the same versions)
     var consumed: Set[String] = Set.empty
     var segments: Seq[String] = Seq.empty
+    var segSizes: Seq[Long] = Seq.empty
     lazy val handle: Handle = new Handle(() => {
       var n = handle.nVersions.get() + 1
       val files = MmrServeStream.dataFiles(spark, manifestDir)
       val fresh = files.filterNot(consumed)
       var newConsumed = consumed
       var newSegments = segments
+      var newSizes = segSizes
       var newCodebook = codebook
       var retrained = false
       // 1. publish: DELTA when possible (only the fresh manifest files
       //    are read and assigned — delta-sized work, merge-on-read via
-      //    the version's `_segments` membership); FULL seal on the
-      //    first cycle, at the segment cap, or when the signature
-      //    moved without new data files (a replaced file — never
-      //    serve stale silently)
-      if (segments.nonEmpty && segments.size < maxSegments && fresh.nonEmpty) {
-        MmrServeStream.reindexDelta(spark, fresh, newCodebook,
+      //    the version's `_segments` membership), then TIERED
+      //    compaction; FULL seal only on the first cycle or when the
+      //    signature moved without new data files (a replaced file —
+      //    never serve stale silently)
+      if (segments.nonEmpty && fresh.nonEmpty) {
+        val cnt = MmrServeStream.reindexDelta(spark, fresh, newCodebook,
           s"$versionsRoot/v$n", segments)
         newConsumed = consumed ++ fresh
         newSegments = segments :+ s"$versionsRoot/v$n"
+        newSizes = segSizes :+ cnt
+        // tiered merge (binary-counter): while the newest segment has
+        // grown to at least its predecessor's size, fold the two into
+        // one TIER-SIZED compaction — sizes stay geometric, the count
+        // logarithmic, and no cycle ever re-reads the raw manifest;
+        // `maxSegments` stays as a hard fold-down cap on read fan-out
+        while (newSegments.length >= 2 && (
+            newSizes.last >= newSizes(newSizes.length - 2) ||
+            newSegments.length > maxSegments)) {
+          n += 1
+          val keep = newSegments.dropRight(2)
+          val cnt2 = MmrServeStream.compactSegments(spark,
+            newSegments.takeRight(2), newCodebook,
+            s"$versionsRoot/v$n", keep)
+          newSegments = keep :+ s"$versionsRoot/v$n"
+          newSizes = newSizes.dropRight(2) :+ cnt2
+        }
       } else {
         // seal EXACTLY the captured enumeration, never a re-list of
         // the live dir: rows landing between the capture and the seal
         // stay unconsumed AND unpublished, picked up whole by the next
         // cycle (a re-list would publish them now yet mark them
         // unconsumed — cross-segment duplicates until the next seal)
-        MmrServeStream.reindexAdmittedFiles(spark, manifestDir, files,
-          newCodebook, s"$versionsRoot/v$n")
+        val cnt = MmrServeStream.reindexAdmittedFiles(spark, manifestDir,
+          files, newCodebook, s"$versionsRoot/v$n")
         newConsumed = files.toSet
         newSegments = Seq(s"$versionsRoot/v$n")
+        newSizes = Seq(cnt)
       }
       // 2. evaluate balance from the version's cells (segment-aware)
       val counts = MmrServeStream
@@ -162,10 +193,11 @@ object ManagedIndex {
           retrained = true
           n += 1
           // same captured-enumeration discipline as the cycle's seal
-          MmrServeStream.reindexAdmittedFiles(spark, manifestDir, files,
-            newCodebook, s"$versionsRoot/v$n")
+          val cnt = MmrServeStream.reindexAdmittedFiles(spark, manifestDir,
+            files, newCodebook, s"$versionsRoot/v$n")
           newConsumed = files.toSet
           newSegments = Seq(s"$versionsRoot/v$n")
+          newSizes = Seq(cnt)
         }
       }
       // 4. one atomic flip, then commit the cycle's state
@@ -173,6 +205,7 @@ object ManagedIndex {
       codebook = newCodebook
       consumed = newConsumed
       segments = newSegments
+      segSizes = newSizes
       if (retrained) { handle.nRetrains.incrementAndGet(); () }
       handle.lastLoadPct = load
       handle.nVersions.set(n)

@@ -548,22 +548,68 @@ object MmrServeStream {
     import spark.implicits._
     val ddl = "doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
       "cum_tokens LONG, embedding ARRAY<DOUBLE>"
-    val re = spark.read.schema(ddl).parquet(files: _*)
+    // `ver` is CARRIED into the segment (null when the source manifest
+    // has none): the tiered compaction ([[compactSegments]]) dedups a
+    // doc's cross-segment versions newest-wins by it, so a merge never
+    // has to re-read the raw manifest to restore LWW semantics
+    val re = spark.read.schema(ddl + ", ver LONG").parquet(files: _*)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        col("rank_key"), col("cum_tokens"), col("embedding"))
-      .as[(Long, String, Long, Long, Long, Array[Double])]
+        col("rank_key"), col("cum_tokens"), col("embedding"), col("ver"))
+      .as[(Long, String, Long, Long, Long, Array[Double], Option[Long])]
       .mapPartitions { it =>
-        it.map { case (id, lang, nt, rk, ct, emb) =>
+        it.map { case (id, lang, nt, rk, ct, emb, ver) =>
           (id, lang, nt, rk, ct,
             VectorServeStream.cellOf(centArr, emb),
-            VectorServeStream.normOf(emb), emb)
+            VectorServeStream.normOf(emb), emb, ver)
         }
       }
       .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
-        "cell", "nrm", "embedding")
+        "cell", "nrm", "embedding", "ver")
     re.write.mode("overwrite").partitionBy("cell").parquet(toDir)
     writeCodebook(spark, toDir, centArr)
     writeSegments(toDir, prevSegments :+ toDir)
+    spark.read.schema(ddl).parquet(toDir).count()
+  }
+
+  /** TIERED SEGMENT COMPACTION — the reseal without the corpus-sized
+    * re-read (round-18; the r17 soak named the every-8th-cycle full
+    * seal as the serving path's ONE still-growing cost: it re-read the
+    * WHOLE admitted manifest, linear in corpus size, and the RocksDB
+    * soak's late-window lag drift tracked exactly that term). Merges
+    * the given SEGMENT dirs — already-assigned rows, so no `cellOf`
+    * recompute and never a raw-manifest read — into one new segment at
+    * `toDir`, collapsing a doc's cross-segment duplicates NEWEST-WINS
+    * by the carried `ver` (tie / no ver → the later segment wins:
+    * `segDirs` is chronological). The merged segment keeps `ver`, so
+    * it composes under further merges. Work is TIER-SIZED: the
+    * [[ManagedIndex]] merge policy only fires when the newer run has
+    * grown to its predecessor's size, so rewrite cost is geometric
+    * (amortized O(N log N) over corpus life) instead of linear per
+    * cap-hit. `_segments` membership = `keepSegments :+ toDir`. */
+  private[graft] def compactSegments(spark: SparkSession,
+      segDirs: Seq[String], centArr: Array[(Int, Array[Double])],
+      toDir: String, keepSegments: Seq[String]): Long = {
+    val ddl = "doc_id LONG, lang STRING, n_tokens LONG, rank_key LONG, " +
+      "cum_tokens LONG, cell INT, nrm DOUBLE, embedding ARRAY<DOUBLE>, " +
+      "ver LONG"
+    val src = segDirs.zipWithIndex.map { case (d, i) =>
+      spark.read.schema(ddl).parquet(d)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("rank_key"),
+          col("cum_tokens"), col("cell"), col("nrm"), col("embedding"),
+          col("ver"), lit(i).as("seg"))
+    }.reduce(_.unionByName(_))
+    val merged = src
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("lang"), col("n_tokens"), col("rank_key"),
+        col("cum_tokens"), col("cell"), col("nrm"), col("embedding"),
+        col("ver")),
+        struct(coalesce(col("ver"), lit(0L)), col("seg"))).as("b"))
+      .select(col("doc_id"), col("b.lang"), col("b.n_tokens"),
+        col("b.rank_key"), col("b.cum_tokens"), col("b.cell"), col("b.nrm"),
+        col("b.embedding"), col("b.ver"))
+    merged.write.mode("overwrite").partitionBy("cell").parquet(toDir)
+    writeCodebook(spark, toDir, centArr)
+    writeSegments(toDir, keepSegments :+ toDir)
     spark.read.schema(ddl).parquet(toDir).count()
   }
 

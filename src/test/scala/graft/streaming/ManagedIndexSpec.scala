@@ -155,7 +155,7 @@ class ManagedIndexSpec extends SparkSuite {
     }
   }
 
-  test("delta cycles reindex only fresh admissions; the segment cap seals") {
+  test("delta cycles reindex only fresh admissions; tiers merge instead of resealing the corpus") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-midx-delta")
       .toFile.getAbsolutePath
@@ -221,16 +221,84 @@ class ManagedIndexSpec extends SparkSuite {
             "merge-on-read over three segments must answer the exact replay")
         } finally q.stop()
 
-        // v4: the segment cap (3) reached → FULL seal of everything
+        // wd: TIERED compaction (round 18) — the new 25-row delta (v4)
+        // matches its predecessor's size, so the binary-counter policy
+        // folds v4+v3 → v5 (50 rows), whose size now matches v2's →
+        // v5+v2 fold into v6 (100 rows). The BASE (v1, 150 rows) is
+        // NEVER re-read or rewritten — the reseal is tier-sized, not
+        // corpus-sized (the r17 soak's named growth term)
+        val v1Mtime = new java.io.File(s"$root/versions/v1").lastModified
         dropWave(manifest, scratch, "wd",
           (325L until 350L).map(id => (id, vecs(id))))
-        assert(h.awaitVersions(4))
-        assert(ownRows(4) == 250 && segsOf(4) == Seq(s"$root/versions/v4"),
-          s"the cap must seal a single full segment, got ${ownRows(4)} rows, ${segsOf(4).size} segments")
+        assert(h.awaitVersions(6), "wd must roll delta v4 + merges v5, v6")
+        assert(ownRows(6) == 100,
+          s"the folded tier must hold the 100 post-base rows, got ${ownRows(6)}")
+        assert(segsOf(6) == Seq(s"$root/versions/v1", s"$root/versions/v6"),
+          s"membership must be base + one folded tier, got ${segsOf(6)}")
+        assert(new java.io.File(s"$root/versions/v1").lastModified == v1Mtime,
+          "the tiered fold must never rewrite the base segment")
+        assert(MmrServeStream.readVersionRaw(spark, s"$root/versions/v6")
+          .count() == 250, "merge-on-read over base + tier spans everything")
         assert(h.retrains == 0, "no breach anywhere in this protocol")
       } finally h.stop()
     } finally {
       Seq(java.nio.file.Paths.get(root), in, scratch).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
+
+  test("a tiered fold collapses cross-segment versions newest-wins by ver") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-midx-lww")
+      .toFile.getAbsolutePath
+    val manifest = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "admitted"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-midx-lscr")
+    // LWW-manifest wave: admitted-shaped rows WITH the `ver` column the
+    // live chain's update-aware budget stamps
+    def dropWaveV(name: String,
+        rows: Seq[(Long, Array[Double], Long)]): Unit = {
+      val tmp = scratch.resolve(name)
+      rows.map { case (id, v, ver) => (id, "en", 10L, 0L, 0L, v.toSeq, ver) }
+        .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
+          "embedding", "ver")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, manifest.resolve(s"$name.parquet"))
+      ()
+    }
+    try {
+      val vecs = vecsMap()
+      val cb0: Array[(Int, Array[Double])] =
+        (100L until 116L).map(vecs).zipWithIndex.map { case (v, i) => (i, v) }.toArray
+      val h = ManagedIndex.start(spark, manifest.toString,
+        s"$root/versions", s"$root/POINTER", cb0,
+        pollMs = 300L, breachPct = 100000L, maxSegments = 8)
+      try {
+        // v1: base (full seal, 50 rows)
+        dropWaveV("wa", (100L until 150L).map(id => (id, vecs(id), 1L)))
+        assert(h.awaitVersions(1))
+        // v2: 20 NEW docs at ver 1, each carrying vec(id)
+        dropWaveV("wb", (150L until 170L).map(id => (id, vecs(id), 1L)))
+        assert(h.awaitVersions(2))
+        // v3: the SAME 20 docs UPDATED to ver 2 with different vectors —
+        // equal tier sizes fold v3+v2 → v4, which must collapse each doc
+        // to its ver-2 row (newest-wins travels through the merge)
+        dropWaveV("wc", (150L until 170L).map(id => (id, vecs(id + 300L), 2L)))
+        assert(h.awaitVersions(4), "the equal-size tiers must fold into v4")
+        val folded = spark.read.parquet(s"$root/versions/v4")
+          .select($"doc_id", $"embedding", $"ver")
+          .as[(Long, Array[Double], Long)].collect()
+        assert(folded.length == 20,
+          s"the fold must collapse 40 rows to 20 docs, got ${folded.length}")
+        assert(folded.forall { case (id, e, ver) =>
+          ver == 2L && java.util.Arrays.equals(e, vecs(id + 300L)) },
+          "every folded doc must carry its ver-2 vector")
+        assert(MmrServeStream.versionDirs(s"$root/versions/v4") ==
+          Seq(s"$root/versions/v1", s"$root/versions/v4"))
+      } finally h.stop()
+    } finally {
+      Seq(java.nio.file.Paths.get(root), scratch).foreach(d =>
         new scala.reflect.io.Directory(d.toFile).deleteRecursively())
     }
   }
