@@ -40,6 +40,15 @@ import org.apache.spark.sql.SparkSession
   * `dedup_image_phash` (twice elected top cost on decode variance,
   * r9/r16) is exactly the query class this adjudicates.
   *
+  * The four STREAMING METERS adjudicate the same way with the compare
+  * INVERTED (round 18): `bench_floor.json` carries each meter's clean
+  * rate, a best-of-N below HALF its floor triggers up to 3 extra
+  * in-process attempts, and a survivor ships named in "meter_noise" —
+  * the r11/r12/r13 single-shot phantom regressions (and r17's 34.8k
+  * file-mode window, which burned a manual adjudication session) now
+  * self-adjudicate in the artifact. Floors are regenerated per round by
+  * [[graft.tools.FloorTool]] from the clean recorded artifacts.
+  *
   * After the batch queries, the STREAMING path is benched BEST-of-N
   * (same `--repeat` dial as the batch min-of-N — a single-shot meter
   * produced three rounds of phantom regressions on this co-tenant
@@ -166,8 +175,13 @@ object Bench {
     val nHostNoise = results.count(_.hostNoise)
     val adjudicatedQs = results.filter(_.adjRuns > 0)
       .map(r => "\"" + r.name + "\":" + r.adjRuns).mkString("{", ",", "}")
+    // the control probe runs q1 three times BEFORE the batch pass, so
+    // the batch pass's recorded "cold" value for the control query is
+    // pre-warmed (classload/codegen already paid) — stated in the
+    // artifact rather than silently changing the metric's meaning
+    // (round-17 ADVICE)
     val controlJson =
-      f"""{"first":$ctlFirst%.3f,"last":$ctlLast%.3f,"floor":$ctlFloor%.3f}"""
+      f"""{"first":$ctlFirst%.3f,"last":$ctlLast%.3f,"floor":$ctlFloor%.3f,"prewarms_cold_of":"$ControlQuery"}"""
     // headline total = passing queries ONLY. Summing the 9999 s failure
     // sentinels made a broken round's total meaningless (r7: 120,076 s)
     // and wrecked round-over-round comparison; failures are reported
@@ -192,10 +206,20 @@ object Bench {
     // a no-op "run").
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    def meterBest[A](label: String, failJson: String, times: Int = repeat)(
+    // meter sentinel bookkeeping (round-17 ask 2): the four streaming
+    // meters get the same in-artifact adjudication the batch queries
+    // have, with the compare INVERTED (rates, not seconds): a best-of-N
+    // below HALF its recorded clean floor triggers extra in-process
+    // attempts; a survivor ships named in "meter_noise" — recorded but
+    // flagged, never a silent phantom regression (r11/r12/r13 each
+    // burned an adjudication session on exactly this class).
+    val meterNoise = Seq.newBuilder[String]
+    val meterAdj = Seq.newBuilder[(String, Int)]
+    def meterBest[A](label: String, floorKey: String, failJson: String,
+        times: Int = repeat)(
         rate: A => Double)(
         run: String => A)(jsonOf: (A, Seq[A]) => String): String = {
-      val rs = (1 to times).flatMap { i =>
+      def attempt(i: Int): Option[A] = {
         val scr = java.nio.file.Files.createTempDirectory("graft-streambench")
           .toFile.getAbsolutePath
         try Some(run(scr))
@@ -205,6 +229,22 @@ object Bench {
           scala.reflect.io.Directory(new java.io.File(scr)).deleteRecursively()
           ()
         }
+      }
+      var rs = (1 to times).flatMap(attempt)
+      val floor = floors.get(floorKey)
+      var adj = 0
+      while (rs.nonEmpty && adj < MaxAdjRuns &&
+          floor.exists(f => rs.map(rate).max < f / 2)) {
+        adj += 1
+        rs = rs ++ attempt(times + adj)
+      }
+      if (adj > 0) meterAdj += (floorKey -> adj)
+      val noise = rs.nonEmpty && floor.exists(f => rs.map(rate).max < f / 2)
+      if (noise) {
+        meterNoise += floorKey
+        System.err.println(
+          f"[bench] meter_noise: $floorKey best=${rs.map(rate).max}%.0f " +
+            f"< floor/2 (clean floor ${floor.get}%.0f) after $adj re-runs")
       }
       if (rs.isEmpty) failJson else jsonOf(rs.maxBy(rate), rs)
     }
@@ -232,14 +272,15 @@ object Bench {
     // streaming_failed markers, n_failed, and the exit code.
     spark.sparkContext.setLogLevel("OFF")
     val streaming =
-      meterBest("streaming", failedStream)(
+      meterBest("streaming", "streaming_rows_per_sec", failedStream)(
         (p: (graft.streaming.StreamBench.Result, Long)) => p._1.rowsPerSec)(
         scr => graft.streaming.StreamBench.bench(spark, sfDir, scr)) {
         case ((r, ops), all) => streamJson(r, ops, all.map(_._1)) }
     // same chain through the native DSv2 connector (one InputPartition
     // per replica member; copies of an op cross micro-batches)
     val streamingConn =
-      meterBest("connector streaming", failedStream)(
+      meterBest("connector streaming", "streaming_connector_rows_per_sec",
+        failedStream)(
         (p: (graft.streaming.StreamBench.Result, Long)) => p._1.rowsPerSec)(
         scr => graft.streaming.StreamBench.benchConnector(spark, sfDir, scr)) {
         case ((r, ops), all) => streamJson(r, ops, all.map(_._1)) }
@@ -251,7 +292,7 @@ object Bench {
     // latency record needs enough attempts to tell an outlier from a
     // distribution shift.
     val streamingServe =
-      meterBest("serve streaming",
+      meterBest("serve streaming", "serve_queries_per_sec",
         """{"queries_per_sec":0.0,"streaming_failed":true}""",
         times = math.max(repeat, 3))(
         (r: graft.streaming.StreamBench.Result) => r.rowsPerSec)(
@@ -262,7 +303,7 @@ object Bench {
     // the ingest-side near-dup admission gate: documents/s through
     // sketch → band explode → bucket-state rendezvous → verdict fold
     val streamingNearDup =
-      meterBest("neardup streaming",
+      meterBest("neardup streaming", "neardup_docs_per_sec",
         """{"docs_per_sec":0.0,"streaming_failed":true}""")(
         (r: graft.streaming.StreamBench.Result) => r.rowsPerSec)(
         scr => graft.streaming.StreamBench.benchNearDup(spark, sfDir, scr)) {
@@ -284,10 +325,15 @@ object Bench {
       streamingServe.contains("streaming_failed") ||
       streamingNearDup.contains("streaming_failed")
     val allOk = nFailed == 0 && !streamingFailed
+    val meterNoiseJson = meterNoise.result().map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val nMeterNoise = meterNoise.result().length
+    val meterAdjJson = meterAdj.result()
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
 
     val detailPath = "BENCH_DETAIL.json"
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"repeat":$repeat,"control":$controlJson,"host_noise_suspected":$hostNoiseSuspected,"host_noise":$hostNoise,"adjudicated":$adjudicatedQs,"queries":$warmQs,"cold":$coldQs,"runs":$runsQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"streaming_serve":$streamingServe,"streaming_neardup":$streamingNearDup,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"repeat":$repeat,"control":$controlJson,"host_noise_suspected":$hostNoiseSuspected,"host_noise":$hostNoise,"adjudicated":$adjudicatedQs,"meter_noise":$meterNoiseJson,"meter_adjudicated":$meterAdjJson,"queries":$warmQs,"cold":$coldQs,"runs":$runsQs,"failed":$failed,"streaming":$streaming,"streaming_connector":$streamingConn,"streaming_serve":$streamingServe,"streaming_neardup":$streamingNearDup,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -307,7 +353,7 @@ object Bench {
       m.map(_.group(1)).getOrElse("0.0")
     }
     def line(qs: String): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"host_noise_count":$nHostNoise,"host_noise_suspected":$hostNoiseSuspected,"queries":$qs,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"serve_queries_per_sec":${qps(streamingServe)},"neardup_docs_per_sec":${dps(streamingNearDup)},"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_with_sentinels":${f"$totalWithSentinels%.3f"},"unit":"sec","ok":$allOk,"n_failed":$nFailed,"host_noise_count":$nHostNoise,"host_noise_suspected":$hostNoiseSuspected,"meter_noise_count":$nMeterNoise,"queries":$qs,"failed":$failed,"streaming_rows_per_sec":${rps(streaming)},"streaming_connector_rows_per_sec":${rps(streamingConn)},"serve_queries_per_sec":${qps(streamingServe)},"neardup_docs_per_sec":${dps(streamingNearDup)},"detail":"$detailPath","sf":"$sfDir"}"""
     val full = line(warmQs)
     println(if (full.length <= 1600) full else line("{}"))
     spark.stop()
