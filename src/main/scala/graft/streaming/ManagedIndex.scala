@@ -116,7 +116,8 @@ object ManagedIndex {
       pollMs: Long = 1000L, breachPct: Long = 200L,
       maxSegments: Int = 8,
       retrainGate: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]) => Boolean =
-        (_, _) => true): Handle = {
+        (_, _) => true,
+      keepVersions: Option[Int] = None): Handle = {
     @volatile var codebook = codebook0
     // incremental-compaction state, monitor-thread-confined and
     // committed only at the END of a successful cycle (a failed cycle
@@ -208,10 +209,56 @@ object ManagedIndex {
       segSizes = newSizes
       if (retrained) { handle.nRetrains.incrementAndGet(); () }
       handle.lastLoadPct = load
+      // 5. VERSION RETENTION (round 18): superseded version dirs
+      //    otherwise accumulate forever — O(N log N) DISK over corpus
+      //    life under the tiered model (the extended soak rolled 127
+      //    versions). Membership-aware: a dir referenced by any kept
+      //    version's `_segments` (the tiered base, typically v1-era)
+      //    SURVIVES no matter how old its number is; only dirs both
+      //    older than the kept window AND unreferenced are deleted.
+      //    The kept window is also the reader-safety margin: a pointer
+      //    serve re-probes per batch, so a racing batch would have to
+      //    straddle `keep` whole maintenance cycles to touch a deleted
+      //    dir — size keep accordingly (≥ 2; deployments more).
+      keepVersions.foreach(k => gcVersions(spark, versionsRoot, math.max(2, k)))
+      // the counter advances LAST: awaitVersions(n) means cycle n is
+      // fully complete, GC included (asserting disk state right after
+      // an await raced a mid-GC window otherwise)
       handle.nVersions.set(n)
       ()
     }, () => MmrServeStream.manifestVersion(spark, manifestDir), pollMs)
     handle
+  }
+
+  /** delete version dirs under `versionsRoot` that are BOTH older than
+    * the newest `keep` versions AND unreferenced by any kept version's
+    * segment membership. Failures are non-fatal (retried next cycle —
+    * GC is idempotent). */
+  private[streaming] def gcVersions(spark: SparkSession,
+      versionsRoot: String, keep: Int): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(versionsRoot)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return
+    val dirs = fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(st => st.getPath.getName.stripPrefix("v").toInt -> st.getPath)
+      .sortBy(_._1)
+    if (dirs.length <= keep) return
+    val kept = dirs.takeRight(keep)
+    // membership entries are the dir strings the writers recorded;
+    // compare by version NAME under this root (path-scheme agnostic)
+    val referenced: Set[String] = kept.flatMap { case (_, p) =>
+      MmrServeStream.versionDirs(p.toString)
+        .map(d => new org.apache.hadoop.fs.Path(d).getName)
+    }.toSet ++ kept.map { case (num, _) => s"v$num" }
+    dirs.dropRight(keep).foreach { case (_, p) =>
+      if (!referenced.contains(p.getName)) {
+        try { fs.delete(p, true); () }
+        catch { case e: Exception =>
+          System.err.println(s"[managed-index] gc of $p failed, will retry: $e")
+        }
+      }
+    }
   }
 
   /** The RECALL GUARD as a `retrainGate` closure — the composition

@@ -107,7 +107,8 @@ object OplogPipeline {
       watermark: String = "10 seconds",
       echoToConsole: Boolean = false,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      depthControlDir: Option[String] = None): StreamingQuery = {
+      depthControlDir: Option[String] = None,
+      sinkCoalesce: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
     implicit val s: SparkSession = spark
 
@@ -134,7 +135,16 @@ object OplogPipeline {
         val df = batch.toDF().persist()        // one read, two sinks
         try {
           if (echoToConsole) df.show(5, truncate = false)   // O11 print sink
-          writeIndexBatch(df, indexDir, batchId)            // O12 index sink
+          // sinkCoalesce bounds FILES PER EPOCH: a 1-second-trigger
+          // ingest otherwise writes one file per state partition per
+          // epoch, and the downstream apply stage's raw directory
+          // listing grows with total file count — the extended soak's
+          // named residual drift term (~2,600 files at 3.5-4 s per
+          // listing by the late window). An epoch's volume is
+          // trigger-bounded, so a handful of writers loses nothing at
+          // steady state; size it to epoch volume at deployment scale.
+          writeIndexBatch(sinkCoalesce.fold(df)(df.coalesce),
+            indexDir, batchId)                              // O12 index sink
         } finally { df.unpersist(); () }
       }
       .start()

@@ -265,7 +265,8 @@ object PipelineE2E {
     * [[graft.sources.IndexSinkProvider]] protocol is for (the layout
     * terminal uses it). */
   private def writeDocsBatch(root: String,
-      schema: StructType = docSchema, withVer: Boolean = false)(
+      schema: StructType = docSchema, withVer: Boolean = false,
+      sinkCoalesce: Option[Int] = None)(
       b: Dataset[OplogApply.DocState], batchId: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val stage = Paths.get(s"$root/docs/_tmp/batch=$batchId-${java.util.UUID.randomUUID()}")
@@ -275,9 +276,19 @@ object PipelineE2E {
         // the version the serve's newest-wins dedup orders by
         Seq(col("d.*"), (col("tsUs") * 1000L + col("tsInc")).as("ver"))
       else Seq(col("d.*"))
-    b.filter(col("op") =!= "d")
+    val out = b.filter(col("op") =!= "d")
       .withColumn("d", from_json(col("doc"), schema))
       .select(cols: _*)
+    // files-per-epoch bound: the curation stage raw-lists this store,
+    // and listing cost grows with TOTAL file count (the extended
+    // soak's named residual term); epoch volume is trigger-bounded.
+    // REPARTITION, not coalesce: coalesce(n) collapses the whole
+    // upstream stage — the JSON payload parse ran in ONE task and
+    // tripled apply's batch time in the first sink1 soak (7.9 → 21.4 s
+    // last-third, the stage pinned at 93% busy); repartition keeps the
+    // parse parallel and pays one trigger-bounded exchange for the
+    // file bound
+    sinkCoalesce.fold(out)(out.repartition)
       .write.mode("overwrite").parquet(stage.toString)
     val target = Paths.get(s"$root/docs/batch=$batchId")
     if (Files.exists(target))
@@ -454,7 +465,8 @@ object PipelineE2E {
       gateShufflePartitions: Option[Int] = None,
       gateProvider: Option[String] = None,
       chainTriggerSec: Option[Int] = None,
-      depthControlRoot: Option[String] = None): LiveChain = {
+      depthControlRoot: Option[String] = None,
+      sinkCoalesce: Option[Int] = None): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     // the TRIGGER-SIZE amortization dial (round 17): the post-kernel-
@@ -544,11 +556,19 @@ object PipelineE2E {
     // operator publishes the new depth, retained sub-quorum copies
     // emit at their timeout under the new depth; ChainSoak's fault
     // mode soaks exactly this protocol)
+    // sinkCoalesce: the FILES-PER-EPOCH dial for every raw-listed
+    // directory handoff (ingest→apply index epochs, the docs store,
+    // gate survivor epochs, the packed layout) — the extended soak
+    // named total file count as the one term still rising over a long
+    // window (listing cost, not state); an epoch's volume is
+    // trigger-bounded so a small writer count loses nothing at steady
+    // state. None keeps one file per partition per epoch.
     val ingest = ShardedOplogPipeline.run(spark, topology,
       sh => s"$root/src/$sh", s"$root/index", s"$root/ckpt/ingest", watermark,
       trigger = chainTriggerSec.map(n =>
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$n seconds")),
-      depthControlDirFor = depthControlRoot.map(r => (sh: String) => s"$r/$sh"))
+      depthControlDirFor = depthControlRoot.map(r => (sh: String) => s"$r/$sh"),
+      sinkCoalesce = sinkCoalesce)
 
     val lineSchema = StructType(Seq(StructField("data", OplogEntry.schema)))
     // applyLateness, NOT the per-shard ingest watermark: the apply
@@ -574,7 +594,8 @@ object PipelineE2E {
       .option("checkpointLocation", s"$root/ckpt/apply")
       .foreachBatch(
         writeDocsBatch(root, chainDocSchema,
-          withVer = serveFromChain.isDefined) _))
+          withVer = serveFromChain.isDefined,
+          sinkCoalesce = sinkCoalesce) _))
       .start()
     val apply = applyProvider.fold(startApply())(p =>
       graft.GraftSession.withStateProvider(spark, p)(startApply()))
@@ -664,7 +685,12 @@ object PipelineE2E {
           .join(verdicts, Seq("doc_id"), "left_semi")
           .select(from_json(col("payload"), curatedLiveSchema).as("d"))
           .select(col("d.*"))
-        OplogPipeline.writeIndexBatch(survivors, s"$root/dedup", batchId, "neardup")
+        // repartition, not coalesce — same stage-collapse trap as the
+        // docs publish (the payload from_json + semi-join would run
+        // single-task under coalesce)
+        OplogPipeline.writeIndexBatch(
+          sinkCoalesce.fold(survivors)(survivors.repartition),
+          s"$root/dedup", batchId, "neardup")
       } finally {
         bands.unpersist()
         ()
@@ -796,7 +822,10 @@ object PipelineE2E {
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt/pack")
       .foreachBatch { (b: Dataset[FfdAssign], batchId: Long) =>
-        OplogPipeline.writeIndexBatch(b.toDF(), s"$root/layout", batchId, "ffd")
+        val out = b.toDF()
+        OplogPipeline.writeIndexBatch(
+          sinkCoalesce.fold(out)(out.coalesce),
+          s"$root/layout", batchId, "ffd")
         ()
       })
       .start()

@@ -36,7 +36,8 @@ object ShardedOplogPipeline {
       checkpointRoot: String,
       watermark: String = "10 seconds",
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-      depthControlDirFor: Option[String => String] = None): Seq[StreamingQuery] =
+      depthControlDirFor: Option[String => String] = None,
+      sinkCoalesce: Option[Int] = None): Seq[StreamingQuery] =
     topology.map { shard =>
       OplogPipeline.run(
         spark,
@@ -47,6 +48,7 @@ object ShardedOplogPipeline {
         watermark = watermark,
         trigger = trigger.getOrElse(
           org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second")),
-        depthControlDir = depthControlDirFor.map(f => f(shard.shard)))
+        depthControlDir = depthControlDirFor.map(f => f(shard.shard)),
+        sinkCoalesce = sinkCoalesce)
     }
 }

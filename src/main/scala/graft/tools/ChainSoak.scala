@@ -83,6 +83,11 @@ object ChainSoak {
     val fault = args.contains("fault")
     val noUpdate = args.contains("noupdate") || fault
     val rocksApply = args.contains("rocksapply")
+    // `sink1`: one file per epoch on every raw-listed handoff — the
+    // dial for the extended soak's named residual (listing cost grows
+    // with total file count); epoch volume is trigger-bounded at any
+    // λ this box sustains, so a single writer loses nothing here
+    val sink1 = args.contains("sink1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -91,7 +96,7 @@ object ChainSoak {
     val serveRoot = java.nio.file.Files.createTempDirectory("graft-soaksrv")
       .toFile.getAbsolutePath
     try soak(spark, sfDir, root, serveRoot, period, waves, rep, parts,
-      gateParts, noUpdate, rocksApply, fault)
+      gateParts, noUpdate, rocksApply, fault, sink1)
     finally {
       spark.stop()
       Seq(root, serveRoot).foreach(d =>
@@ -111,7 +116,8 @@ object ChainSoak {
   private def soak(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       root: String, serveRoot: String, period: Int, waves: Int, rep: Int,
       parts: Int, gateParts: Int, noUpdate: Boolean,
-      rocksApply: Boolean, fault: Boolean = false): Unit = {
+      rocksApply: Boolean, fault: Boolean = false,
+      sink1: Boolean = false): Unit = {
     import spark.implicits._
     val base = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
@@ -155,6 +161,7 @@ object ChainSoak {
         watermark = horizon,
         applyLateness = chainLateness, curationDelay = chainLateness,
         depthControlRoot = if (fault) Some(s"$root/depthctl") else None,
+        sinkCoalesce = if (sink1) Some(1) else None,
         nearDup = true, nearDupLww = true,
         nearDupTtlMs = Some(2L * stride * 1000L),
         // `rocksapply` moves the chain's ONE corpus-linear ledger (the

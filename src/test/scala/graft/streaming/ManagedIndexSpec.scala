@@ -303,6 +303,77 @@ class ManagedIndexSpec extends SparkSuite {
     }
   }
 
+  test("version retention GC deletes superseded dirs, keeps the referenced base") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-midx-gc")
+      .toFile.getAbsolutePath
+    val manifest = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "admitted"))
+    val in = java.nio.file.Files.createTempDirectory("graft-midx-gcq")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-midx-gcs")
+    try {
+      val vecs = vecsMap()
+      val cb0: Array[(Int, Array[Double])] =
+        (100L until 116L).map(vecs).zipWithIndex.map { case (v, i) => (i, v) }.toArray
+      val h = ManagedIndex.start(spark, manifest.toString,
+        s"$root/versions", s"$root/POINTER", cb0,
+        pollMs = 300L, breachPct = 100000L, maxSegments = 8,
+        keepVersions = Some(2))
+      try {
+        def exists(v: Int) = new java.io.File(s"$root/versions/v$v").isDirectory
+        // v1 base (50), v2 delta (20), then a 20-delta that folds
+        // v2+v3 → v4, then one more delta v5 — five dirs rolled, the
+        // base referenced by every membership throughout
+        dropWave(manifest, scratch, "wa", (100L until 150L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(1))
+        dropWave(manifest, scratch, "wb", (150L until 170L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(2))
+        dropWave(manifest, scratch, "wc", (170L until 190L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(4), "wc must roll delta v3 + fold v4")
+        dropWave(manifest, scratch, "wd", (190L until 210L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(5))
+        // kept window = {v4, v5}; their memberships reference v1 (the
+        // tiered base) — it must SURVIVE GC although it is the oldest
+        // dir; the superseded delta/fold inputs v2, v3 must be gone
+        assert(exists(1), "the base is referenced by the kept memberships")
+        assert(!exists(2) && !exists(3),
+          "superseded, unreferenced versions must be deleted")
+        assert(exists(4) && exists(5))
+        assert(MmrServeStream.versionDirs(s"$root/versions/v5") ==
+          Seq(s"$root/versions/v1", s"$root/versions/v4", s"$root/versions/v5"))
+
+        // the pointed serve still answers the exact replay over
+        // everything — GC removed no live data
+        def addQueries(pred: org.apache.spark.sql.Column, name: String): Unit = {
+          val tmp = scratch.resolve(name)
+          spark.read.parquet(s"$sf0001/embeddings.parquet").filter(pred)
+            .coalesce(1).write.parquet(tmp.toString)
+          val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath, in.resolve(s"$name.parquet"))
+          ()
+        }
+        val stream = graft.Tables.loadStream(
+          spark, in.toString, "embeddings", s"$sf0001/embeddings.parquet")
+        val q = MmrServeStream.serveIndexedPointer(stream, s"$root/POINTER",
+          s"$root/ckpt", root, nprobe = 16)
+        try {
+          addQueries(col("vec_id") < 4, "qa")
+          q.processAllAvailable()
+          val got = spark.read.json(s"$root/serve/batch=*")
+            .select($"data.qid".as("qid"), $"data.step".cast("int").as("step"),
+              $"data.vec_id".as("vec_id"), $"data.mmr_score".as("mmr_score"))
+            .as[(Long, Int, Long, Long)].collect()
+            .map(t => (t._1, t._2, t._3, t._4)).toSet
+          assert(got == replay(0L until 4L, (100L until 210L).toSet, vecs),
+            "post-GC pointer serve must answer the exact replay")
+        } finally q.stop()
+      } finally h.stop()
+    } finally {
+      Seq(java.nio.file.Paths.get(root), in, scratch).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
+
   test("an orphaned uncommitted part file is never indexed (commit-log enumeration)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-midx-orph")

@@ -21,6 +21,13 @@ class PipelineE2EManagedIndexSpec extends SparkSuite {
 
   private val Budget = 2000L
   private val WaveSplit = 250L
+  // the delta-cycle test splits 350/150: wave 2 strictly SMALLER than
+  // the base, so the tiered binary-counter policy (round 18) never
+  // folds it into the base — the multi-segment delta shape under test
+  // is deterministic regardless of how many cycles wave 2 lands in
+  // (equal 250/250 waves folded to one segment whenever wave 2 drained
+  // in a single cycle, a timing-dependent flake)
+  private val DeltaSplit = 350L
 
   private def uniqueDocsE: DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -123,7 +130,7 @@ class PipelineE2EManagedIndexSpec extends SparkSuite {
         s"$serveRoot/POINTER", s"$serveRoot/ckpt", serveRoot, nprobe = 16)
       try {
         // ---- wave 1: chain admits → v1 published → exact serve ----
-        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" < WaveSplit),
+        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" < DeltaSplit),
           root, PipelineE2E.defaultTopology, "w1",
           shardKey = Some(PipelineE2E.shardByLang(2)))
         chain.drain()
@@ -140,7 +147,7 @@ class PipelineE2EManagedIndexSpec extends SparkSuite {
           "the pointer serve must answer exactly over wave-1 admissions")
 
         // ---- wave 2: DELTA cycle over the sink's fresh part files ----
-        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" >= WaveSplit),
+        PipelineE2E.writeOplogWave(spark, docs.filter($"doc_id" >= DeltaSplit),
           root, PipelineE2E.defaultTopology, "w2",
           shardKey = Some(PipelineE2E.shardByLang(2)))
         chain.drain()
