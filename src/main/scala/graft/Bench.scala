@@ -151,7 +151,15 @@ object Bench {
     }
     // control LAST: did the window drift while the pass ran?
     val ctlLast = controlWarm()
-    val ctlFloor = floors.getOrElse(ControlQuery, ctlFirst)
+    // the control's OWN floor ("control_first", FloorTool-maintained as
+    // the min over clean runs' control.first): the control probe runs
+    // min-of-2 right after its cold run, so its distribution sits
+    // ~40% above q1's in-pass warm floor — comparing against the query
+    // floor tripped host_noise_suspected on three demonstrably in-band
+    // runs in one day (a cry-wolf flag is a dead flag). Falls back to
+    // the query floor when no control floor is recorded yet.
+    val ctlFloor = floors.getOrElse("control_first",
+      floors.getOrElse(ControlQuery, ctlFirst))
     val hostNoiseSuspected =
       ctlFirst > 1.5 * ctlFloor || ctlLast > 1.5 * ctlFloor
     if (hostNoiseSuspected) System.err.println(

@@ -48,6 +48,7 @@ object FloorTool {
     "serve_queries_per_sec" -> ("streaming_serve", "queries_per_sec"),
     "neardup_docs_per_sec" -> ("streaming_neardup", "docs_per_sec"))
   private val MeterKeys = MeterSources.map(_._1)
+  private val ControlFirstKey = "control_first"
   private val FailSentinelSec = 9000.0
 
   final case class CleanRun(order: Long, queries: Map[String, Double],
@@ -115,8 +116,28 @@ object FloorTool {
           merged(q) = v
       }
     }
-    existing.keySet.diff(newestQs ++ MeterKeys).foreach { q =>
+    existing.keySet.diff(newestQs ++ MeterKeys + ControlFirstKey).foreach { q =>
       println(s"[floors] dropped (not in newest clean run): $q")
+    }
+    // the control probe's own floor (min over clean runs' control.first
+    // — its distribution sits above the query's in-pass warm floor, see
+    // Bench's ctlFloor note); refuse-raise like any seconds floor
+    val controlNew: Option[Double] = {
+      val vs = clean.flatMap(_.meters.get(ControlFirstKey)).filter(_ > 0.0)
+      if (vs.isEmpty) None else Some(vs.min)
+    }
+    controlNew match {
+      case Some(v) => existing.get(ControlFirstKey) match {
+        case Some(old) if v > old && !allowRaise =>
+          println(f"[floors] REFUSED raise (control): $ControlFirstKey $old%.3f -> $v%.3f")
+          merged(ControlFirstKey) = old
+        case Some(old) => merged(ControlFirstKey) = math.min(v, old)
+        case None =>
+          println(f"[floors] new (control): $ControlFirstKey $v%.3f")
+          merged(ControlFirstKey) = v
+      }
+      case None =>
+        existing.get(ControlFirstKey).foreach(merged(ControlFirstKey) = _)
     }
     MeterKeys.foreach { m =>
       (meterNew.get(m), existing.get(m)) match {
@@ -176,7 +197,7 @@ object FloorTool {
           }
           val ms = MeterSources.flatMap { case (key, (obj, field)) =>
             num(j \ obj \ field).map(key -> _)
-          }.toMap
+          }.toMap ++ num(j \ "control" \ "first").map(ControlFirstKey -> _)
           Some(CleanRun(order.get, qs, ms))
         }
       }
