@@ -45,7 +45,8 @@ import graft.streaming.{ManagedIndex, MmrServeStream, PipelineE2E, VectorServeSt
   * rides INSIDE the chain's lateness horizon, as deployed.
   *
   * Usage: `runMain graft.tools.ChainSoak [periodSec] [waves] [rep]
-  * [chainParts] [gateParts] [noupdate] [rocksapply] [fault]` (default
+  * [chainParts] [gateParts] [noupdate] [rocksapply] [fault] [sink1]`
+  * (default
   * `2 210 16 8 8` — λ = 4k docs/s over ~7 minutes ≈ 20× the
   * knee-burst span; sf dir from SPARK_GRAFT_SF_DIR, default sf0.001).
   * `rocksapply` moves the apply LWW ledger — the chain's one
