@@ -107,10 +107,13 @@ object FloorTool {
           println(f"[floors] REFUSED raise (batch): $q $old%.3f -> $v%.3f " +
             "(pass --allow-raise if the query legitimately got slower)")
           merged(q) = old
+        case Some(old) if v > old => // allowRaise set: take the new evidence
+          println(f"[floors] RAISED (batch, --allow-raise): $q $old%.3f -> $v%.3f")
+          merged(q) = v
         case Some(old) if v < old =>
           println(f"[floors] lowered (batch): $q $old%.3f -> $v%.3f")
           merged(q) = v
-        case Some(old) => merged(q) = math.min(v, old)
+        case Some(old) => merged(q) = old
         case None =>
           println(f"[floors] new (batch): $q $v%.3f")
           merged(q) = v
@@ -131,6 +134,9 @@ object FloorTool {
         case Some(old) if v > old && !allowRaise =>
           println(f"[floors] REFUSED raise (control): $ControlFirstKey $old%.3f -> $v%.3f")
           merged(ControlFirstKey) = old
+        case Some(old) if v > old =>
+          println(f"[floors] RAISED (control, --allow-raise): $ControlFirstKey $old%.3f -> $v%.3f")
+          merged(ControlFirstKey) = v
         case Some(old) => merged(ControlFirstKey) = math.min(v, old)
         case None =>
           println(f"[floors] new (control): $ControlFirstKey $v%.3f")
@@ -145,6 +151,9 @@ object FloorTool {
           println(f"[floors] REFUSED lower (meter): $m $old%.1f -> $v%.1f " +
             "(pass --allow-lower if the meter legitimately got slower)")
           merged(m) = old
+        case (Some(v), Some(old)) if v < old => // allowLower set
+          println(f"[floors] LOWERED (meter, --allow-lower): $m $old%.1f -> $v%.1f")
+          merged(m) = v
         case (Some(v), Some(old)) =>
           if (v > old) println(f"[floors] raised (meter): $m $old%.1f -> $v%.1f")
           merged(m) = math.max(v, old)
