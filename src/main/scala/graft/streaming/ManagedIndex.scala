@@ -47,9 +47,15 @@ import org.apache.spark.sql.functions._
   * serving-path cost — the RocksDB run's late-window lag drift tracked
   * exactly that reseal term). A FULL corpus-sized seal remains only on
   * the first cycle, when the signature moves with no new data files (a
-  * replaced file — never serve stale silently), or on an accepted
+  * replaced file — never serve stale silently), on an accepted
   * retrain (a codebook swap compacts by necessity: every segment's
-  * cells are stale). Balance is a C-row count aggregate, the retrain's
+  * cells are stale), or when the union's SUPERSEDED-ROW fraction
+  * crosses `staleFoldPct` (round 19: pure tiering never re-merges the
+  * base on an update-heavy / slow-growth corpus — LWW folds SHRINK
+  * tiers — so a superseded doc's stale base row would otherwise serve
+  * forever through the union-at-read path; the stale-ratio fold
+  * bounds served staleness by a declared budget, with cost amortized
+  * to update volume rather than corpus life). Balance is a C-row count aggregate, the retrain's
   * mean aggregate moves C×D bigint rows to the driver. Nothing
   * corpus-sized is ever collected (the consumed-file set is
   * driver-held path strings, one per manifest file — the same order as
@@ -117,7 +123,8 @@ object ManagedIndex {
       maxSegments: Int = 8,
       retrainGate: (Array[(Int, Array[Double])], Array[(Int, Array[Double])]) => Boolean =
         (_, _) => true,
-      keepVersions: Option[Int] = None): Handle = {
+      keepVersions: Option[Int] = None,
+      staleFoldPct: Long = 30L): Handle = {
     @volatile var codebook = codebook0
     // incremental-compaction state, monitor-thread-confined and
     // committed only at the END of a successful cycle (a failed cycle
@@ -126,6 +133,12 @@ object ManagedIndex {
     var consumed: Set[String] = Set.empty
     var segments: Seq[String] = Seq.empty
     var segSizes: Seq[Long] = Seq.empty
+    // the version each completed cycle POINTED to — GC retention is
+    // counted in CYCLES, not version numbers (a tier-fold cascade
+    // bumps several versions in ONE cycle, so a number-counted window
+    // could delete the previously-pointed version the very cycle it
+    // was superseded, under a racing serve batch)
+    var pointedHistory: Vector[Int] = Vector.empty
     lazy val handle: Handle = new Handle(() => {
       var n = handle.nVersions.get() + 1
       val files = MmrServeStream.dataFiles(spark, manifestDir)
@@ -175,6 +188,32 @@ object ManagedIndex {
         newSegments = Seq(s"$versionsRoot/v$n")
         newSizes = Seq(cnt)
       }
+      // 1b. STALE-RATIO BOUND (round 19): under pure tiering an
+      //     update-heavy / slow-growth corpus can keep the base
+      //     unmerged forever (LWW folds SHRINK tiers, so post-base
+      //     tiers may never reach base size) and the plain
+      //     union-at-read serve would answer with a superseded doc's
+      //     stale base-segment row indefinitely. Bound it: when the
+      //     SUPERSEDED fraction of the union (rows minus distinct
+      //     docs) crosses `staleFoldPct`, fold EVERY segment — base
+      //     included — into one newest-wins seal. The check costs one
+      //     count-distinct over the union per multi-segment cycle,
+      //     the same cost class as the balance count below; the fold
+      //     itself is corpus-sized but fires only when a staleness
+      //     budget has actually accrued, so amortized cost stays
+      //     bounded by update volume, not corpus life.
+      if (newSegments.length >= 2 && staleFoldPct > 0L) {
+        val total = newSizes.sum
+        val distinct = MmrServeStream.readVersionRaw(spark, s"$versionsRoot/v$n")
+          .select(count_distinct(col("doc_id"))).collect()(0).getLong(0)
+        if (total > 0L && (total - distinct) * 100L >= staleFoldPct * total) {
+          n += 1
+          val cnt = MmrServeStream.compactSegments(spark, newSegments,
+            newCodebook, s"$versionsRoot/v$n", Seq.empty)
+          newSegments = Seq(s"$versionsRoot/v$n")
+          newSizes = Seq(cnt)
+        }
+      }
       // 2. evaluate balance from the version's cells (segment-aware)
       val counts = MmrServeStream
         .readVersionRaw(spark, s"$versionsRoot/v$n")
@@ -209,18 +248,30 @@ object ManagedIndex {
       segSizes = newSizes
       if (retrained) { handle.nRetrains.incrementAndGet(); () }
       handle.lastLoadPct = load
-      // 5. VERSION RETENTION (round 18): superseded version dirs
-      //    otherwise accumulate forever — O(N log N) DISK over corpus
-      //    life under the tiered model (the extended soak rolled 127
-      //    versions). Membership-aware: a dir referenced by any kept
-      //    version's `_segments` (the tiered base, typically v1-era)
-      //    SURVIVES no matter how old its number is; only dirs both
-      //    older than the kept window AND unreferenced are deleted.
-      //    The kept window is also the reader-safety margin: a pointer
-      //    serve re-probes per batch, so a racing batch would have to
-      //    straddle `keep` whole maintenance cycles to touch a deleted
-      //    dir — size keep accordingly (≥ 2; deployments more).
-      keepVersions.foreach(k => gcVersions(spark, versionsRoot, math.max(2, k)))
+      // 5. VERSION RETENTION (round 18; CYCLE-COUNTED round 19):
+      //    superseded version dirs otherwise accumulate forever —
+      //    O(N log N) DISK over corpus life under the tiered model
+      //    (the extended soak rolled 127 versions). The retention
+      //    window is counted in COMPLETED CYCLES, not version numbers:
+      //    the cutoff is the version the keep-th prior cycle POINTED
+      //    to, so a reader that read the pointer up to `keep−1` cycles
+      //    ago can never touch a deleted dir no matter how many
+      //    versions one cycle's fold cascade burned (a number-counted
+      //    window deleted the previously-pointed version in the very
+      //    cycle that superseded it). Membership-aware on top: a dir
+      //    referenced by any retained version's `_segments` (the
+      //    tiered base, typically v1-era) SURVIVES regardless of age;
+      //    only dirs both below the cutoff AND unreferenced are
+      //    deleted. This is the reader-safety CONTRACT the
+      //    ManagedIndexSpec slow-reader case pins: a pointer serve
+      //    re-probes per batch, so size `keep` ≥ 2 (deployments more)
+      //    to the slowest consumer's batch horizon in cycles.
+      keepVersions.foreach { k =>
+        val keep = math.max(2, k)
+        pointedHistory = (pointedHistory :+ n).takeRight(keep)
+        if (pointedHistory.length >= keep)
+          gcVersions(spark, versionsRoot, pointedHistory.head)
+      }
       // the counter advances LAST: awaitVersions(n) means cycle n is
       // fully complete, GC included (asserting disk state right after
       // an await raced a mid-GC window otherwise)
@@ -230,12 +281,15 @@ object ManagedIndex {
     handle
   }
 
-  /** delete version dirs under `versionsRoot` that are BOTH older than
-    * the newest `keep` versions AND unreferenced by any kept version's
-    * segment membership. Failures are non-fatal (retried next cycle —
-    * GC is idempotent). */
+  /** delete version dirs under `versionsRoot` that are BOTH below the
+    * retention `cutoff` (the version number the keep-th prior cycle
+    * pointed to — versions AT or NEWER than it are retained wholesale,
+    * so every version pointed within the last `keep` cycles survives
+    * intact) AND unreferenced by any retained version's segment
+    * membership. Failures are non-fatal (retried next cycle — GC is
+    * idempotent). */
   private[streaming] def gcVersions(spark: SparkSession,
-      versionsRoot: String, keep: Int): Unit = {
+      versionsRoot: String, cutoff: Int): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(versionsRoot)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootPath)) return
@@ -243,15 +297,15 @@ object ManagedIndex {
       .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
       .map(st => st.getPath.getName.stripPrefix("v").toInt -> st.getPath)
       .sortBy(_._1)
-    if (dirs.length <= keep) return
-    val kept = dirs.takeRight(keep)
+    val (old, kept) = dirs.partition(_._1 < cutoff)
+    if (old.isEmpty) return
     // membership entries are the dir strings the writers recorded;
     // compare by version NAME under this root (path-scheme agnostic)
     val referenced: Set[String] = kept.flatMap { case (_, p) =>
       MmrServeStream.versionDirs(p.toString)
         .map(d => new org.apache.hadoop.fs.Path(d).getName)
     }.toSet ++ kept.map { case (num, _) => s"v$num" }
-    dirs.dropRight(keep).foreach { case (_, p) =>
+    old.foreach { case (_, p) =>
       if (!referenced.contains(p.getName)) {
         try { fs.delete(p, true); () }
         catch { case e: Exception =>

@@ -97,7 +97,19 @@ object OplogPipeline {
     * [[QuorumDedup.DepthControl]] with no restart — the reference
     * leaks those keys forever (`MongoDBOplogSource.java:59` keeps its
     * counter map unbounded and its depth is captured once at
-    * discovery, `MongoOplogTailMapper.java:64`). */
+    * discovery, `MongoOplogTailMapper.java:64`).
+    *
+    * `sinkCoalesce` carries a NARROW-ROWS-ONLY contract: it bounds
+    * files per epoch with `df.coalesce`, which COLLAPSES the upstream
+    * stage into the writer tasks — correct and measured-helpful here
+    * because the deduped rows are the fixed ~5-field oplog line, so
+    * the collapsed stage does no per-row work worth parallelizing.
+    * Do NOT imitate this dial for a wide-payload publish: the same
+    * move on the chain's payload-parsing publish tripled apply batch
+    * time (7.9 → 21.4 s, single-task payload parse — the round-18
+    * coalesce-trap A/B, SCALING.md) and the fix there is
+    * `repartition(n)`, which bounds files while keeping the upstream
+    * stage parallel at one extra shuffle of trigger-bounded rows. */
   def run(
       spark: SparkSession,
       sourceDir: String,

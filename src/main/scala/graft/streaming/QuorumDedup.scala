@@ -66,11 +66,27 @@ object QuorumDedup {
     *
     * Protocol: a fresh checkpoint dir gets a `_graft_quorum_state_format`
     * marker stamped with [[StateFormatId]] BEFORE the query starts; a
-    * dir that already committed offsets WITHOUT the marker is by
-    * definition pre-upgrade (every post-upgrade start stamps first), and
-    * a marker carrying a different id is a future incompatible bump —
-    * both raise. Hadoop FS API throughout, so the guard holds on any
-    * checkpoint store, not just the local FS. */
+    * dir that already committed offsets WITHOUT the marker is presumed
+    * pre-upgrade (every build that HAS the guard stamps before its
+    * first commit), and a marker carrying a different id is a future
+    * incompatible bump — both raise. Hadoop FS API throughout, so the
+    * guard holds on any checkpoint store, not just the local FS.
+    *
+    * KNOWN-FALSE-POSITIVE COHORT (round 19): a checkpoint written by a
+    * build that already used the current grouping key but PREDATES the
+    * marker protocol carries committed offsets and no marker — valid
+    * state the inference above cannot distinguish from pre-re-key
+    * state. For that cohort the default replay-from-scratch is safe
+    * but wasteful, so an OPERATOR OVERRIDE exists: set the JVM system
+    * property `graft.quorum.assumeStateFormat` (or the environment
+    * variable `GRAFT_QUORUM_ASSUME_STATE_FORMAT`) to the exact
+    * [[StateFormatId]] after manually verifying the checkpoint's
+    * provenance, and the guard stamps the marker onto the
+    * offsets-bearing checkpoint instead of refusing — once, loudly;
+    * subsequent starts pass on the marker alone. The override value
+    * must NAME the format id (not just be truthy) so a stale override
+    * left in an init script can never wave through a FUTURE format
+    * bump. */
   def ensureStateFormat(spark: SparkSession, checkpointDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(checkpointDir)
@@ -88,18 +104,34 @@ object QuorumDedup {
           "checkpoint (replay the source range); refusing to mis-group " +
           "checkpointed quorum state.")
     } else {
-      // no marker: committed progress means a pre-upgrade checkpoint
+      // no marker: committed progress means a pre-marker checkpoint —
+      // either genuinely pre-re-key (h-keyed state: mis-grouping) or
+      // the marker-less cohort written by a current-key build before
+      // the guard existed (valid state the inference can't prove)
       val hasProgress = Seq("offsets", "commits").exists { sub =>
         val p = new org.apache.hadoop.fs.Path(dir, sub)
         fs.exists(p) && fs.listStatus(p)
           .exists(st => !st.getPath.getName.startsWith("."))
       }
-      require(!hasProgress,
+      val assume = sys.props.get("graft.quorum.assumeStateFormat")
+        .orElse(sys.env.get("GRAFT_QUORUM_ASSUME_STATE_FORMAT"))
+      if (hasProgress && assume.contains(StateFormatId))
+        // operator vouched for the marker-less cohort: stamp and go
+        System.err.println(s"[quorum-guard] OVERRIDE: stamping " +
+          s"'$StateFormatId' onto marker-less checkpoint $checkpointDir " +
+          "on operator assertion (graft.quorum.assumeStateFormat)")
+      else require(!hasProgress,
         s"graft quorum dedup: checkpoint $checkpointDir has committed " +
-          "offsets but no state-format marker — it predates the " +
-          s"'$StateFormatId' identity re-key (pre-r17 checkpoints keyed " +
-          "state by h alone). Resume from a fresh checkpoint (replay the " +
-          "source range); refusing to mis-group checkpointed quorum state.")
+          "offsets but no state-format marker. Either it predates the " +
+          s"'$StateFormatId' identity re-key (state keyed by h alone — " +
+          "resuming would mis-group it) or it was written by a build " +
+          "that already used the current key but predates the marker " +
+          "protocol (valid state this guard cannot prove). Default: " +
+          "resume from a fresh checkpoint (replay the source range). " +
+          "If you have verified the checkpoint was written by a " +
+          "current-key build, set -Dgraft.quorum.assumeStateFormat=" +
+          s"'$StateFormatId' (or env GRAFT_QUORUM_ASSUME_STATE_FORMAT) " +
+          "to stamp it and resume in place.")
       fs.mkdirs(dir)
       val out = fs.create(marker, true)
       try out.write(StateFormatId.getBytes("UTF-8")) finally out.close()

@@ -374,6 +374,140 @@ class ManagedIndexSpec extends SparkSuite {
     }
   }
 
+  test("GC retention is cycle-counted: a fold cascade never deletes the previously-pointed version") {
+    // the round-18 advice scenario: one cycle's tier-fold cascade bumps
+    // SEVERAL version numbers (delta v4 + folds v5, v6), so a
+    // number-counted keep=2 window would delete v3 — the version the
+    // PREVIOUS cycle pointed to — in the very cycle that superseded it,
+    // and a serve batch that read the pointer just before the flip
+    // would scan deleted files mid-batch. Cycle-counted retention keeps
+    // every version pointed within the last `keep` cycles readable.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-midx-cyc")
+      .toFile.getAbsolutePath
+    val manifest = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "admitted"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-midx-cscr")
+    try {
+      val vecs = vecsMap()
+      val cb0: Array[(Int, Array[Double])] =
+        (100L until 116L).map(vecs).zipWithIndex.map { case (v, i) => (i, v) }.toArray
+      val h = ManagedIndex.start(spark, manifest.toString,
+        s"$root/versions", s"$root/POINTER", cb0,
+        pollMs = 300L, breachPct = 100000L, maxSegments = 3,
+        keepVersions = Some(2))
+      try {
+        def exists(v: Int) = new java.io.File(s"$root/versions/v$v").isDirectory
+        // cycles 1-3: full seal v1 (150), delta v2 (50), delta v3 (25)
+        dropWave(manifest, scratch, "wa", (100L until 250L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(1))
+        dropWave(manifest, scratch, "wb", (250L until 300L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(2))
+        dropWave(manifest, scratch, "wc", (300L until 325L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(3))
+        // cycle 4 is the CASCADE: delta v4 (25) folds with v3 into v5
+        // (50), which folds with v2 into v6 (100) — three bumps, one
+        // cycle. The previously-pointed v3 MUST survive this cycle's
+        // GC, fully readable (membership closure intact).
+        dropWave(manifest, scratch, "wd", (325L until 350L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(6), "wd must roll delta v4 + folds v5, v6")
+        assert(exists(3),
+          "the previously-pointed version must survive its superseding cycle")
+        assert(MmrServeStream.readVersionRaw(spark, s"$root/versions/v3")
+          .count() == 225,
+          "the previously-pointed version must stay fully readable")
+        // membership CLOSURE after GC: every surviving version's
+        // segment dirs all exist — GC can never leave a version that
+        // reads partial
+        (1 to 6).filter(exists).foreach { v =>
+          MmrServeStream.versionDirs(s"$root/versions/v$v").foreach { d =>
+            assert(new java.io.File(d.stripPrefix("file:")).isDirectory,
+              s"kept v$v references deleted segment $d")
+          }
+        }
+        // one more quiet cycle (delta v7): now v3 is TWO cycles stale —
+        // beyond the keep=2 horizon — and the superseded chain v2..v5
+        // is reclaimed; the referenced base v1 survives regardless of age
+        dropWave(manifest, scratch, "we", (350L until 360L).map(id => (id, vecs(id))))
+        assert(h.awaitVersions(7))
+        assert(exists(1), "the referenced base survives GC at any age")
+        assert(!exists(2) && !exists(3) && !exists(4) && !exists(5),
+          "versions beyond the cycle horizon and unreferenced are reclaimed")
+        assert(exists(6) && exists(7))
+        assert(MmrServeStream.readVersionRaw(spark, s"$root/versions/v7")
+          .count() == 260, "the pointed version spans everything after GC")
+      } finally h.stop()
+    } finally {
+      Seq(java.nio.file.Paths.get(root), scratch).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
+
+  test("the stale-ratio fold bounds cross-segment staleness on an update-heavy corpus") {
+    // the round-18 advice scenario: LWW updates land in SMALL deltas
+    // that never grow to the base's size, so pure tiering would never
+    // re-merge the base and the union-at-read serve would answer with
+    // the superseded docs' stale base rows forever. Crossing the
+    // staleFoldPct budget must trigger a base-including newest-wins
+    // fold.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-midx-stale")
+      .toFile.getAbsolutePath
+    val manifest = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "admitted"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft-midx-sscr")
+    def dropWaveV(name: String, rows: Seq[(Long, Array[Double], Long)]): Unit = {
+      val tmp = scratch.resolve(name)
+      rows.map { case (id, v, ver) => (id, "en", 10L, 0L, 0L, v.toSeq, ver) }
+        .toDF("doc_id", "lang", "n_tokens", "rank_key", "cum_tokens",
+          "embedding", "ver")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles.find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, manifest.resolve(s"$name.parquet"))
+      ()
+    }
+    try {
+      val vecs = vecsMap()
+      val cb0: Array[(Int, Array[Double])] =
+        (100L until 116L).map(vecs).zipWithIndex.map { case (v, i) => (i, v) }.toArray
+      val h = ManagedIndex.start(spark, manifest.toString,
+        s"$root/versions", s"$root/POINTER", cb0,
+        pollMs = 300L, breachPct = 100000L, maxSegments = 8,
+        staleFoldPct = 30L)
+      try {
+        // v1: base — 50 docs at ver 1
+        dropWaveV("wa", (100L until 150L).map(id => (id, vecs(id), 1L)))
+        assert(h.awaitVersions(1))
+        // one UPDATE wave: 25 of the 50 docs re-admitted at ver 2 with
+        // different vectors. The 25-row delta (v2) is smaller than the
+        // 50-row base, so the tier policy alone would never fold it in
+        // — but the union is now 75 rows over 50 docs: 33% superseded,
+        // over the 30% budget → base-including fold v3 fires in the
+        // same cycle.
+        dropWaveV("wb", (100L until 125L).map(id => (id, vecs(id + 300L), 2L)))
+        assert(h.awaitVersions(3), "the stale breach must fold delta v2 + base into v3")
+        assert(MmrServeStream.versionDirs(s"$root/versions/v3") ==
+          Seq(s"$root/versions/v3"),
+          "the stale fold must seal to a SINGLE segment (base included)")
+        val folded = spark.read.parquet(s"$root/versions/v3")
+          .select($"doc_id", $"embedding", $"ver")
+          .as[(Long, Array[Double], Option[Long])].collect()
+        assert(folded.length == 50,
+          s"75 union rows must collapse to 50 docs, got ${folded.length}")
+        // the base seal is newest-as-of-publish and carries no ver
+        // (reindexFullFrom drops it), so un-updated docs fold with a
+        // null ver; updated docs carry the delta's ver 2
+        assert(folded.forall { case (id, e, ver) =>
+          if (id < 125L) ver.contains(2L) && java.util.Arrays.equals(e, vecs(id + 300L))
+          else ver.isEmpty && java.util.Arrays.equals(e, vecs(id)) },
+          "every updated doc must serve ONLY its newest embedding after the fold")
+      } finally h.stop()
+    } finally {
+      Seq(java.nio.file.Paths.get(root), scratch).foreach(d =>
+        new scala.reflect.io.Directory(d.toFile).deleteRecursively())
+    }
+  }
+
   test("an orphaned uncommitted part file is never indexed (commit-log enumeration)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-midx-orph")
