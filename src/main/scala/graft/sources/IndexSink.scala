@@ -159,8 +159,14 @@ class IndexStreamingWrite(path: String, mode: String = "rename")
 
 class IndexBatchWrite(path: String, epoch: Long = -1L,
     mode: String = "rename") extends BatchWrite {
+  // the batch path must stage under ITS epoch, not the -1 default: in
+  // manifest mode the data files' final keys live under
+  // `_data/epoch=<e>` and the NEXT epoch's commit sweeps manifest-less
+  // dirs below itself — batch epochs staged under epoch=-1 were
+  // deleted by the following commit (caught by EpochSourceSpec's
+  // manifest-mode case)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new IndexWriterFactory(path, mode)
+    new IndexWriterFactory(path, mode, epoch)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (mode == "manifest") IndexCommit.publishManifest(path, epoch, messages)
     else IndexCommit.publish(path, epoch, messages)
@@ -282,13 +288,14 @@ object IndexCommit {
       .foreach(f => if (f.exists()) f.delete())
 }
 
-class IndexWriterFactory(path: String, mode: String = "rename")
+class IndexWriterFactory(path: String, mode: String = "rename",
+    batchEpoch: Long = -1L)
     extends StreamingDataWriterFactory with DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new IndexDataWriter(path, partitionId, taskId, epochId, mode)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new IndexDataWriter(path, partitionId, taskId, -1L, mode)
+    new IndexDataWriter(path, partitionId, taskId, batchEpoch, mode)
 }
 
 class IndexDataWriter(root: String, partitionId: Int, taskId: Long, epochId: Long,

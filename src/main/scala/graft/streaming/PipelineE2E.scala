@@ -266,7 +266,8 @@ object PipelineE2E {
     * terminal uses it). */
   private def writeDocsBatch(root: String,
       schema: StructType = docSchema, withVer: Boolean = false,
-      sinkCoalesce: Option[Int] = None)(
+      sinkCoalesce: Option[Int] = None,
+      sweepEmptyEpochs: Boolean = false)(
       b: Dataset[OplogApply.DocState], batchId: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val stage = Paths.get(s"$root/docs/_tmp/batch=$batchId-${java.util.UUID.randomUUID()}")
@@ -294,11 +295,47 @@ object PipelineE2E {
     if (Files.exists(target))
       new scala.reflect.io.Directory(target.toFile).deleteRecursively()
     Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+    // docs-retention companion sweep (round 19): with the consumer's
+    // `cleanSource=archive` moving consumed part files out of the
+    // handoff namespace, the epoch DIRS themselves are what's left to
+    // grow the per-trigger listing (the lister visits every batch=N
+    // dir whether or not it holds files). An emptied dir at least 3
+    // epochs behind the frontier is consumed-and-archived by
+    // construction (this writer is the only one, and it runs serially
+    // per batch) — remove it. One name-level listStatus per batch,
+    // driver-side; the guard keeps the replay window untouched.
+    if (sweepEmptyEpochs) {
+      val Epoch = """batch=(\d+)""".r
+      Option(new java.io.File(s"$root/docs").listFiles).getOrElse(Array.empty)
+        .foreach { d =>
+          d.getName match {
+            case Epoch(e) if e.toLong <= batchId - 3 && d.isDirectory &&
+                Option(d.listFiles).forall(_.forall(f =>
+                  f.getName.startsWith("_") || f.getName.startsWith("."))) =>
+              new scala.reflect.io.Directory(d).deleteRecursively()
+              ()
+            case _ => ()
+          }
+        }
+    }
     ()
   }
 
   /** the materialized document store, both read shapes. */
   def docsGlob(root: String): String = s"$root/docs/batch=*"
+
+  /** where the docs-retention consumer archive lands: Spark's
+    * `SourceFileArchiver` preserves the file's FULL original path under
+    * the archive base, so the archived twin of `docsGlob` is the base +
+    * the absolute glob. Post-hoc corpus readers under retention read
+    * BOTH globs (the live tail + the archived cold tier). */
+  def docsArchiveBase(root: String): String = s"$root/docs_archive"
+  def docsAllGlobs(root: String): Seq[String] = {
+    val archived = s"${docsArchiveBase(root)}$root/docs/batch=*"
+    if (new java.io.File(s"${docsArchiveBase(root)}$root/docs").isDirectory)
+      Seq(docsGlob(root), archived)
+    else Seq(docsGlob(root))
+  }
 
   /** Stage 3: streaming curation over the materialized store. */
   def runCuration(spark: SparkSession, root: String, cap: Int): Unit = {
@@ -466,7 +503,9 @@ object PipelineE2E {
       gateProvider: Option[String] = None,
       chainTriggerSec: Option[Int] = None,
       depthControlRoot: Option[String] = None,
-      sinkCoalesce: Option[Int] = None): LiveChain = {
+      sinkCoalesce: Option[Int] = None,
+      epochHandoffs: Boolean = false,
+      docsRetention: Boolean = false): LiveChain = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     // the TRIGGER-SIZE amortization dial (round 17): the post-kernel-
@@ -571,6 +610,29 @@ object PipelineE2E {
       sinkCoalesce = sinkCoalesce)
 
     val lineSchema = StructType(Seq(StructField("data", OplogEntry.schema)))
+    // epochHandoffs (round 19, verdict ask 1): the raw-listed LINE
+    // handoffs — ingest index → apply, gate survivor epochs → budget,
+    // registry bands → buckets — consume through the EPOCH-POINTER
+    // source ([[graft.sources.EpochSourceProvider]]): per trigger one
+    // commit-marker probe per newly-committed epoch instead of a full
+    // glob re-list whose cost grows with total epoch count forever
+    // (the extended soak's one residual rising term). Consumed epochs
+    // leave the probed namespace at the consumer's own commit: the
+    // ingest index (the O12 product) and the survivor manifest are
+    // ARCHIVED (one rename, preserved beside the tree); the bands
+    // rendezvous — pure protocol traffic re-derivable from the curated
+    // store — is DELETED. Epoch-granular consumption also closes the
+    // docs publish's documented replay residual for these handoffs: a
+    // replayed (replaced) epoch at or below the consumer cursor is
+    // never re-read as new files.
+    def epochLines(path: String, retention: String,
+        dataSchema: StructType): DataFrame =
+      spark.readStream.format("graft.sources.EpochSourceProvider")
+        .option("path", path).option("retention", retention)
+        .load()
+        .select(from_json(col("value"),
+          StructType(Seq(StructField("data", dataSchema)))).as("j"))
+        .select(col("j.data").as("data"))
     // applyLateness, NOT the per-shard ingest watermark: the apply
     // stage UNIONS every shard's epochs into one query, and an
     // event-time-stateful operator drops input at/below its watermark
@@ -585,17 +647,25 @@ object PipelineE2E {
     // `applyProvider = Some("rocksdb")` moves JUST this query's state
     // off-heap (conf pinned per query at start; the other stages keep
     // the session default per the churn-vs-resident dial)
-    def startApply() = trig(OplogApply.currentState(
+    val applyOps =
+      if (epochHandoffs)
+        topology.map(sh =>
+            epochLines(s"$root/index/${sh.shard}/oplog", "archive",
+              OplogEntry.schema))
+          .reduce(_.unionByName(_))
+          .select("data.*").as[OplogEntry]
+      else
         spark.readStream.schema(lineSchema)
           .json(s"$root/index/*/oplog/batch=*")
-          .select("data.*").as[OplogEntry],
-        applyLateness)
+          .select("data.*").as[OplogEntry]
+    def startApply() = trig(OplogApply.currentState(applyOps, applyLateness)
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt/apply")
       .foreachBatch(
         writeDocsBatch(root, chainDocSchema,
           withVer = serveFromChain.isDefined,
-          sinkCoalesce = sinkCoalesce) _))
+          sinkCoalesce = sinkCoalesce,
+          sweepEmptyEpochs = docsRetention) _))
       .start()
     val apply = applyProvider.fold(startApply())(p =>
       graft.GraftSession.withStateProvider(spark, p)(startApply()))
@@ -604,14 +674,30 @@ object PipelineE2E {
     // column (pure carried payload — same kernels, same state, same
     // verdicts; downstream readers project their own narrower schemas
     // over the wider files)
+    // docsRetention (round 19, verdict ask 1a): the docs store is a
+    // PARQUET handoff, so its consumer keeps the standard file source —
+    // but Spark's own consumed-file cleaner (`cleanSource=archive`,
+    // fired at the consumer's commit) moves each consumed part file to
+    // the cold tier under [[docsArchiveBase]] (full original path
+    // preserved), and the writer's companion sweep (writeDocsBatch
+    // `sweepEmptyEpochs`) removes the emptied epoch dirs — together
+    // bounding the handoff listing to the unconsumed tail. The corpus
+    // itself is PRESERVED: post-hoc readers use [[docsAllGlobs]].
+    def docsStream(schema: StructType): DataFrame = {
+      val r = spark.readStream.schema(schema)
+      (if (docsRetention)
+        r.option("cleanSource", "archive")
+          .option("sourceArchiveDir", docsArchiveBase(root))
+      else r).parquet(docsGlob(root))
+    }
     val curateSink =
       (if (serveFromChain.isDefined)
         CurationStream.curateWithEmbedding(
-          spark.readStream.schema(docSchemaEV).parquet(docsGlob(root)),
+          docsStream(docSchemaEV),
           cap = cap, delay = curationDelay).toDF()
       else
         CurationStream.curateWithText(
-          spark.readStream.schema(docSchema).parquet(docsGlob(root)),
+          docsStream(docSchema),
           cap = cap, delay = curationDelay).toDF())
     val curate = trig(curateSink
       .writeStream.outputMode("append")
@@ -746,10 +832,15 @@ object PipelineE2E {
         }
         val bandLineSchema = StructType(Seq(StructField("data",
           StructType.fromDDL(NearDupStream.RegMsgDdl))))
+        val bandsSrc =
+          if (epochHandoffs)
+            epochLines(s"$root/dedup/bands", "delete",
+              StructType.fromDDL(NearDupStream.RegMsgDdl)).select("data.*")
+          else
+            spark.readStream.schema(bandLineSchema)
+              .json(s"$root/dedup/bands/batch=*").select("data.*")
         val buckets = gateScoped {
-          trig(NearDupStream.applyLww(
-              spark.readStream.schema(bandLineSchema)
-                .json(s"$root/dedup/bands/batch=*").select("data.*"))
+          trig(NearDupStream.applyLww(bandsSrc)
             .writeStream.outputMode("append")
             .option("checkpointLocation", s"$root/ckpt/neardup")
             .foreachBatch(publishSurvivors _))
@@ -781,6 +872,9 @@ object PipelineE2E {
       if (!nearDup)
         spark.readStream.schema(curatedLiveSchema).parquet(s"$root/curated")
           .select(budgetCols.map(col): _*)
+      else if (epochHandoffs)
+        epochLines(s"$root/dedup/neardup", "archive", curatedLiveSchema)
+          .select(budgetCols.map(c => col(s"data.$c").as(c)): _*)
       else
         spark.readStream.schema(dedupLineSchema)
           .json(s"$root/dedup/neardup/batch=*")
