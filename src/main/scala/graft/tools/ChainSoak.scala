@@ -44,8 +44,27 @@ import graft.streaming.{ManagedIndex, MmrServeStream, PipelineE2E, VectorServeSt
   * watermark forward and lame-duck the following waves — the update
   * rides INSIDE the chain's lateness horizon, as deployed.
   *
+  * SELF-ADJUDICATION SENTINEL (round 19): the bench's control-pair
+  * discipline, adapted to a window that is BUSY BY DESIGN — a Spark
+  * control query would inflate with the chain's own load and conflate
+  * backlog with co-tenancy, so the soak instead records two
+  * orthogonal signals per ~3 s poll and adjudicates per time bucket
+  * in the artifact: (1) a fixed single-thread CPU KERNEL (pure JVM
+  * loop, no Spark — its wall time moves only when the HOST's cores
+  * are oversubscribed: the chain at the soak dials peaks ~50% busy,
+  * so a 2× kernel inflation vs the run's own best bucket marks an
+  * external window, not catch-up); (2) per-stage PER-ROW batch cost
+  * (batch-ms / input rows — catch-up batches are LARGER and therefore
+  * cheaper per row, co-tenant windows are same-size and slower, so
+  * the uniform-cross-stage-2× signature the r18 adjudication applied
+  * by eyeball becomes a computed flag). A bucket is `suspected` when
+  * the kernel inflates ≥ 2× or ≥ 4 stages' per-row cost inflates
+  * ≥ 2× vs their own best bucket — the `chain_soak_sentinel` line
+  * carries the evidence either way.
+  *
   * Usage: `runMain graft.tools.ChainSoak [periodSec] [waves] [rep]
-  * [chainParts] [gateParts] [noupdate] [rocksapply] [fault] [sink1]`
+  * [chainParts] [gateParts] [noupdate] [rocksapply] [fault] [rejoin]
+  * [sink1] [handoff]`
   * (default
   * `2 210 16 8 8` — λ = 4k docs/s over ~7 minutes ≈ 20× the
   * knee-burst span; sf dir from SPARK_GRAFT_SF_DIR, default sf0.001).
@@ -71,7 +90,25 @@ import graft.streaming.{ManagedIndex, MmrServeStream, PipelineE2E, VectorServeSt
   * via the timeout re-check, later waves fire at arrival under the new
   * depth). Implies `noupdate`; the apply/curation lateness widens to
   * 7 waves so the horizon-late recovered ops stay inside every
-  * downstream watermark. */
+  * downstream watermark.
+  *
+  * `rejoin` (round-19 ask 3) completes the membership-change story the
+  * fault mode starts: after the death + live 3→2 requorum, member h3
+  * is RESTORED at the 3/4 wave (later waves render 3 copies again) and
+  * two waves later the operator raises depth back to 3 through the
+  * same live channel. Witnesses: `missing_waves: 0` across the whole
+  * lower-then-raise timeline (ops spanning the raise fire at the depth
+  * their copies arrived under; a restored member's straggler copies of
+  * already-emitted keys are suppressed — the `emitted` flag persists),
+  * `dup_emits: 0` over the whole published index (no retraction, no
+  * double-emit), and the ingest store draining back toward the 3-copy
+  * plateau. Burst twin: OplogPipelineFaultSpec's rejoin case.
+  *
+  * `handoff` (round-19 ask 1) runs every raw-listed directory handoff
+  * through the epoch-pointer source with consumed-epoch retention
+  * (`startLive(epochHandoffs, docsRetention)`) — the soak whose
+  * last-third lag slope must come out FLAT now that no consumer
+  * re-lists a growing glob and the hot namespaces stay bounded. */
 object ChainSoak {
 
   def main(args: Array[String]): Unit = {
@@ -81,7 +118,8 @@ object ChainSoak {
     val rep = nums.lift(2).map(_.toInt).getOrElse(16)
     val parts = nums.lift(3).map(_.toInt).getOrElse(8)
     val gateParts = nums.lift(4).map(_.toInt).getOrElse(8)
-    val fault = args.contains("fault")
+    val rejoin = args.contains("rejoin")
+    val fault = args.contains("fault") || rejoin
     val noUpdate = args.contains("noupdate") || fault
     val rocksApply = args.contains("rocksapply")
     // `sink1`: one file per epoch on every raw-listed handoff — the
@@ -89,6 +127,9 @@ object ChainSoak {
     // with total file count); epoch volume is trigger-bounded at any
     // λ this box sustains, so a single writer loses nothing here
     val sink1 = args.contains("sink1")
+    // `handoff`: epoch-pointer consumption + consumed-epoch retention
+    // on every raw-listed directory handoff (round-19 ask 1)
+    val handoff = args.contains("handoff")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -97,11 +138,14 @@ object ChainSoak {
     val serveRoot = java.nio.file.Files.createTempDirectory("graft-soaksrv")
       .toFile.getAbsolutePath
     try soak(spark, sfDir, root, serveRoot, period, waves, rep, parts,
-      gateParts, noUpdate, rocksApply, fault, sink1)
+      gateParts, noUpdate, rocksApply, fault, sink1, rejoin, handoff)
     finally {
       spark.stop()
-      Seq(root, serveRoot).foreach(d =>
-        new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+      // GRAFT_SOAK_KEEP=1 keeps the run dirs for post-mortem forensics
+      if (!sys.env.get("GRAFT_SOAK_KEEP").contains("1"))
+        Seq(root, serveRoot).foreach(d =>
+          new scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively())
+      else println(s"""{"probe":"chain_soak_keep","root":"$root","serve_root":"$serveRoot"}""")
     }
   }
 
@@ -118,7 +162,8 @@ object ChainSoak {
       root: String, serveRoot: String, period: Int, waves: Int, rep: Int,
       parts: Int, gateParts: Int, noUpdate: Boolean,
       rocksApply: Boolean, fault: Boolean = false,
-      sink1: Boolean = false): Unit = {
+      sink1: Boolean = false, rejoin: Boolean = false,
+      handoff: Boolean = false): Unit = {
     import spark.implicits._
     val base = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
@@ -173,7 +218,8 @@ object ChainSoak {
         budgetLww = true, serveIndexedAdmit = true,
         serveFromChain = Some(s"$sfDir/embeddings.parquet"),
         chainShufflePartitions = Some(parts),
-        gateShufflePartitions = Some(gateParts))
+        gateShufflePartitions = Some(gateParts),
+        epochHandoffs = handoff, docsRetention = handoff)
       val cb = VectorServeStream.codebookFrom(spark, s"$sfDir/embeddings.parquet")
       val idx = ManagedIndex.start(spark, s"$root/admitted",
         s"$serveRoot/versions", s"$serveRoot/POINTER", cb, pollMs = 3000L)
@@ -189,11 +235,17 @@ object ChainSoak {
         // member h3 DEAD (2 copies of each s0 op against quorum 3)
         val t0r = System.nanoTime()
         val updAt = waves / 2
+        // rejoin: member h3 RESTORED at the 3/4 wave — later waves
+        // render 3 copies of s0's ops again; the depth raise publishes
+        // two waves later, so raise-spanning ops fire at the depth
+        // their copies arrived under (no loss either side)
+        val rejoinAt = updAt + (waves - updAt) / 2
         val deadTopology = Seq(
           graft.streaming.ShardTopology.parseDescriptor("s0/h1:27017,h2:27017"),
           graft.streaming.ShardTopology.parseDescriptor("s1/h4:27017,h5:27017"))
         def topoFor(w: Int) =
-          if (fault && w > updAt) deadTopology else PipelineE2E.defaultTopology
+          if (fault && w > updAt && !(rejoin && w > rejoinAt)) deadTopology
+          else PipelineE2E.defaultTopology
         val rendered = (1 to waves).map { w =>
           w -> PipelineE2E.renderOplogWave(spark, waveDocs(w),
             topoFor(w), s"w$w",
@@ -230,13 +282,37 @@ object ChainSoak {
           PipelineE2E.defaultTopology, "warmup",
           shardKey = Some(PipelineE2E.shardByLang(2)))
         chain.drain()
-        def packedPerWave(): Map[Long, Long] =
-          scala.util.Try {
-            spark.read.json(s"$root/layout/ffd")
+        // INCREMENTAL layout tally (round 19): the poller used to
+        // re-read the WHOLE layout tree every 3 s — its own listing
+        // grew with epoch count, so the late-window "lag" carried the
+        // probe's own rising read time as a confound. The layout sink
+        // commits epochs serially, so the poll is a cursor: read ONLY
+        // the newly-committed batch dirs, accumulate per-wave counts.
+        // (A replayed layout epoch would double-tally — replays need a
+        // writer crash, which aborts the run anyway; the full-read
+        // form had the mirror-image replace window.)
+        val packedAgg = scala.collection.mutable.Map.empty[Long, Long]
+        var packedCursor = -1L
+        def packedPerWave(): Map[Long, Long] = {
+          val layoutRoot = s"$root/layout/ffd"
+          var e = packedCursor
+          while (new java.io.File(layoutRoot, s"batch=${e + 1}/_SUCCESS").isFile)
+            e += 1
+          if (e > packedCursor) scala.util.Try {
+            val dirs = (packedCursor + 1L to e).map(i => s"$layoutRoot/batch=$i")
+            spark.read
+              .schema("data STRUCT<doc_id: LONG>")
+              .json(dirs: _*)
               .select((col("data.doc_id") / stride).cast("long").as("w"))
               .groupBy("w").count()
-              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-          }.getOrElse(Map.empty)
+              .collect().foreach { r =>
+                packedAgg(r.getLong(0)) =
+                  packedAgg.getOrElse(r.getLong(0), 0L) + r.getLong(1)
+              }
+            packedCursor = e   // only on success — a failed read retries whole
+          }
+          packedAgg.toMap
+        }
         val t0 = System.nanoTime()
         def now() = (System.nanoTime() - t0) / 1e9
         val injected = new java.util.concurrent.ConcurrentHashMap[Int, Double]()
@@ -260,6 +336,11 @@ object ChainSoak {
             if (fault && w == updAt + 2)
               graft.streaming.QuorumDedup.DepthControl.publish(
                 s"$root/depthctl/s0", 1L, 2)
+            // rejoin: the member is back (waves > rejoinAt carry its
+            // copies) — the operator re-deepens the quorum live
+            if (rejoin && w == rejoinAt + 2)
+              graft.streaming.QuorumDedup.DepthControl.publish(
+                s"$root/depthctl/s0", 2L, 3)
             ()
           }
         }, "soak-injector")
@@ -292,6 +373,20 @@ object ChainSoak {
 
         val snaps = Seq.newBuilder[(Double, Map[Long, Long])]
         var polls = 0
+        // sentinel signal 1: a fixed single-thread CPU kernel (pure
+        // JVM, no Spark) — its wall time moves only when the host's
+        // cores are oversubscribed, so it separates co-tenant windows
+        // from the chain's own catch-up load (see the object scaladoc)
+        val wallAt0 = System.currentTimeMillis() - (now() * 1000).toLong
+        val probeLedger = Seq.newBuilder[(Double, Double)]
+        def cpuKernel(): Double = {
+          val t = System.nanoTime()
+          var h = 1469598103934665603L
+          var i = 0
+          while (i < 20000000) { h = (h ^ i) * 1099511628211L; i += 1 }
+          if (h == 42L) print("")   // consume h: the loop must survive JIT
+          (System.nanoTime() - t) / 1e6
+        }
         var lastQDrop = -1
         var updProbeId: Option[Long] = None
         var admitLag: Option[Double] = None
@@ -342,6 +437,7 @@ object ChainSoak {
           }) {
           snaps += ((now(), packedPerWave()))
           polls += 1
+          probeLedger += ((now(), cpuKernel()))
           if (fault) {
             val (r0, b0) = ingest0Now()
             ingest0Ledger += ((now(), r0, b0))
@@ -395,14 +491,37 @@ object ChainSoak {
         // back to plateau after requorum (the reference leaks exactly
         // this state forever, MongoDBOplogSource.java:59)
         if (fault) {
+          // docsAllGlobs: under handoff retention the consumed docs
+          // epochs live in the cold tier — the corpus witness spans both
           val perWave = spark.read
-            .schema(PipelineE2E.docSchemaEV).parquet(PipelineE2E.docsGlob(root))
+            .schema(PipelineE2E.docSchemaEV)
+            .parquet(PipelineE2E.docsAllGlobs(root): _*)
             .filter(col("doc_id") >= stride)   // wave 0 is the warmup
             .groupBy((col("doc_id") / stride).cast("long").as("w"))
             .agg(countDistinct(col("doc_id")).as("docs"))
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           val missing = (1 to waves)
             .filter(w => perWave.getOrElse(w.toLong, 0L) < docsPerWave)
+          // rejoin: the no-retraction/no-double-emit witness — every op
+          // hash appears EXACTLY once across the whole published index
+          // (live + archived epochs), through death, lower, and raise
+          val dupEmits =
+            if (!rejoin) -1L
+            else scala.util.Try {
+              val globs = PipelineE2E.defaultTopology.flatMap { sh =>
+                Seq(s"$root/index/${sh.shard}/oplog",
+                  s"$root/index/${sh.shard}/oplog_archive")
+                  .filter(d => new java.io.File(d).isDirectory)
+                  .map(d => s"$d/batch=*")
+              }
+              spark.read
+                .schema(org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("data",
+                    graft.model.OplogEntry.schema))))
+                .json(globs: _*)
+                .groupBy(col("data.h")).count()
+                .filter(col("count") > 1).count()
+            }.getOrElse(-2L)
           val led = ingest0Ledger.result()
           val deathT = injected.getOrDefault(updAt + 1, Double.NaN)
           val preR = led.filter(_._1 < deathT).map(_._2)
@@ -410,7 +529,7 @@ object ChainSoak {
           val preB = led.filter(_._1 < deathT).map(_._3)
           val postB = led.filter(_._1 >= deathT).map(_._3)
           def mx(xs: Seq[Long]): Long = if (xs.isEmpty) -1L else xs.max
-          println(s"""{"probe":"chain_soak_fault","death_wave":${updAt + 1},"reconfig_wave":${updAt + 2},"docs_per_wave":$docsPerWave,"missing_waves":${missing.length},"missing_list":${missing.take(10).mkString("[", ",", "]")},"ingest0_rows_pre_max":${mx(preR)},"ingest0_rows_hump_max":${mx(postR)},"ingest0_rows_end":${led.lastOption.map(_._2).getOrElse(-1L)},"ingest0_bytes_pre_max":${mx(preB)},"ingest0_bytes_hump_max":${mx(postB)},"ingest0_bytes_end":${led.lastOption.map(_._3).getOrElse(-1L)}}""")
+          println(s"""{"probe":"chain_soak_fault","death_wave":${updAt + 1},"reconfig_wave":${updAt + 2},"rejoin_wave":${if (rejoin) rejoinAt + 1 else -1},"raise_wave":${if (rejoin) rejoinAt + 2 else -1},"dup_emits":$dupEmits,"docs_per_wave":$docsPerWave,"missing_waves":${missing.length},"missing_list":${missing.take(10).mkString("[", ",", "]")},"ingest0_rows_pre_max":${mx(preR)},"ingest0_rows_hump_max":${mx(postR)},"ingest0_rows_end":${led.lastOption.map(_._2).getOrElse(-1L)},"ingest0_bytes_pre_max":${mx(preB)},"ingest0_bytes_hump_max":${mx(postB)},"ingest0_bytes_end":${led.lastOption.map(_._3).getOrElse(-1L)}}""")
         }
         val all = snaps.result()
         val fin = all.last._2
@@ -450,6 +569,70 @@ object ChainSoak {
           val stateRows = Option(q.lastProgress).toSeq
             .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
           println(f"""{"probe":"chain_soak_stage","stage":"$l","busy_pct":${(100.0 * busyMs / math.max(1e-9, windowSec * 1000)).round},"batches":${ps.length},"data_batches":${data.length},"rows":${data.map(_.numInputRows).sum},"batch_ms_mean":${mean(trig)},"batch_ms_first3rd":${mean(trig.take(third))},"batch_ms_last3rd":${mean(trig.takeRight(third))},"state_rows_end":$stateRows}""")
+        }
+        // SELF-ADJUDICATION (round-19 ask 2): bucket the window and
+        // stamp suspect buckets IN THE ARTIFACT — the r18 extended
+        // soak's contaminated first third had to be adjudicated by
+        // eyeball; here the two signals (object scaladoc) compute it.
+        locally {
+          val nBuckets = 9
+          val bucketSec = math.max(1e-9, windowSec / nBuckets)
+          def bucketOf(t: Double): Int =
+            math.min(nBuckets - 1, math.max(0, (t / bucketSec).toInt))
+          val probeMean: Array[Double] = {
+            val acc = Array.fill(nBuckets)(Seq.newBuilder[Double])
+            probeLedger.result().foreach { case (t, ms) => acc(bucketOf(t)) += ms }
+            acc.map { b =>
+              val xs = b.result()
+              if (xs.isEmpty) -1.0 else xs.sum / xs.length
+            }
+          }
+          val probeClean = probeMean.filter(_ > 0)
+          val probeFloor = if (probeClean.isEmpty) -1.0 else probeClean.min
+          // per-stage PER-ROW batch cost per bucket: catch-up batches
+          // are larger and cheaper per row; co-tenant windows are
+          // same-size and slower — a ≥ 2× per-row inflation vs the
+          // stage's own best bucket is the flag
+          val MinRows = 200L
+          val stageFlags = Array.fill(nBuckets)(0)
+          chain.queries.zip(stageLabels).foreach { case (q, _) =>
+            val per = Array.fill(nBuckets)((0.0, 0L, 0L))
+            q.recentProgress.toSeq.filter(_.numInputRows > 0).foreach { p =>
+              val t = (java.time.Instant.parse(p.timestamp).toEpochMilli -
+                wallAt0) / 1000.0
+              val b = bucketOf(t)
+              val d = Option(p.durationMs.get("triggerExecution"))
+                .map(_.doubleValue).getOrElse(0.0)
+              per(b) = (per(b)._1 + d, per(b)._2 + p.numInputRows,
+                per(b)._3 + 1L)
+            }
+            // per-row cost is only comparable at comparable batch
+            // sizes: a small-batch bucket (warmup, drain tail) has a
+            // high per-row cost from FIXED machinery amortizing over
+            // fewer rows — an artifact, not noise. A bucket counts
+            // only at ≥ half the stage's overall mean batch size.
+            val totalRows = per.map(_._2).sum
+            val totalBatches = per.map(_._3).sum
+            val meanBatch =
+              if (totalBatches == 0L) 0.0 else totalRows.toDouble / totalBatches
+            val perRow = per.map { case (ms, rows, batches) =>
+              if (rows >= MinRows && batches > 0 &&
+                  rows.toDouble / batches >= 0.5 * meanBatch) ms / rows
+              else -1.0
+            }
+            val clean = perRow.filter(_ > 0)
+            if (clean.nonEmpty) {
+              val floor = clean.min
+              (0 until nBuckets).foreach(b =>
+                if (perRow(b) > 0 && perRow(b) >= 2.0 * floor) stageFlags(b) += 1)
+            }
+          }
+          val suspected = (0 until nBuckets).filter(b =>
+            (probeFloor > 0 && probeMean(b) >= 0 && probeMean(b) >= 2.0 * probeFloor) ||
+              stageFlags(b) >= 4)
+          def fmt(a: Array[Double]) =
+            a.map(v => f"$v%.1f").mkString("[", ",", "]")
+          println(s"""{"probe":"chain_soak_sentinel","buckets":$nBuckets,"bucket_sec":${bucketSec.round},"kernel_ms":${fmt(probeMean)},"kernel_floor_ms":${f"$probeFloor%.1f"},"stage_flags":${stageFlags.mkString("[", ",", "]")},"window_suspected":${suspected.mkString("[", ",", "]")}}""")
         }
         new scala.reflect.io.Directory(qStage.toFile).deleteRecursively()
         ()

@@ -63,4 +63,65 @@ class OplogPipelineFaultSpec extends SparkSuite {
           s"ops fire at arrival — got ${emitted()}")
     } finally q.stop()
   }
+
+  test("member REJOIN: a live depth raise re-deepens quorum, no retraction, no double-emit") {
+    // the other half of membership change (round-19 verdict ask 3): the
+    // fault case lowers 3→2 when a member dies; here the member comes
+    // BACK and the operator raises 2→3 through the same live channel.
+    // Witnessed: (a) keys emitted under the shallower quorum STAY
+    // emitted — a restored member's straggler third copy is suppressed,
+    // never re-emitted (quorum is a durability gate, not a retraction
+    // mechanism); (b) a newcomer op is held to the FULL 3 copies again;
+    // (c) ops span the raise safely — 2 copies before it fire at the
+    // old depth, the post-raise third copy is a no-op. The reference
+    // can do neither direction (depth frozen at discovery,
+    // MongoOplogTailMapper.java:64).
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-rejoin").toFile.getAbsolutePath
+    val src = s"$root/oplog"
+    new java.io.File(src).mkdirs()
+    def wave(name: String, rows: Seq[String]): Unit = {
+      Files.write(java.nio.file.Paths.get(s"$src/$name.json"),
+        rows.mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    def emitted(): Seq[Long] = spark.read.json(s"$root/index/oplog")
+      .select($"data.h").as[Long].collect().sorted.toSeq
+
+    val ctl = s"$root/depthctl"
+    val q = OplogPipeline.run(spark, src, s"$root/index", s"$root/ckpt",
+      replicaDepth = 3, depthControlDir = Some(ctl))
+    try {
+      // prologue = the fault case: healthy emit, death, live 3→2
+      wave("w1", Seq(line(1, "r1", 1), line(1, "r2", 1), line(1, "r3", 1)))
+      q.processAllAvailable()
+      QuorumDedup.DepthControl.publish(ctl, 1L, 2)
+      wave("w2", Seq(line(2, "r1", 20), line(2, "r2", 20)))
+      q.processAllAvailable()
+      assert(emitted() == Seq(1L, 2L), "depth-2 ops fire at two copies")
+
+      // r3 RESTORED; the operator raises back to depth 3
+      QuorumDedup.DepthControl.publish(ctl, 2L, 3)
+      // (a)+(c): the restored member replays h=2's third copy — the
+      // emitted flag persists in state, so the straggler is suppressed
+      wave("w3", Seq(line(2, "r3", 20)))
+      q.processAllAvailable()
+      assert(emitted() == Seq(1L, 2L),
+        s"a straggler copy of an emitted key must be suppressed: ${emitted()}")
+      // (b): a newcomer at 2 of 3 copies is HELD under the raised depth
+      wave("w4", Seq(line(4, "r1", 40), line(4, "r2", 40)))
+      q.processAllAvailable()
+      assert(emitted() == Seq(1L, 2L),
+        s"post-raise, two copies must be held below the deeper quorum: ${emitted()}")
+      // the restored member's copy completes the quorum — exactly once
+      wave("w5", Seq(line(4, "r3", 40)))
+      q.processAllAvailable()
+      assert(emitted() == Seq(1L, 2L, 4L),
+        s"the third copy must complete the raised quorum: ${emitted()}")
+      val perKey = spark.read.json(s"$root/index/oplog")
+        .groupBy($"data.h").count().select($"count").as[Long].collect()
+      assert(perKey.forall(_ == 1L),
+        "every key must emit exactly once across the lower+raise timeline")
+    } finally q.stop()
+  }
 }
