@@ -104,6 +104,15 @@ import graft.streaming.{ManagedIndex, MmrServeStream, PipelineE2E, VectorServeSt
   * double-emit), and the ingest store draining back toward the 3-copy
   * plateau. Burst twin: OplogPipelineFaultSpec's rejoin case.
   *
+  * Raise-timing contract (operator-facing): a sub-quorum op re-checks
+  * quorum AT TIMEOUT TIME against the depth THEN in force — so raise
+  * only after the lowered-depth window's lateness horizon has drained
+  * (the standard 210-wave schedule leaves ~50 waves between the lower
+  * and the raise, ~16× the horizon; a compressed smoke schedule can
+  * race the raise past a retained op's timeout, which then correctly
+  * adjudicates at the deeper quorum and drops — the op never reached
+  * quorum under any regime it completed in).
+  *
   * `handoff` (round-19 ask 1) runs every raw-listed directory handoff
   * through the epoch-pointer source with consumed-epoch retention
   * (`startLive(epochHandoffs, docsRetention)`) — the soak whose
@@ -265,10 +274,19 @@ object ChainSoak {
             shardKey = Some(PipelineE2E.shardByLang(2)), tsOffsetSec = 1L))
         val docsPerWave = template.count()
         println(f"""{"probe":"chain_soak_setup","waves":$waves,"period_sec":$period,"docs_per_wave":$docsPerWave,"offered_docs_per_sec":${docsPerWave.toDouble / period}%.0f,"render_sec":${(System.nanoTime() - t0r) / 1e9}%.1f}""")
-        // one 8-vector query file, re-dropped periodically
+        // one 8-vector query file, re-dropped periodically. The query
+        // vectors are drawn from the CHAIN'S OWN synthetic distribution
+        // (V1Formula — what the soak corpus actually carries), not the
+        // embeddings fixture: fixture-vintage queries probe cells the
+        // synthetic corpus never populates, so every serve batch
+        // retrieved NOTHING and served_rows witnessed only the
+        // pointer-swap machinery, not retrieval (round-19 finding —
+        // the r17/r18 soak serve legs had this blind spot)
         val qStage = java.nio.file.Files.createTempDirectory("graft-soak-q")
-        spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .filter(col("vec_id") < 8).coalesce(1)
+        withVec(spark.range(8).select(col("id").as("doc_id")), V1Formula)
+          .select(col("doc_id").as("vec_id"),
+            expr("transform(embedding, x -> cast(x as float))").as("embedding"))
+          .coalesce(1)
           .write.mode("overwrite").parquet(qStage.toString)
         val qPart = qStage.toFile.listFiles
           .find(_.getName.endsWith(".parquet")).get.toPath
@@ -507,21 +525,27 @@ object ChainSoak {
           // (live + archived epochs), through death, lower, and raise
           val dupEmits =
             if (!rejoin) -1L
-            else scala.util.Try {
-              val globs = PipelineE2E.defaultTopology.flatMap { sh =>
+            else {
+              // explicit committed-epoch dirs (a glob that matches zero
+              // paths — a fully-retained live tree — throws)
+              val dirs = PipelineE2E.defaultTopology.flatMap { sh =>
                 Seq(s"$root/index/${sh.shard}/oplog",
                   s"$root/index/${sh.shard}/oplog_archive")
-                  .filter(d => new java.io.File(d).isDirectory)
-                  .map(d => s"$d/batch=*")
+              }.flatMap { d =>
+                Option(new java.io.File(d).listFiles).getOrElse(Array.empty)
+                  .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+                    new java.io.File(f, "_SUCCESS").isFile)
+                  .map(_.getPath)
               }
-              spark.read
+              if (dirs.isEmpty) -2L
+              else spark.read
                 .schema(org.apache.spark.sql.types.StructType(Seq(
                   org.apache.spark.sql.types.StructField("data",
                     graft.model.OplogEntry.schema))))
-                .json(globs: _*)
+                .json(dirs: _*)
                 .groupBy(col("data.h")).count()
                 .filter(col("count") > 1).count()
-            }.getOrElse(-2L)
+            }
           val led = ingest0Ledger.result()
           val deathT = injected.getOrDefault(updAt + 1, Double.NaN)
           val preR = led.filter(_._1 < deathT).map(_._2)
@@ -550,7 +574,7 @@ object ChainSoak {
         // summary must still print instead of crashing at the very end
         // of a long run (round-17 ADVICE — clean.max throws on empty)
         val lagMax = if (clean.isEmpty) Double.NaN else clean.max
-        println(f"""{"probe":"chain_soak_summary","waves":$waves,"period_sec":$period,"lag_first_decile":${meanOf(clean.take(dec))}%.1f,"lag_mid_decile":${meanOf(clean.slice(clean.length / 2 - dec / 2, clean.length / 2 + dec / 2 + 1))}%.1f,"lag_last_decile":${meanOf(clean.takeRight(dec))}%.1f,"lag_max":$lagMax%.1f,"admit_lag_sec":${admitLag.getOrElse(-1.0)}%.1f,"serve_lag_sec":${serveLag.getOrElse(-1.0)}%.1f,"versions":${idx.versions},"served_rows":${scala.util.Try(spark.read.json(s"$serveRoot/serve/batch=*").count()).getOrElse(0L)}}""")
+        println(f"""{"probe":"chain_soak_summary","waves":$waves,"period_sec":$period,"lag_first_decile":${meanOf(clean.take(dec))}%.1f,"lag_mid_decile":${meanOf(clean.slice(clean.length / 2 - dec / 2, clean.length / 2 + dec / 2 + 1))}%.1f,"lag_last_decile":${meanOf(clean.takeRight(dec))}%.1f,"lag_max":$lagMax%.1f,"admit_lag_sec":${admitLag.getOrElse(-1.0)}%.1f,"serve_lag_sec":${serveLag.getOrElse(-1.0)}%.1f,"versions":${idx.versions},"served_rows":${scala.util.Try(spark.read.schema("data STRUCT<qid: LONG>").json(s"$serveRoot/serve/batch=*").filter(col("data.qid").isNotNull).count()).getOrElse(-1L)}}""")
         // per-stage busy/growth over the FULL window (rate-probe report)
         val windowSec = all.last._1
         chain.queries.zip(stageLabels).foreach { case (q, l) =>
