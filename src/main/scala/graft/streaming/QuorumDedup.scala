@@ -148,7 +148,7 @@ object QuorumDedup {
 
   /** pure per-event transition — unit-testable without a stream.
     * Returns (newState, emitNow). */
-  private[streaming] def step(st: QuorumState, depth: Int): (QuorumState, Boolean) = {
+  private[graft] def step(st: QuorumState, depth: Int): (QuorumState, Boolean) = {
     val seen = st.seen + 1
     val fire = !st.emitted && seen >= depth
     (st.copy(seen = seen, emitted = st.emitted || fire), fire)
@@ -159,7 +159,7 @@ object QuorumDedup {
     * lower than the one the copies arrived under — is now satisfied
     * and nothing fired before. QuorumPropertySpec composes this with
     * [[step]] to prove exactly-once across random depth swaps. */
-  private[streaming] def timeoutFire(st: QuorumState, depth: Int): Option[OplogEntry] =
+  private[graft] def timeoutFire(st: QuorumState, depth: Int): Option[OplogEntry] =
     if (!st.emitted && st.seen >= depth) st.pending else None
 
   private def quorumFn(depth: Int)(
