@@ -122,11 +122,17 @@ object KeyWidthProbe {
       val narrow = Seq.newBuilder[Double]
       var emittedMismatch = false
       (1 to rounds).foreach { i =>
-        // interleaved so a host drift hits both arms equally
-        val (wr, _, we) = meterQuorum(spark, s"$scratch/oplog",
+        // interleaved so a host drift hits both arms equally, and the
+        // WITHIN-ROUND order alternates so JVM/codegen warmup doesn't
+        // systematically tax whichever arm runs first (observed: the
+        // first run of the process is ~40% under its own warm rate)
+        def runWide() = meterQuorum(spark, s"$scratch/oplog",
           s"$scratch/ckpt-wide-$i", wideKey = true)
-        val (nr, _, ne) = meterQuorum(spark, s"$scratch/oplog",
+        def runNarrow() = meterQuorum(spark, s"$scratch/oplog",
           s"$scratch/ckpt-narrow-$i", wideKey = false)
+        val ((wr, _, we), (nr, _, ne)) =
+          if (i % 2 == 1) { val w = runWide(); (w, runNarrow()) }
+          else { val n = runNarrow(); (runWide(), n) }
         if (we != ne) emittedMismatch = true
         wide += wr
         narrow += nr
