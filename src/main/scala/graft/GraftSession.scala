@@ -34,6 +34,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    RocksDB's off-heap capacity, not its commit speed.
   */
 object GraftSession {
+
+  /** Partition width for spreading a CPU-bound kernel over a
+    * single-split input (guide §2.5, input skew: "one huge
+    * unsplittable file → repartition immediately after the read").
+    * Cores-derived, never a constant — and used as an EXPLICIT
+    * repartition count because an unpinned `repartition(col)` is an
+    * AQE-coalescible exchange: with fixture-sized inputs the advisory
+    * partition size folds it straight back to one partition and the
+    * kernel re-serializes (measured: the minhash sketch stage kept
+    * running 1-task behind `repartition($"doc_id")`; pinning the
+    * count held all 32 slots). */
+  def spreadWidth(spark: SparkSession): Int = {
+    val conf = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .map(_.toInt).getOrElse(0)
+    math.max(spark.sparkContext.defaultParallelism, conf)
+  }
+
   def builderDefaults(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

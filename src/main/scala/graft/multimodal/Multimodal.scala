@@ -102,7 +102,17 @@ object Multimodal {
     * partition — here ImageIO's writer registry lookup). */
   def withImageBlob(spark: SparkSession, df: DataFrame): DataFrame = {
     import spark.implicits._
-    df.select(col("doc_id")).as[Long]
+    // repartition the 8-byte ids BEFORE generating blobs (guide §2.5,
+    // input skew): the single-row-group parquet fixture is ONE input
+    // split, which would fuse PNG encode + every downstream decode
+    // into a single task — the dominant CPU kernel of the multimodal
+    // family serialized on one core. Shuffling ids costs nothing; on
+    // a real multi-split corpus the exchange is a no-op cost.
+    // width pinned (cores-derived): an unpinned repartition(col) is an
+    // AQE-coalescible exchange that folds back to one partition at
+    // fixture scale — see GraftSession.spreadWidth.
+    df.select(col("doc_id"))
+      .repartition(graft.GraftSession.spreadWidth(spark), col("doc_id")).as[Long]
       .mapPartitions(it => it.map(id => (id, pngFor(id))))
       .toDF("doc_id", "blob")
   }

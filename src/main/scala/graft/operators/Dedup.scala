@@ -117,8 +117,10 @@ object Dedup {
     // repartition first: the fixture is a single parquet file (1 input
     // split), which would otherwise serialize all shingle computation
     // into one task; on a real multi-split corpus this is a no-op cost.
+    // Width pinned (cores-derived) — unpinned, AQE's partition
+    // coalescing folds the fixture-sized exchange back to one task.
     docs(s, dir)
-      .repartition($"doc_id")
+      .repartition(graft.GraftSession.spreadWidth(s), $"doc_id")
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         shingleHashes(text).map(a => (id, a))
@@ -389,33 +391,37 @@ object Dedup {
     * aggregate idiom; 2 MB × partitions), and prefix selection
     * becomes a map-side sort of each doc's own shingle array. Two
     * pre-candidate shuffles of the widest frame in the query → zero. */
+  /** [[ngramJaccard]]'s verified pair frame WITHOUT the output sort —
+    * the form internal consumers (the edit-distance verify cascade)
+    * compose on; the catalog op adds the presentation orderBy. */
+  private def ngramJaccardVerified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = 0.5
+    val sh = shingleSets(s, dir)
+    val ranked = cmsPrefixRanked(s, sh, t)
+    // candidate equi-join on the 8-byte fingerprint, with the
+    // LOSSLESS size-ratio filter (j ≥ t ⇒ max(n1,n2) ≤ n/t·min):
+    // at t=0.5 a pair whose set sizes differ over 2× cannot qualify,
+    // so it never even enters the distinct()
+    val cand = ranked.as("a")
+      .join(ranked.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id"
+        && $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    // exact verification on candidates only
+    val s1 = sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
+    val s2 = sh.select($"doc_id".as("d2"), $"sh".as("sh2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("inter", size(array_intersect($"sh1", $"sh2")))
+      .withColumn("n1", size($"sh1")).withColumn("n2", size($"sh2"))
+      .filter($"inter" * 3 >= $"n1" + $"n2")
+      .select($"d1", $"d2", $"inter".cast("long").as("inter_size"),
+        ($"n1" + $"n2" - $"inter").cast("long").as("union_size"))
+  }
+
   val ngramJaccard: Q = Q(
     "dedup_ngram_jaccard",
-    (s, dir) => {
-      import s.implicits._
-      val t = 0.5
-      val sh = shingleSets(s, dir)
-      val ranked = cmsPrefixRanked(s, sh, t)
-      // candidate equi-join on the 8-byte fingerprint, with the
-      // LOSSLESS size-ratio filter (j ≥ t ⇒ max(n1,n2) ≤ n/t·min):
-      // at t=0.5 a pair whose set sizes differ over 2× cannot qualify,
-      // so it never even enters the distinct()
-      val cand = ranked.as("a")
-        .join(ranked.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id"
-          && $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .distinct()
-      // exact verification on candidates only
-      val s1 = sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
-      val s2 = sh.select($"doc_id".as("d2"), $"sh".as("sh2"))
-      cand.join(s1, "d1").join(s2, "d2")
-        .withColumn("inter", size(array_intersect($"sh1", $"sh2")))
-        .withColumn("n1", size($"sh1")).withColumn("n2", size($"sh2"))
-        .filter($"inter" * 3 >= $"n1" + $"n2")
-        .select($"d1", $"d2", $"inter".cast("long").as("inter_size"),
-          ($"n1" + $"n2" - $"inter").cast("long").as("union_size"))
-        .orderBy($"d1", $"d2")
-    },
+    (s, dir) => ngramJaccardVerified(s, dir).orderBy(col("d1"), col("d2")),
     exactPairSql
   )
 
@@ -442,7 +448,15 @@ object Dedup {
       // `min(xxhash64(f, i))` aggregate columns paid ~500ns/row/col in
       // aggregate-buffer updates, and building shingle arrays for the
       // whole corpus cost more than the sketch itself.
-      val minhashes = d
+      //
+      // repartition before the sketch (the shingleSets discipline,
+      // guide §2.5 input skew): a single-row-group parquet fixture is
+      // ONE input split, which would fuse the whole CPU-bound sketch
+      // kernel into a single task. The width is pinned (cores-derived,
+      // see [[graft.GraftSession.spreadWidth]]) because an unpinned
+      // repartition(col) is AQE-coalescible and folds back to one
+      // partition at fixture scale.
+      val minhashes = d.repartition(graft.GraftSession.spreadWidth(s), $"doc_id")
         .select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions(_.flatMap { case (doc, text) =>
           sketchText(text).map(mh => (doc, mh))
@@ -486,14 +500,24 @@ object Dedup {
         .filter($"inter" * 3 >= $"n1" + $"n2")
         .select($"d1", $"d2", $"inter".cast("long").as("inter_size"),
           ($"n1" + $"n2" - $"inter").cast("long").as("union_size"))
-        .orderBy($"d1", $"d2")
     }
   }
 
+  /** [[minhashLsh]]'s pair set WITHOUT the output sort — the form
+    * internal consumers (clustering, labeling, cross-modal union,
+    * edit-distance verify) compose on. They group/join the pairs
+    * immediately, so the catalog op's presentation orderBy would be
+    * pure waste there — and worse than waste when the consumer
+    * persists the composed frame: the cached plan pins the sort AND
+    * its range-partition sampling pass (a second full execution of
+    * the pipeline) that EliminateSorts can no longer remove across
+    * the cache boundary. */
+  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairsFrom(docs(s, dir).select(col("doc_id"), col("text")))
+
   val minhashLsh: Q = Q(
     "dedup_minhash_lsh",
-    (s, dir) => minhashLshPairsFrom(
-      docs(s, dir).select(col("doc_id"), col("text"))),
+    (s, dir) => minhashLshPairs(s, dir).orderBy(col("d1"), col("d2")),
     exactPairSql
   )
 
@@ -536,7 +560,7 @@ object Dedup {
       val lww = versioned.groupBy($"doc_id")
         .agg(max_by($"text", $"ver").as("text"))
         .localCheckpoint()
-      minhashLshPairsFrom(lww)
+      minhashLshPairsFrom(lww).orderBy($"d1", $"d2")
     },
     Some(s"""
       WITH versioned AS (
@@ -643,7 +667,7 @@ object Dedup {
     (s, dir) => {
       import s.implicits._
       val sig = docs(s, dir)
-        .repartition($"doc_id")   // single-file fixture → spread the work
+        .repartition(graft.GraftSession.spreadWidth(s), $"doc_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
         .select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions(_.flatMap { case (doc, text) =>
           simhashText(text).map(sim => (doc, sim))
@@ -776,7 +800,12 @@ object Dedup {
     "dedup_image_phash",
     (s, dir) => {
       import s.implicits._
-      val sig = graft.multimodal.Multimodal.phash.run(s, dir)
+      // phashFrame, not phash.run: the catalog op's presentation
+      // orderBy would ride INTO the persisted decode plan (the cache
+      // boundary pins the sort and its range-sampling pass — one full
+      // extra decode of the corpus, visible as a second multi-second
+      // single-task job in the job profile)
+      val sig = graft.multimodal.Multimodal.phashFrame(s, docs(s, dir))
         .select($"doc_id", $"phash")
         .persist()   // decode once: read again by the member re-attach
       // hash contraction: one vertex per distinct hash
@@ -855,8 +884,8 @@ object Dedup {
     "dedup_crossmodal",
     (s, dir) => {
       import s.implicits._
-      val tpairs = minhashLsh.run(s, dir).select($"d1", $"d2")
-      val sig = graft.multimodal.Multimodal.phash.run(s, dir)
+      val tpairs = minhashLshPairs(s, dir).select($"d1", $"d2")
+      val sig = graft.multimodal.Multimodal.phashFrame(s, docs(s, dir))
         .select($"doc_id", $"phash")
         .persist()   // decode once: read by the star edges AND the group min
       val hstats = sig.groupBy($"phash").agg(min($"doc_id").as("dmin"))
@@ -945,7 +974,7 @@ object Dedup {
       import s.implicits._
       import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
       val e = Tables.load(s, dir, "embeddings")
-        .repartition($"vec_id")   // single-file fixture → spread the work
+        .repartition(graft.GraftSession.spreadWidth(s), $"vec_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
         .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", sqrt(dot_product($"v", $"v")))
         .persist()   // norms computed once, not per pair
@@ -1004,7 +1033,7 @@ object Dedup {
     "dedup_clusters",
     (s, dir) => {
       import s.implicits._
-      val pairs = minhashLsh.run(s, dir).select($"d1", $"d2")
+      val pairs = minhashLshPairs(s, dir).select($"d1", $"d2")
       val edges = pairs.union(pairs.select($"d2", $"d1"))
         .toDF("a", "b")
         .localCheckpoint()
@@ -1207,7 +1236,7 @@ object Dedup {
     "dedup_clusters_star",
     (s, dir) => {
       import s.implicits._
-      val pairs = minhashLsh.run(s, dir).select($"d1", $"d2")
+      val pairs = minhashLshPairs(s, dir).select($"d1", $"d2")
       val (lab, _) = connectedComponentsStar(s, pairs)
       val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("cluster_size"))
       lab.join(broadcast(sizes), "lab")
@@ -1253,7 +1282,7 @@ object Dedup {
       }
       rm(new java.io.File(wh, name))
       val (lab, _) = connectedComponentsStar(
-        s, minhashLsh.run(s, dir).select($"d1", $"d2"))
+        s, minhashLshPairs(s, dir).select($"d1", $"d2"))
       lab.select($"v".as("doc_id"), $"lab".as("canonical_id"))
         .write.mode("overwrite")
         .bucketBy(8, "doc_id").sortBy("doc_id")
@@ -1748,7 +1777,7 @@ object Dedup {
     import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
     val masks = (0 until (1 << nPlanes)).filter(m => Integer.bitCount(m) <= 2)
     val e = Tables.load(s, dir, "embeddings")
-      .repartition($"vec_id")   // single-file fixture → spread the work
+      .repartition(graft.GraftSession.spreadWidth(s), $"vec_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
       .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", sqrt(dot_product($"v", $"v")))
       .withColumn("bucket", VectorSearch.signBucket($"v", VectorSearch.planesFor(nPlanes)))
@@ -2394,7 +2423,7 @@ object Dedup {
     "dedup_editdist",
     (s, dir) => {
       import s.implicits._
-      val verified = ngramJaccard.run(s, dir)
+      val verified = ngramJaccardVerified(s, dir)
         .localCheckpoint() // pair frame referenced by fetch + final join
       val candDocs = verified
         .select(explode(array($"d1", $"d2")).as("doc_id")).distinct()

@@ -303,7 +303,7 @@ object TextAnalysis {
     import org.apache.spark.sql.Column
     val terms = bm25Terms
     val d = docs(s, dir)
-      .repartition($"doc_id")   // single-file fixture → spread the work
+      .repartition(graft.GraftSession.spreadWidth(s), $"doc_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
       .select($"doc_id", TextFns.tokens($"text").as("toks"))
       .withColumn("dl", size($"toks"))
     val tf = terms.foldLeft(d) { (df, t) =>
@@ -500,7 +500,7 @@ object TextAnalysis {
     (s, dir) => {
       import s.implicits._
       docs(s, dir)
-        .repartition($"doc_id")   // single-file fixture → spread the work
+        .repartition(graft.GraftSession.spreadWidth(s), $"doc_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
         .select($"text").as[String]
         .mapPartitions(_.flatMap(bigramsOf))
         .toDF("bigram")
@@ -537,7 +537,7 @@ object TextAnalysis {
     (s, dir) => {
       import s.implicits._
       docs(s, dir)
-        .repartition($"doc_id")   // single-file fixture → spread the work
+        .repartition(graft.GraftSession.spreadWidth(s), $"doc_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
         .select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           val bg = bigramsOf(text)
@@ -1178,7 +1178,10 @@ object TextAnalysis {
     (s, dir) => {
       import s.implicits._
       val toks = docs(s, dir)
-        .repartition($"doc_id")
+        // width pinned (cores-derived): unpinned, AQE folds the
+        // fixture-sized exchange back to one task and the bigram
+        // kernel re-serializes — see GraftSession.spreadWidth
+        .repartition(graft.GraftSession.spreadWidth(s), $"doc_id")
         .select($"text").as[String]
       val bg = toks.mapPartitions(_.flatMap(bigramsOf)).toDF("bigram")
         .groupBy($"bigram").agg(count(lit(1)).as("c_ab"))

@@ -43,7 +43,7 @@ object VectorSearch {
     import s.implicits._
     withNorms(
       Tables.load(s, dir, "embeddings")
-        .repartition($"vec_id")   // single-file fixture → spread the work
+        .repartition(graft.GraftSession.spreadWidth(s), $"vec_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
         .select($"vec_id", $"embedding"))
       // localCheckpoint, not persist: (a) the frame is referenced on both
       // sides of the scoring join, so lineage truncation keeps the plan

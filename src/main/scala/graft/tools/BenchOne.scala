@@ -6,13 +6,19 @@ object BenchOne {
     val spark = graft.GraftSession.builderDefaults(
       SparkSession.builder().master("local[32]").appName("graft-benchone"), 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCHONE_RUNS", "2").toInt
     args.drop(1).foreach { name =>
-      (1 to 2).foreach { i =>
+      val ts = (1 to runs).map { i =>
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir).count()
-        println(f"[benchone] $name run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+        val t = (System.nanoTime()-t0)/1e9
+        println(f"[benchone] $name run$i $t%.2f s")
+        t
       }
+      val warm = ts.drop(1).sorted
+      if (warm.nonEmpty) println(f"[benchone] $name warm_median=${warm(warm.size / 2)}%.3f warm_min=${warm.min}%.3f")
     }
     spark.stop()
   }
