@@ -177,8 +177,33 @@ object Tables {
   val extension: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extension
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalize(spark.read.parquet(s"$dir/$name.parquet"), name)
+  /** Parquet SCHEMA memo: `spark.read.parquet(path)` runs a footer
+    * schema-inference JOB on every call — measured ~40–70 ms of job
+    * span plus a driver gap, paid once per `load` per query, ~10–20 s
+    * across a full 138-query bench for metadata that never changes.
+    * Production declares schemas; this memo is the equivalent: infer
+    * once per distinct (path, file length+mtime fingerprint), then
+    * read with the explicit schema. The fingerprint keys out a path
+    * whose file was overwritten (scratch fixtures in tests), so a
+    * stale schema can never be served; DATA is always read from the
+    * parquet — nothing about query RESULTS is memoized. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def pathFingerprint(path: String): String = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.foldLeft(f.lastModified)((a, c) => a ^ walk(c))).getOrElse(0L)
+      else f.lastModified ^ (f.length * 1000003L)
+    s"$path@${walk(new java.io.File(path))}"
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(pathFingerprint(path),
+      _ => spark.read.parquet(path).schema)
+    normalize(spark.read.schema(schema).parquet(path), name)
+  }
 
   /** Timestamp columns vary by generator vintage: events.ts has shipped
     * both as TIMESTAMP(NANOS) (surfaced as int64 nanos via the
@@ -204,8 +229,9 @@ object Tables {
     * points at any parquet written with the same vintage (usually the
     * testdata file the fixture was staged from). */
   def loadStream(spark: SparkSession, streamDir: String, name: String,
-      schemaFrom: String): DataFrame =
-    normalize(
-      spark.readStream.schema(spark.read.parquet(schemaFrom).schema).parquet(streamDir),
-      name)
+      schemaFrom: String): DataFrame = {
+    val schema = schemaCache.computeIfAbsent(pathFingerprint(schemaFrom),
+      _ => spark.read.parquet(schemaFrom).schema)
+    normalize(spark.readStream.schema(schema).parquet(streamDir), name)
+  }
 }

@@ -884,7 +884,15 @@ object Dedup {
     "dedup_crossmodal",
     (s, dir) => {
       import s.implicits._
-      val tpairs = minhashLshPairs(s, dir).select($"d1", $"d2")
+      // the two modality pipelines are independent until the edge
+      // union — overlap them (guide §2.6): the text side's eager
+      // candidate/verify barriers otherwise serialize ahead of the
+      // image decode
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val tpairsF = Future(
+        minhashLshPairs(s, dir).select($"d1", $"d2").localCheckpoint())
       val sig = graft.multimodal.Multimodal.phashFrame(s, docs(s, dir))
         .select($"doc_id", $"phash")
         .persist()   // decode once: read by the star edges AND the group min
@@ -911,6 +919,7 @@ object Dedup {
       // CC barriers its input twice (verts + edges); truncate the
       // expensive two-modality edge plan ONCE here so signatures,
       // banding and decode don't replay per barrier
+      val tpairs = Await.result(tpairsF, Duration.Inf)
       val allEdges = tpairs.union(interHash).union(sameHash).localCheckpoint()
       val (lab, _) = connectedComponentsStar(s, allEdges)
       val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("cluster_size"))
@@ -1173,9 +1182,19 @@ object Dedup {
     // output join shape; CCPropertySpec forces and equates both.
     val localThreshold = s.conf.getOption("graft.dedup.cc.localEdgeThreshold")
       .map(_.toLong).getOrElse(100000L)
-    val edgeCount = edges.count()
-    if (edgeCount > 0 && edgeCount <= localThreshold) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE take(threshold+1) instead of count + collect: on the
+    // checkpointed edge frame take() terminates early, the length
+    // tells small from large exactly as the count did, and the small
+    // case already holds its edges — one job saved per CC invocation
+    // (CC runs inside six catalog queries). An EMPTY edge set takes
+    // the local path too (empty union-find labels every vertex to
+    // itself — same output the distributed loop produced via its
+    // isEmpty fast-exit) unless the threshold dial is 0, which keeps
+    // forcing the distributed contraction for probes/specs.
+    val cap = math.min(localThreshold, Int.MaxValue - 1L).toInt
+    val es0 = edges.take(cap + 1)
+    if (es0.length <= localThreshold && localThreshold > 0) {
+      val es = es0.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         val p = parent.getOrElseUpdate(x, x)

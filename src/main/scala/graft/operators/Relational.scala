@@ -107,14 +107,28 @@ object Relational {
       val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
       val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
-      ord
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-        .join(li, li("l_orderkey") === ord("o_orderkey"))
-        .groupBy($"o_orderkey")
+      // AGGREGATE BEFORE THE JOIN (guide §2.3 "aggregate before you
+      // shuffle", §3.1 "check the build side"): written join-first,
+      // the planner's file-size estimate put the 600k-row lineitem
+      // scan under the broadcast threshold and built the hash relation
+      // over the FACT — a single-threaded 600k-row broadcast build —
+      // in either join order (the orders⋈customer estimate is a join
+      // output, which the planner prices higher than the visible scan).
+      // Pre-aggregating per orderkey is value-identical (the decimal
+      // revenue sum is exactly associative — the Parity discipline),
+      // moves the exchange to 4×-fewer aggregated rows, deletes the
+      // post-join groupBy exchange entirely, and leaves only
+      // orderkey-sized sides for the planner to broadcast.
+      val liAgg = li
+        .groupBy($"l_orderkey")
         .agg(
           dsum(decP($"l_extendedprice") * (oneR - decR($"l_discount"))).as("revenue"),
           count(lit(1)).as("n_lines")
         )
+      liAgg
+        .join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
+          liAgg("l_orderkey") === ord("o_orderkey"))
+        .select($"o_orderkey", $"revenue", $"n_lines")
         .orderBy($"revenue".desc, $"o_orderkey")
         .limit(10)
     },

@@ -1052,8 +1052,13 @@ object VectorSearch {
     val und = undirected.toDF("a", "b").localCheckpoint()
     val threshold = s.conf.getOption("graft.vector.pagerank.localEdgeThreshold")
       .map(_.toLong).getOrElse(100000L)
-    if (und.count() <= threshold) {
-      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE take(threshold+1) instead of count + collect (the CC-star
+    // discipline): early-terminating on the checkpointed frame, and
+    // the small case already holds its edges — one job saved per walk
+    val cap = math.min(threshold, Int.MaxValue - 1L).toInt
+    val es0 = und.take(cap + 1)
+    if (es0.length <= threshold && threshold > 0) {
+      val es = es0.map(r => (r.getLong(0), r.getLong(1)))
       val deg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
       var rank = deg.keys.map(_ -> 1000000L).toMap
       (1 to iters).foreach { _ =>
@@ -1409,21 +1414,25 @@ object VectorSearch {
   private def recallEvalMembers(s: SparkSession, dir: String,
       members: Seq[(String, Q)]): DataFrame = {
     import s.implicits._
-    val exact = topK.run(s, dir).select($"qid", $"vec_id").localCheckpoint()
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
     // the searches are independent jobs — submit them CONCURRENTLY
     // (Spark schedules jobs from multiple threads onto the same
     // executors); they serialized on their localCheckpoint barriers
     // before, ~4 s of pure queueing at fixture scale. The result is
     // order-fixed by the method sequence, so the union is
-    // deterministic regardless of completion order.
+    // deterministic regardless of completion order. The EXACT side
+    // rides its own future created FIRST (guide §2.6 overlap): built
+    // inline it ran its barrier jobs before any member started.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    members
-      .map { case (name, q) =>
-        name -> Future(q.run(s, dir).select($"qid", $"vec_id").localCheckpoint())
-      }
+    val exactF =
+      Future(topK.run(s, dir).select($"qid", $"vec_id").localCheckpoint())
+    val memberFs = members.map { case (name, q) =>
+      name -> Future(q.run(s, dir).select($"qid", $"vec_id").localCheckpoint())
+    }
+    val exact = Await.result(exactF, Duration.Inf)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    memberFs
       .map { case (name, f) =>
         val approx = Await.result(f, Duration.Inf)
         val served = approx.agg(count(lit(1)).as("served"))
@@ -1531,32 +1540,53 @@ object VectorSearch {
         .select($"qid", $"a", $"b",
           round(lit(1e6) * (dot_product($"va", $"vb") / ($"na" * $"nb")))
             .cast("long").as("cc"))
-        .localCheckpoint()
-      val w = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id")
-      // step 1: pure relevance
-      var selected = cand20
-        .withColumn("score", $"rel" * 10L)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"qid").orderBy($"rel".desc, $"vec_id")))
-        .filter($"rk" === 1)
-        .select($"qid", $"vec_id", lit(1).as("step"), ($"rel" * 10L).as("mmr_score"))
-        .localCheckpoint()
-      (2 to 5).foreach { k =>
-        val remaining = cand20.join(selected.select($"qid", $"vec_id"),
-          Seq("qid", "vec_id"), "left_anti")
-        val red = remaining
-          .join(pairs.withColumnRenamed("a", "vec_id"), Seq("qid", "vec_id"))
-          .join(selected.select($"qid", $"vec_id".as("b")), Seq("qid", "b"), "left_semi")
-          .groupBy($"qid", $"vec_id").agg(max($"cc").as("max_red"))
-        val scored = remaining.join(red, Seq("qid", "vec_id"), "left")
-          .select($"qid", $"vec_id", $"rel",
-            ($"rel" * 7L - coalesce($"max_red", lit(0L)) * 3L).as("score"))
-        selected = selected.union(
-          scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-            .select($"qid", $"vec_id", lit(k).as("step"), $"score".as("mmr_score")))
-          .localCheckpoint()
-      }
-      selected.orderBy($"qid", $"step")
+      // greedy selection as ONE per-query integer kernel (guide §1.2
+      // per-task work, §2.4 remove shuffles): the unrolled 5-step
+      // dataframe form paid ~25 exchanges and 5 checkpoint barriers on
+      // ≤160-row frames — pure fixed overhead at EVERY scale, because
+      // the per-query frames are top-k-sized by construction. The
+      // micro-unit scores (rel, cc) still come from the exact SAME
+      // dataframe expressions, so the in-kernel greedy — pure Long
+      // arithmetic with the same (score desc, vec_id asc) tie-break —
+      // reproduces the unrolled form's picks bit-for-bit (shared
+      // DuckDB oracle + VectorSpec gate it).
+      val candArr = cand20.groupBy($"qid")
+        .agg(collect_list(struct($"vec_id", $"rel")).as("cands"))
+      val pairArr = pairs.groupBy($"qid")
+        .agg(collect_list(struct($"a", $"b", $"cc")).as("ccs"))
+      candArr.join(pairArr, Seq("qid"), "left")
+        .select($"qid", $"cands", $"ccs")
+        .as[(Long, Seq[(Long, Long)], Option[Seq[(Long, Long, Long)]])]
+        .flatMap { case (qid, cands, ccsOpt) =>
+          val cc = ccsOpt.getOrElse(Nil)
+            .iterator.map { case (a, b, c) => (a, b) -> c }.toMap
+          val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+          val chosen = scala.collection.mutable.Set.empty[Long]
+          (1 to 5).foreach { step =>
+            val scoredRem = cands.iterator
+              .filterNot { case (vid, _) => chosen(vid) }
+              .map { case (vid, rel) =>
+                if (step == 1) (vid, rel * 10L)
+                else {
+                  // max cosine to the already-selected set; a candidate
+                  // always has pair rows to selected ⊆ candidates, the
+                  // 0-default mirrors the unrolled form's coalesce
+                  val maxRed = picks.iterator
+                    .map { case (sel, _, _) => cc.getOrElse((vid, sel), Long.MinValue) }
+                    .foldLeft(Long.MinValue)(math.max)
+                  (vid, rel * 7L - (if (maxRed == Long.MinValue) 0L else maxRed) * 3L)
+                }
+              }.toSeq
+            if (scoredRem.nonEmpty) {
+              val (vid, sc) = scoredRem.minBy { case (v, s) => (-s, v) }
+              chosen += vid
+              picks += ((vid, step, sc))
+            }
+          }
+          picks.iterator.map { case (vid, step, sc) => (qid, vid, step, sc) }
+        }
+        .toDF("qid", "vec_id", "step", "mmr_score")
+        .orderBy($"qid", $"step")
     },
     Some {
       val steps = (2 to 5).map { k =>
@@ -2080,11 +2110,20 @@ object VectorSearch {
     * touches the corpus. */
   val retrainGate: Q = Q(
     "vector_retrain_gate",
-    (s, dir) => retrainGateRow(cellProfile.run(s, dir),
+    (s, dir) => {
+      // profile and recall legs are independent — overlap them
+      // (guide §2.6); built inline, the profile's barrier jobs ran
+      // before the recall members could start
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val profF = Future(cellProfile.run(s, dir).localCheckpoint())
       // only the two methods the decision reads — a member subset's
       // rows are identical to the full eval's (independent per member)
-      recallEvalMembers(s, dir,
-        Seq("ivf_flat" -> annIvfFlat, "ivf_retrained" -> annIvfRetrained))),
+      val rec = recallEvalMembers(s, dir,
+        Seq("ivf_flat" -> annIvfFlat, "ivf_retrained" -> annIvfRetrained))
+      retrainGateRow(Await.result(profF, Duration.Inf), rec)
+    },
     Some(s"""
       WITH prof AS (${cellProfile.oracle.get}),
       rec AS (${recallEval.oracle.get}),
