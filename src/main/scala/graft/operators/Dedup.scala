@@ -117,10 +117,16 @@ object Dedup {
     // repartition first: the fixture is a single parquet file (1 input
     // split), which would otherwise serialize all shingle computation
     // into one task; on a real multi-split corpus this is a no-op cost.
-    // Width pinned (cores-derived) — unpinned, AQE's partition
-    // coalescing folds the fixture-sized exchange back to one task.
-    docs(s, dir)
-      .repartition(graft.GraftSession.spreadWidth(s), $"doc_id")
+    // Width dial (round-19 A/B, tools.ShingleWidthProbe): 0/unset =
+    // unpinned repartition($"doc_id") — AQE may coalesce at fixture
+    // scale, trading a serial ~250 ms shingle kernel for a single
+    // 2 MB CountMin with no merge; N pins N-wide — parallel kernel,
+    // N sketches tree-merged. The probe prices the two arms
+    // interleaved in one JVM; the default stays unpinned.
+    val pin = s.conf.getOption("graft.dedup.shingles.pinnedWidth")
+      .map(_.toInt).getOrElse(0)
+    (if (pin > 0) docs(s, dir).repartition(pin, $"doc_id")
+     else docs(s, dir).repartition($"doc_id"))
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         shingleHashes(text).map(a => (id, a))
@@ -317,13 +323,20 @@ object Dedup {
       s: SparkSession, sh: DataFrame,
       depth: Int, width: Int): org.apache.spark.broadcast.Broadcast[CountMin] = {
     import s.implicits._
+    // treeReduce, not fold (the BloomFilter builder's discipline,
+    // line ~2205): fold ships EVERY partition's 2 MB sketch to the
+    // driver and merges serially — with the sketch pass now pinned
+    // 32-wide that is ~64 MB of driver deserialize+merge per query;
+    // the tree merges on executors and the driver sees ≤√P sketches.
+    // (mapPartitions emits exactly one sketch per partition, so the
+    // RDD is never empty and treeReduce is total.)
     val sketch = sh.select($"sh").as[Seq[Long]].rdd
       .mapPartitions { it =>
         val c = new CountMin(depth, width)
         it.foreach(_.foreach(c.add))
         Iterator.single(c)
       }
-      .fold(new CountMin(depth, width))(_.mergeInPlace(_))
+      .treeReduce(_.mergeInPlace(_), depth = 2)
     s.sparkContext.broadcast(sketch)
   }
 
@@ -1796,7 +1809,9 @@ object Dedup {
     import org.apache.spark.sql.graftexpr.VectorFunctions.dot_product
     val masks = (0 until (1 << nPlanes)).filter(m => Integer.bitCount(m) <= 2)
     val e = Tables.load(s, dir, "embeddings")
-      .repartition(graft.GraftSession.spreadWidth(s), $"vec_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
+      // UNPINNED on purpose: tiny vector frame — 32 pinned partitions
+      // taxed every downstream stage ~1.3-2x (measured round 19)
+      .repartition($"vec_id")
       .select($"vec_id", expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", sqrt(dot_product($"v", $"v")))
       .withColumn("bucket", VectorSearch.signBucket($"v", VectorSearch.planesFor(nPlanes)))

@@ -65,7 +65,7 @@ object Pipeline {
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qnrm"))
       val cand = VectorSearch.withNorms(
         Tables.load(s, dir, "embeddings").filter($"label".isin(1, 2, 3))
-          .repartition(graft.GraftSession.spreadWidth(s), $"vec_id")   // single-file fixture → spread the scoring (width pinned: AQE would coalesce)
+          .repartition($"vec_id")   // single-file fixture → spread the scoring (UNPINNED on purpose: tiny vector frames — 32 pinned partitions taxed every downstream stage ~1.3-2x, measured round 19)
           .select($"vec_id", $"embedding"))
       val scored = cand.join(broadcast(q), $"vec_id" =!= $"qid")
         .select($"qid", $"vec_id",
@@ -1427,7 +1427,7 @@ object Pipeline {
       val k = 5
       val e = VectorSearch.withNorms(
         Tables.load(s, dir, "embeddings")
-          .repartition(graft.GraftSession.spreadWidth(s), $"vec_id")   // single-file fixture → spread the scoring (width pinned: AQE would coalesce)
+          .repartition($"vec_id")   // single-file fixture → spread the scoring (UNPINNED on purpose: tiny vector frames — 32 pinned partitions taxed every downstream stage ~1.3-2x, measured round 19)
           .select($"vec_id", $"embedding"))
         .localCheckpoint()          // referenced as both query and corpus side
       val q = e.filter($"vec_id" < 4)

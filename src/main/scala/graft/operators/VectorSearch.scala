@@ -43,7 +43,7 @@ object VectorSearch {
     import s.implicits._
     withNorms(
       Tables.load(s, dir, "embeddings")
-        .repartition(graft.GraftSession.spreadWidth(s), $"vec_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
+        .repartition($"vec_id")   // single-file fixture → spread the work (UNPINNED on purpose: tiny vector frames — 32 pinned partitions taxed every downstream stage ~1.3-2x, measured round 19)
         .select($"vec_id", $"embedding"))
       // localCheckpoint, not persist: (a) the frame is referenced on both
       // sides of the scoring join, so lineage truncation keeps the plan
