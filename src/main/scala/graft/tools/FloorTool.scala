@@ -77,8 +77,12 @@ object FloorTool {
       else {
         val d = new java.io.File("bench_details")
         if (!d.isDirectory) Seq.empty
+        // suffixed archives (e.g. _r19_opt — an optimization pass
+        // recorded WITHIN a round) are part of the window; parseClean
+        // orders them by the r<N> they carry, tying with the round's
+        // base archive so the min-merge sees both
         else d.listFiles.map(_.getName)
-          .filter(_.matches("BENCH_DETAIL_r\\d+\\.json"))
+          .filter(_.matches("BENCH_DETAIL_r\\d+\\w*\\.json"))
           .map(n => s"bench_details/$n").toSeq
       }
     }
