@@ -186,23 +186,58 @@ object Tables {
     * read with the explicit schema. The fingerprint keys out a path
     * whose file was overwritten (scratch fixtures in tests), so a
     * stale schema can never be served; DATA is always read from the
-    * parquet — nothing about query RESULTS is memoized. */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    * parquet — nothing about query RESULTS is memoized.
+    *
+    * Scope (round-19 ADVICE): the fingerprint walks `java.io.File`, so
+    * it is only meaningful for LOCAL paths — a non-local URI (hdfs://,
+    * s3a://) stats as nonexistent and the memo FALLS BACK to plain
+    * inference rather than serving a constant-fingerprint stale entry.
+    * The map is keyed by PATH with the fingerprint stored beside the
+    * schema, so an overwritten file replaces (never accumulates
+    * beside) its superseded entry, and the fold over directory
+    * children is order-sensitive (sorted names, mixed 64-bit fold) —
+    * the earlier XOR of child hashes was commutative and
+    * self-cancelling for same-(mtime,len) sibling pairs. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]()
 
-  private def pathFingerprint(path: String): String = {
-    def walk(f: java.io.File): Long =
+  /** Order-sensitive recursive (mtime, length, name) fingerprint of a
+    * local path; None when the path does not resolve locally. */
+  private def localFingerprint(path: String): Option[Long] = {
+    val root = new java.io.File(path)
+    if (!root.exists) return None
+    def mix(h: Long, x: Long): Long = {
+      var v = h ^ (x + 0x9e3779b97f4a7c15L + (h << 6) + (h >>> 2))
+      v = (v ^ (v >>> 30)) * 0xbf58476d1ce4e5b9L
+      v ^ (v >>> 27)
+    }
+    def walk(f: java.io.File, h0: Long): Long = {
+      var h = mix(mix(mix(h0, f.getName.hashCode.toLong), f.lastModified), f.length)
       if (f.isDirectory)
-        Option(f.listFiles).map(_.foldLeft(f.lastModified)((a, c) => a ^ walk(c))).getOrElse(0L)
-      else f.lastModified ^ (f.length * 1000003L)
-    s"$path@${walk(new java.io.File(path))}"
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
+          .foreach(c => h = walk(c, h))
+      h
+    }
+    Some(walk(root, 1469598103934665603L))
   }
+
+  private def memoSchema(
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    localFingerprint(path) match {
+      case None => spark.read.parquet(path).schema   // non-local: always infer
+      case Some(fp) =>
+        val cur = schemaCache.get(path)
+        if (cur != null && cur._1 == fp) cur._2
+        else {
+          val sch = spark.read.parquet(path).schema
+          schemaCache.put(path, (fp, sch))   // replaces any superseded entry
+          sch
+        }
+    }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(pathFingerprint(path),
-      _ => spark.read.parquet(path).schema)
-    normalize(spark.read.schema(schema).parquet(path), name)
+    normalize(spark.read.schema(memoSchema(spark, path)).parquet(path), name)
   }
 
   /** Timestamp columns vary by generator vintage: events.ts has shipped
@@ -229,9 +264,7 @@ object Tables {
     * points at any parquet written with the same vintage (usually the
     * testdata file the fixture was staged from). */
   def loadStream(spark: SparkSession, streamDir: String, name: String,
-      schemaFrom: String): DataFrame = {
-    val schema = schemaCache.computeIfAbsent(pathFingerprint(schemaFrom),
-      _ => spark.read.parquet(schemaFrom).schema)
-    normalize(spark.readStream.schema(schema).parquet(streamDir), name)
-  }
+      schemaFrom: String): DataFrame =
+    normalize(
+      spark.readStream.schema(memoSchema(spark, schemaFrom)).parquet(streamDir), name)
 }

@@ -100,7 +100,8 @@ object Multimodal {
   /** documents with an attached REAL image payload: the deterministic
     * per-doc PNG, encoded in a mapPartitions stage (codec init once per
     * partition — here ImageIO's writer registry lookup). */
-  def withImageBlob(spark: SparkSession, df: DataFrame): DataFrame = {
+  def withImageBlob(spark: SparkSession, df: DataFrame,
+      spread: Boolean = true): DataFrame = {
     import spark.implicits._
     // repartition the 8-byte ids BEFORE generating blobs (guide §2.5,
     // input skew): the single-row-group parquet fixture is ONE input
@@ -111,8 +112,15 @@ object Multimodal {
     // width pinned (cores-derived): an unpinned repartition(col) is an
     // AQE-coalescible exchange that folds back to one partition at
     // fixture scale — see GraftSession.spreadWidth.
-    df.select(col("doc_id"))
-      .repartition(graft.GraftSession.spreadWidth(spark), col("doc_id")).as[Long]
+    // `spread = false` opts out (round-19 ADVICE): STREAMING consumers
+    // decode small per-micro-batch arrival slices where a 32-wide
+    // exchange + 32-task scheduling per batch was never priced; the
+    // A/B evidence for the pin is batch/fixture-scale only.
+    val ids = df.select(col("doc_id"))
+    val src =
+      if (spread) ids.repartition(graft.GraftSession.spreadWidth(spark), col("doc_id"))
+      else ids
+    src.as[Long]
       .mapPartitions(it => it.map(id => (id, pngFor(id))))
       .toDF("doc_id", "blob")
   }
@@ -332,9 +340,10 @@ object Multimodal {
     * doc_id (images attach deterministically); works on BATCH and
     * STREAMING frames alike (stateless mapPartitions kernel, codec
     * init once per partition). Returns (doc_id, width, height, phash). */
-  def phashFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+  def phashFrame(spark: SparkSession, df: DataFrame,
+      spread: Boolean = true): DataFrame = {
     import spark.implicits._
-    withImageBlob(spark, df)
+    withImageBlob(spark, df, spread)
       .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val r = resizeThumb(id, bytes)

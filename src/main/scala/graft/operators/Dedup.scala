@@ -1206,7 +1206,11 @@ object Dedup {
     // forcing the distributed contraction for probes/specs.
     val cap = math.min(localThreshold, Int.MaxValue - 1L).toInt
     val es0 = edges.take(cap + 1)
-    if (es0.length <= localThreshold && localThreshold > 0) {
+    // compare against CAP, not the raw threshold (round-19 ADVICE): a
+    // threshold configured above Int.MaxValue-1 clamps the take(), and
+    // es0.length <= threshold would then run union-find on a TRUNCATED
+    // edge set; length <= cap can only hold when take() was exhaustive
+    if (es0.length <= cap && localThreshold > 0) {
       val es = es0.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {

@@ -298,12 +298,30 @@ object TextAnalysis {
     * fixed query — [[bm25]] emits it by doc_id, [[searchTopK]] ranks
     * it. One tiny stats row broadcast over the corpus; pure per-row
     * scoring after that. */
+  /** Fixture-spread dial for the text kernels — the shingleSets
+    * discipline (round-19 batch 5) extended to the four text kernel
+    * spreads that were kept pinned WITHOUT an interleaved A/B (round-19
+    * verdict item 6): `graft.text.kernel.pinnedWidth` = 0 forces
+    * unpinned `repartition($"doc_id")` (AQE may coalesce at fixture
+    * scale — serial kernel, no 32-task scheduling tax), N pins N-wide
+    * (parallel kernel — what a real multi-split corpus wants); unset
+    * takes the call site's default, priced per query by
+    * `tools.TextWidthProbe` (interleaved arms, one JVM, alternating
+    * order — round-20 measurement recorded in OPTIMIZATION_r20.md). */
+  private def kernelSpread(s: SparkSession, df: DataFrame,
+      defaultPinned: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pin = s.conf.getOption("graft.text.kernel.pinnedWidth").map(_.toInt)
+      .getOrElse(if (defaultPinned) graft.GraftSession.spreadWidth(s) else 0)
+    if (pin > 0) df.repartition(pin, col("doc_id"))
+    else df.repartition(col("doc_id"))
+  }
+
   private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.Column
     val terms = bm25Terms
-    val d = docs(s, dir)
-      .repartition(graft.GraftSession.spreadWidth(s), $"doc_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
+    val d = kernelSpread(s, docs(s, dir), defaultPinned = true)
       .select($"doc_id", TextFns.tokens($"text").as("toks"))
       .withColumn("dl", size($"toks"))
     val tf = terms.foldLeft(d) { (df, t) =>
@@ -499,8 +517,7 @@ object TextAnalysis {
     "text_bigrams",
     (s, dir) => {
       import s.implicits._
-      docs(s, dir)
-        .repartition(graft.GraftSession.spreadWidth(s), $"doc_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
+      kernelSpread(s, docs(s, dir), defaultPinned = true)
         .select($"text").as[String]
         .mapPartitions(_.flatMap(bigramsOf))
         .toDF("bigram")
@@ -536,8 +553,7 @@ object TextAnalysis {
     "text_repetition",
     (s, dir) => {
       import s.implicits._
-      docs(s, dir)
-        .repartition(graft.GraftSession.spreadWidth(s), $"doc_id")   // single-file fixture → spread the work (width pinned: AQE would coalesce)
+      kernelSpread(s, docs(s, dir), defaultPinned = true)
         .select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           val bg = bigramsOf(text)
@@ -1177,11 +1193,7 @@ object TextAnalysis {
     "text_pmi_collocations",
     (s, dir) => {
       import s.implicits._
-      val toks = docs(s, dir)
-        // width pinned (cores-derived): unpinned, AQE folds the
-        // fixture-sized exchange back to one task and the bigram
-        // kernel re-serializes — see GraftSession.spreadWidth
-        .repartition(graft.GraftSession.spreadWidth(s), $"doc_id")
+      val toks = kernelSpread(s, docs(s, dir), defaultPinned = true)
         .select($"text").as[String]
       val bg = toks.mapPartitions(_.flatMap(bigramsOf)).toDF("bigram")
         .groupBy($"bigram").agg(count(lit(1)).as("c_ab"))

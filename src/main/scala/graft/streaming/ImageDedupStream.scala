@@ -50,7 +50,11 @@ object ImageDedupStream {
     import spark.implicits._
     val idx = bandIndex(spark, dir)
       .withColumnRenamed("phash", "iphash")
-    val arrivals = graft.multimodal.Multimodal.phashFrame(spark, src)
+    // spread = false: arrivals are SMALL per-micro-batch slices — the
+    // batch-side fixture-spread repartition would add a 32-wide exchange
+    // plus 32-task scheduling to EVERY micro-batch (round-19 ADVICE); the
+    // static corpus decode in [[bandIndex]] keeps the spread.
+    val arrivals = graft.multimodal.Multimodal.phashFrame(spark, src, spread = false)
       .select($"doc_id", $"phash",
         explode(expr(
           "transform(sequence(0, 2), c -> named_struct('c', c, 'cv', shiftright(phash, c*8) & 255))"))

@@ -18,7 +18,14 @@ object BenchOne {
         t
       }
       val warm = ts.drop(1).sorted
-      if (warm.nonEmpty) println(f"[benchone] $name warm_median=${warm(warm.size / 2)}%.3f warm_min=${warm.min}%.3f")
+      // true median: average the two middle elements for even sizes
+      // (indexing size/2 alone reported the upper-middle — round-19
+      // ADVICE: biased for SPARK_GRAFT_BENCHONE_RUNS-driven even counts)
+      val median =
+        if (warm.isEmpty) 0.0
+        else if (warm.size % 2 == 1) warm(warm.size / 2)
+        else (warm(warm.size / 2 - 1) + warm(warm.size / 2)) / 2.0
+      if (warm.nonEmpty) println(f"[benchone] $name warm_median=$median%.3f warm_min=${warm.min}%.3f")
     }
     spark.stop()
   }
