@@ -199,6 +199,8 @@ object Dedup {
           && $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
         .distinct()
+        // spread the verify kernel wide — see ngramJaccardVerified
+        .repartition(graft.GraftSession.spreadWidth(s), $"d1", $"d2")
       val s1 = sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
       val s2 = sh.select($"doc_id".as("d2"), $"sh".as("sh2"))
       val verified = cand.join(s1, "d1").join(s2, "d2")
@@ -421,6 +423,15 @@ object Dedup {
         && $"a.n" <= $"b.n" * 2 && $"b.n" <= $"a.n" * 2)
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
+      // spread the VERIFY kernel (guide §2.5/§2.3 — shuffle keys, not
+      // payloads): the pair keys are 16 bytes, but the array_intersect
+      // verify is this stage's CPU, and AQE folds the distinct's
+      // exchange to 1–2 partitions at fixture scale, serializing it
+      // (round-20 JobProfile: ~1.5 s of verify task time on 2 tasks).
+      // Repartitioning the TINY pair frame wide before the shingle
+      // arrays attach runs the verify spreadWidth-wide; the shingle
+      // sides broadcast, so no payload bytes ride this exchange.
+      .repartition(graft.GraftSession.spreadWidth(s), $"d1", $"d2")
     // exact verification on candidates only
     val s1 = sh.select($"doc_id".as("d1"), $"sh".as("sh1"))
     val s2 = sh.select($"doc_id".as("d2"), $"sh".as("sh2"))
@@ -1482,17 +1493,35 @@ object Dedup {
       val (pairsT, labelsT, bandsT) = v1LabelArtifacts(s, dir)
       val pairs1 = s.table(pairsT)
       val labels1 = s.table(labelsT)
+      // OVERLAP the independent legs (guide §2.6; round-20 JobProfile:
+      // 43 jobs, GAP-dominated — job spans 1.9 s, driver gaps 1.8 s —
+      // so the critical path IS the serial barrier chain, not any one
+      // kernel). fresh ∥ dirty first (independent corpus slices); then
+      // v2 ∥ the fresh-side band sketch ∥ the v1 PAIR-TABLE leg
+      // (surviving needs only dirty), which reads the persisted
+      // bucketed table beside the whole fresh-side sketch chain.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       // the v2 snapshot: drop bucket '0', revise {1,2}, add 'f'
-      val fresh = d.filter(bk.isin("f", "1", "2"))
+      val freshF = Future(d.filter(bk.isin("f", "1", "2"))
         .select($"doc_id",
           when(bk.isin("1", "2"), concat($"text", lit(" rev2")))
             .otherwise($"text").as("text"))
-        .localCheckpoint()   // banded AND shingled
-      val v2 = d.filter(!bk.isin("0", "f", "1", "2"))
+        .localCheckpoint())   // banded AND shingled
+      val dirtyF = Future(d.filter(bk.isin("0", "1", "2")).select($"doc_id")
+        .localCheckpoint())
+      val fresh = Await.result(freshF, Duration.Inf)
+      val dirty = Await.result(dirtyF, Duration.Inf)
+      val v2F = Future(d.filter(!bk.isin("0", "f", "1", "2"))
         .select($"doc_id", $"text").unionAll(fresh)
-        .localCheckpoint()   // the verify shingles AND the output spine
-      val dirty = d.filter(bk.isin("0", "1", "2")).select($"doc_id")
-        .localCheckpoint()
+        .localCheckpoint())   // the verify shingles AND the output spine
+      // 2. surviving v1 edges: no endpoint dirty — the v1-table leg,
+      // materialized IN PARALLEL with the fresh-side sketch below
+      val survivingF = Future(pairs1
+        .join(dirty.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_anti")
+        .join(dirty.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_anti")
+        .localCheckpoint())
       // 1. fresh pairs vs the whole v2. The fresh slice is the ONLY
       // text sketched — and fresh×v2 factors as fresh×unchanged ∪
       // fresh×fresh, so the persisted (b,bh)-bucketed band table is
@@ -1516,6 +1545,7 @@ object Dedup {
       val cand = candOld.unionAll(candFresh)
         .distinct()
         .localCheckpoint()
+      val v2 = Await.result(v2F, Duration.Inf)
       val candDocs = cand.select(explode(array($"d1", $"d2")).as("doc_id")).distinct()
       val sh = v2.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select($"doc_id", TextFns.shingleSet($"text").as("sh"))
@@ -1528,10 +1558,7 @@ object Dedup {
         .filter($"inter" * 3 >= $"n1" + $"n2")
         .select($"d1", $"d2")
         .localCheckpoint()
-      // 2. surviving v1 edges: no endpoint dirty
-      val surviving = pairs1
-        .join(dirty.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_anti")
-        .join(dirty.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_anti")
+      val surviving = Await.result(survivingF, Duration.Inf)
       // 3. affected closure via v1 labels
       val touched = dirty
         .unionAll(freshPairs.select(explode(array($"d1", $"d2")).as("doc_id")))

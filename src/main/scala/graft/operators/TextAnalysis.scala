@@ -307,7 +307,13 @@ object TextAnalysis {
     * (parallel kernel — what a real multi-split corpus wants); unset
     * takes the call site's default, priced per query by
     * `tools.TextWidthProbe` (interleaved arms, one JVM, alternating
-    * order — round-20 measurement recorded in OPTIMIZATION_r20.md). */
+    * order). Round-20 medians over 6 rounds at sf0.1: pinned/unpinned
+    * ratio 1.98 (bigrams), 1.47 (bm25), 1.31 (search_topk), 1.22
+    * (pmi), 1.16 (repetition) — pinned lost EVERYWHERE at fixture
+    * scale (the 32-task scheduling + 32-way partial-agg merge costs
+    * more than the ~250 ms serial kernel it parallelizes), so every
+    * call site defaults UNPINNED; a real multi-split corpus that
+    * wants the parallel kernel sets the conf. */
   private def kernelSpread(s: SparkSession, df: DataFrame,
       defaultPinned: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -321,7 +327,7 @@ object TextAnalysis {
     import s.implicits._
     import org.apache.spark.sql.Column
     val terms = bm25Terms
-    val d = kernelSpread(s, docs(s, dir), defaultPinned = true)
+    val d = kernelSpread(s, docs(s, dir), defaultPinned = false)
       .select($"doc_id", TextFns.tokens($"text").as("toks"))
       .withColumn("dl", size($"toks"))
     val tf = terms.foldLeft(d) { (df, t) =>
@@ -517,7 +523,7 @@ object TextAnalysis {
     "text_bigrams",
     (s, dir) => {
       import s.implicits._
-      kernelSpread(s, docs(s, dir), defaultPinned = true)
+      kernelSpread(s, docs(s, dir), defaultPinned = false)
         .select($"text").as[String]
         .mapPartitions(_.flatMap(bigramsOf))
         .toDF("bigram")
@@ -553,7 +559,7 @@ object TextAnalysis {
     "text_repetition",
     (s, dir) => {
       import s.implicits._
-      kernelSpread(s, docs(s, dir), defaultPinned = true)
+      kernelSpread(s, docs(s, dir), defaultPinned = false)
         .select($"doc_id", $"text").as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           val bg = bigramsOf(text)
@@ -1193,7 +1199,7 @@ object TextAnalysis {
     "text_pmi_collocations",
     (s, dir) => {
       import s.implicits._
-      val toks = kernelSpread(s, docs(s, dir), defaultPinned = true)
+      val toks = kernelSpread(s, docs(s, dir), defaultPinned = false)
         .select($"text").as[String]
       val bg = toks.mapPartitions(_.flatMap(bigramsOf)).toDF("bigram")
         .groupBy($"bigram").agg(count(lit(1)).as("c_ab"))
